@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan —
+scan, shuffles, aggregation) but results are not collected to the
+driver, so the timing measures engine work, not driver materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "flagship_company_positions",
+    "issues_count_validation",
+    "company_issue_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pac_spark.plans.registry import queries
+    from pac_spark.session import get_spark
+
+    spark = get_spark(app_name="pac_spark_bench")
+    qs = queries()
+
+    # warm the JVM/codegen paths once on the smallest SF so per-query
+    # numbers measure steady-state execution, not first-call JIT.
+    warm = qs[BENCH_QUERIES[0]]
+    warm(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

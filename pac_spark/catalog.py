@@ -1,0 +1,70 @@
+"""Table catalog over the driver-provided parquet testdata.
+
+Mirrors the reference's runtime schema discovery (SHOW COLUMNS,
+index_align_to_firebase.py:115-128; table-name probing,
+executive_review_tool.py:113-138) with Spark's native equivalents:
+parquet footers give the schema for free, and :func:`resolve_table`
+probes candidate table names the way the reference probes
+``executives/executive/execs/exec``.
+
+At 100 TB each of these tables would be a partitioned/bucketed parquet
+dataset rather than a single file; ``load`` takes any path Spark can
+scan in parallel, so nothing here assumes single-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLES", "load", "load_all", "register_views", "resolve_table"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Column pruning + predicate pushdown reach the
+    parquet reader automatically because callers express plans
+    declaratively on the returned DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can use
+    ``spark.sql`` — the SQL and DataFrame APIs produce identical
+    Catalyst plans."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def resolve_table(
+    spark: SparkSession, sf_dir: str, candidates: list[str]
+) -> tuple[str, DataFrame]:
+    """Probe candidate table names and scan the first that exists.
+
+    Spark-native analog of the reference's ``SHOW TABLES LIKE`` loop
+    (executive_review_tool.py:118-127).
+    """
+    for name in candidates:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            return name, spark.read.parquet(path)
+    raise FileNotFoundError(f"none of {candidates} exist under {sf_dir}")

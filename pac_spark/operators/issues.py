@@ -1,0 +1,158 @@
+"""The issues pipeline re-expressed as one declarative DataFrame chain.
+
+Reference pipeline (index_align_to_firebase.py): MySQL ``issues`` scan →
+ticker normalize/filter → per-row Firebase ticker→company lookup (an N+1
+HTTP GET inside ``iterrows``, :244-264) → nested dict grouping
+``{company: {issue: {Against, Neutral, Pro}}}`` (:271-280) → Total and
+Position derivation (:347-361) → exactly-8-issues validation (:286-297).
+
+Spark-first restatement over the driver testdata (orders/customer):
+
+- the fact table is ``orders``: ``o_custkey`` plays company, the order
+  priority plays the issue name, and ``o_orderstatus`` (F/O/P) plays the
+  Against/Neutral/Pro sentiment buckets (sums of ``o_totalprice``);
+- the reference's per-row remote dimension lookup becomes a **broadcast
+  hash join** against the ``customer`` dim — at 100 TB the fact side
+  streams through executors while the dim ships once per executor;
+- nested-dict grouping becomes a ``groupBy().pivot()``-free conditional
+  aggregation (SUM(CASE WHEN ...)) so the plan is a single partial+final
+  hash aggregate with map-side combine — one shuffle total;
+- Total / Position are pure column expressions, preserving the
+  reference's tie-break order: AGAINST wins ties, then PRO, else
+  NEUTRAL, and zero-total rows are NEUTRAL (:352-361).
+
+Everything stays in whole-stage codegen; no UDFs, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.functions.exact import money_sum
+from pac_spark.functions.normalize import normalize_ticker
+
+__all__ = [
+    "company_issue_positions",
+    "company_issue_summary",
+    "issue_count_validation",
+    "position_expr",
+]
+
+# o_orderstatus -> sentiment bucket (documented mapping, arbitrary but fixed)
+STATUS_TO_BUCKET = {"F": "against", "P": "neutral", "O": "pro"}
+
+
+def position_expr(against, neutral, pro, total):
+    """Argmax with the reference's exact tie-break order
+    (index_align_to_firebase.py:352-361): zero total → NEUTRAL;
+    AGAINST if >= both others; else PRO if >= both others; else NEUTRAL.
+    """
+    return (
+        F.when(total == 0.0, F.lit("NEUTRAL"))
+        .when((against >= neutral) & (against >= pro), F.lit("AGAINST"))
+        .when((pro >= neutral) & (pro >= against), F.lit("PRO"))
+        .otherwise(F.lit("NEUTRAL"))
+    )
+
+
+def _issue_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted (company, issue) grid — shared subplan of the flagship,
+    summary, and validation queries. No orderBy here: sorting is a full
+    exchange + range partitioning, so it belongs only at the top of a
+    plan that actually promises order."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    customer = catalog.load(spark, sf_dir, "customer")
+
+    # dim: ticker -> company id lookup (ref's /tickers Firebase dim).
+    # Broadcast: the dim is bounded (companies), the fact side is not.
+    dim = customer.select(
+        F.col("c_custkey").alias("company_id"),
+        normalize_ticker(F.col("c_name")).alias("company_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    fact = (
+        orders
+        # P3/P4-style blank filters (ref :247-249, :267-269)
+        .filter(F.col("o_custkey").isNotNull())
+        .filter(F.col("o_orderpriority").isNotNull() & (F.trim("o_orderpriority") != ""))
+        .select(
+            F.col("o_custkey").alias("company_id"),
+            F.trim(F.col("o_orderpriority")).alias("issue_name"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+
+    # J1: inner broadcast join drops unmapped companies (ref P5 :251-262)
+    joined = fact.join(F.broadcast(dim), "company_id", "inner")
+
+    def bucket_sum(status: str):
+        # F8-style numeric coercion with 0.0 default (ref :231-236) is
+        # implicit: money_sum of the filtered bucket, 0.0 when absent.
+        amt = F.when(F.col("status") == status, F.col("amount")).otherwise(F.lit(0.0))
+        return money_sum(amt)
+
+    agg = joined.groupBy("company_id", "company_name", "segment", "issue_name").agg(
+        bucket_sum("F").alias("against"),
+        bucket_sum("P").alias("neutral"),
+        bucket_sum("O").alias("pro"),
+    )
+
+    total = (F.col("against") + F.col("neutral") + F.col("pro")).cast("double")
+    return agg.withColumn("total", F.round(total, 2)).withColumn(
+        "position",
+        position_expr(F.col("against"), F.col("neutral"), F.col("pro"), F.col("total")),
+    )
+
+
+def company_issue_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat (company, issue) grid with A/N/P sums, total, position.
+
+    The flagship query: scan → normalize → filter → broadcast join →
+    grouped conditional agg → derived columns → sort. The flat layout
+    (rather than the reference's nested map) is the oracle-comparable
+    form; :func:`company_issue_summary` builds the nested form.
+    """
+    return _issue_grid(spark, sf_dir).orderBy("company_id", "issue_name")
+
+
+def company_issue_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested form: one row per company with a sorted array of issue
+    structs — the Spark shape of the reference's
+    ``{company: {issue: {Against, Neutral, Pro}}}`` dict (A1, :271-280).
+
+    Array-of-struct sorted by issue name (O1, :346) rather than a map so
+    the result is canonical/deterministic for hashing and export.
+    """
+    flat = _issue_grid(spark, sf_dir)
+    return (
+        flat.groupBy("company_id", "company_name", "segment")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("issue_name", "against", "neutral", "pro", "total", "position")
+                )
+            ).alias("issues"),
+            F.count("*").alias("n_issues"),
+        )
+        .orderBy("company_id")
+    )
+
+
+def issue_count_validation(spark: SparkSession, sf_dir: str, expected: int = 5) -> DataFrame:
+    """Companies whose issue count differs from the expected invariant.
+
+    Ref: exactly-8-issues check (index_align_to_firebase.py:286-297).
+    The testdata has 5 priorities, so the invariant here is 5; the
+    expected count is a parameter, matching the reference's spirit.
+    """
+    flat = _issue_grid(spark, sf_dir)
+    return (
+        flat.groupBy("company_id")
+        .agg(F.count("*").alias("n_issues"))
+        .filter(F.col("n_issues") != expected)
+        .orderBy("company_id")
+    )

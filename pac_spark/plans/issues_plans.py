@@ -1,0 +1,74 @@
+"""Registry entries for the issues pipeline (flagship)."""
+
+from __future__ import annotations
+
+from pac_spark.functions.exact import money_sum_sql
+from pac_spark.operators import issues
+from pac_spark.plans.spec import QuerySpec
+
+__all__ = ["SPECS"]
+
+
+def _bucket(status: str) -> str:
+    return money_sum_sql(f"CASE WHEN status = '{status}' THEN amount ELSE 0.0 END")
+
+
+_FLAGSHIP_ORACLE = f"""
+WITH fact AS (
+    SELECT o_custkey AS company_id,
+           trim(o_orderpriority) AS issue_name,
+           o_orderstatus AS status,
+           o_totalprice AS amount
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+), dim AS (
+    SELECT c_custkey AS company_id,
+           upper(trim(c_name)) AS company_name,
+           c_mktsegment AS segment
+    FROM customer
+), agg AS (
+    SELECT f.company_id, d.company_name, d.segment, f.issue_name,
+           {_bucket('F')} AS against,
+           {_bucket('P')} AS neutral,
+           {_bucket('O')} AS pro
+    FROM fact f JOIN dim d USING (company_id)
+    GROUP BY 1, 2, 3, 4
+), tot AS (
+    SELECT *, ROUND(against + neutral + pro, 2) AS total FROM agg
+)
+SELECT company_id, company_name, segment, issue_name,
+       against, neutral, pro, total,
+       CASE WHEN total = 0 THEN 'NEUTRAL'
+            WHEN against >= neutral AND against >= pro THEN 'AGAINST'
+            WHEN pro >= neutral AND pro >= against THEN 'PRO'
+            ELSE 'NEUTRAL' END AS position
+FROM tot
+ORDER BY company_id, issue_name
+"""
+
+_VALIDATION_ORACLE = """
+WITH fact AS (
+    SELECT o_custkey AS company_id, trim(o_orderpriority) AS issue_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o_custkey IS NOT NULL
+      AND o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+)
+SELECT company_id, CAST(COUNT(DISTINCT issue_name) AS BIGINT) AS n_issues
+FROM fact
+GROUP BY company_id
+HAVING COUNT(DISTINCT issue_name) != 5
+ORDER BY company_id
+"""
+
+
+def _validation(spark, sf_dir):
+    return issues.issue_count_validation(spark, sf_dir, expected=5)
+
+
+SPECS = [
+    QuerySpec("flagship_company_positions", issues.company_issue_positions, _FLAGSHIP_ORACLE),
+    QuerySpec("issues_count_validation", _validation, _VALIDATION_ORACLE),
+    # nested array-of-struct form: not hash-comparable in ANSI SQL -> rows-only
+    QuerySpec("company_issue_summary", issues.company_issue_summary, None),
+]

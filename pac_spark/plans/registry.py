@@ -1,0 +1,40 @@
+"""Aggregate query registry — the single source for ``__spark_entry__``.
+
+Each plans module contributes a ``SPECS`` list; adding an operator means
+adding a spec (callable + oracle SQL) there. The driver enforces the
+contract automatically each round.
+"""
+
+from __future__ import annotations
+
+from pac_spark.plans.spec import QuerySpec, collect_oracles, collect_queries
+
+__all__ = ["all_specs", "queries", "oracle_sql"]
+
+
+def all_specs() -> list[QuerySpec]:
+    from pac_spark.plans import issues_plans
+
+    specs: list[QuerySpec] = []
+    specs += issues_plans.SPECS
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate query names"
+    return specs
+
+
+def queries():
+    from pac_spark.session import tune_runtime
+
+    def _tuned(fn):
+        def run(spark, sf_dir):
+            return fn(tune_runtime(spark), sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _tuned(fn) for name, fn in collect_queries(all_specs()).items()}
+
+
+def oracle_sql():
+    return collect_oracles(all_specs())
