@@ -39,8 +39,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown reach the
     parquet reader automatically because callers express plans
-    declaratively on the returned DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    declaratively on the returned DataFrame.
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as raw nanos and
+    is converted here to a microsecond TimestampType (matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` truncation semantics).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer division — double math would lose precision on 1e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

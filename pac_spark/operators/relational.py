@@ -1,0 +1,347 @@
+"""Relational operator suite over the TPC-H-ish testdata.
+
+The reference's relational surface is thin (full scans + one lookup
+join + nested-dict groupings — SURVEY.md §2); this module supplies the
+full breadth a query engine owes its users — multi-way joins,
+aggregation variants (incl. rollup/cube), window functions, set
+operations, top-k — each as a composable ``(spark, sf_dir) ->
+DataFrame`` plan built for scale:
+
+- joins declare smallness with ``F.broadcast`` only for genuinely
+  bounded dims (region/nation/supplier); fact-fact joins are left to
+  Catalyst/AQE to plan as sort-merge or shuffled hash with skew
+  splitting;
+- aggregates use the exact-cents pattern (``pac_spark.functions.exact``)
+  so results are bit-identical regardless of partial-aggregation order —
+  at any partition count, on any cluster size;
+- temporal outputs are formatted to strings so results are
+  engine-portable (no timestamp-representation ambiguity);
+- sorts appear only at plan tops where the query promises order;
+  ``limit`` after ``orderBy`` executes as TakeOrderedAndProject
+  (per-partition heap + driver merge), never a full global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pac_spark import catalog
+from pac_spark.functions.exact import exact_avg, money_sum
+
+__all__ = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers_by_revenue",
+    "window_rank_orders",
+    "window_running_events",
+    "rollup_region_nation",
+    "cube_flag_status",
+    "set_ops_customers",
+    "semi_anti_customers",
+    "scalar_functions_showcase",
+    "json_events_extract",
+    "distinct_counts_by_segment",
+    "approx_distinct_parts",
+]
+
+_DATE = "yyyy-MM-dd"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: one wide partial+final hash
+    aggregate over the filtered lineitem scan — single shuffle, filter
+    and column pruning pushed to parquet."""
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price, scale=4).alias("sum_disc_price"),
+            money_sum(charge, scale=6).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount"), scale=4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join, revenue per undelivered order, top 10.
+
+    customer(filter) ⋈ orders(filter) ⋈ lineitem(filter): Catalyst
+    pushes each filter below its join; AQE turns the customer side into
+    a broadcast when it fits. Top-10 runs as TakeOrderedAndProject.
+    """
+    cust = catalog.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = catalog.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01")
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(revenue, scale=4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", _DATE).alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where the supplier is in the
+    customer's nation, region-restricted.
+
+    region/nation/supplier are bounded dims → explicit broadcast; the
+    orders⋈lineitem fact join shuffles on orderkey and is the only
+    large exchange in the plan.
+    """
+    region = catalog.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = catalog.load(spark, sf_dir, "nation")
+    supplier = catalog.load(spark, sf_dir, "supplier")
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = catalog.load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (revenue desc, custkey tiebreak)."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+        .orderBy(F.desc("total_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: each customer's top-3 orders by price.
+
+    One shuffle on the partition key; rank/dense_rank/row_number share
+    the same window frame so Spark evaluates them in a single pass.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows over the events stream table: lag/lead and a
+    running sum per user in time order.
+
+    The running double sum is deterministic cross-engine because the
+    accumulation order is fully specified (ts, event_id unique).
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.sum("value").over(run), 2).alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation): customer counts + exact acctbal sums at
+    nation, region, and grand-total levels in one pass."""
+    region = catalog.load(spark, sf_dir, "region")
+    nation = catalog.load(spark, sf_dir, "nation")
+    customer = catalog.load(spark, sf_dir, "customer")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping combinations."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / union over customer-key sets, tagged.
+
+    Sets: customers holding orders with status 'F' vs status 'O'.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = f_cust.intersect(o_cust).withColumn("tag", F.lit("f_and_o"))
+    f_only = f_cust.subtract(o_cust).withColumn("tag", F.lit("f_not_o"))
+    o_only = o_cust.subtract(f_cust).withColumn("tag", F.lit("o_not_f"))
+    return both.unionByName(f_only).unionByName(o_only).orderBy("tag", "c_custkey")
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins: per segment, customers with and
+    without orders — the Spark-native EXISTS / NOT EXISTS."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_orders = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without_orders, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/conditional scalar surface in one projection —
+    pure narrow plan, whole-stage codegen, zero shuffles."""
+    part = catalog.load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.substring(F.col("p_name"), 1, 10).alias("name_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("name_slug"),
+        # *1.25 adds two binary digits — exact in IEEE754, so no rounding
+        # call whose half-way semantics could differ across engines
+        (F.col("p_retailprice") * 1.25).alias("price_up25"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        (F.col("p_size") % 5).alias("size_mod5"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.when(F.col("p_retailprice") > 1500, "premium")
+        .when(F.col("p_retailprice") > 1000, "standard")
+        .otherwise("budget")
+        .alias("price_band"),
+    ).orderBy("p_partkey")
+
+
+def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from events.props (string column) + agg.
+
+    ``get_json_object`` runs JVM-side; at scale prefer ``from_json``
+    with an explicit schema once the payload shape is fixed.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def distinct_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale answer to
+    COUNT(DISTINCT) when exactness isn't required. Sketch values are
+    engine-specific → rows-only check (no DuckDB oracle)."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

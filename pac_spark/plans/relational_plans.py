@@ -1,0 +1,198 @@
+"""Registry entries + DuckDB oracles for the relational operator suite.
+
+Every oracle reproduces the Spark plan's arithmetic exactly (see
+pac_spark.functions.exact for the deterministic-sum pattern) so the
+driver's value-hash comparison is stable, not approximately-equal.
+"""
+
+from __future__ import annotations
+
+from pac_spark.functions.exact import exact_avg_sql, money_sum_sql
+from pac_spark.operators import relational as R
+from pac_spark.plans.spec import QuerySpec
+
+__all__ = ["SPECS"]
+
+_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_quantity')} AS sum_qty,
+       {money_sum_sql('l_extendedprice')} AS sum_base_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {money_sum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
+       {exact_avg_sql('l_quantity')} AS avg_qty,
+       {exact_avg_sql('l_extendedprice')} AS avg_price,
+       {exact_avg_sql('l_discount', 4)} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q3 = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+_Q5 = f"""
+SELECT n_name,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {money_sum_sql('o_totalprice')} AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY total_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_WINDOW_RANK = """
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT * FROM ranked WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       value,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value,
+       CAST(ROW_NUMBER() OVER w AS INT) AS event_seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+_ROLLUP = f"""
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {money_sum_sql('c_acctbal')} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+_CUBE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {money_sum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+_SET_OPS = """
+WITH f_cust AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o_cust AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT c_custkey, 'f_and_o' AS tag FROM (SELECT * FROM f_cust INTERSECT SELECT * FROM o_cust)
+UNION ALL
+SELECT c_custkey, 'f_not_o' AS tag FROM (SELECT * FROM f_cust EXCEPT SELECT * FROM o_cust)
+UNION ALL
+SELECT c_custkey, 'o_not_f' AS tag FROM (SELECT * FROM o_cust EXCEPT SELECT * FROM f_cust)
+ORDER BY tag, c_custkey
+"""
+
+_SEMI_ANTI = """
+WITH c AS (
+    SELECT c_custkey, c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o
+    FROM customer c
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) FILTER (WHERE has_o) AS BIGINT) AS n_with_orders,
+       CAST(COUNT(*) FILTER (WHERE NOT has_o) AS BIGINT) AS n_without_orders
+FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+_SCALARS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substring(p_name, 1, 10) AS name_prefix,
+       CAST(length(p_name) AS INT) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, '\\s+', '_', 'g') AS name_slug,
+       p_retailprice * 1.25 AS price_up25,
+       CAST(abs(p_size - 25) AS INT) AS size_dev,
+       CAST(p_size % 5 AS INT) AS size_mod5,
+       CAST(greatest(p_size, 10) AS INT) AS size_floor10,
+       CASE WHEN p_retailprice > 1500 THEN 'premium'
+            WHEN p_retailprice > 1000 THEN 'standard'
+            ELSE 'budget' END AS price_band
+FROM part ORDER BY p_partkey
+"""
+
+_JSON_EVENTS = """
+WITH e AS (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(CAST(SUM(k) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_k
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+_DISTINCT_COUNTS = """
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+SPECS = [
+    QuerySpec("q1_pricing_summary", R.q1_pricing_summary, _Q1),
+    QuerySpec("q3_shipping_priority", R.q3_shipping_priority, _Q3),
+    QuerySpec("q5_local_supplier", R.q5_local_supplier, _Q5),
+    QuerySpec("top_customers_by_revenue", R.top_customers_by_revenue, _TOP_CUSTOMERS),
+    QuerySpec("window_rank_orders", R.window_rank_orders, _WINDOW_RANK),
+    QuerySpec("window_running_events", R.window_running_events, _WINDOW_RUNNING),
+    QuerySpec("rollup_region_nation", R.rollup_region_nation, _ROLLUP),
+    QuerySpec("cube_flag_status", R.cube_flag_status, _CUBE),
+    QuerySpec("set_ops_customers", R.set_ops_customers, _SET_OPS),
+    QuerySpec("semi_anti_customers", R.semi_anti_customers, _SEMI_ANTI),
+    QuerySpec("scalar_functions_showcase", R.scalar_functions_showcase, _SCALARS),
+    QuerySpec("json_events_extract", R.json_events_extract, _JSON_EVENTS),
+    QuerySpec("distinct_counts_by_segment", R.distinct_counts_by_segment, _DISTINCT_COUNTS),
+    QuerySpec("approx_distinct_parts", R.approx_distinct_parts, None),
+]

@@ -41,6 +41,9 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.icu.caseMappings.enabled": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Spark cannot scan parquet TIMESTAMP(NANOS) columns (the events
+        # table uses them); read as raw nanos and convert in the catalog.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     for k, v in dynamic.items():
         try:
@@ -83,6 +86,7 @@ def get_spark(
         # JVM case mapping is correct for this engine's data; DuckDB's
         # (the oracle) matches JVM semantics for ASCII/Latin text.
         .config("spark.sql.icu.caseMappings.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # dynamic partition overwrite == the reference sink's per-key
         # subtree overwrite semantics (index_align_to_firebase.py:499-500)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
