@@ -1,0 +1,115 @@
+"""Registry entries + oracles for event-time windowing (batch and
+true-streaming forms share oracles where the result is deterministic)."""
+
+from __future__ import annotations
+
+from pac_spark.functions.exact import money_sum_sql
+from pac_spark.plans.spec import QuerySpec
+from pac_spark.streaming import stream_exec, windows
+
+__all__ = ["SPECS"]
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+_VAL = money_sum_sql("value")
+
+_TUMBLING = f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+SELECT strftime(date_trunc('hour', ts), '{_FMT}') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '{_FMT}') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_VAL} AS sum_value
+FROM e
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+# each event belongs to exactly 2 windows of the 1h-every-30m family:
+# starts at floor(epoch/1800)*1800 and 1800s earlier
+_SLIDING = f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+w AS (
+    SELECT event_type, value,
+           make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS wstart
+    FROM e
+    UNION ALL
+    SELECT event_type, value,
+           make_timestamp((CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) - 1800) * 1000000) AS wstart
+    FROM e
+)
+SELECT strftime(wstart, '{_FMT}') AS window_start,
+       strftime(wstart + INTERVAL 1 HOUR, '{_FMT}') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_VAL} AS sum_value
+FROM w
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+_SESSION_BATCH = f"""
+WITH e AS (
+    SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+), lagged AS (
+    SELECT *, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM e
+), b AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END AS brk
+    FROM lagged
+), s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM b
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(MIN(ts), '{_FMT}') AS session_start,
+       strftime(MAX(ts), '{_FMT}') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_VAL} AS sum_value
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# session_window semantics: end = last event + gap; merge while the next
+# event starts strictly before current end (gap-equal boundary merges)
+_SESSION_STREAM = f"""
+WITH e AS (
+    SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+), lagged AS (
+    SELECT *, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM e
+), b AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 600000000 THEN 1 ELSE 0 END AS brk
+    FROM lagged
+), s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM b
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_FMT}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 10 MINUTE, '{_FMT}') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_VAL} AS sum_value
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+_STREAM_DEDUP = """
+WITH d AS (SELECT DISTINCT event_id, event_type FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique_events
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+SPECS = [
+    QuerySpec("events_tumbling_1h", windows.tumbling_1h_by_type, _TUMBLING),
+    QuerySpec("events_sliding_1h_30m", windows.sliding_1h_30m_by_type, _SLIDING),
+    QuerySpec("events_sessions_10m", windows.session_windows_10m, _SESSION_BATCH),
+    QuerySpec("streaming_tumbling_1h", stream_exec.streaming_tumbling_1h, _TUMBLING),
+    QuerySpec("streaming_sessions_10m", stream_exec.streaming_sessions_10m, _SESSION_STREAM),
+    QuerySpec("streaming_dedup_events", stream_exec.streaming_dedup_events, _STREAM_DEDUP),
+]

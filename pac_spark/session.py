@@ -37,6 +37,11 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     """
     dynamic = {
         "spark.sql.session.timeZone": "UTC",
+        # stateful streaming creates one state store per shuffle
+        # partition; the default 200 costs ~1 min per streaming query
+        # on local testdata. Sized to local cores here; on a cluster
+        # this should be ~2-3x total cores (AQE coalesces the rest).
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.icu.caseMappings.enabled": "false",

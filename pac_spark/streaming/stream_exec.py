@@ -1,0 +1,115 @@
+"""True Structured Streaming execution of the windowed operators.
+
+``readStream`` over the events parquet, watermarked event-time
+aggregation, ``availableNow`` trigger draining to a memory sink. On a
+cluster the same plans run unmodified against Kafka/file sources with
+continuous triggers — the trigger and sink are deployment config, not
+plan shape.
+
+Registry entries built from here return the drained sink as a batch
+DataFrame, so streaming operators get the same DuckDB-oracle check as
+batch ones (the tumbling stream result equals the batch tumbling
+result — Structured Streaming's exactly-once guarantee).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.functions.exact import money_sum
+from pac_spark.streaming.windows import TS_FMT, windowed_agg
+
+__all__ = [
+    "stream_events",
+    "run_to_memory",
+    "streaming_tumbling_1h",
+    "streaming_sessions_10m",
+    "streaming_dedup_events",
+]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream view of the events table (schema pinned from the
+    batch catalog — streaming sources never infer)."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file-stream sources take a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drain a streaming plan with trigger(availableNow) into a memory
+    sink and return the sink contents as a batch DataFrame."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation as an actual stream: watermarked
+    event-time groupBy, complete-mode drain. Result is identical to the
+    batch ``tumbling_1h_by_type`` and shares its DuckDB oracle."""
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = windowed_agg(events, "1 hour")
+    return run_to_memory(spark, out, "stream_tumbling_1h", "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+def streaming_sessions_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-min gap) via ``F.session_window`` on a
+    watermarked stream — Spark's native stateful session operator.
+
+    Session *contents* match the batch gaps-and-islands form; session
+    ids differ (ordinal vs start-time) so the comparable surface is
+    (user, start, end, n, sum)."""
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = (
+        events.groupBy(
+            F.session_window("ts", "10 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win").getField("start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("win").getField("end"), TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, out, "stream_sessions_10m", "complete").orderBy(
+        "user_id", "session_start"
+    )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming deduplication on event_id within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) followed by a
+    per-type count — the streaming twin of exact dedup."""
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = events.dropDuplicatesWithinWatermark(["event_id"])
+    out = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
+    return run_to_memory(spark, out, "stream_dedup_events", "complete").orderBy(
+        "event_type"
+    )
