@@ -1,0 +1,221 @@
+"""Deduplication suite over the ``documents`` corpus.
+
+The four tiers a 100 TB training-data pipeline needs, each expressed as
+a distributed plan (no driver-side pair loops anywhere):
+
+1. **Exact** — hash-groupBy on md5(text). One shuffle on the hash.
+2. **N-gram Jaccard** — inverted-index self-join: explode distinct
+   shingles, join docs sharing a shingle, count shared vs set sizes.
+   Cost is sum over shingles of df^2 (df = docs containing the
+   shingle), not n^2 — the standard scalable candidate generator.
+3. **MinHash + LSH** — md5-keyed minhash signatures (engine-portable,
+   unlike murmur3), banded into buckets; candidate pairs = same band
+   value; exact Jaccard rescoring of candidates only. At 100 TB the
+   band join touches only colliding docs; signatures are 8 aggregated
+   mins per doc computed in the same single shuffle.
+4. **SimHash** — 16-bit sign-aggregated fingerprint; near-dups =
+   hamming distance <= 3 among band-blocked candidates.
+
+1-3 are DuckDB-oracle-verified end-to-end (including the LSH banding).
+SimHash needs hex→int conversion DuckDB can't mirror cheaply → rows
+checked + property-tested (see tests/test_dedup_properties.py).
+
+Embedding-cosine near-dup lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.operators.text_core import distinct_shingles
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_dedup",
+    "simhash_neardup",
+]
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2 → catches jaccard >= ~0.7 reliably
+JACCARD_THRESHOLD = 0.8
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content hash → group → keeper = min(doc_id)."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.encode("text", "UTF-8")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles + per-doc set size."""
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", distinct_shingles("text").alias("sh")
+    )
+    return docs.select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8, candidates
+    from the shingle inverted index (docs sharing >= 1 shingle)."""
+    sh = _doc_shingles(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jaccard = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jaccard, 8))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature: for seed s, min(md5(s || shingle)).
+
+    md5 as the hash family keeps the signature reproducible in any
+    engine; mins aggregate in the shingle-explode shuffle (one pass,
+    all 8 hashes)."""
+    sh = _doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
+            f"mh{s}"
+        )
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _band_rows(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): band key = md5 of its 2 minhashes."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        "UTF-8",
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact rescoring.
+
+    band-bucket join → distinct candidate pairs → exact Jaccard via
+    each doc's shingle set (array_intersect on the two bounded arrays)
+    → keep pairs >= 0.8. Only bucket-colliding pairs are ever scored.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = _band_rows(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    doc_sets = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_sort(distinct_shingles("text")).alias("sh")
+    )
+    paired = (
+        candidates.join(doc_sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(doc_sets.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        paired.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 8).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints + hamming-distance near-dups.
+
+    Bit j of the fingerprint = sign of sum over shingles of +-1
+    depending on bit j of md5(shingle). Candidates are LSH-banded
+    (reusing the minhash buckets); near-dup = hamming <= 3.
+    Rows-only + property-tested (hex→int not portable to the oracle).
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    h16 = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    bit_sums = sh.withColumn("h", h16).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(16)
+        ).alias("simhash"),
+    )
+    cands = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    paired = (
+        cands.join(simhash.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("simhash", "sim_a")
+        .join(simhash.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("simhash", "sim_b")
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        paired.select("doc_a", "doc_b", "sim_a", "sim_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

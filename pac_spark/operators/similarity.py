@@ -1,0 +1,168 @@
+"""Similarity search over the ``embeddings`` table (64-dim float
+vectors).
+
+- **Brute-force cosine top-k** — the exact baseline: query vectors
+  broadcast against the full collection, dot/norm as sequential
+  left-fold array expressions (bit-reproducible in the DuckDB oracle
+  via ``list_reduce``). One scan, no shuffle until the per-query top-k
+  (TakeOrderedAndProject after a window rank).
+- **Threshold similarity pairs** — label-blocked pair generation (the
+  IVF idea: only compare within a coarse partition) with cosine >= τ.
+- **ANN via random-hyperplane LSH** — seeded deterministic hyperplanes
+  built JVM-side; bucket join + exact rescoring inside buckets only.
+  Approximate by design → rows-only check + recall property test.
+
+At 100 TB: the brute-force path stays usable for small query sets
+(it's a broadcast of queries, linear scan — embarrassingly parallel);
+the LSH path bounds candidate counts per bucket; labels stand in for
+IVF centroids (k-means iterations are out of scope for the oracle but
+the bucket-probe plan shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pac_spark import catalog
+
+__all__ = [
+    "knn_bruteforce",
+    "embedding_similar_pairs",
+    "ann_lsh_topk",
+]
+
+QUERY_IDS = (0, 1, 2)
+TOP_K = 10
+
+
+def _dvec(col_name: str) -> Column:
+    """float[] -> double[] (exact) so all arithmetic is double-precision."""
+    return F.expr(f"transform({col_name}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential left-fold dot product: 0.0 + a1*b1 + a2*b2 + ... —
+    the exact accumulation order the oracle reproduces."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, p) -> acc + p)"
+    )
+
+
+def _cosine(a: str, b: str) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors (vec_id 0, 1, 2):
+    broadcast queries x full scan, windowed rank, k rows per query."""
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(_cosine("v", "qv"), 8).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_similar_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Within-label similar pairs (cosine >= threshold): the coarse
+    partition bounds pair generation to sum(block^2), the IVF pattern."""
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot("a.v", "b.v") / (F.sqrt(_dot("a.v", "a.v")) * F.sqrt(_dot("b.v", "b.v")))
+    return (
+        a.join(b, on="label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "label",
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 8).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
+N_PLANES = 12
+_PLANE_SEED = 1234567
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed LCG —
+    python-side constants, identical every run (no library RNG)."""
+    state = _PLANE_SEED
+    planes = []
+    for _ in range(N_PLANES):
+        row = []
+        for _ in range(64):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket join + exact rescoring.
+
+    Each vector hashes to a signature of sign bits against N_PLANES
+    fixed hyperplanes; candidates share a signature prefix bucket
+    (first 6 bits). Exact cosine is computed only inside buckets.
+    Approximate → rows-only driver check; recall vs brute force is
+    property-tested.
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    planes = _hyperplanes()
+    plane_arr = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in planes[:6]]
+    )
+    sig = F.expr(
+        "transform(planes, p -> case when aggregate(zip_with(v, p, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, q) -> acc + q) >= 0 then '1' else '0' end)"
+    )
+    bucketed = emb.withColumn("planes", plane_arr).select(
+        "vec_id", "v", "label", F.array_join(sig, "").alias("bucket")
+    )
+    queries = bucketed.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = _dot("v", "qv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv")))
+    scored = (
+        bucketed.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cos, 8).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,166 @@
+"""Text analysis over the ``documents`` corpus: quality scoring,
+language identification, token counting, fingerprinting.
+
+Everything is a narrow per-document projection built from JVM-side
+string/array expressions — zero shuffles, scans stream through
+whole-stage codegen, which is exactly what a 100 TB corpus filter
+stage needs. Aggregation variants (per-language stats) add the one
+shuffle their grouping requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.functions.exact import exact_avg
+from pac_spark.operators.text_core import tokens
+
+__all__ = [
+    "text_stats",
+    "language_id",
+    "token_counts",
+    "doc_fingerprints",
+    "corpus_quality_by_lang",
+]
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# marker tokens per language for the n-gram-frequency heuristic: in a
+# real corpus these come from per-language frequency profiles; the
+# deterministic marker sets keep the operator oracle-checkable
+LANG_MARKERS = {
+    "de": ("der", "und", "nicht", "das"),
+    "en": ("the", "and", "not", "this"),
+    "es": ("el", "y", "no", "que"),
+    "fr": ("le", "et", "pas", "que"),
+    "zh": ("de", "le", "bu", "shi"),
+}
+
+
+def _stopword_count(toks: Column) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document structural stats + a composite quality score.
+
+    quality = 0.4*min(1, tokens/100) + 0.3*unique_ratio
+            + 0.3*(1 - stopword_ratio)  — a deterministic stand-in for
+    the usual trained quality classifiers, same plan shape.
+    """
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    stop_cnt = _stopword_count(toks)
+    stop_ratio = stop_cnt / n_tokens
+    unique_ratio = n_unique / n_tokens
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * unique_ratio
+        + 0.3 * (1.0 - stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        stop_cnt.alias("n_stopwords"),
+        F.round(stop_ratio, 8).alias("stopword_ratio"),
+        F.round(unique_ratio, 8).alias("unique_ratio"),
+        F.round(quality, 8).alias("quality_score"),
+        (n_tokens < 20).alias("is_short"),
+    ).orderBy("doc_id")
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language guess with a fixed tie-break chain
+    (alphabetical by language), compared against the labeled ``lang``."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    langs = sorted(LANG_MARKERS)  # tie-break: alphabetical wins
+    guess = None
+    for lang in reversed(langs):
+        if guess is None:
+            guess = F.lit(lang)
+        else:
+            cond = None
+            for other in langs:
+                if other == lang:
+                    continue
+                c = (
+                    scores[lang] > scores[other]
+                    if other < lang
+                    else scores[lang] >= scores[other]
+                )
+                cond = c if cond is None else (cond & c)
+            guess = F.when(cond, F.lit(lang)).otherwise(guess)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        guess.alias("lang_guess"),
+        (F.col("lang") == guess).alias("guess_matches_label"),
+    ).orderBy("doc_id")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, BPE-ish regex
+    pieces (letter runs / digit runs / single other), chars/4
+    heuristic."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text")))
+    bpe_ish = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe_ish.alias("n_bpe_ish_tokens"),
+        F.ceil(F.col("n_chars") / 4).alias("est_tokens_char4"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full md5, 64-bit hex prefix, and the
+    1-hash minhash over 3-gram shingles (the single-seed version of the
+    dedup signature)."""
+    from pac_spark.operators.text_core import distinct_shingles
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    md5 = F.md5(F.encode("text", "UTF-8"))
+    sh = distinct_shingles("text")
+    minhash1 = F.array_min(
+        F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8")))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        md5.alias("md5_fp"),
+        F.substring(md5, 1, 16).alias("md5_prefix64"),
+        minhash1.alias("minhash1"),
+    ).orderBy("doc_id")
+
+
+def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of the quality stats: one shuffle, exact
+    averages (order-independent) per language."""
+    stats = text_stats(spark, sf_dir)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            exact_avg(F.col("quality_score"), scale=8).alias("avg_quality"),
+            F.sum(F.col("is_short").cast("long")).alias("n_short_docs"),
+        )
+        .orderBy("lang")
+    )

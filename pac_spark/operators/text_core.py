@@ -1,0 +1,63 @@
+"""Shared text primitives: tokenization and n-gram shingling.
+
+All JVM-side expressions (split / transform / array ops) — the hot path
+of every dedup and text-analysis operator, so nothing here drops into
+Python. Shingling uses ``transform(sequence(...))`` over the token
+array: O(tokens) per row, no explode until an operator actually needs
+inverted-index shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["tokens", "shingles", "distinct_shingles", "TOKENS_SQL", "SHINGLES_SQL"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (the testdata corpus is single-space joined)."""
+    return F.split(text, " ")
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Overlapping n-word shingles of column ``text_col`` (by name —
+    the expression is built with SQL ``transform``); empty array when
+    the document has fewer than n tokens."""
+    toks = f"split({text_col}, ' ')"
+    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+    return F.when(
+        F.size(F.split(F.col(text_col), " ")) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.expr(f"transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts}))")
+    )
+
+
+def distinct_shingles(text_col: str, n: int = 3) -> Column:
+    return F.array_distinct(shingles(text_col, n))
+
+
+# DuckDB mirrors (over a relation named ``docs(doc_id, text)``)
+TOKENS_SQL = "string_split(text, ' ')"
+
+
+def SHINGLES_SQL(n: int = 3) -> str:
+    """CTE fragment producing distinct (doc_id, shingle) rows."""
+    joins = []
+    concat = ["t0.tok"]
+    for k in range(1, n):
+        joins.append(
+            f"JOIN toks t{k} ON t{k}.doc_id = t0.doc_id AND t{k}.pos = t0.pos + {k}"
+        )
+        concat.append(f"t{k}.tok")
+    return f"""
+toks AS (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok,
+           generate_subscripts({TOKENS_SQL}, 1) AS pos
+    FROM docs
+),
+shingle_rows AS (
+    SELECT DISTINCT t0.doc_id, {" || ' ' || ".join(concat)} AS shingle
+    FROM toks t0 {" ".join(joins)}
+)
+"""

@@ -1,0 +1,276 @@
+"""Registry entries + DuckDB oracles for the LLM-data-pipeline suite:
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search, text analysis, multimodal byte features.
+
+The MinHash oracle re-derives signatures with the same md5 hash family,
+so LSH banding and candidate generation are verified end-to-end — not
+just the final pair list.
+"""
+
+from __future__ import annotations
+
+from pac_spark.functions.exact import exact_avg_sql
+from pac_spark.operators import dedup as D
+from pac_spark.operators import multimodal as MM
+from pac_spark.operators import similarity as S
+from pac_spark.operators import text as TX
+from pac_spark.operators.text_core import SHINGLES_SQL
+from pac_spark.plans.spec import QuerySpec
+
+__all__ = ["SPECS"]
+
+_DOCS_PRELUDE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{SHINGLES_SQL(3).strip()}
+"""
+
+_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+_NGRAM_JACCARD = f"""
+{_DOCS_PRELUDE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
+shared AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM shingle_rows x
+    JOIN shingle_rows y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(shared / (sa.n + sb.n - shared), 8) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT * FROM j WHERE jaccard >= {D.JACCARD_THRESHOLD} ORDER BY doc_a, doc_b
+"""
+
+_MH_COLS = ", ".join(
+    f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(D.N_HASHES)
+)
+
+_MINHASH_SIGS = f"""
+{_DOCS_PRELUDE},
+sigs AS (SELECT doc_id, {_MH_COLS} FROM shingle_rows GROUP BY doc_id)
+SELECT * FROM sigs ORDER BY doc_id
+"""
+
+_BAND_SELECTS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sigs"
+    for b in range(D.N_BANDS)
+)
+
+_MINHASH_LSH = f"""
+{_DOCS_PRELUDE},
+sigs AS (SELECT doc_id, {_MH_COLS} FROM shingle_rows GROUP BY doc_id),
+bands AS (
+    {_BAND_SELECTS}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+doc_sets AS (
+    SELECT doc_id, LIST(shingle ORDER BY shingle) AS sh FROM shingle_rows GROUP BY doc_id
+),
+rescored AS (
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(sa.sh, sb.sh))
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 8)
+               AS jaccard
+    FROM cands
+    JOIN doc_sets sa ON doc_a = sa.doc_id
+    JOIN doc_sets sb ON doc_b = sb.doc_id
+)
+SELECT * FROM rescored WHERE jaccard >= {D.JACCARD_THRESHOLD} ORDER BY doc_a, doc_b
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential left-fold dot product, acc starts at 0.0 — mirrors
+    the Spark ``aggregate(zip_with(...))`` accumulation order."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_COS = f"{_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')}))"
+
+_KNN = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN {S.QUERY_IDS}),
+scored AS (
+    SELECT query_id, vec_id, label, ROUND({_COS}, 8) AS score
+    FROM e, q WHERE vec_id != query_id
+),
+r AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, score, rank
+FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank
+"""
+
+_COS_AB = (
+    f"{_dot_sql('a.v', 'b.v')} / "
+    f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')}))"
+)
+
+_SIMILAR_PAIRS = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS_AB}, 8) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT * FROM scored WHERE score >= 0.35 ORDER BY label, vec_a, vec_b
+"""
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
+
+_TEXT_STATS = f"""
+WITH d AS (
+    SELECT *, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+    SELECT doc_id, lang, source, n_chars,
+           CAST(length(text) AS INT) AS n_chars_computed,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+           CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) AS INT)
+               AS n_stopwords
+    FROM d
+)
+SELECT doc_id, lang, source, n_chars, n_chars_computed, n_tokens,
+       n_unique_tokens, n_stopwords,
+       ROUND(n_stopwords / n_tokens, 8) AS stopword_ratio,
+       ROUND(n_unique_tokens / n_tokens, 8) AS unique_ratio,
+       ROUND(0.4 * least(1.0, n_tokens / 100.0)
+             + 0.3 * (n_unique_tokens / n_tokens)
+             + 0.3 * (1.0 - n_stopwords / n_tokens), 8) AS quality_score,
+       n_tokens < 20 AS is_short
+FROM m ORDER BY doc_id
+"""
+
+_LANGS = sorted(TX.LANG_MARKERS)
+
+
+def _marker_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang]) + "]"
+    return f"CAST(len(list_filter(toks, t -> list_contains({arr}, t))) AS INT)"
+
+
+def _guess_cases() -> str:
+    cases = []
+    for lang in _LANGS[:-1]:
+        conds = []
+        for other in _LANGS:
+            if other == lang:
+                continue
+            op = ">" if other < lang else ">="
+            conds.append(f"score_{lang} {op} score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{_LANGS[-1]}' END"
+
+
+_LANGID = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+m AS (
+    SELECT doc_id, lang,
+           {", ".join(f"{_marker_sql(lang)} AS score_{lang}" for lang in _LANGS)}
+    FROM d
+)
+SELECT doc_id, lang, {", ".join(f"score_{lang}" for lang in _LANGS)},
+       {_guess_cases()} AS lang_guess,
+       lang = ({_guess_cases()}) AS guess_matches_label
+FROM m ORDER BY doc_id
+"""
+
+_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+           AS n_bpe_ish_tokens,
+       CAST(ceil(n_chars / 4) AS BIGINT) AS est_tokens_char4
+FROM documents ORDER BY doc_id
+"""
+
+_FINGERPRINTS = f"""
+{_DOCS_PRELUDE},
+mh AS (SELECT doc_id, MIN(md5(shingle)) AS minhash1 FROM shingle_rows GROUP BY doc_id)
+SELECT d.doc_id, dd.source,
+       md5(d.text) AS md5_fp,
+       substring(md5(d.text), 1, 16) AS md5_prefix64,
+       mh.minhash1
+FROM docs d
+JOIN documents dd ON d.doc_id = dd.doc_id
+LEFT JOIN mh ON d.doc_id = mh.doc_id
+ORDER BY d.doc_id
+"""
+
+_QUALITY_BY_LANG = f"""
+WITH d AS (
+    SELECT *, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+           CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST}, t))) AS INT)
+               AS n_stopwords
+    FROM d
+),
+s AS (
+    SELECT doc_id, lang, n_tokens,
+           ROUND(0.4 * least(1.0, n_tokens / 100.0)
+                 + 0.3 * (n_unique_tokens / n_tokens)
+                 + 0.3 * (1.0 - n_stopwords / n_tokens), 8) AS quality_score,
+           n_tokens < 20 AS is_short
+    FROM m
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       {exact_avg_sql('quality_score', 8)} AS avg_quality,
+       CAST(SUM(CASE WHEN is_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+_BYTE_FEATURES = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                    i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(text[1]) ELSE -1 END AS INT)
+           AS first_byte,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(text[length(text)]) ELSE -1 END AS INT)
+           AS last_byte
+FROM documents ORDER BY doc_id
+"""
+
+SPECS = [
+    QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
+    QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
+    QuerySpec("minhash_signatures", D.minhash_signatures, _MINHASH_SIGS),
+    QuerySpec("minhash_lsh_dedup", D.minhash_lsh_dedup, _MINHASH_LSH),
+    QuerySpec("simhash_neardup", D.simhash_neardup, None),
+    QuerySpec("knn_bruteforce", S.knn_bruteforce, _KNN),
+    QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
+    QuerySpec("ann_lsh_topk", S.ann_lsh_topk, None),
+    QuerySpec("text_stats", TX.text_stats, _TEXT_STATS),
+    QuerySpec("language_id", TX.language_id, _LANGID),
+    QuerySpec("token_counts", TX.token_counts, _TOKEN_COUNTS),
+    QuerySpec("doc_fingerprints", TX.doc_fingerprints, _FINGERPRINTS),
+    QuerySpec("corpus_quality_by_lang", TX.corpus_quality_by_lang, _QUALITY_BY_LANG),
+    QuerySpec("multimodal_byte_features", MM.byte_features, _BYTE_FEATURES),
+]

@@ -13,13 +13,20 @@ __all__ = ["all_specs", "queries", "oracle_sql"]
 
 
 def all_specs() -> list[QuerySpec]:
-    from pac_spark.plans import er_plans, issues_plans, relational_plans, streaming_plans
+    from pac_spark.plans import (
+        er_plans,
+        issues_plans,
+        llm_plans,
+        relational_plans,
+        streaming_plans,
+    )
 
     specs: list[QuerySpec] = []
     specs += issues_plans.SPECS
     specs += relational_plans.SPECS
     specs += streaming_plans.SPECS
     specs += er_plans.SPECS
+    specs += llm_plans.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     return specs
