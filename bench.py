@@ -17,10 +17,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# headline set: one representative per operator family (relational
+# core, windows, streaming, ER, dedup, similarity, text, multimodal)
 BENCH_QUERIES = [
     "flagship_company_positions",
-    "issues_count_validation",
     "company_issue_summary",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank_orders",
+    "events_sessions_10m",
+    "streaming_tumbling_1h",
+    "er_candidate_pairs",
+    "er_clusters",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+    "text_stats",
+    "multimodal_byte_features",
 ]
 
 

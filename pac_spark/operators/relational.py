@@ -45,6 +45,10 @@ __all__ = [
     "json_events_extract",
     "distinct_counts_by_segment",
     "approx_distinct_parts",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "pivot_daily_event_counts",
+    "grouping_sets_revenue",
 ]
 
 _DATE = "yyyy-MM-dd"
@@ -344,4 +348,102 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: single-table filter + global aggregate.
+
+    The whole query is one parquet scan with every predicate pushed to
+    the reader (``PushedFilters`` on shipdate/discount/quantity) and a
+    two-column ReadSchema; partial sums combine to one row — the ideal
+    minimal-IO plan at any scale.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold,
+    enriched with customer info — aggregate-then-join with a HAVING.
+
+    The heavy groupBy runs on lineitem alone (narrowest possible
+    shuffle: one bigint key + one double), and only the few surviving
+    orderkeys join back to orders/customer — at 100 TB the join input
+    shrinks from billions of rows to the HAVING survivors before any
+    wide row is materialized.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem")
+    orders = catalog.load(spark, sf_dir, "orders")
+    customer = catalog.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 55)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", _DATE).alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: events per day × event_type as columns.
+
+    Explicit pivot values keep the plan single-pass (no extra distinct
+    job to discover them) — mandatory at scale where the discovery scan
+    would read the whole fact table twice.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    pivoted = (
+        events.withColumn("day", F.date_format("ts", _DATE))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    ).orderBy("day")
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface: revenue by (status, priority),
+    by status alone, and grand total — strictly the groups asked for,
+    unlike CUBE which would also compute (priority)."""
+    catalog.load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
     )

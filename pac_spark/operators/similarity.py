@@ -31,6 +31,7 @@ __all__ = [
     "knn_bruteforce",
     "embedding_similar_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -163,6 +164,80 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+IVF_NLIST = 16
+IVF_NPROBE = 3
+_IVF_SEED = 20240101
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: k-means coarse
+    quantizer + multi-probe.
+
+    Build: fit k-means (``IVF_NLIST`` centroids, fixed seed) over the
+    collection and tag every vector with its nearest-centroid list id —
+    this is the "inverted file". Search: each query scores all
+    centroids (a tiny broadcast table), probes the ``IVF_NPROBE``
+    nearest lists, and computes exact cosine only against vectors in
+    those lists — candidate count drops to ~nprobe/nlist of the
+    collection.
+
+    At 100 TB: the fit runs on a sample, the assignment is one
+    broadcast-join map pass (centroid table is nlist x dim floats —
+    KBs), and lists become partition keys so a probe touches only its
+    partitions. Approximate by construction → rows-only driver check;
+    the property test asserts every returned score equals the
+    brute-force score for that pair.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    with_vec = emb.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=IVF_NLIST, seed=_IVF_SEED, maxIter=10).fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        "vec_id", "v", "label", F.col("prediction").alias("list_id")
+    )
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, c array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # multi-probe: nprobe nearest centroids per query (centroid table is
+    # tiny — the cross join is queries x nlist rows, then a top-n window)
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), "
+                "cast(0.0 as double), (acc, d) -> acc + d)"
+            ),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+    )
+
+    cos = _dot("v", "qv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv")))
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cos, 8).alias("score"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )

@@ -1,0 +1,148 @@
+"""Temporal join operators: as-of join and range (band) join.
+
+The reference has no join executor at all (SURVEY.md §2.3 — its only
+joins are an N+1 key lookup and an O(n²) similarity loop), but any
+engine serving its event/time-series data (`events` table) owes users
+these two classics. Both are built to scale:
+
+- **as-of join** is NOT implemented as a range self-join (which
+  explodes to |A|·|B| candidate pairs per key before picking the max).
+  Instead the two sides are union-tagged and sorted once per key, and a
+  running ``last_value(..., ignorenulls)`` window carries the most
+  recent right-side row forward — one shuffle on the join key, linear
+  work per partition, no candidate blow-up. This is the merge-join
+  formulation every column store uses for ASOF.
+- **range/band join** broadcasts the (tiny, bounded) band table and
+  lets Spark evaluate the non-equi predicate as a
+  BroadcastNestedLoopJoin — each fact row tests a handful of bands in
+  memory; the fact side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pac_spark import catalog
+
+__all__ = ["asof_join_purchase_click", "range_band_join_quantity"]
+
+_TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every ``purchase`` event: the latest ``click`` by the same
+    user at-or-before the purchase (LEFT semantics — purchases with no
+    prior click keep NULLs).
+
+    Tie-break is total and deterministic: latest ``ts`` wins, then the
+    highest ``event_id`` — so the result hash-compares exactly against
+    the oracle's ``ORDER BY ts DESC, event_id DESC LIMIT 1`` lateral.
+
+    Plan shape: one hash-partition on ``user_id`` + per-partition sort;
+    both sides of the "join" travel in the same shuffle. At 100 TB this
+    beats a range join by construction — state per key is one carried
+    row, not a candidate set.
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    sides = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # clicks sort before purchases at equal ts so an equal-ts click
+        # is visible to the purchase row's running window (ts <= ts)
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("side"),
+    )
+    order = W.partitionBy("user_id").orderBy(
+        "ts", "side", "event_id"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = sides.select(
+        "*",
+        F.last(
+            F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True
+        ).over(order).alias("click_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(order).alias("click_ts"),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", _TS6).alias("purchase_ts"),
+            "click_id",
+            F.date_format("click_ts", _TS6).alias("click_ts"),
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))
+            ).cast("double").alias("gap_micros"),
+        )
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       c.click_id,
+       strftime(CAST(c.c_ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.c_ts AS TIMESTAMP)) AS DOUBLE)
+           AS gap_micros
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+    SELECT e.event_id AS click_id, e.ts AS c_ts
+    FROM events e
+    WHERE e.event_type = 'click'
+      AND e.user_id = p.user_id
+      AND e.ts <= p.ts
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 1
+) c ON TRUE
+"""
+
+
+# quantity bands: a bounded dimension a user would keep in a config
+# table; inlined here so Spark and the oracle share one definition
+QUANTITY_BANDS = [
+    ("scrap", 0.0, 5.0),
+    ("small", 5.0, 15.0),
+    ("medium", 15.0, 30.0),
+    ("bulk", 30.0, 51.0),
+]
+
+
+def range_band_join_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: classify every lineitem into a quantity band
+    via ``lo <= qty < hi``, then aggregate revenue per band.
+
+    The band table is broadcast (4 rows); the fact scan streams through
+    a BroadcastNestedLoopJoin without shuffling, then one partial+final
+    aggregate. Bands are half-open and non-overlapping, so the join is
+    1:1 and row counts are preserved.
+    """
+    from pac_spark.functions.exact import money_sum
+
+    li = catalog.load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(QUANTITY_BANDS, ["band", "lo", "hi"])
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        "inner",
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+def _bands_values_sql() -> str:
+    rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in QUANTITY_BANDS)
+    return f"(VALUES {rows}) AS bands(band, lo, hi)"

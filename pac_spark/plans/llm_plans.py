@@ -267,6 +267,7 @@ SPECS = [
     QuerySpec("knn_bruteforce", S.knn_bruteforce, _KNN),
     QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
     QuerySpec("ann_lsh_topk", S.ann_lsh_topk, None),
+    QuerySpec("ann_ivf_topk", S.ann_ivf_topk, None),
     QuerySpec("text_stats", TX.text_stats, _TEXT_STATS),
     QuerySpec("language_id", TX.language_id, _LANGID),
     QuerySpec("token_counts", TX.token_counts, _TOKEN_COUNTS),

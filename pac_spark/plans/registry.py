@@ -19,11 +19,13 @@ def all_specs() -> list[QuerySpec]:
         llm_plans,
         relational_plans,
         streaming_plans,
+        temporal_plans,
     )
 
     specs: list[QuerySpec] = []
     specs += issues_plans.SPECS
     specs += relational_plans.SPECS
+    specs += temporal_plans.SPECS
     specs += streaming_plans.SPECS
     specs += er_plans.SPECS
     specs += llm_plans.SPECS

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.plans.spec import QuerySpec
-from pac_spark.streaming import stream_exec, windows
+from pac_spark.streaming import stateful, stream_exec, windows
 
 __all__ = ["SPECS"]
 
@@ -112,4 +112,9 @@ SPECS = [
     QuerySpec("streaming_tumbling_1h", stream_exec.streaming_tumbling_1h, _TUMBLING),
     QuerySpec("streaming_sessions_10m", stream_exec.streaming_sessions_10m, _SESSION_STREAM),
     QuerySpec("streaming_dedup_events", stream_exec.streaming_dedup_events, _STREAM_DEDUP),
+    QuerySpec(
+        "streaming_user_sessions_custom",
+        stateful.streaming_user_sessions_custom,
+        stateful.CUSTOM_SESSIONS_ORACLE,
+    ),
 ]

@@ -1,0 +1,76 @@
+"""Registry entries + DuckDB oracles for temporal joins and the
+second relational wave (Q6/Q18-style, pivot, grouping sets)."""
+
+from __future__ import annotations
+
+from pac_spark.functions.exact import exact_avg_sql, money_sum_sql
+from pac_spark.operators import relational as R
+from pac_spark.operators import temporal as T
+from pac_spark.plans.spec import QuerySpec
+
+__all__ = ["SPECS"]
+
+_Q6 = f"""
+SELECT {money_sum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+_Q18 = f"""
+WITH big AS (
+    SELECT l_orderkey, {money_sum_sql('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {money_sum_sql('l_quantity')} > 55
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+_PIVOT = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+_GROUPING_SETS = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {money_sum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+_RANGE_BAND = f"""
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {money_sum_sql('l_quantity')} AS sum_qty,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN {T._bands_values_sql()}
+  ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band ORDER BY band
+"""
+
+SPECS = [
+    QuerySpec("q6_forecast_revenue", R.q6_forecast_revenue, _Q6),
+    QuerySpec("q18_large_orders", R.q18_large_orders, _Q18),
+    QuerySpec("pivot_daily_event_counts", R.pivot_daily_event_counts, _PIVOT),
+    QuerySpec("grouping_sets_revenue", R.grouping_sets_revenue, _GROUPING_SETS),
+    QuerySpec("asof_join_purchase_click", T.asof_join_purchase_click, T.ASOF_ORACLE),
+    QuerySpec("range_band_join_quantity", T.range_band_join_quantity, _RANGE_BAND),
+]

@@ -1,0 +1,85 @@
+"""Source connectors (reference operators S1-S5, S10-S12).
+
+The reference reads MySQL over an SSH tunnel with ``SELECT *`` into
+pandas (index_align_to_firebase.py:130-153) — single-threaded, whole
+table in driver RAM. These readers express every source as a parallel
+Spark scan with pushdown:
+
+- parquet: schema from footers, predicate/column pushdown automatic;
+- CSV: explicit schema preferred (inference costs an extra pass);
+- JDBC: partitioned reads via (partitionColumn, lowerBound, upperBound,
+  numPartitions) so a 1e9-row table arrives as N concurrent range
+  scans, not one cursor. The SSH tunnel of the reference (S4,
+  index_align_to_firebase.py:53-113) is connection plumbing that lives
+  outside the engine: open it on the gateway host, point the JDBC URL
+  at the forwarded port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["read_parquet", "read_csv", "read_json", "read_jdbc"]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan. Pass ``schema`` in production — ``infer`` performs an
+    extra full pass over the data, which at 100 TB is a second scan."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    **options: str,
+) -> DataFrame:
+    """Partitioned JDBC scan (reference S1/S2 modernized).
+
+    With a partition column each executor issues its own bounded range
+    query; filters composed on the returned DataFrame push down into
+    the remote WHERE clause. Untestable in this container (no database
+    server) — covered by the signature contract test only.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,215 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY.md §2.9); Spark's native
+``session_window`` covers plain gap-based sessions
+(``stream_exec.streaming_sessions_10m``). This module implements a
+session rule the built-in operator *cannot* express: a session closes
+on a 10-minute silence gap **or** as soon as it reaches 25 events
+(an "emit early when the buffer is full" pattern every production
+sessionizer needs to bound state size).
+
+Semantics (deterministic, event-time order ``(ts, event_id)``):
+
+- events for one user are folded in order; state carries the open
+  session ``(start, last_ts, n, integer cents sum)``;
+- arriving event with ``ts - last_ts > 10 min`` first closes the open
+  session (``close_reason='gap'``), then starts a new one;
+- when a session reaches exactly 25 events it is emitted immediately
+  (``close_reason='cap'``) and the state resets;
+- a user's trailing session stays *open* at the end of input and is
+  not emitted — in a real stream it would still be accumulating.
+
+Because the rule is order-driven, the same semantics are expressible
+in ANSI SQL as gaps-and-islands (gap flag → cumulative session id)
+plus a ``(row_number-1) / 25`` sub-session split — that SQL is the
+DuckDB oracle, so this operator gets the full value-hash gate despite
+being a custom stateful op.
+
+Scale posture: state is one fixed-size tuple per user key (not a
+buffer of events — the fold is incremental), keys are hash-partitioned
+across executors by the groupBy, and Arrow moves rows to Python in
+batches. The cap rule is exactly what bounds per-key state at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pac_spark.streaming.stream_exec import run_to_memory, stream_events
+
+__all__ = ["streaming_user_sessions_custom", "CUSTOM_SESSIONS_ORACLE"]
+
+GAP_SECONDS = 600
+SESSION_CAP = 25
+
+_TS6 = "%Y-%m-%d %H:%M:%S.%f"
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("close_reason", StringType()),
+    ]
+)
+
+# open-session state: (start_us, last_us, n, cents)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+
+def _ts_to_us(col: pd.Series) -> pd.Series:
+    """Timestamps → integer epoch microseconds regardless of the
+    pandas datetime resolution Arrow happened to pick."""
+    ints = col.astype("int64")
+    if str(col.dtype).endswith("[ns]"):
+        return ints // 1_000
+    return ints
+
+
+def _fmt_us(us: int) -> str:
+    return pd.Timestamp(us, unit="us").strftime(_TS6)
+
+
+def _sessionize(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.assign(_us=_ts_to_us(batch["ts"])).sort_values(
+        ["_us", "event_id"], kind="mergesort"
+    )
+
+    if state.exists:
+        start_us, last_us, n, cents = state.get
+    else:
+        start_us = last_us = 0
+        n = cents = 0
+
+    closed: list[tuple[int, str, str, int, float, str]] = []
+
+    def close(reason: str) -> None:
+        closed.append(
+            (
+                user_id,
+                _fmt_us(start_us),
+                _fmt_us(last_us),
+                n,
+                cents / 100.0,
+                reason,
+            )
+        )
+
+    for us, value in zip(batch["_us"], batch["value"]):
+        if n > 0 and us - last_us > GAP_SECONDS * 1_000_000:
+            close("gap")
+            n = cents = 0
+        if n == 0:
+            start_us = us
+        last_us = us
+        n += 1
+        # exact integer-cents sum — same arithmetic as functions.exact
+        cents += int(value * 100 + 0.5)
+        if n == SESSION_CAP:
+            close("cap")
+            n = cents = 0
+
+    state.update((start_us, last_us, n, cents))
+    yield pd.DataFrame(closed, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def streaming_user_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-or-cap sessionization as a true stateful stream, drained
+    with an ``availableNow`` trigger. Per-user ordering inside the
+    fold is total (``ts, event_id``) so the result is deterministic
+    and hash-comparable against the SQL oracle."""
+    events = stream_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(spark, out, "stream_custom_sessions", "append").orderBy(
+        "user_id", "session_start"
+    )
+
+
+# The batch restatement of the same rule: gap flag → cumulative gap
+# session id → row_number split every 25 events. A sub-session is
+# emitted iff it was closed: it has a successor (not the user's last)
+# or it hit the cap exactly.
+CUSTOM_SESSIONS_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                     > {GAP_SECONDS} * 1000000
+                THEN 1 ELSE 0 END AS new_gap
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gap_sessions AS (
+    SELECT *,
+           SUM(new_gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS gap_sess
+    FROM ordered
+),
+subsessions AS (
+    SELECT *,
+           CAST((ROW_NUMBER() OVER (PARTITION BY user_id, gap_sess
+                                    ORDER BY ts, event_id) - 1)
+                / {SESSION_CAP} AS BIGINT) AS sub_sess
+    FROM gap_sessions
+),
+agg AS (
+    SELECT user_id, gap_sess, sub_sess,
+           strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+               AS session_start,
+           strftime(CAST(MAX(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS DOUBLE) AS sum_value
+    FROM subsessions
+    GROUP BY user_id, gap_sess, sub_sess
+),
+marked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY gap_sess DESC, sub_sess DESC) = 1
+               AS is_open_tail
+    FROM agg
+)
+SELECT user_id, session_start, session_end, n_events, sum_value,
+       CASE WHEN n_events = {SESSION_CAP} THEN 'cap' ELSE 'gap' END
+           AS close_reason
+FROM marked
+WHERE NOT is_open_tail OR n_events = {SESSION_CAP}
+ORDER BY user_id, session_start
+"""

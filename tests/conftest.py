@@ -13,7 +13,7 @@ SF_DIR = os.environ.get("PAC_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pac_spark.session import get_spark
 
-    spark = get_spark(app_name="pac_spark_tests", master="local[4]", shuffle_partitions=4)
+    spark = get_spark(app_name="pac_spark_tests", master="local[16]", shuffle_partitions=16)
     yield spark
     spark.stop()
 

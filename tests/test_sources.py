@@ -1,0 +1,78 @@
+"""Source connector contract (reference S1-S3, S10-S12): parquet /
+CSV / JSON round-trips preserve schema and values; JDBC reader builds
+the partitioned-scan plan options (no database server in this
+container, so JDBC is signature-only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pac_spark.sources.readers import read_csv, read_json, read_parquet
+from pac_spark.sources.sinks import parquet_write
+
+
+@pytest.fixture()
+def nation(spark, sf_dir):
+    return read_parquet(spark, f"{sf_dir}/nation.parquet")
+
+
+def test_parquet_roundtrip(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_rt")
+    parquet_write(nation, path)
+    back = read_parquet(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_parquet_partitioned_write_prunes(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_part")
+    parquet_write(nation, path, partition_by=["n_regionkey"])
+    one = read_parquet(spark, path).filter(F.col("n_regionkey") == 1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == nation.filter("n_regionkey = 1").count()
+    # partition filter must prune directories, not scan-and-filter
+    assert "PartitionFilters: [" in plan and "n_regionkey" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_csv_roundtrip_with_schema(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+            StructField("n_comment", StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert back.count() == nation.count()
+    assert dict(back.dtypes)["n_nationkey"] == "bigint"
+
+
+def test_csv_infer_schema(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_csv2")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, infer=True)
+    assert dict(back.dtypes)["n_nationkey"] in ("int", "bigint")
+
+
+def test_json_roundtrip(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_json")
+    nation.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_jdbc_reader_is_importable():
+    from pac_spark.sources.readers import read_jdbc
+
+    assert callable(read_jdbc)
