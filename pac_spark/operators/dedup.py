@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pac_spark import catalog
-from pac_spark.operators.text_core import distinct_shingles
+from pac_spark.operators.text_core import distinct_shingled
 
 __all__ = [
     "dedup_exact",
@@ -60,11 +60,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles + per-doc set size."""
-    docs = catalog.load(spark, sf_dir, "documents").select(
-        "doc_id", distinct_shingles("text").alias("sh")
+    docs = distinct_shingled(
+        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    return docs.select(
-        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size(sh) > 0 filter and push it BELOW the projection with the
+    # whole shingle expression re-inlined — every row would shingle
+    # twice. The outer variant infers nothing; dropping the null row
+    # (docs with < 3 tokens) afterwards is a test on the generated
+    # column only.
+    return (
+        docs.select(
+            "doc_id",
+            F.size("sh").alias("n_shingles"),
+            F.explode_outer("sh").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -157,9 +168,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    doc_sets = catalog.load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_sort(distinct_shingles("text")).alias("sh")
-    )
+    doc_sets = distinct_shingled(
+        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.array_sort("sh").alias("sh"))
     paired = (
         candidates.join(doc_sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sh", "sh_a")

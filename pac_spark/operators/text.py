@@ -51,8 +51,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.3*(1 - stopword_ratio)  — a deterministic stand-in for
     the usual trained quality classifiers, same plan shape.
     """
-    docs = catalog.load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("n_chars_computed"),
+        tokens(F.col("text")).alias("__toks"),
+    )
+    toks = F.col("__toks")  # bound once — no per-expression re-split
     n_tokens = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
     stop_cnt = _stopword_count(toks)
@@ -68,7 +75,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.length("text").alias("n_chars_computed"),
+        "n_chars_computed",
         n_tokens.alias("n_tokens"),
         n_unique.alias("n_unique_tokens"),
         stop_cnt.alias("n_stopwords"),
@@ -82,8 +89,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language guess with a fixed tie-break chain
     (alphabetical by language), compared against the labeled ``lang``."""
-    docs = catalog.load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
     scores = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -133,19 +142,21 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: full md5, 64-bit hex prefix, and the
     1-hash minhash over 3-gram shingles (the single-seed version of the
     dedup signature)."""
-    from pac_spark.operators.text_core import distinct_shingles
+    from pac_spark.operators.text_core import distinct_shingled
 
     docs = catalog.load(spark, sf_dir, "documents")
     md5 = F.md5(F.encode("text", "UTF-8"))
-    sh = distinct_shingles("text")
-    minhash1 = F.array_min(
-        F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8")))
+    shingled = distinct_shingled(
+        docs.select("doc_id", "source", md5.alias("md5_fp"), "text")
     )
-    return docs.select(
+    minhash1 = F.array_min(
+        F.transform(F.col("sh"), lambda s: F.md5(F.encode(s, "UTF-8")))
+    )
+    return shingled.select(
         "doc_id",
         "source",
-        md5.alias("md5_fp"),
-        F.substring(md5, 1, 16).alias("md5_prefix64"),
+        "md5_fp",
+        F.substring("md5_fp", 1, 16).alias("md5_prefix64"),
         minhash1.alias("minhash1"),
     ).orderBy("doc_id")
 

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["tokens", "shingles", "distinct_shingles", "TOKENS_SQL", "SHINGLES_SQL"]
+__all__ = [
+    "tokens",
+    "shingles_of_tokens",
+    "distinct_shingled",
+    "TOKENS_SQL",
+    "SHINGLES_SQL",
+]
 
 
 def tokens(text: Column) -> Column:
@@ -20,21 +26,33 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(text_col: str, n: int = 3) -> Column:
-    """Overlapping n-word shingles of column ``text_col`` (by name —
-    the expression is built with SQL ``transform``); empty array when
-    the document has fewer than n tokens."""
-    toks = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+def shingles_of_tokens(toks_col: str, n: int = 3) -> Column:
+    """Overlapping n-word shingles over an already-materialized token
+    array column; empty array when the document has fewer than n tokens.
+
+    ``toks_col`` MUST be a bound column (``.select(tokens(...).alias(
+    "toks"))`` first): inlining ``split(text, ' ')`` here would
+    re-tokenize the document on every subscript access inside the
+    lambda — O(tokens²) per row instead of O(tokens)."""
+    parts = ", ".join(f"{toks_col}[i + {k}]" for k in range(n))
     return F.when(
-        F.size(F.split(F.col(text_col), " ")) < n, F.array().cast("array<string>")
+        F.size(F.col(toks_col)) < n, F.array().cast("array<string>")
     ).otherwise(
-        F.expr(f"transform(sequence(0, size({toks}) - {n}), i -> concat_ws(' ', {parts}))")
+        F.expr(
+            f"transform(sequence(0, size({toks_col}) - {n}), i -> concat_ws(' ', {parts}))"
+        )
     )
 
 
-def distinct_shingles(text_col: str, n: int = 3) -> Column:
-    return F.array_distinct(shingles(text_col, n))
+def distinct_shingled(df, text_col: str = "text", out_col: str = "sh", n: int = 3):
+    """Project ``df`` to its non-text columns + the distinct-shingle
+    set of ``text_col`` — the two-phase (tokenize, then shingle) form
+    every caller should use."""
+    keep = [c for c in df.columns if c != text_col]
+    toked = df.select(*keep, tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        *keep, F.array_distinct(shingles_of_tokens("__toks", n)).alias(out_col)
+    )
 
 
 # DuckDB mirrors (over a relation named ``docs(doc_id, text)``)
