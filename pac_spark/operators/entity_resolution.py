@@ -300,6 +300,8 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     - companies/titles = sorted distinct normalized values (:546-562),
       emitted as '|'-joined strings so the result is hash-comparable;
     - grouped_from = cluster size (:550);
+    - all_variations = every original record as JSON array-of-struct
+      (:564-572), sorted by record_id;
     - confidence = banding over the mean pairwise score of the cluster
       (:353-377), where singletons have no pairs → 'high' score 100
       (the reference only bands multi-record groups; singletons upload
@@ -340,12 +342,40 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "|",
         ).alias("titles"),
+        # A8: every original record the group was consolidated from,
+        # kept as an array of structs (ref executive_review_tool.py:
+        # 564-572) — serialized to JSON (sorted by unique record_id)
+        # so the column stays hash-comparable across engines
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("record_id", "name", "title", "company", "address")
+                )
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("all_variations"),
     )
     # exact_avg over the 6-decimal scores: order-independent, so the
-    # cluster mean is bit-identical to the oracle's
+    # cluster mean is bit-identical to the oracle's. Only pairs whose
+    # BOTH endpoints landed in the cluster contribute — a candidate
+    # pair that scored below the group threshold crosses clusters and
+    # must not contaminate either side's mean (ref averages in-group
+    # pairs only, executive_review_tool.py:347-377).
     pair_scores = (
-        pairs.join(clusters.withColumnRenamed("record_id", "id_a"), "id_a")
-        .groupBy("cluster_id")
+        pairs.join(
+            clusters.select(
+                F.col("record_id").alias("id_a"), F.col("cluster_id").alias("cluster_a")
+            ),
+            "id_a",
+        )
+        .join(
+            clusters.select(
+                F.col("record_id").alias("id_b"), F.col("cluster_id").alias("cluster_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("cluster_a") == F.col("cluster_b"))
+        .groupBy(F.col("cluster_a").alias("cluster_id"))
         .agg(exact_avg(F.col("overall_score"), scale=6).alias("avg_similarity"))
     )
     out = (
@@ -358,6 +388,7 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grouped_from",
             "companies",
             "titles",
+            "all_variations",
             F.coalesce(F.col("avg_similarity"), F.lit(100.0)).alias("avg_similarity"),
         )
         .withColumn(

@@ -122,18 +122,36 @@ def company_issue_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def company_issue_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested form: one row per company with a sorted array of issue
     structs — the Spark shape of the reference's
-    ``{company: {issue: {Against, Neutral, Pro}}}`` dict (A1, :271-280).
+    ``{company: {issue: {Against, Neutral, Pro}}}`` dict (A1, :271-280),
+    serialized via ``to_json`` exactly like the reference's JSON review
+    export (S7, :317-383).
 
-    Array-of-struct sorted by issue name (O1, :346) rather than a map so
-    the result is canonical/deterministic for hashing and export.
+    Array-of-struct sorted by issue name (O1, :346) then JSON-encoded:
+    a plain string column is canonical/deterministic for hashing, and
+    money fields are rendered through DECIMAL(18,2) so Spark and the
+    DuckDB oracle emit byte-identical text (doubles would diverge on
+    E-notation and trailing zeros).
     """
     flat = _issue_grid(spark, sf_dir)
+
+    def _money_str(c: str):
+        return F.col(c).cast("decimal(18,2)").cast("string").alias(c)
+
     return (
         flat.groupBy("company_id", "company_name", "segment")
         .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("issue_name", "against", "neutral", "pro", "total", "position")
+            F.to_json(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("issue_name"),
+                            _money_str("against"),
+                            _money_str("neutral"),
+                            _money_str("pro"),
+                            _money_str("total"),
+                            F.col("position"),
+                        )
+                    )
                 )
             ).alias("issues"),
             F.count("*").alias("n_issues"),

@@ -184,19 +184,32 @@ members AS (
                FILTER (WHERE title IS NOT NULL AND trim(title) <> '')), '|') AS titles
     FROM clustered GROUP BY cluster_id
 ),
+-- separate aggregate: DuckDB 1.0.0 segfaults when LIST(DISTINCT..FILTER)
+-- and LIST(struct ORDER BY..) share one GROUP BY
+variations AS (
+    SELECT cluster_id,
+           to_json(LIST({{record_id: record_id, name: name, title: title,
+                          company: company, address: address}}
+                   ORDER BY record_id)) AS all_variations
+    FROM clustered GROUP BY cluster_id
+),
 pair_scores AS (
-    SELECT c.cluster_id, {exact_avg_sql('s.overall_score', 6)} AS avg_similarity
-    FROM scored s JOIN clusters c ON s.id_a = c.record_id
-    GROUP BY c.cluster_id
+    SELECT ca.cluster_id, {exact_avg_sql('s.overall_score', 6)} AS avg_similarity
+    FROM scored s
+    JOIN clusters ca ON s.id_a = ca.record_id
+    JOIN clusters cb ON s.id_b = cb.record_id
+    WHERE ca.cluster_id = cb.cluster_id
+    GROUP BY ca.cluster_id
 )
 SELECT m.cluster_id, b.best_name, b.best_title, m.grouped_from,
-       m.companies, m.titles,
+       m.companies, m.titles, v.all_variations,
        COALESCE(p.avg_similarity, 100.0) AS avg_similarity,
        CASE WHEN COALESCE(p.avg_similarity, 100.0) >= {ER.HIGH_THRESHOLD} THEN 'high'
             WHEN COALESCE(p.avg_similarity, 100.0) >= {ER.GROUP_THRESHOLD} THEN 'uncertain'
             ELSE 'low' END AS confidence
 FROM members m
 JOIN best b USING (cluster_id)
+JOIN variations v USING (cluster_id)
 LEFT JOIN pair_scores p USING (cluster_id)
 ORDER BY cluster_id
 """

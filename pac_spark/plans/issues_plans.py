@@ -13,8 +13,8 @@ def _bucket(status: str) -> str:
     return money_sum_sql(f"CASE WHEN status = '{status}' THEN amount ELSE 0.0 END")
 
 
-_FLAGSHIP_ORACLE = f"""
-WITH fact AS (
+_GRID_CTES = f"""
+fact AS (
     SELECT o_custkey AS company_id,
            trim(o_orderpriority) AS issue_name,
            o_orderstatus AS status,
@@ -36,15 +36,44 @@ WITH fact AS (
     GROUP BY 1, 2, 3, 4
 ), tot AS (
     SELECT *, ROUND(against + neutral + pro, 2) AS total FROM agg
+), grid AS (
+    SELECT company_id, company_name, segment, issue_name,
+           against, neutral, pro, total,
+           CASE WHEN total = 0 THEN 'NEUTRAL'
+                WHEN against >= neutral AND against >= pro THEN 'AGAINST'
+                WHEN pro >= neutral AND pro >= against THEN 'PRO'
+                ELSE 'NEUTRAL' END AS position
+    FROM tot
 )
-SELECT company_id, company_name, segment, issue_name,
-       against, neutral, pro, total,
-       CASE WHEN total = 0 THEN 'NEUTRAL'
-            WHEN against >= neutral AND against >= pro THEN 'AGAINST'
-            WHEN pro >= neutral AND pro >= against THEN 'PRO'
-            ELSE 'NEUTRAL' END AS position
-FROM tot
-ORDER BY company_id, issue_name
+"""
+
+_FLAGSHIP_ORACLE = f"""
+WITH {_GRID_CTES}
+SELECT * FROM grid ORDER BY company_id, issue_name
+"""
+
+
+def _money_str(col: str) -> str:
+    # DECIMAL(18,2) -> VARCHAR renders identically in Spark and DuckDB
+    # ('123.45', '0.00', no E-notation) — see company_issue_summary
+    return f"CAST(CAST({col} AS DECIMAL(18,2)) AS VARCHAR)"
+
+
+_SUMMARY_ORACLE = f"""
+WITH {_GRID_CTES}
+SELECT company_id, company_name, segment,
+       to_json(LIST({{
+           issue_name: issue_name,
+           against: {_money_str('against')},
+           neutral: {_money_str('neutral')},
+           pro: {_money_str('pro')},
+           total: {_money_str('total')},
+           position: position
+       }} ORDER BY issue_name)) AS issues,
+       CAST(COUNT(*) AS BIGINT) AS n_issues
+FROM grid
+GROUP BY 1, 2, 3
+ORDER BY company_id
 """
 
 _VALIDATION_ORACLE = """
@@ -69,6 +98,5 @@ def _validation(spark, sf_dir):
 SPECS = [
     QuerySpec("flagship_company_positions", issues.company_issue_positions, _FLAGSHIP_ORACLE),
     QuerySpec("issues_count_validation", _validation, _VALIDATION_ORACLE),
-    # nested array-of-struct form: not hash-comparable in ANSI SQL -> rows-only
-    QuerySpec("company_issue_summary", issues.company_issue_summary, None),
+    QuerySpec("company_issue_summary", issues.company_issue_summary, _SUMMARY_ORACLE),
 ]
