@@ -14,11 +14,12 @@ a distributed plan (no driver-side pair loops anywhere):
    band join touches only colliding docs; signatures are 8 aggregated
    mins per doc computed in the same single shuffle.
 4. **SimHash** — 16-bit sign-aggregated fingerprint; near-dups =
-   hamming distance <= 3 among band-blocked candidates.
+   hamming distance <= 3 among raw band-blocked candidates (an
+   independent tier from minhash — the hamming filter decides).
 
-1-3 are DuckDB-oracle-verified end-to-end (including the LSH banding).
-SimHash needs hex→int conversion DuckDB can't mirror cheaply → rows
-checked + property-tested (see tests/test_dedup_properties.py).
+All four are DuckDB-oracle-verified end-to-end, including the LSH
+banding and the SimHash fingerprint arithmetic (hex→int reproduced in
+SQL), plus property tests in tests/test_properties.py.
 
 Embedding-cosine near-dup lives in operators/similarity.py.
 """
@@ -42,6 +43,14 @@ __all__ = [
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2 → catches jaccard >= ~0.7 reliably
 JACCARD_THRESHOLD = 0.8
+# Document-frequency ceiling for inverted-index candidate generation:
+# a shingle shared by more than this many docs is dropped from the
+# *index only* (rescoring still uses full shingle sets, so scores are
+# exact). Without the cap one corpus-frequent trigram makes the
+# self-join quadratic on that key — the classic skew blow-up at scale.
+# Near-dup pairs (jaccard >= 0.8) share many shingles; losing the hot
+# ones still leaves rare shingles to collide on.
+MAX_SHINGLE_DF = 50
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,27 +89,56 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8, candidates
-    from the shingle inverted index (docs sharing >= 1 shingle)."""
-    sh = _doc_shingles(spark, sf_dir)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8.
+
+    Candidates come from the shingle inverted index with a document-
+    frequency cap (``MAX_SHINGLE_DF``): hot shingles are dropped from
+    the index before the self-join so no single key can go quadratic,
+    then every surviving candidate pair is rescored *exactly* against
+    the full (uncapped) shingle sets via array_intersect. The cap
+    affects only which pairs are considered, never their scores — and
+    any pair at jaccard >= 0.8 shares rare shingles with overwhelming
+    probability (property-tested in tests/test_properties.py).
+    """
+    docs_sh = distinct_shingled(
+        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", F.array_sort("sh").alias("sh"))
+    sh = docs_sh.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    index = sh.join(rare, "shingle")
+    a = index.alias("a")
+    b = index.alias("b")
+    candidates = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.n_shingles").alias("n_b"),
-        )
-        .agg(F.count("*").alias("shared"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    jaccard = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    paired = (
+        candidates.join(docs_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(docs_sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        shared.withColumn("jaccard", F.round(jaccard, 8))
+        paired.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("shared"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.round(inter / union, 8).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -149,28 +187,53 @@ def _band_rows(signatures: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
 
 
+def _signatures_from_shingle_rows(sh: DataFrame) -> DataFrame:
+    """Minhash signatures computed from an existing (doc_id, shingle)
+    frame — lets callers share one shingling pass across stages."""
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
+            f"mh{s}"
+        )
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band — the
+    raw, pre-rescoring candidate set shared by minhash and simhash."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection with exact rescoring.
 
     band-bucket join → distinct candidate pairs → exact Jaccard via
     each doc's shingle set (array_intersect on the two bounded arrays)
     → keep pairs >= 0.8. Only bucket-colliding pairs are ever scored.
+
+    The shingled frame is computed once and persisted (memory+disk),
+    then reused for both the signature pass and the rescoring pass —
+    without this the corpus would be tokenized and shingled twice.
     """
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = _band_rows(sigs)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(b, on=["band_idx", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    doc_sets = (
+        distinct_shingled(
+            catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
         )
-        .distinct()
+        .select("doc_id", F.array_sort("sh").alias("sh"))
+        .persist()
     )
-    doc_sets = distinct_shingled(
-        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.array_sort("sh").alias("sh"))
+    sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    candidates = _lsh_candidates(_band_rows(_signatures_from_shingle_rows(sh)))
     paired = (
         candidates.join(doc_sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sh", "sh_a")
@@ -194,9 +257,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprints + hamming-distance near-dups.
 
     Bit j of the fingerprint = sign of sum over shingles of +-1
-    depending on bit j of md5(shingle). Candidates are LSH-banded
-    (reusing the minhash buckets); near-dup = hamming <= 3.
-    Rows-only + property-tested (hex→int not portable to the oracle).
+    depending on bit j of md5(shingle). Candidates are the RAW LSH band
+    buckets (pre-rescoring, same generator as minhash_lsh_dedup) — an
+    independent near-dup tier: the hamming filter decides, not a prior
+    Jaccard threshold. Near-dup = hamming <= 3. Oracle-checked (the
+    hex→int fingerprint arithmetic is reproduced in DuckDB).
     """
     sh = _doc_shingles(spark, sf_dir)
     h16 = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 4), 16, 10).cast(
@@ -215,9 +280,13 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(
             (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
             for j in range(16)
-        ).alias("simhash"),
+        )
+        .cast("int")
+        .alias("simhash"),
     )
-    cands = minhash_lsh_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    cands = _lsh_candidates(
+        _band_rows(_signatures_from_shingle_rows(sh))
+    )
     paired = (
         cands.join(simhash.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("simhash", "sim_a")
@@ -226,7 +295,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        paired.select("doc_a", "doc_b", "sim_a", "sim_b", hamming.alias("hamming"))
+        paired.select(
+            "doc_a", "doc_b", "sim_a", "sim_b", hamming.cast("int").alias("hamming")
+        )
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )

@@ -93,6 +93,46 @@ SELECT * FROM rescored WHERE jaccard >= {D.JACCARD_THRESHOLD} ORDER BY doc_a, do
 """
 
 
+_HEXD = "strpos('0123456789abcdef', substring(md5(shingle), {i}, 1)) - 1"
+
+_H16 = " + ".join(
+    f"({_HEXD.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+)
+
+_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(16)
+)
+
+_SIMHASH_VAL = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+
+_SIMHASH = f"""
+{_DOCS_PRELUDE},
+sigs AS (SELECT doc_id, {_MH_COLS} FROM shingle_rows GROUP BY doc_id),
+bands AS (
+    {_BAND_SELECTS}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+h16 AS (SELECT doc_id, {_H16} AS h FROM shingle_rows),
+bit_sums AS (SELECT doc_id, {_BIT_SUMS} FROM h16 GROUP BY doc_id),
+simhash AS (SELECT doc_id, CAST({_SIMHASH_VAL} AS INTEGER) AS simhash FROM bit_sums)
+SELECT c.doc_a, c.doc_b, sa.simhash AS sim_a, sb.simhash AS sim_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cands c
+JOIN simhash sa ON c.doc_a = sa.doc_id
+JOIN simhash sb ON c.doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
 def _dot_sql(a: str, b: str) -> str:
     """Sequential left-fold dot product, acc starts at 0.0 — mirrors
     the Spark ``aggregate(zip_with(...))`` accumulation order."""
@@ -263,7 +303,7 @@ SPECS = [
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
     QuerySpec("minhash_signatures", D.minhash_signatures, _MINHASH_SIGS),
     QuerySpec("minhash_lsh_dedup", D.minhash_lsh_dedup, _MINHASH_LSH),
-    QuerySpec("simhash_neardup", D.simhash_neardup, None),
+    QuerySpec("simhash_neardup", D.simhash_neardup, _SIMHASH),
     QuerySpec("knn_bruteforce", S.knn_bruteforce, _KNN),
     QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
     QuerySpec("ann_lsh_topk", S.ann_lsh_topk, None),

@@ -57,14 +57,31 @@ def test_custom_sessions_cap_invariant(spark, sf_dir):
 
 
 def test_simhash_flags_minhash_dups(spark, sf_dir):
-    """Planted near-dups (jaccard >= 0.8) must sit at small hamming
-    distance; identical docs would be at distance 0."""
+    """SimHash is an independent tier over the same raw LSH candidate
+    buckets: every minhash-confirmed dup (jaccard >= 0.8) must also sit
+    at hamming <= 3, i.e. appear in the simhash output."""
     from pac_spark.operators.dedup import minhash_lsh_dedup, simhash_neardup
 
     mh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(spark, sf_dir).collect()}
     sh = {(r["doc_a"], r["doc_b"]) for r in simhash_neardup(spark, sf_dir).collect()}
     assert sh, "simhash should flag the planted near-dups"
-    assert sh <= mh | sh  # sanity: both derive from the same candidates
+    assert mh <= sh, f"minhash dups missing from simhash tier: {mh - sh}"
+
+
+def test_ngram_df_cap_loses_no_pairs(spark, sf_dir):
+    """The shingle document-frequency cap bounds candidate-generation
+    skew without changing results: pair set and scores are identical
+    to the uncapped run at test scale."""
+    from pac_spark.operators import dedup
+
+    capped = {tuple(r) for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()}
+    original = dedup.MAX_SHINGLE_DF
+    try:
+        dedup.MAX_SHINGLE_DF = 10**9
+        uncapped = {tuple(r) for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()}
+    finally:
+        dedup.MAX_SHINGLE_DF = original
+    assert capped == uncapped
 
 
 def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
