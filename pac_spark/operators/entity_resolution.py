@@ -52,6 +52,7 @@ __all__ = [
     "candidate_pairs",
     "er_clusters",
     "er_consolidated",
+    "er_approved",
     "er_links",
 ]
 
@@ -399,6 +400,28 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("cluster_id")
+
+
+def er_approved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approved-group gate (P7, ref executive_review_tool.py:531-532):
+    only groups present in an approvals table survive to upload.
+
+    The reference's approvals come from an interactive review; here the
+    approvals table is derived deterministically (every 'high' group
+    auto-approves, every other 'uncertain' group is approved — the
+    review outcome a human gate would produce), and the gate itself is
+    the operator under test: a LEFT SEMI join, which at scale streams
+    the consolidation output against a broadcast of the (small)
+    approvals table without duplicating or widening rows.
+    """
+    consolidated = er_consolidated(spark, sf_dir)
+    approvals = consolidated.filter(
+        (F.col("confidence") == "high")
+        | ((F.col("confidence") == "uncertain") & (F.col("cluster_id") % 2 == 0))
+    ).select("cluster_id")
+    return consolidated.join(
+        F.broadcast(approvals), "cluster_id", "left_semi"
+    ).orderBy("cluster_id")
 
 
 def er_links(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,16 +57,38 @@ _FEATURES_SCHEMA = T.StructType(
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction — the real multimodal UDF
-    shape: bytes in, fixed-width features out, vectorized per batch."""
+    shape: bytes in, fixed-width features out, vectorized per batch.
+
+    The whole batch is flattened into ONE numpy uint8 buffer and
+    reduced with np.add.reduceat — no per-row Python byte loops
+    (sum(bytes) is O(len) interpreted; reduceat is a single C pass
+    over the concatenated payloads)."""
+    import numpy as np
+
     for pdf in batches:
         payloads = pdf["payload"]
+        lengths = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        nonempty = lengths > 0
+        byte_sum = np.zeros(len(lengths), dtype=np.int64)
+        if flat.size:
+            # reduceat needs strictly valid start indices: compute on
+            # the nonempty subset, scatter back
+            sums = np.add.reduceat(flat.astype(np.int64), offsets[nonempty])
+            byte_sum[nonempty] = sums
+        first_byte = np.full(len(lengths), -1, dtype=np.int32)
+        last_byte = np.full(len(lengths), -1, dtype=np.int32)
+        first_byte[nonempty] = flat[offsets[nonempty]]
+        last_byte[nonempty] = flat[offsets[nonempty] + lengths[nonempty] - 1]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                "byte_sum": payloads.map(lambda b: sum(b)).astype("int64"),
-                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                "n_bytes": lengths.astype("int32"),
+                "byte_sum": byte_sum,
+                "first_byte": first_byte,
+                "last_byte": last_byte,
             }
         )
 

@@ -345,9 +345,13 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) when exactness isn't required. Sketch values are
     engine-specific → rows-only check (no DuckDB oracle)."""
     li = catalog.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

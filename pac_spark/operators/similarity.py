@@ -82,26 +82,84 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sign-LSH sub-bucketing inside each label for pair generation.
+# The (bits-per-band, n-bands) point is a recall/cost dial: at the
+# registered diffuse threshold (0.35, pairs barely off-random) recall
+# needs many short bands — 16 bands x 2 bits gives P(miss a 0.35 pair)
+# ~ (1 - 0.377)^16 < 0.05% while still splitting every label block
+# 4 ways per band (skew bound: no single join key carries a whole
+# label). For a production near-dup threshold (>= 0.8) set
+# (8 bits, 8 bands) instead — candidate volume then drops ~50x per
+# block. Recall-completeness at test scale is asserted both by the
+# DuckDB oracle (exhaustive within-label join) and a property test.
+EMB_PAIR_BITS = 2
+EMB_PAIR_BANDS = 16
+
+
 def embedding_similar_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35
 ) -> DataFrame:
-    """Within-label similar pairs (cosine >= threshold): the coarse
-    partition bounds pair generation to sum(block^2), the IVF pattern."""
+    """Within-label similar pairs (cosine >= threshold).
+
+    Candidate generation: each vector gets a sign signature against
+    fixed hyperplanes; candidates must share (label, band) for at
+    least one of ``EMB_PAIR_BANDS`` bands — the join key is
+    (label, band_idx, band_key), never the bare label, so per-key
+    fan-out stays bounded as labels grow. Candidates are then rescored
+    with the exact cosine and thresholded, so any pair the banding
+    surfaces carries its true score.
+    """
     emb = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v"), "label"
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = _dot("a.v", "b.v") / (F.sqrt(_dot("a.v", "a.v")) * F.sqrt(_dot("b.v", "b.v")))
-    return (
-        a.join(b, on="label")
+    n_planes = EMB_PAIR_BITS * EMB_PAIR_BANDS
+    planes = _hyperplanes(n_planes)
+    plane_arr = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    sig = F.expr(
+        "transform(planes, p -> case when aggregate(zip_with(v, p, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, q) -> acc + q) >= 0 then '1' else '0' end)"
+    )
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(
+                    *[F.col("bits")[b * EMB_PAIR_BITS + r] for r in range(EMB_PAIR_BITS)]
+                ).alias("band_key"),
+            )
+            for b in range(EMB_PAIR_BANDS)
+        ]
+    )
+    banded = (
+        emb.withColumn("planes", plane_arr)
+        .withColumn("bits", sig)
+        .select("vec_id", "label", F.explode(bands_arr).alias("band"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_key").alias("band_key"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, on=["label", "band_idx", "band_key"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             "label",
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 8).alias("score"),
         )
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    cos = _dot("v_a", "v_b") / (F.sqrt(_dot("v_a", "v_a")) * F.sqrt(_dot("v_b", "v_b")))
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("label", "vec_a", "vec_b", F.round(cos, 8).alias("score"))
         .filter(F.col("score") >= threshold)
         .orderBy("label", "vec_a", "vec_b")
     )
@@ -111,16 +169,30 @@ N_PLANES = 12
 _PLANE_SEED = 1234567
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from a fixed LCG —
-    python-side constants, identical every run (no library RNG)."""
-    state = _PLANE_SEED
+def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
+    """Deterministic isotropic Gaussian hyperplanes — md5-keyed
+    Box-Muller, python-side constants, identical every run (no
+    library RNG). Keyed per (plane, dim) so plane i is the same for
+    any n >= i (asking for more planes never perturbs existing
+    signatures).
+
+    A raw-LCG stream is NOT usable here: its serial correlation makes
+    all planes nearly parallel, so sign agreement for a pair collapses
+    to ~0 or ~1 instead of 1 - angle/pi and banding recall breaks.
+    """
+    import hashlib
+    import math
+
+    def unit(i: int, j: int, salt: str) -> float:
+        h = hashlib.md5(f"{_PLANE_SEED}:{salt}:{i}:{j}".encode()).hexdigest()
+        return (int(h[:13], 16) + 0.5) / float(1 << 52)  # (0, 1)
+
     planes = []
-    for _ in range(N_PLANES):
+    for i in range(n):
         row = []
-        for _ in range(64):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        for j in range(64):
+            u1, u2 = unit(i, j, "u1"), unit(i, j, "u2")
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
         planes.append(row)
     return planes
 

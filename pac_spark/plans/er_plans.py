@@ -161,7 +161,7 @@ _NONNULL = " + ".join(
     for c in ("name", "title", "company", "address")
 )
 
-_ER_CONSOLIDATED = f"""
+_CONSOLIDATED_BODY = f"""
 {_PRELUDE},
 clustered AS (
     SELECT r.*, c.cluster_id FROM records r JOIN clusters c USING (record_id)
@@ -211,6 +211,19 @@ FROM members m
 JOIN best b USING (cluster_id)
 JOIN variations v USING (cluster_id)
 LEFT JOIN pair_scores p USING (cluster_id)
+"""
+
+_ER_CONSOLIDATED = f"{_CONSOLIDATED_BODY}\nORDER BY cluster_id"
+
+# P7 approved-group gate: semi-join against the deterministic approvals
+# set (high groups + every other uncertain group)
+_ER_APPROVED = f"""
+SELECT * FROM ({_CONSOLIDATED_BODY})
+WHERE cluster_id IN (
+    SELECT cluster_id FROM ({_CONSOLIDATED_BODY})
+    WHERE confidence = 'high'
+       OR (confidence = 'uncertain' AND cluster_id % 2 = 0)
+)
 ORDER BY cluster_id
 """
 
@@ -258,5 +271,6 @@ SPECS = [
     QuerySpec("er_candidate_pairs", _pairs_q, _ER_PAIRS),
     QuerySpec("er_clusters", ER.er_clusters, _ER_CLUSTERS),
     QuerySpec("er_consolidated", ER.er_consolidated, _ER_CONSOLIDATED),
+    QuerySpec("er_approved", ER.er_approved, _ER_APPROVED),
     QuerySpec("er_links", ER.er_links, _ER_LINKS),
 ]

@@ -91,6 +91,53 @@ ORDER BY company_id
 """
 
 
+_ROLES_ORACLE = f"""
+WITH fact AS (
+    SELECT o_custkey AS company_id,
+           trim(o_orderpriority) AS issue_name,
+           o_totalprice AS amount
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+), dim AS (
+    SELECT c_custkey AS company_id, toks[1] AS name_first, toks[-1] AS name_last
+    FROM (
+        SELECT c_custkey,
+               string_split(lower(trim(regexp_replace(c_name, '\\s+', ' ', 'g'))), ' ')
+                   AS toks
+        FROM customer
+    )
+)
+SELECT f.company_id, d.name_first, d.name_last,
+       CAST(COUNT(DISTINCT issue_name) AS BIGINT) AS n_issues,
+       {money_sum_sql('amount')} AS total_amount
+FROM fact f JOIN dim d USING (company_id)
+GROUP BY 1, 2, 3
+ORDER BY company_id
+"""
+
+
+_ENVELOPE_ORACLE = f"""
+WITH {_GRID_CTES},
+s AS (
+    SELECT CAST(COUNT(DISTINCT company_id) AS BIGINT) AS total_companies,
+           CAST(COUNT(*) AS BIGINT) AS total_issues
+    FROM grid
+),
+d AS (SELECT strftime(MAX(o_orderdate), '%Y-%m-%d') AS as_of FROM orders)
+SELECT to_json({{
+    export_kind: 'issues_review',
+    as_of: d.as_of,
+    total_companies: s.total_companies,
+    total_issues: s.total_issues,
+    avg_issues_per_company:
+        CAST(CAST(CAST(s.total_issues AS DOUBLE) / s.total_companies
+             AS DECIMAL(18,2)) AS VARCHAR)
+}}) AS export_info
+FROM s, d
+"""
+
+
 def _validation(spark, sf_dir):
     return issues.issue_count_validation(spark, sf_dir, expected=5)
 
@@ -99,4 +146,10 @@ SPECS = [
     QuerySpec("flagship_company_positions", issues.company_issue_positions, _FLAGSHIP_ORACLE),
     QuerySpec("issues_count_validation", _validation, _VALIDATION_ORACLE),
     QuerySpec("company_issue_summary", issues.company_issue_summary, _SUMMARY_ORACLE),
+    QuerySpec(
+        "flagship_roles_resolved",
+        issues.company_positions_role_resolved,
+        _ROLES_ORACLE,
+    ),
+    QuerySpec("export_envelope", issues.export_envelope, _ENVELOPE_ORACLE),
 ]

@@ -33,6 +33,7 @@ batches. The cap rule is exactly what bounds per-key state at 100 TB.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -129,8 +130,10 @@ def _sessionize(
             start_us = us
         last_us = us
         n += 1
-        # exact integer-cents sum — same arithmetic as functions.exact
-        cents += int(value * 100 + 0.5)
+        # exact integer-cents sum, rounded half away from zero to match
+        # ROUND semantics in the oracle and functions.exact (plain
+        # int(v*100 + 0.5) would floor negatives: -1.005 -> -100 vs -101)
+        cents += int(math.copysign(int(abs(value) * 100 + 0.5), value))
         if n == SESSION_CAP:
             close("cap")
             n = cents = 0
