@@ -67,6 +67,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>) distinct shingle sets, persisted —
+    the one shingling pass every dedup tier derives from. Unsorted:
+    array_intersect / explode don't care, and sorting 100-element
+    arrays per doc is pure overhead."""
+    return (
+        distinct_shingled(
+            catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .select("doc_id", "sh")
+        .persist()
+    )
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles + per-doc set size."""
     docs = distinct_shingled(
@@ -91,45 +105,109 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8.
 
-    Candidates come from the shingle inverted index with a document-
-    frequency cap (``MAX_SHINGLE_DF``): hot shingles are dropped from
-    the index before the self-join so no single key can go quadratic,
-    then every surviving candidate pair is rescored *exactly* against
-    the full (uncapped) shingle sets via array_intersect. The cap
-    affects only which pairs are considered, never their scores — and
-    any pair at jaccard >= 0.8 shares rare shingles with overwhelming
-    probability (property-tested in tests/test_properties.py).
+    Skew-bounded plan: the inverted-index self-join runs over *rare*
+    shingles only (document frequency <= ``MAX_SHINGLE_DF``), so no
+    single join key can go quadratic. One groupBy then counts each
+    pair's shared-rare shingles — exactly the single-shuffle shape of
+    a plain inverted-index join. Hot shingles are handled by interval
+    arithmetic instead of joining on them: with ``m = min(hot_a,
+    hot_b)`` the true shared count lies in [shared_rare, shared_rare
+    + m], giving certain-in / certain-out jaccard bounds. Only pairs
+    whose bounds straddle the threshold (possible only when both docs
+    carry hot shingles) are rescored exactly against their full
+    shingle sets — an empty set on ordinary corpora.
+
+    Completeness caveat (documented + property-tested): a pair sharing
+    ONLY hot shingles is never generated; at jaccard >= 0.8 such docs
+    are ~all hot trigrams, i.e. boilerplate that exact-dedup or a
+    lower df cap should catch instead.
     """
-    docs_sh = distinct_shingled(
-        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", F.array_sort("sh").alias("sh"))
-    sh = docs_sh.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
-        F.col("shingle").isNotNull()
-    )
-    rare = (
+    docs_sh = _shingle_sets(spark, sf_dir)
+    sh = docs_sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    # the hot set is tiny by construction (<= shingle_rows / df_cap
+    # distinct values), so it broadcasts; most corpora have none
+    hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    index = sh.join(rare, "shingle")
+    index = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    hot_docs = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hot"))
+    )
     a = index.alias("a")
     b = index.alias("b")
-    candidates = (
+    shared = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared_rare"))
+        # docs absent from hot_docs carry no hot shingles -> n_hot = 0
+        .join(
+            F.broadcast(
+                hot_docs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("hot_a")
+                )
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                hot_docs.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("hot_b")
+                )
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn("hot_a", F.coalesce("hot_a", F.lit(0)))
+        .withColumn("hot_b", F.coalesce("hot_b", F.lit(0)))
+    )
+    m = F.least("hot_a", "hot_b")
+    j_lo = F.col("shared_rare") / (F.col("n_a") + F.col("n_b") - F.col("shared_rare"))
+    j_hi = (F.col("shared_rare") + m) / (
+        F.col("n_a") + F.col("n_b") - F.col("shared_rare") - m
+    )
+    bounded = shared.withColumn("j_lo", j_lo).withColumn("j_hi", j_hi)
+
+    out_cols = ["doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard"]
+    # m == 0 -> shared_rare IS the exact shared count; bounds collapse
+    certain = (
+        bounded.filter((m == 0) & (F.col("j_lo") >= JACCARD_THRESHOLD))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_rare").alias("shared"),
+            "n_a",
+            "n_b",
+            F.round(F.col("j_lo"), 8).alias("jaccard"),
+        )
+    )
+    # both docs have hot shingles and the band straddles the threshold:
+    # exact rescore against the full shingle sets (rare at any scale)
+    band = bounded.filter((m > 0) & (F.col("j_hi") >= JACCARD_THRESHOLD)).select(
+        "doc_a", "doc_b"
     )
     paired = (
-        candidates.join(docs_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        band.join(docs_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sh", "sh_a")
         .join(docs_sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("sh", "sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    rescored = (
         paired.select(
             "doc_a",
             "doc_b",
@@ -139,6 +217,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / union, 8).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return (
+        certain.select(*out_cols)
+        .unionByName(rescored.select(*out_cols))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -219,17 +301,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's shingle set (array_intersect on the two bounded arrays)
     → keep pairs >= 0.8. Only bucket-colliding pairs are ever scored.
 
-    The shingled frame is computed once and persisted (memory+disk),
-    then reused for both the signature pass and the rescoring pass —
-    without this the corpus would be tokenized and shingled twice.
+    The shingled frame is computed once and persisted, then reused for
+    both the signature pass and the rescoring pass — without this the
+    corpus would be tokenized and shingled twice.
     """
-    doc_sets = (
-        distinct_shingled(
-            catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-        .select("doc_id", F.array_sort("sh").alias("sh"))
-        .persist()
-    )
+    doc_sets = _shingle_sets(spark, sf_dir)
     sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )

@@ -248,10 +248,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry old + new label through one checkpoint so convergence
+        # detection is a filter over materialized data, not a second
+        # self-join per round
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -259,13 +263,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     return labels
