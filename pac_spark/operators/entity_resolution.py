@@ -54,6 +54,7 @@ __all__ = [
     "er_consolidated",
     "er_approved",
     "er_links",
+    "records_stringified",
 ]
 
 GROUP_THRESHOLD = 75.0  # ref: executive_review_tool.py:276
@@ -272,10 +273,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(records, pairs, cluster labels) computed once — labels are
-    materialized by the checkpoint so callers can reuse them freely."""
+    """(records, pairs, cluster labels) computed once — pairs carry the
+    blocked fuzzy-scoring self-join (the expensive stage), so they are
+    persisted: consolidation consumes them twice (edges for CC, scores
+    for confidence banding) and would otherwise run the scoring twice.
+    Labels are materialized by the checkpoint so callers can reuse them
+    freely."""
     records = executive_records(spark, sf_dir)
-    pairs = candidate_pairs(spark, sf_dir)
+    pairs = candidate_pairs(spark, sf_dir).persist()
     edges = pairs.filter(F.col("overall_score") >= GROUP_THRESHOLD)
     labels = connected_components(
         records.select(F.col("record_id").alias("id")), edges
@@ -402,6 +407,20 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cluster_id")
 
 
+def records_stringified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 stringify-all projection (ref executive_review_tool.py:422):
+    each record rendered as a JSON object containing only its non-null
+    fields, every value a string — ``to_json``'s default null-skipping
+    is exactly the reference's ``if not isna(v)`` filter."""
+    records = executive_records(spark, sf_dir)
+    return records.select(
+        "record_id",
+        F.to_json(F.struct("name", "title", "company", "address")).alias(
+            "record_json"
+        ),
+    ).orderBy("record_id")
+
+
 def er_approved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approved-group gate (P7, ref executive_review_tool.py:531-532):
     only groups present in an approvals table survive to upload.
@@ -414,7 +433,10 @@ def er_approved(spark: SparkSession, sf_dir: str) -> DataFrame:
     the consolidation output against a broadcast of the (small)
     approvals table without duplicating or widening rows.
     """
-    consolidated = er_consolidated(spark, sf_dir)
+    # persist: the semi join consumes the consolidation output twice
+    # (probe side + approvals build side) — without this the whole ER
+    # pipeline would execute twice
+    consolidated = er_consolidated(spark, sf_dir).persist()
     approvals = consolidated.filter(
         (F.col("confidence") == "high")
         | ((F.col("confidence") == "uncertain") & (F.col("cluster_id") % 2 == 0))

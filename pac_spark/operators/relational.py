@@ -49,6 +49,10 @@ __all__ = [
     "q18_large_orders",
     "pivot_daily_event_counts",
     "grouping_sets_revenue",
+    "q4_late_shipments",
+    "q13_order_distribution",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
 ]
 
 _DATE = "yyyy-MM-dd"
@@ -450,4 +454,103 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
+    )
+
+
+def q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style correlated EXISTS: orders with at least one
+    lineitem shipped more than 60 days after the order date, counted
+    per priority.
+
+    The correlated subquery is expressed directly as a LEFT SEMI join
+    with a non-equi condition — Spark's native decorrelation target: the
+    fact side streams once, each order emits at most one row regardless
+    of how many late lineitems it has (no fan-out, no distinct)."""
+    orders = catalog.load(spark, sf_dir, "orders")
+    li = catalog.load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.to_date(li.l_shipdate) > F.date_add(F.to_date(orders.o_orderdate), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count,
+    including zero-order customers — LEFT OUTER join with the filter
+    inside the join condition (a WHERE would silently turn the outer
+    join inner), then two stacked aggregations."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    counts = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar aggregate: revenue from
+    lineitems whose quantity is below 20% of the per-part average,
+    for one brand.
+
+    The correlated AVG decorrelates into a narrow per-part aggregate
+    joined back to the fact — the aggregate input is (partkey,
+    quantity) only, and the brand filter prunes via the broadcast part
+    dim before the heavy join."""
+    li = catalog.load(spark, sf_dir, "lineitem")
+    part = catalog.load(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    thresholds = li.groupBy("l_partkey").agg(
+        (exact_avg(F.col("l_quantity"), scale=2) * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (money_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+        )
+        .select(F.round("avg_yearly", 2).alias("avg_yearly"))
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no orders,
+    tallied per nation group — a global scalar subquery (broadcast
+    1-row cross join, never a driver collect) plus a LEFT ANTI join
+    against the orders fact."""
+    customer = catalog.load(spark, sf_dir, "customer")
+    orders = catalog.load(spark, sf_dir, "orders")
+    avgbal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        exact_avg(F.col("c_acctbal"), scale=2).alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy((F.col("c_nationkey") % 5).cast("int").alias("nation_group"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("nation_group")
     )

@@ -258,6 +258,20 @@ ORDER BY cluster_id, company
 """
 
 
+def _j(field: str) -> str:
+    return f"CASE WHEN {field} IS NOT NULL THEN '\"{field}\":' || to_json({field}) END"
+
+
+_ER_STRINGIFIED = f"""
+WITH {_RECORDS_CTE.strip()}
+SELECT record_id,
+       '{{' || array_to_string(list_filter(
+           [{_j('name')}, {_j('title')}, {_j('company')}, {_j('address')}],
+           x -> x IS NOT NULL), ',') || '}}' AS record_json
+FROM records ORDER BY record_id
+"""
+
+
 def _records_q(spark, sf_dir):
     return ER.executive_records(spark, sf_dir).orderBy("record_id")
 
@@ -273,4 +287,5 @@ SPECS = [
     QuerySpec("er_consolidated", ER.er_consolidated, _ER_CONSOLIDATED),
     QuerySpec("er_approved", ER.er_approved, _ER_APPROVED),
     QuerySpec("er_links", ER.er_links, _ER_LINKS),
+    QuerySpec("er_records_stringified", ER.records_stringified, _ER_STRINGIFIED),
 ]

@@ -180,6 +180,56 @@ SELECT c_mktsegment,
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
+_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_Q13 = """
+WITH counts AS (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM counts GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q17 = f"""
+WITH thresholds AS (
+    SELECT l_partkey, {exact_avg_sql('l_quantity')} * 0.2 AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND({money_sum_sql('l_extendedprice')} / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+JOIN thresholds t ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.qty_threshold
+"""
+
+_Q22 = f"""
+WITH avgbal AS (
+    SELECT {exact_avg_sql('c_acctbal')} AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey % 5 AS INT) AS nation_group,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {money_sum_sql('c_acctbal')} AS total_bal
+FROM customer, avgbal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
 SPECS = [
     QuerySpec("q1_pricing_summary", R.q1_pricing_summary, _Q1),
     QuerySpec("q3_shipping_priority", R.q3_shipping_priority, _Q3),
@@ -195,4 +245,8 @@ SPECS = [
     QuerySpec("json_events_extract", R.json_events_extract, _JSON_EVENTS),
     QuerySpec("distinct_counts_by_segment", R.distinct_counts_by_segment, _DISTINCT_COUNTS),
     QuerySpec("approx_distinct_parts", R.approx_distinct_parts, None),
+    QuerySpec("q4_late_shipments", R.q4_late_shipments, _Q4),
+    QuerySpec("q13_order_distribution", R.q13_order_distribution, _Q13),
+    QuerySpec("q17_small_quantity_revenue", R.q17_small_quantity_revenue, _Q17),
+    QuerySpec("q22_idle_customers", R.q22_idle_customers, _Q22),
 ]

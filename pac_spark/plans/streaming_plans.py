@@ -105,6 +105,23 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique_events
 FROM d GROUP BY event_type ORDER BY event_type
 """
 
+_TS6 = "%Y-%m-%d %H:%M:%S.%f"
+
+_STREAM_PC_JOIN = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       strftime(CAST(p.ts AS TIMESTAMP), '{_TS6}') AS purchase_ts,
+       c.event_id AS click_id,
+       strftime(CAST(c.ts AS TIMESTAMP), '{_TS6}') AS click_ts
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
 SPECS = [
     QuerySpec("events_tumbling_1h", windows.tumbling_1h_by_type, _TUMBLING),
     QuerySpec("events_sliding_1h_30m", windows.sliding_1h_30m_by_type, _SLIDING),
@@ -116,5 +133,10 @@ SPECS = [
         "streaming_user_sessions_custom",
         stateful.streaming_user_sessions_custom,
         stateful.CUSTOM_SESSIONS_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_purchase_click_join",
+        stream_exec.streaming_purchase_click_join,
+        _STREAM_PC_JOIN,
     ),
 ]

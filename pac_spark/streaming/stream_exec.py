@@ -29,7 +29,10 @@ __all__ = [
     "streaming_tumbling_1h",
     "streaming_sessions_10m",
     "streaming_dedup_events",
+    "streaming_purchase_click_join",
 ]
+
+_TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +103,54 @@ def streaming_sessions_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(spark, out, "stream_sessions_10m", "complete").orderBy(
         "user_id", "session_start"
+    )
+
+
+def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: every purchase paired with the
+    same user's clicks in the preceding 30 minutes.
+
+    Both sides are watermarked so Spark can bound the join state: a
+    buffered click can be dropped once the purchase-side watermark
+    passes its 30-minute relevance window — without the time-range
+    condition the state would grow forever. Append mode: a joined pair
+    is emitted exactly once, when both sides have arrived.
+    """
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", _TS6).alias("purchase_ts"),
+        "click_id",
+        F.date_format("c_ts", _TS6).alias("click_ts"),
+    )
+    return run_to_memory(spark, out, "stream_pc_join", "append").orderBy(
+        "purchase_id", "click_id"
     )
 
 
