@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from pac_spark import catalog
 
-__all__ = ["binary_corpus", "byte_features", "decode_image_batch"]
+__all__ = ["binary_corpus", "byte_features", "frame_sample", "decode_image_batch"]
 
 
 def binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +100,49 @@ def byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(_feature_batches, schema=_FEATURES_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+FRAME_STRIDE = 16
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("first_frames", T.StringType()),
+        T.StructField("mean_frame", T.DoubleType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling over opaque payloads: every FRAME_STRIDE-th byte
+    is a 'frame' (the video-keyframe access pattern — seek, don't
+    decode everything). Per row the sample is a strided numpy view of
+    the batch buffer (C-level, no Python byte loops)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "n_frames": [], "first_frames": [], "mean_frame": []}
+        for b in pdf["payload"]:
+            sampled = np.frombuffer(b, dtype=np.uint8)[::FRAME_STRIDE]
+            out["n_frames"].append(len(sampled))
+            out["first_frames"].append(",".join(map(str, sampled[:8])))
+            out["mean_frame"].append(
+                round(float(sampled.sum(dtype=np.int64)) / len(sampled), 8)
+                if len(sampled)
+                else None
+            )
+        yield pd.DataFrame(out)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling via mapInPandas — the verified
+    plumbing for video/audio frame extraction: payload in, fixed-width
+    per-frame summary out, Arrow-batched. Swapping the strided-byte
+    sampler for a real container parser (e.g. pyav keyframe iteration)
+    changes the sampler body, not the plan."""
+    corpus = binary_corpus(spark, sf_dir).select("doc_id", "payload")
+    return corpus.mapInPandas(_frame_batches, schema=_FRAME_SCHEMA).orderBy("doc_id")
 
 
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -51,27 +51,31 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
-def _cosine(a: str, b: str) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
-
-
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors (vec_id 0, 1, 2):
-    broadcast queries x full scan, windowed rank, k rows per query."""
+    broadcast queries x full scan, windowed rank, k rows per query.
+
+    Norms are computed once per vector BEFORE the join, so the per-pair
+    expression is a single dot-product fold, not three — at n vectors
+    and q queries that is n + q norm folds instead of 2·n·q."""
     emb = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v"), "label"
     )
-    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    normed = emb.withColumn("nv", F.sqrt(_dot("v", "v")))
+    queries = normed.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
+    cos = _dot("v", "qv") / (F.col("nv") * F.col("nq"))
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        normed.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(_cosine("v", "qv"), 8).alias("score"),
+            F.round(cos, 8).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -153,9 +157,14 @@ def embedding_similar_pairs(
         )
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
-    cos = _dot("v_a", "v_b") / (F.sqrt(_dot("v_a", "v_a")) * F.sqrt(_dot("v_b", "v_b")))
+    normed = emb.withColumn("nv", F.sqrt(_dot("v", "v")))
+    va = normed.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nv").alias("n_va")
+    )
+    vb = normed.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nv").alias("n_vb")
+    )
+    cos = _dot("v_a", "v_b") / (F.col("n_va") * F.col("n_vb"))
     return (
         candidates.join(va, "vec_a")
         .join(vb, "vec_b")
@@ -218,14 +227,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(0.0 as double), (acc, q) -> acc + q) >= 0 then '1' else '0' end)"
     )
     bucketed = emb.withColumn("planes", plane_arr).select(
-        "vec_id", "v", "label", F.array_join(sig, "").alias("bucket")
+        "vec_id",
+        "v",
+        "label",
+        F.array_join(sig, "").alias("bucket"),
+        F.sqrt(_dot("v", "v")).alias("nv"),
     )
     queries = bucketed.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nv").alias("nq"),
     )
-    cos = _dot("v", "qv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv")))
+    cos = _dot("v", "qv") / (F.col("nv") * F.col("nq"))
     scored = (
         bucketed.join(
             F.broadcast(queries), F.col("bucket") == F.col("qbucket")
@@ -274,7 +288,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_vec = emb.withColumn("features", array_to_vector("v"))
     model = KMeans(k=IVF_NLIST, seed=_IVF_SEED, maxIter=10).fit(with_vec)
     assigned = model.transform(with_vec).select(
-        "vec_id", "v", "label", F.col("prediction").alias("list_id")
+        "vec_id",
+        "v",
+        "label",
+        F.col("prediction").alias("list_id"),
+        F.sqrt(_dot("v", "v")).alias("nv"),
     )
 
     centroids = spark.createDataFrame(
@@ -282,7 +300,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id int, c array<double>",
     )
     queries = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     # multi-probe: nprobe nearest centroids per query (centroid table is
     # tiny — the cross join is queries x nlist rows, then a top-n window)
@@ -298,10 +318,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= IVF_NPROBE)
-        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+        .select("query_id", "qv", "nq", F.col("centroid_id").alias("list_id"))
     )
 
-    cos = _dot("v", "qv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("qv", "qv")))
+    cos = _dot("v", "qv") / (F.col("nv") * F.col("nq"))
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -298,6 +298,22 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+_FRAME_SAMPLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, length(text), {MM.FRAME_STRIDE}),
+                          i -> ascii(text[i])) AS fr
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(fr) AS INT) AS n_frames,
+       array_to_string(list_transform(fr[1:8], x -> CAST(x AS VARCHAR)), ',')
+           AS first_frames,
+       CASE WHEN len(fr) > 0
+            THEN ROUND(CAST(list_sum(fr) AS DOUBLE) / len(fr), 8) END AS mean_frame
+FROM s ORDER BY doc_id
+"""
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -314,4 +330,5 @@ SPECS = [
     QuerySpec("doc_fingerprints", TX.doc_fingerprints, _FINGERPRINTS),
     QuerySpec("corpus_quality_by_lang", TX.corpus_quality_by_lang, _QUALITY_BY_LANG),
     QuerySpec("multimodal_byte_features", MM.byte_features, _BYTE_FEATURES),
+    QuerySpec("multimodal_frame_sample", MM.frame_sample, _FRAME_SAMPLE),
 ]

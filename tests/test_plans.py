@@ -1,0 +1,96 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness tests prove the numbers; these prove the *plan* is the one
+that survives a 100x scale-up: filters pushed into the parquet scan,
+bounded dims broadcast, pair generation never falling back to a
+cartesian product. A regression here is a performance bug even when
+every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_qe(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    """Q6's predicates must appear as PushedFilters on the scan — a
+    plan filtering after a full-column read is wrong at any scale."""
+    from pac_spark.operators.relational import q6_forecast_revenue
+
+    qe = _full_qe(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in qe
+    assert "PushedFilters: []" not in qe
+
+
+def test_flagship_dim_join_broadcasts(spark, sf_dir):
+    """The ticker-dim lookup (ref's N+1 HTTP loop) must be a broadcast
+    hash join — the fact side streams, the dim ships once."""
+    from pac_spark.operators.issues import company_issue_positions
+
+    assert "BroadcastHashJoin" in _exec_plan(company_issue_positions(spark, sf_dir))
+
+
+def test_q17_brand_filter_broadcasts(spark, sf_dir):
+    from pac_spark.operators.relational import q17_small_quantity_revenue
+
+    plan = _exec_plan(q17_small_quantity_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """The correlated EXISTS must execute as a LEFT SEMI join (one
+    output row per order, no fan-out), never a cartesian product."""
+    from pac_spark.operators.relational import q4_late_shipments
+
+    plan = _exec_plan(q4_late_shipments(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """NOT EXISTS -> LeftAnti; the global-average scalar subquery is a
+    1-row broadcast, not a driver-side collect."""
+    from pac_spark.operators.relational import q22_idle_customers
+
+    plan = _exec_plan(q22_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row avg_bal side
+
+
+def test_pair_generators_never_cartesian(spark, sf_dir):
+    """Every pairwise operator must generate candidates through a keyed
+    join (block / shingle / band), never an unkeyed cross product."""
+    from pac_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
+    from pac_spark.operators.entity_resolution import candidate_pairs
+    from pac_spark.operators.similarity import embedding_similar_pairs
+
+    for df in (
+        candidate_pairs(spark, sf_dir),
+        ngram_jaccard_pairs(spark, sf_dir),
+        minhash_lsh_dedup(spark, sf_dir),
+        embedding_similar_pairs(spark, sf_dir),
+    ):
+        assert "CartesianProduct" not in _exec_plan(df)
+
+
+def test_knn_query_side_broadcasts(spark, sf_dir):
+    """Brute-force kNN is a broadcast of the (tiny) query set against a
+    linear scan — BroadcastNestedLoopJoin is the intended shape here."""
+    from pac_spark.operators.similarity import knn_bruteforce
+
+    assert "BroadcastNestedLoopJoin" in _exec_plan(knn_bruteforce(spark, sf_dir))
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    heap), never a full global sort followed by limit."""
+    from pac_spark.operators.relational import q3_shipping_priority
+
+    assert "TakeOrderedAndProject" in _exec_plan(q3_shipping_priority(spark, sf_dir))
