@@ -201,10 +201,17 @@ def company_positions_role_resolved(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.trim("issue_name") != "")
     )
 
-    customer = catalog.load(spark, sf_dir, "customer")
-    first, last = name_parts(F.col("c_name"))
-    dim = customer.select(
-        F.col("c_custkey").alias("company_id"),
+    # dim side resolved by SUBSTRING role matching (P2, ref
+    # executive_review_tool.py:244-272): 'custkey' ⊂ 'c_custkey',
+    # 'name' ⊂ 'c_name' — no physical name hard-coded
+    customer_roles = project_roles(
+        catalog.load(spark, sf_dir, "customer"),
+        {"company_id": ["custkey"], "cust_name": ["name"]},
+        substring=True,
+    )
+    first, last = name_parts(F.col("cust_name"))
+    dim = customer_roles.select(
+        F.col("company_id"),
         first.alias("name_first"),
         last.alias("name_last"),
     )
