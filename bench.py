@@ -46,10 +46,12 @@ def main() -> None:
     spark = get_spark(app_name="pac_spark_bench")
     qs = queries()
 
-    # warm the JVM/codegen paths once on the smallest SF so per-query
-    # numbers measure steady-state execution, not first-call JIT.
-    warm = qs[BENCH_QUERIES[0]]
-    warm(spark, "/root/testdata/sf0.001").count()
+    # warm every benched plan once on the smallest SF so per-query
+    # numbers measure steady-state execution (the cluster regime),
+    # not first-call codegen/JIT compilation of each plan.
+    for name in BENCH_QUERIES:
+        if name in qs:
+            qs[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
