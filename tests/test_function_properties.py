@@ -1,0 +1,137 @@
+"""Invariant tests for the scalar function family (F1-F7) evaluated
+through Spark itself — the properties the ER pipeline's correctness
+rests on, checked over a diverse deterministic corpus in two Spark
+jobs (one frame of strings, one frame of pairs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+# diverse, deterministic: casing, repeated/collapsible whitespace,
+# punctuation the sanitizer must strip, unicode, token reorderings,
+# near-misses, empties
+CORPUS = [
+    "Customer#000000001",
+    "customer#000000001",
+    "  Customer   #1  ",
+    "John Quincy Adams",
+    "Adams John Quincy",
+    "JOHN ADAMS",
+    "j0hn 4dams",
+    "Acme, Inc.",
+    "acme inc",
+    "Ärger GmbH",
+    "a",
+    "b",
+    "ab",
+    "ba",
+    "",
+    "   ",
+    "one-token",
+    "two tokens",
+    "tab\tseparated words",
+]
+
+
+@pytest.fixture(scope="module")
+def pair_rows(spark):
+    from pac_spark.functions.fuzzy import levenshtein_ratio, token_sort_ratio
+
+    strings = spark.createDataFrame([(s,) for s in CORPUS], "s string")
+    pairs = strings.alias("x").crossJoin(strings.alias("y")).select(
+        F.col("x.s").alias("a"), F.col("y.s").alias("b")
+    )
+    return pairs.select(
+        "a",
+        "b",
+        token_sort_ratio(F.col("a"), F.col("b")).alias("tsr_ab"),
+        token_sort_ratio(F.col("b"), F.col("a")).alias("tsr_ba"),
+        levenshtein_ratio(F.col("a"), F.col("b")).alias("lr_ab"),
+        levenshtein_ratio(F.col("b"), F.col("a")).alias("lr_ba"),
+    ).collect()
+
+
+def test_ratios_are_bounded(pair_rows):
+    for r in pair_rows:
+        for c in ("tsr_ab", "tsr_ba", "lr_ab", "lr_ba"):
+            assert 0.0 <= r[c] <= 100.0, f"{c} out of range for {r['a']!r}/{r['b']!r}"
+
+
+def test_ratios_are_symmetric(pair_rows):
+    for r in pair_rows:
+        assert r["tsr_ab"] == r["tsr_ba"]
+        assert r["lr_ab"] == r["lr_ba"]
+
+
+def test_identity_scores_100(pair_rows):
+    for r in pair_rows:
+        if r["a"] == r["b"]:
+            assert r["tsr_ab"] == 100.0
+            assert r["lr_ab"] == 100.0
+
+
+def test_token_order_invariance(pair_rows):
+    """token_sort_ratio must not care about token order: permuted-token
+    strings score 100 (the property plain ratio lacks)."""
+    scores = {(r["a"], r["b"]): r["tsr_ab"] for r in pair_rows}
+    assert scores[("John Quincy Adams", "Adams John Quincy")] == 100.0
+    assert scores[("ab", "ba")] < 100.0  # character order still matters
+
+
+def test_normalize_and_sanitize_invariants(spark):
+    from pac_spark.functions.normalize import (
+        name_parts,
+        normalize_string,
+        sanitize_key,
+    )
+
+    strings = spark.createDataFrame([(s,) for s in CORPUS], "s string")
+    first, last = name_parts(F.col("s"))
+    rows = strings.select(
+        "s",
+        normalize_string(F.col("s")).alias("n1"),
+        normalize_string(normalize_string(F.col("s"))).alias("n2"),
+        sanitize_key(F.col("s")).alias("k"),
+        first.alias("first"),
+        last.alias("last"),
+    ).collect()
+    for r in rows:
+        # idempotence: normalizing twice changes nothing
+        assert r["n1"] == r["n2"]
+        # normalized form is lower-case with single internal spaces
+        assert r["n1"] == r["n1"].lower()
+        assert "  " not in r["n1"] and r["n1"] == r["n1"].strip()
+        # sink keys carry no spaces, commas, or dots
+        assert " " not in r["k"] and "," not in r["k"] and "." not in r["k"]
+        # name parts are the first/last normalized tokens
+        toks = r["n1"].split(" ")
+        assert r["first"] == toks[0]
+        assert r["last"] == toks[-1]
+
+
+def test_weighted_similarity_renormalizes(spark):
+    """Blend semantics from the reference (executive_review_tool.py:
+    233-242): absent fields drop out of both numerator and denominator;
+    a single present field passes through unchanged."""
+    from pac_spark.functions.fuzzy import weighted_similarity
+
+    df = spark.createDataFrame(
+        [(80.0, None, None, None), (80.0, 60.0, None, None), (None, None, None, None)],
+        "ns double, addrs double, ts double, cs double",
+    )
+    out = df.select(
+        weighted_similarity(
+            {
+                "name": F.col("ns"),
+                "address": F.col("addrs"),
+                "title": F.col("ts"),
+                "company": F.col("cs"),
+            }
+        ).alias("w")
+    ).collect()
+    assert out[0]["w"] == 80.0
+    # (80*0.5 + 60*0.25) / 0.75
+    assert abs(out[1]["w"] - (80 * 0.5 + 60 * 0.25) / 0.75) < 1e-9
+    assert out[2]["w"] is None
