@@ -26,7 +26,11 @@ from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 
-__all__ = ["asof_join_purchase_click", "range_band_join_quantity"]
+__all__ = [
+    "asof_join_purchase_click",
+    "range_band_join_quantity",
+    "interval_overlap_join",
+]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
@@ -146,3 +150,80 @@ def range_band_join_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bands_values_sql() -> str:
     rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in QUANTITY_BANDS)
     return f"(VALUES {rows}) AS bands(band, lo, hi)"
+
+
+SESSION_GAP_MIN = 10
+
+
+def _type_sessions(ev: DataFrame, event_type: str, prefix: str) -> DataFrame:
+    """Per-user activity intervals for one event type: 10-minute-gap
+    sessionization (gaps-and-islands — lag flag + running sum, one
+    shuffle on user_id)."""
+    typed = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = typed.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > SESSION_GAP_MIN * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "sess",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return flagged.groupBy("user_id", "sess").agg(
+        F.min("ts").alias(f"{prefix}_start"), F.max("ts").alias(f"{prefix}_end")
+    )
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: every (view-session, click-session) pair
+    of the same user whose time ranges intersect.
+
+    A naive user-keyed join compares every A-interval with every
+    B-interval of that user — quadratic per key as history grows.
+    Instead each interval is exploded into the 1-day chunks it touches
+    and the join key is (user_id, chunk): an interval pair is only ever
+    compared inside a chunk both touch, so per-key fan-out is bounded
+    by per-day activity no matter how long the retained history is.
+    The exact overlap predicate then filters, and distinct() collapses
+    pairs that co-occur in several chunks (a pair spanning midnight).
+    """
+    ev = catalog.load(spark, sf_dir, "events")
+    views = _type_sessions(ev, "view", "a")
+    clicks = _type_sessions(ev, "click", "b")
+
+    def chunked(df: DataFrame, prefix: str) -> DataFrame:
+        return df.withColumn(
+            "chunk",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col(f"{prefix}_start")),
+                    F.date_trunc("day", F.col(f"{prefix}_end")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+    pairs = (
+        chunked(views, "a")
+        .join(chunked(clicks, "b"), ["user_id", "chunk"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("user_id", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    overlap = F.unix_micros(F.least("a_end", "b_end")) - F.unix_micros(
+        F.greatest("a_start", "b_start")
+    )
+    return pairs.select(
+        "user_id",
+        F.date_format("a_start", _TS6).alias("view_start"),
+        F.date_format("a_end", _TS6).alias("view_end"),
+        F.date_format("b_start", _TS6).alias("click_start"),
+        F.date_format("b_end", _TS6).alias("click_end"),
+        overlap.alias("overlap_micros"),
+    ).orderBy("user_id", "view_start", "click_start")

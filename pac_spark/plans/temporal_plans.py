@@ -66,7 +66,51 @@ JOIN {T._bands_values_sql()}
 GROUP BY band ORDER BY band
 """
 
+_TS6 = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _sessions_cte(event_type: str, name: str, prefix: str) -> str:
+    return f"""
+{name}_flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                     > {T.SESSION_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events WHERE event_type = '{event_type}'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+{name} AS (
+    SELECT user_id,
+           MIN(ts) AS {prefix}_start, MAX(ts) AS {prefix}_end
+    FROM (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+        FROM {name}_flagged
+    )
+    GROUP BY user_id, sess
+)"""
+
+
+_INTERVAL_OVERLAP = f"""
+WITH {_sessions_cte('view', 'views', 'a').strip()},
+{_sessions_cte('click', 'clicks', 'b').strip()}
+SELECT v.user_id,
+       strftime(CAST(a_start AS TIMESTAMP), '{_TS6}') AS view_start,
+       strftime(CAST(a_end AS TIMESTAMP), '{_TS6}') AS view_end,
+       strftime(CAST(b_start AS TIMESTAMP), '{_TS6}') AS click_start,
+       strftime(CAST(b_end AS TIMESTAMP), '{_TS6}') AS click_end,
+       epoch_us(CAST(least(a_end, b_end) AS TIMESTAMP))
+           - epoch_us(CAST(greatest(a_start, b_start) AS TIMESTAMP))
+           AS overlap_micros
+FROM views v
+JOIN clicks c ON v.user_id = c.user_id
+             AND a_start <= b_end AND b_start <= a_end
+ORDER BY v.user_id, view_start, click_start
+"""
+
 SPECS = [
+    QuerySpec("interval_overlap_join", T.interval_overlap_join, _INTERVAL_OVERLAP),
     QuerySpec("q6_forecast_revenue", R.q6_forecast_revenue, _Q6),
     QuerySpec("q18_large_orders", R.q18_large_orders, _Q18),
     QuerySpec("pivot_daily_event_counts", R.pivot_daily_event_counts, _PIVOT),

@@ -70,12 +70,14 @@ def test_pair_generators_never_cartesian(spark, sf_dir):
     from pac_spark.operators.dedup import minhash_lsh_dedup, ngram_jaccard_pairs
     from pac_spark.operators.entity_resolution import candidate_pairs
     from pac_spark.operators.similarity import embedding_similar_pairs
+    from pac_spark.operators.temporal import interval_overlap_join
 
     for df in (
         candidate_pairs(spark, sf_dir),
         ngram_jaccard_pairs(spark, sf_dir),
         minhash_lsh_dedup(spark, sf_dir),
         embedding_similar_pairs(spark, sf_dir),
+        interval_overlap_join(spark, sf_dir),
     ):
         assert "CartesianProduct" not in _exec_plan(df)
 
