@@ -41,19 +41,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet reader automatically because callers express plans
     declaratively on the returned DataFrame.
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as raw nanos and
-    is converted here to a microsecond TimestampType (matching DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` truncation semantics).
+    The ``events`` table's ``ts`` physical type has varied across
+    testdata generations — parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects; ``spark.sql.legacy.parquet.nanosAsLong``
+    scans it as raw nanos) and TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ, a type
+    ``unix_micros``/``window`` reject). Both are normalized here to a
+    microsecond TimestampType; the session timezone is UTC, so the
+    NTZ→LTZ cast is wall-clock-identical to DuckDB's
+    ``CAST(ts AS TIMESTAMP)``.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer division — double math would lose precision on 1e18 nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

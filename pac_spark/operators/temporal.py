@@ -153,6 +153,13 @@ def _bands_values_sql() -> str:
 
 
 SESSION_GAP_MIN = 10
+# Attribution pad: each session interval is widened to
+# [start - pad, end + pad] before the overlap test. Besides being the
+# realistic ad-attribution semantics (a click "belongs" to a view that
+# ended shortly before it), the pad keeps the query discriminating on
+# sparse fixtures: single-event sessions are zero-length points that
+# can only overlap on exact timestamp equality, which never happens.
+ATTRIBUTION_PAD_MIN = 30
 
 
 def _type_sessions(ev: DataFrame, event_type: str, prefix: str) -> DataFrame:
@@ -181,7 +188,7 @@ def _type_sessions(ev: DataFrame, event_type: str, prefix: str) -> DataFrame:
 
 def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval overlap join: every (view-session, click-session) pair
-    of the same user whose time ranges intersect.
+    of the same user whose ±30-minute attribution windows intersect.
 
     A naive user-keyed join compares every A-interval with every
     B-interval of that user — quadratic per key as history grows.
@@ -193,8 +200,17 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs that co-occur in several chunks (a pair spanning midnight).
     """
     ev = catalog.load(spark, sf_dir, "events")
-    views = _type_sessions(ev, "view", "a")
-    clicks = _type_sessions(ev, "click", "b")
+    pad = F.expr(f"INTERVAL {ATTRIBUTION_PAD_MIN} MINUTES")
+
+    def padded(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            "user_id",
+            (F.col(f"{prefix}_start") - pad).alias(f"{prefix}_start"),
+            (F.col(f"{prefix}_end") + pad).alias(f"{prefix}_end"),
+        )
+
+    views = padded(_type_sessions(ev, "view", "a"), "a")
+    clicks = padded(_type_sessions(ev, "click", "b"), "b")
 
     def chunked(df: DataFrame, prefix: str) -> DataFrame:
         return df.withColumn(

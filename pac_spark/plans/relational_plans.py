@@ -226,7 +226,9 @@ SELECT CAST(c_nationkey % 5 AS INT) AS nation_group,
        {money_sum_sql('c_acctbal')} AS total_bal
 FROM customer, avgbal
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{R.Q22_IDLE_CUTOFF} 00:00:00')
 GROUP BY 1 ORDER BY 1
 """
 

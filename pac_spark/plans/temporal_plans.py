@@ -82,7 +82,8 @@ def _sessions_cte(event_type: str, name: str, prefix: str) -> str:
 ),
 {name} AS (
     SELECT user_id,
-           MIN(ts) AS {prefix}_start, MAX(ts) AS {prefix}_end
+           MIN(ts) - INTERVAL {T.ATTRIBUTION_PAD_MIN} MINUTE AS {prefix}_start,
+           MAX(ts) + INTERVAL {T.ATTRIBUTION_PAD_MIN} MINUTE AS {prefix}_end
     FROM (
         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                       ROWS UNBOUNDED PRECEDING) AS sess

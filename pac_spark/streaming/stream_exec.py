@@ -45,8 +45,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # MICROS w/o UTC flag; session tz is UTC
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -138,3 +138,21 @@ def test_multimodal_decode_stub_is_gated(spark, sf_dir):
 
     with _pytest.raises(NotImplementedError):
         next(decode_image_batch(iter([])))
+
+
+def test_interval_overlap_nonempty(spark, sf_dir):
+    """The 0-row-green guard (VERDICT r2 #3): a hash match on an empty
+    result proves nothing — the fixture must produce overlapping
+    attribution windows at every test SF."""
+    from pac_spark.operators.temporal import interval_overlap_join
+
+    rows = interval_overlap_join(spark, sf_dir)
+    assert rows.limit(1).count() == 1
+
+
+def test_q22_idle_customers_nonempty(spark, sf_dir):
+    """Same guard for the recency-cutoff anti-join."""
+    from pac_spark.operators.relational import q22_idle_customers
+
+    df = q22_idle_customers(spark, sf_dir)
+    assert df.agg({"n_customers": "sum"}).collect()[0][0] > 0
