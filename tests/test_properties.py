@@ -156,3 +156,20 @@ def test_q22_idle_customers_nonempty(spark, sf_dir):
 
     df = q22_idle_customers(spark, sf_dir)
     assert df.agg({"n_customers": "sum"}).collect()[0][0] > 0
+
+
+def test_ngram_skew_branch_loses_no_pairs(spark, sf_dir):
+    """Force the hot-shingle (skew) plan with a tiny df cap and check
+    it returns the identical pair set + scores as the uncapped plan —
+    the bounds/rescore machinery must be exact whenever it runs."""
+    from pac_spark.operators import dedup
+
+    original = dedup.MAX_SHINGLE_DF
+    try:
+        dedup.MAX_SHINGLE_DF = 5
+        capped = {tuple(r) for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()}
+        dedup.MAX_SHINGLE_DF = 10**9
+        uncapped = {tuple(r) for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()}
+    finally:
+        dedup.MAX_SHINGLE_DF = original
+    assert capped == uncapped
