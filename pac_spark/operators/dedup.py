@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pac_spark import catalog
+from pac_spark.cache import pin
 from pac_spark.operators.text_core import distinct_shingled
 
 __all__ = [
@@ -72,12 +73,10 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one shingling pass every dedup tier derives from. Unsorted:
     array_intersect / explode don't care, and sorting 100-element
     arrays per doc is pure overhead."""
-    return (
+    return pin(
         distinct_shingled(
             catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
-        )
-        .select("doc_id", "sh")
-        .persist()
+        ).select("doc_id", "sh")
     )
 
 
@@ -150,7 +149,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. boilerplate that exact-dedup or a lower df cap should catch
     instead.
     """
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = pin(_doc_shingles(spark, sf_dir))
     # the hot set is tiny by construction (<= shingle_rows / df_cap
     # distinct values); on most corpora it is empty
     hot = (

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
+from pac_spark.cache import checkpoint, pin
 from pac_spark.functions.exact import exact_avg
 from pac_spark.functions.fuzzy import (
     levenshtein_ratio,
@@ -235,13 +236,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     ``nodes``: one column ``id``; ``edges``: columns ``id_a``, ``id_b``.
     Returns (id, label).
     """
-    und = (
+    und = checkpoint(
         edges.select("id_a", "id_b")
         .union(edges.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    labels = checkpoint(nodes.select("id", F.col("id").alias("label")))
 
     for _ in range(20):  # diameter bound; blocked graphs converge in 2-3
         neighbor_min = (
@@ -252,16 +252,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         # carry old + new label through one checkpoint so convergence
         # detection is a filter over materialized data, not a second
         # self-join per round
-        stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
-            .select(
+        stepped = checkpoint(
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left").select(
                 "id",
                 F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
@@ -280,7 +278,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     Labels are materialized by the checkpoint so callers can reuse them
     freely."""
     records = executive_records(spark, sf_dir)
-    pairs = candidate_pairs(spark, sf_dir).persist()
+    pairs = pin(candidate_pairs(spark, sf_dir))
     edges = pairs.filter(F.col("overall_score") >= GROUP_THRESHOLD)
     labels = connected_components(
         records.select(F.col("record_id").alias("id")), edges
@@ -436,7 +434,7 @@ def er_approved(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the semi join consumes the consolidation output twice
     # (probe side + approvals build side) — without this the whole ER
     # pipeline would execute twice
-    consolidated = er_consolidated(spark, sf_dir).persist()
+    consolidated = pin(er_consolidated(spark, sf_dir))
     approvals = consolidated.filter(
         (F.col("confidence") == "high")
         | ((F.col("confidence") == "uncertain") & (F.col("cluster_id") % 2 == 0))

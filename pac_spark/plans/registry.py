@@ -35,10 +35,16 @@ def all_specs() -> list[QuerySpec]:
 
 
 def queries():
+    from pac_spark.cache import release_caches
     from pac_spark.session import tune_runtime
 
     def _tuned(fn):
         def run(spark, sf_dir):
+            # drop the PREVIOUS query's pinned frames/checkpoints (its
+            # result has been collected by the time the next query is
+            # requested) so a full driver session never accumulates
+            # cached blocks across 61 queries
+            release_caches()
             return fn(tune_runtime(spark), sf_dir)
 
         run.__name__ = getattr(fn, "__name__", "query")

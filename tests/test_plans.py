@@ -96,3 +96,24 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     from pac_spark.operators.relational import q3_shipping_priority
 
     assert "TakeOrderedAndProject" in _exec_plan(q3_shipping_priority(spark, sf_dir))
+
+
+def test_no_persisted_rdds_leak_across_queries(spark, sf_dir):
+    """Every pin()/checkpoint() an operator takes must be released by
+    the registry's between-query sweep: after a cache-heavy query's
+    result is collected and the next query begins, no persistent RDDs
+    may remain (VERDICT r2 #4)."""
+    from pac_spark.cache import release_caches
+    from pac_spark.plans.registry import queries
+
+    qs = queries()
+    release_caches()
+    spark.catalog.clearCache()
+    base = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    # er_approved pins the consolidation output AND runs connected
+    # components (checkpoints); ngram pins the shingle rows
+    for name in ("er_approved", "ngram_jaccard_pairs"):
+        assert qs[name](spark, sf_dir).count() > 0
+        assert len(dict(spark.sparkContext._jsc.getPersistentRDDs())) > base
+    release_caches()
+    assert len(dict(spark.sparkContext._jsc.getPersistentRDDs())) == base
