@@ -425,11 +425,18 @@ def er_approved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference's approvals come from an interactive review; here the
     approvals table is derived deterministically (every 'high' group
-    auto-approves, every other 'uncertain' group is approved — the
-    review outcome a human gate would produce), and the gate itself is
-    the operator under test: a LEFT SEMI join, which at scale streams
-    the consolidation output against a broadcast of the (small)
-    approvals table without duplicating or widening rows.
+    auto-approves; the reviewer approves every other 'uncertain' group
+    by customer-key parity), and the gate itself is the operator under
+    test: a LEFT SEMI join, which at scale streams the consolidation
+    output against a broadcast of the (small) approvals table without
+    duplicating or widening rows.
+
+    The parity rule keys on ``cluster_id // 10`` (= the customer key,
+    since cluster labels are min record ids and record_id =
+    custkey*10 + ordinal). r2's rule keyed on ``cluster_id % 2``,
+    which is ALWAYS 0 for multiples of 10 — a gate that provably never
+    dropped a row (VERDICT r2 #7). This one rejects every
+    odd-customer uncertain cluster, asserted by a property test.
     """
     # persist: the semi join consumes the consolidation output twice
     # (probe side + approvals build side) — without this the whole ER
@@ -437,7 +444,10 @@ def er_approved(spark: SparkSession, sf_dir: str) -> DataFrame:
     consolidated = pin(er_consolidated(spark, sf_dir))
     approvals = consolidated.filter(
         (F.col("confidence") == "high")
-        | ((F.col("confidence") == "uncertain") & (F.col("cluster_id") % 2 == 0))
+        | (
+            (F.col("confidence") == "uncertain")
+            & (F.floor(F.col("cluster_id") / 10) % 2 == 0)
+        )
     ).select("cluster_id")
     return consolidated.join(
         F.broadcast(approvals), "cluster_id", "left_semi"

@@ -222,7 +222,7 @@ SELECT * FROM ({_CONSOLIDATED_BODY})
 WHERE cluster_id IN (
     SELECT cluster_id FROM ({_CONSOLIDATED_BODY})
     WHERE confidence = 'high'
-       OR (confidence = 'uncertain' AND cluster_id % 2 = 0)
+       OR (confidence = 'uncertain' AND (cluster_id // 10) % 2 = 0)
 )
 ORDER BY cluster_id
 """

@@ -216,6 +216,13 @@ JOIN thresholds t ON l.l_partkey = t.l_partkey
 WHERE l.l_quantity < t.qty_threshold
 """
 
+_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_10pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 _Q22 = f"""
 WITH avgbal AS (
     SELECT {exact_avg_sql('c_acctbal')} AS avg_bal
@@ -246,7 +253,7 @@ SPECS = [
     QuerySpec("scalar_functions_showcase", R.scalar_functions_showcase, _SCALARS),
     QuerySpec("json_events_extract", R.json_events_extract, _JSON_EVENTS),
     QuerySpec("distinct_counts_by_segment", R.distinct_counts_by_segment, _DISTINCT_COUNTS),
-    QuerySpec("approx_distinct_parts", R.approx_distinct_parts, None),
+    QuerySpec("approx_distinct_parts", R.approx_distinct_parts, _APPROX_DISTINCT),
     QuerySpec("q4_late_shipments", R.q4_late_shipments, _Q4),
     QuerySpec("q13_order_distribution", R.q13_order_distribution, _Q13),
     QuerySpec("q17_small_quantity_revenue", R.q17_small_quantity_revenue, _Q17),

@@ -173,3 +173,14 @@ def test_ngram_skew_branch_loses_no_pairs(spark, sf_dir):
     finally:
         dedup.MAX_SHINGLE_DF = original
     assert capped == uncapped
+
+
+def test_er_approved_gate_drops_rows(spark, sf_dir):
+    """The approval gate must discriminate: some consolidated groups
+    are rejected (r2's parity rule keyed on cluster_id % 2, which is
+    always 0 for min-record labels = custkey*10 — a vacuous gate)."""
+    from pac_spark.operators.entity_resolution import er_approved, er_consolidated
+
+    n_all = er_consolidated(spark, sf_dir).count()
+    n_approved = er_approved(spark, sf_dir).count()
+    assert 0 < n_approved < n_all
