@@ -239,7 +239,20 @@ WHERE c_acctbal > avg_bal
 GROUP BY 1 ORDER BY 1
 """
 
+# Ordered by driver-verification priority (see registry.all_specs):
+# this module sits last in the registry, so only its head fits inside
+# the driver's 50-spec CORRECTNESS cap. Queries changed this round
+# (q22 recency cutoff, approx_distinct hybrid oracle) come first; the
+# tail holds only queries that are unchanged and were driver-green in
+# both previous rounds (still locally oracle-checked every pytest run).
 SPECS = [
+    QuerySpec("q22_idle_customers", R.q22_idle_customers, _Q22),
+    QuerySpec("approx_distinct_parts", R.approx_distinct_parts, _APPROX_DISTINCT),
+    QuerySpec("q4_late_shipments", R.q4_late_shipments, _Q4),
+    QuerySpec("q13_order_distribution", R.q13_order_distribution, _Q13),
+    QuerySpec("q17_small_quantity_revenue", R.q17_small_quantity_revenue, _Q17),
+    QuerySpec("json_events_extract", R.json_events_extract, _JSON_EVENTS),
+    QuerySpec("scalar_functions_showcase", R.scalar_functions_showcase, _SCALARS),
     QuerySpec("q1_pricing_summary", R.q1_pricing_summary, _Q1),
     QuerySpec("q3_shipping_priority", R.q3_shipping_priority, _Q3),
     QuerySpec("q5_local_supplier", R.q5_local_supplier, _Q5),
@@ -250,12 +263,5 @@ SPECS = [
     QuerySpec("cube_flag_status", R.cube_flag_status, _CUBE),
     QuerySpec("set_ops_customers", R.set_ops_customers, _SET_OPS),
     QuerySpec("semi_anti_customers", R.semi_anti_customers, _SEMI_ANTI),
-    QuerySpec("scalar_functions_showcase", R.scalar_functions_showcase, _SCALARS),
-    QuerySpec("json_events_extract", R.json_events_extract, _JSON_EVENTS),
     QuerySpec("distinct_counts_by_segment", R.distinct_counts_by_segment, _DISTINCT_COUNTS),
-    QuerySpec("approx_distinct_parts", R.approx_distinct_parts, _APPROX_DISTINCT),
-    QuerySpec("q4_late_shipments", R.q4_late_shipments, _Q4),
-    QuerySpec("q13_order_distribution", R.q13_order_distribution, _Q13),
-    QuerySpec("q17_small_quantity_revenue", R.q17_small_quantity_revenue, _Q17),
-    QuerySpec("q22_idle_customers", R.q22_idle_customers, _Q22),
 ]
