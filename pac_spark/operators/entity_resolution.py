@@ -230,44 +230,76 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     Deterministic (unlike the reference's insertion-order greedy
     grouping — SURVEY.md §7.7.1). Locally checkpointed each round to
     keep lineage bounded; rounds = graph diameter (tiny for blocked ER
-    graphs; at scale this is the standard large-star/small-star
-    pattern).
+    graphs).
+
+    Shaped for scale three ways:
+
+    - only edge-endpoint nodes iterate — isolated nodes (the vast
+      majority of a near-dup corpus) can never change label, so they
+      never enter a round's shuffle and are unioned back label=id at
+      the end;
+    - self-loops folded into the edge list make each round one
+      join + one groupBy (min over neighbors∪self), instead of
+      join + groupBy + a second left join to re-attach own labels;
+    - convergence is read off the monotone invariant sum(label):
+      labels only ever decrease, so the round changed nothing iff the
+      checksum is unchanged — an O(1)-result aggregate on the frame
+      the round already materialized, no old-vs-new comparison join.
 
     ``nodes``: one column ``id``; ``edges``: columns ``id_a``, ``id_b``.
-    Returns (id, label).
+    ``id`` must be numeric (the checksum relies on it). Returns
+    (id, label).
     """
+    # dup-tolerant symmetric closure with self-loops: min-aggregation
+    # doesn't care about duplicate edges, so no distinct pass anywhere.
+    # One explode pass (not a 4-way union — which would multiply the
+    # map-task count by 4) then hash-partition by the per-round join
+    # key; AQE right-sizes the partition count for the data volume
+    a, b = F.col("id_a"), F.col("id_b")
     und = checkpoint(
-        edges.select("id_a", "id_b")
-        .union(edges.select(F.col("id_b"), F.col("id_a")))
-        .toDF("src", "dst")
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                    F.struct(a.alias("src"), a.alias("dst")),
+                    F.struct(b.alias("src"), b.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition("src")
     )
-    labels = checkpoint(nodes.select("id", F.col("id").alias("label")))
+
+    def _checksum(frame):
+        return frame.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    # round 0 is a bare groupBy — every endpoint's first label is the
+    # min over neighbors∪self, no join against an init frame needed
+    labels = checkpoint(
+        und.groupBy("dst")
+        .agg(F.min("src").alias("label"))
+        .select(F.col("dst").alias("id"), "label")
+    )
+    checksum = _checksum(labels)
 
     for _ in range(20):  # diameter bound; blocked graphs converge in 2-3
-        neighbor_min = (
+        labels = checkpoint(
             und.join(labels, und.src == labels.id)
             .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("label"))
+            .select(F.col("dst").alias("id"), "label")
         )
-        # carry old + new label through one checkpoint so convergence
-        # detection is a filter over materialized data, not a second
-        # self-join per round
-        stepped = checkpoint(
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left").select(
-                "id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        changed = (
-            stepped.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
-        labels = stepped.select("id", "label")
-        if changed == 0:
+        stepped_sum = _checksum(labels)
+        if stepped_sum == checksum:
             break
-    return labels
+        checksum = stepped_sum
+    # isolated nodes: own component — anti-join against the (small,
+    # materialized) endpoint labels, which the planner broadcasts
+    isolated = nodes.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    return labels.union(isolated)
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
