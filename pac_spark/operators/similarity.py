@@ -30,6 +30,7 @@ from pac_spark import catalog
 __all__ = [
     "knn_bruteforce",
     "embedding_similar_pairs",
+    "similar_pairs_banded",
     "ann_lsh_topk",
     "ann_ivf_topk",
 ]
@@ -87,36 +88,44 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sign-LSH sub-bucketing inside each label for pair generation.
-# The (bits-per-band, n-bands) point is a recall/cost dial: at the
-# registered diffuse threshold (0.35, pairs barely off-random) recall
-# needs many short bands — 16 bands x 2 bits gives P(miss a 0.35 pair)
-# ~ (1 - 0.377)^16 < 0.05% while still splitting every label block
-# 4 ways per band (skew bound: no single join key carries a whole
-# label). For a production near-dup threshold (>= 0.8) set
-# (8 bits, 8 bands) instead — candidate volume then drops ~50x per
-# block. Recall-completeness at test scale is asserted both by the
-# DuckDB oracle (exhaustive within-label join) and a property test.
+# The (bits-per-band, n-bands) point is a recall/cost dial. With
+# p(tau) = 1 - acos(tau)/pi (per-bit sign-agreement probability at
+# cosine tau), a pair at >= tau is missed by every band with
+# probability <= (1 - p^bits)^bands:
+#
+# - diffuse threshold 0.35 (the registered query; pairs barely
+#   off-random, p = 0.614): 16 bands x 2 bits -> miss <= (1-0.377)^16
+#   < 0.05%, while still splitting every label block 4 ways per band
+#   (skew bound: no single join key carries a whole label);
+# - production near-dup threshold 0.8 (p = 0.795): 16 bands x 4 bits
+#   -> miss <= (1 - 0.795^4)^16 = 2.9e-4, with 16-way splits per band
+#   and random (cos ~ 0) pairs colliding in a band at only 6.25%
+#   (vs 25% at 2 bits) — candidate volume drops ~4x per band. The
+#   sf0.001 recall property test plants near-dup vectors and asserts
+#   this dial loses none of them (test_properties.py).
 EMB_PAIR_BITS = 2
 EMB_PAIR_BANDS = 16
+EMB_PAIR_BITS_PROD = 4
+EMB_PAIR_BANDS_PROD = 16
 
 
-def embedding_similar_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+def similar_pairs_banded(
+    emb: DataFrame,
+    threshold: float,
+    bits: int = EMB_PAIR_BITS,
+    bands: int = EMB_PAIR_BANDS,
 ) -> DataFrame:
-    """Within-label similar pairs (cosine >= threshold).
+    """Core banded pair generation over a (vec_id, v, label) frame.
 
     Candidate generation: each vector gets a sign signature against
     fixed hyperplanes; candidates must share (label, band) for at
-    least one of ``EMB_PAIR_BANDS`` bands — the join key is
+    least one of ``bands`` bands — the join key is
     (label, band_idx, band_key), never the bare label, so per-key
     fan-out stays bounded as labels grow. Candidates are then rescored
     with the exact cosine and thresholded, so any pair the banding
     surfaces carries its true score.
     """
-    emb = catalog.load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v"), "label"
-    )
-    n_planes = EMB_PAIR_BITS * EMB_PAIR_BANDS
+    n_planes = bits * bands
     planes = _hyperplanes(n_planes)
     plane_arr = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
     sig = F.expr(
@@ -128,10 +137,10 @@ def embedding_similar_pairs(
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat(
-                    *[F.col("bits")[b * EMB_PAIR_BITS + r] for r in range(EMB_PAIR_BITS)]
+                    *[F.col("bits")[b * bits + r] for r in range(bits)]
                 ).alias("band_key"),
             )
-            for b in range(EMB_PAIR_BANDS)
+            for b in range(bands)
         ]
     )
     banded = (
@@ -172,6 +181,17 @@ def embedding_similar_pairs(
         .filter(F.col("score") >= threshold)
         .orderBy("label", "vec_a", "vec_b")
     )
+
+
+def embedding_similar_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Within-label similar pairs (cosine >= threshold) over the
+    ``embeddings`` table, at the diffuse-threshold banding dial."""
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    return similar_pairs_banded(emb, threshold)
 
 
 N_PLANES = 12

@@ -175,6 +175,78 @@ def test_ngram_skew_branch_loses_no_pairs(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_banding_recall_at_production_threshold(spark, sf_dir):
+    """The (4-bit x 16-band) production dial must lose no pair at
+    cosine >= 0.8 (bound: miss <= (1 - p^4)^16 = 2.9e-4 per pair,
+    p = 1 - acos(0.8)/pi — see similarity.py).
+
+    The synthetic embeddings carry no within-label pair above cosine
+    0.7 (checked below), so raw data would make this test vacuously
+    green; instead plant deterministic near-dups: for every 7th vector
+    add a copy perturbed orthogonally so the planted pair sits at a
+    known cosine ~0.95, well above threshold but far from identical.
+    """
+    import math
+
+    import numpy as np
+
+    from pac_spark.operators.similarity import (
+        EMB_PAIR_BANDS_PROD,
+        EMB_PAIR_BITS_PROD,
+        similar_pairs_banded,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): (np.asarray(r.embedding, dtype=float), r.label) for r in pdf.itertuples()}
+
+    rows = [(i, [float(x) for x in v], lab) for i, (v, lab) in vecs.items()]
+    planted = {}
+    for i, (v, lab) in vecs.items():
+        if i % 7 != 0:
+            continue
+        # deterministic orthogonalized perturbation: roll by 17 dims,
+        # project out the parallel component, scale for cos ~ 0.95
+        w = np.roll(v, 17)
+        w = w - (w @ v) / (v @ v) * v
+        w = w / np.linalg.norm(w) * np.linalg.norm(v) * math.tan(math.acos(0.95))
+        v2 = v + w
+        planted[(i, i + 1_000_000)] = float(
+            (v @ v2) / (np.linalg.norm(v) * np.linalg.norm(v2))
+        )
+        rows.append((i + 1_000_000, [float(x) for x in v2], lab))
+    assert planted, "fixture must plant at least one near-dup pair"
+    assert all(s >= 0.9 for s in planted.values())
+
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>, label string")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["score"]
+        for r in similar_pairs_banded(
+            emb, 0.8, bits=EMB_PAIR_BITS_PROD, bands=EMB_PAIR_BANDS_PROD
+        ).collect()
+    }
+    # exhaustive truth at >= 0.8: exactly the planted pairs (raw data
+    # maxes out below 0.7 within-label — assert so this stays non-vacuous)
+    by_label: dict[str, list[int]] = {}
+    for i, (v, lab) in vecs.items():
+        by_label.setdefault(lab, []).append(i)
+    raw_max = max(
+        float(
+            (vecs[a][0] @ vecs[b][0])
+            / (np.linalg.norm(vecs[a][0]) * np.linalg.norm(vecs[b][0]))
+        )
+        for ids in by_label.values()
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+    )
+    assert raw_max < 0.8, "raw data grew a >=0.8 pair; planted truth is stale"
+    missed = set(planted) - set(got)
+    assert not missed, f"banding lost planted near-dups: {missed}"
+    for pair, true_score in planted.items():
+        assert abs(got[pair] - true_score) < 1e-6
+    # and nothing below threshold leaks through the rescore
+    assert all(s >= 0.8 for s in got.values())
+
+
 def test_er_approved_gate_drops_rows(spark, sf_dir):
     """The approval gate must discriminate: some consolidated groups
     are rejected (r2's parity rule keyed on cluster_id % 2, which is
