@@ -1,0 +1,115 @@
+"""End-to-end corpus curation for training-data pipelines: the
+composition queries a user actually runs over a 100 TB corpus —
+quality gate -> exact-dup keeper selection -> near-dup loser removal,
+and deterministic per-language stratified sampling.
+
+Both stay oracle-checkable: every stage (quality score, md5 keeper
+window, n-gram Jaccard pairs, hex-digit hash buckets) is reproducible
+in ANSI SQL, so the driver hash-verifies the full composition, not
+just the pieces.
+
+Scale shape:
+
+- the quality gate is the narrow zero-shuffle projection from
+  ``operators.text`` — it streams through whole-stage codegen and is
+  the first thing to run so later shuffles see only survivors;
+- exact-dup keeper selection is one hash-shuffle on md5(text) (window
+  min over the hash group);
+- near-dup losers come from the LSH-bounded pair generator
+  (``operators.dedup``) — a tiny frame (pairs above threshold), so the
+  anti-join broadcasts;
+- stratified sampling is stateless per-row arithmetic on a salted
+  md5 bucket: no shuffle, no RNG, reproducible on any cluster layout,
+  and rerunning with a different salt draws an independent sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pac_spark import catalog
+from pac_spark.operators.dedup import ngram_jaccard_pairs
+from pac_spark.operators.text import text_stats
+
+__all__ = ["corpus_curation", "stratified_sample"]
+
+# quality gate: keeps ~75% at the synthetic corpus' quality
+# distribution (median 0.64) — chosen so the gate provably drops rows
+# at every test SF (non-vacuity asserted in test_properties)
+CURATION_MIN_QUALITY = 0.6
+
+# per-language sampling rates, permille. en is ~40% of the corpus —
+# downsample it 2.5x; everything else keeps 80%. Unlisted languages
+# pass through untouched.
+SAMPLE_PERMILLE = {"de": 800, "en": 400, "es": 800, "fr": 800, "zh": 800}
+SAMPLE_DEFAULT_PERMILLE = 1000
+SAMPLE_SALT = "corpus_sample_v1"
+
+
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated training corpus: quality-gated, exact-dup-deduplicated,
+    near-dup-deduplicated document set.
+
+    Keep a document iff
+    - quality_score >= CURATION_MIN_QUALITY and not is_short,
+    - it is the minimum doc_id of its exact-text (md5) group,
+    - it has no near-duplicate (n-gram Jaccard >= threshold) with a
+      smaller doc_id — for a dup chain (1,2),(2,3) this keeps only 1:
+      any doc with a smaller near-dup partner is a loser.
+    """
+    gated = text_stats(spark, sf_dir).filter(
+        (F.col("quality_score") >= CURATION_MIN_QUALITY) & (~F.col("is_short"))
+    )
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash")
+    )
+    exact_keepers = (
+        docs.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("text_hash")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    neardup_losers = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        gated.join(exact_keepers, "doc_id")
+        .join(neardup_losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+def _sample_bucket(doc_id_col):
+    """Deterministic bucket 0..999: first 4 hex digits of a salted md5
+    of the doc id, mod 1000. Pure column arithmetic — identical on any
+    partitioning, and exactly reproducible digit-wise in the oracle."""
+    h = F.md5(
+        F.encode(
+            F.concat(doc_id_col.cast("string"), F.lit(":" + SAMPLE_SALT)), "UTF-8"
+        )
+    )
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 1000).alias("bucket")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling: keep a doc iff its
+    salted hash bucket falls under its language's permille rate."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    rate = F.lit(SAMPLE_DEFAULT_PERMILLE)
+    for lang, permille in sorted(SAMPLE_PERMILLE.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            _sample_bucket(F.col("doc_id")),
+            rate.cast("int").alias("rate_permille"),
+        )
+        .filter(F.col("bucket") < F.col("rate_permille"))
+        .orderBy("doc_id")
+    )

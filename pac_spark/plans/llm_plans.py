@@ -10,6 +10,7 @@ just the final pair list.
 from __future__ import annotations
 
 from pac_spark.functions.exact import exact_avg_sql
+from pac_spark.operators import curation as CU
 from pac_spark.operators import dedup as D
 from pac_spark.operators import multimodal as MM
 from pac_spark.operators import similarity as S
@@ -314,6 +315,81 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """
 
+_CURATION = f"""
+{_DOCS_PRELUDE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
+shared AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM shingle_rows x
+    JOIN shingle_rows y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+losers AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(shared / (sa.n + sb.n - shared), 8) >= {D.JACCARD_THRESHOLD}
+),
+keepers AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents
+    ) WHERE doc_id = keep_id
+),
+dd AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+stats AS (
+    SELECT doc_id, lang, source,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (len(list_distinct(toks)) / len(toks))
+                 + 0.3 * (1.0 - len(list_filter(toks,
+                       t -> list_contains({_STOP_LIST}, t))) / len(toks)), 8)
+               AS quality_score
+    FROM dd
+)
+SELECT s.doc_id, s.lang, s.source, s.n_tokens, s.quality_score
+FROM stats s
+JOIN keepers k ON s.doc_id = k.doc_id
+WHERE s.quality_score >= 0.6 AND NOT (s.n_tokens < 20)
+  AND s.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY s.doc_id
+"""
+
+_SAMPLE_HEXD = (
+    "strpos('0123456789abcdef', "
+    "substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), {i}, 1)) - 1"
+)
+
+
+def _sample_bucket_sql() -> str:
+    from pac_spark.operators import curation as C
+
+    digits = " + ".join(
+        f"({_SAMPLE_HEXD.format(salt=C.SAMPLE_SALT, i=i + 1)}) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({digits}) % 1000)"
+
+
+def _sample_sql() -> str:
+    from pac_spark.operators import curation as C
+
+    rate_cases = " ".join(
+        f"WHEN '{lang}' THEN {p}" for lang, p in sorted(C.SAMPLE_PERMILLE.items())
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id, lang, source,
+           CAST({_sample_bucket_sql()} AS INT) AS bucket,
+           CAST(CASE lang {rate_cases} ELSE {C.SAMPLE_DEFAULT_PERMILLE} END AS INT)
+               AS rate_permille
+    FROM documents
+)
+SELECT * FROM b WHERE bucket < rate_permille ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -331,4 +407,6 @@ SPECS = [
     QuerySpec("corpus_quality_by_lang", TX.corpus_quality_by_lang, _QUALITY_BY_LANG),
     QuerySpec("multimodal_byte_features", MM.byte_features, _BYTE_FEATURES),
     QuerySpec("multimodal_frame_sample", MM.frame_sample, _FRAME_SAMPLE),
+    QuerySpec("corpus_curation", CU.corpus_curation, _CURATION),
+    QuerySpec("stratified_sample", CU.stratified_sample, _sample_sql()),
 ]

@@ -247,6 +247,57 @@ def test_banding_recall_at_production_threshold(spark, sf_dir):
     assert all(s >= 0.8 for s in got.values())
 
 
+def test_corpus_curation_gates_discriminate(spark, sf_dir):
+    """Every curation stage must provably act on the fixture: the
+    quality gate drops docs, the near-dup stage drops docs, and the
+    curated set is non-empty (0-row green guard)."""
+    from pac_spark.operators.curation import CURATION_MIN_QUALITY, corpus_curation
+    from pac_spark.operators.dedup import ngram_jaccard_pairs
+    from pac_spark.operators.text import text_stats
+
+    total = text_stats(spark, sf_dir).count()
+    gated = text_stats(spark, sf_dir).filter(
+        (F.col("quality_score") >= CURATION_MIN_QUALITY) & (~F.col("is_short"))
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated < total, "quality gate must drop some docs, not all"
+    curated = corpus_curation(spark, sf_dir)
+    n_curated = curated.count()
+    assert 0 < n_curated < n_gated, "dedup stages must drop some gated docs"
+    # the near-dup losers must actually be absent
+    losers = {r["doc_b"] for r in ngram_jaccard_pairs(spark, sf_dir).collect()}
+    kept = {r["doc_id"] for r in curated.collect()}
+    assert losers and not (losers & kept)
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """The sampler keeps roughly rate_permille/1000 of each language
+    (binomial tolerance) and is deterministic across runs."""
+    from pac_spark.operators.curation import (
+        SAMPLE_PERMILLE,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, total in totals.items():
+        rate = SAMPLE_PERMILLE.get(lang, 1000) / 1000.0
+        got = sampled.get(lang, 0) / total
+        # 4-sigma binomial band — deterministic data, so this either
+        # holds forever or flags a broken bucket function
+        sigma = (rate * (1 - rate) / total) ** 0.5
+        assert abs(got - rate) < max(4 * sigma, 0.02), (lang, got, rate)
+    again = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert again == sampled
+
+
 def test_er_approved_gate_drops_rows(spark, sf_dir):
     """The approval gate must discriminate: some consolidated groups
     are rejected (r2's parity rule keyed on cluster_id % 2, which is
