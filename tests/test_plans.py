@@ -82,6 +82,24 @@ def test_pair_generators_never_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in _exec_plan(df)
 
 
+def test_curation_gate_runs_in_scan(spark, sf_dir):
+    """The quality gate must reach the documents scan (survivors-only
+    enter the dedup joins), the exact-keeper join must broadcast, and
+    nothing may plan as a cartesian product. The sampler must be a
+    single pruned scan — no shuffle at all before its final sort."""
+    from pac_spark.operators.curation import corpus_curation, stratified_sample
+
+    plan = _exec_plan(corpus_curation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    # quality-score expression evaluated as a scan-level DataFilter
+    assert plan.count("FileScan parquet") >= 2
+    sample_plan = _exec_plan(stratified_sample(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in sample_plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in sample_plan
+
+
 def test_knn_query_side_broadcasts(spark, sf_dir):
     """Brute-force kNN is a broadcast of the (tiny) query set against a
     linear scan — BroadcastNestedLoopJoin is the intended shape here."""
