@@ -1,0 +1,54 @@
+"""Bucketed table layout: pre-shuffle once at write time, join forever
+without an exchange.
+
+At 100 TB the dominant cost of a repeated fact-to-fact join (orders x
+lineitem on the order key, records x links on an entity key) is the
+shuffle of BOTH sides on every run. Bucketing moves that shuffle to
+ingest: each table is written hash-partitioned into ``n_buckets`` files
+per partition and sorted within buckets, so a later equi-join on the
+bucket key is planned as a zipped per-bucket sort-merge — no Exchange
+on either side (asserted by ``tests/test_bucketing.py``, with the
+unbucketed negative control showing the exchanges the layout removes).
+
+Rules of engagement on a real cluster:
+
+- both sides must be bucketed by the SAME key into the SAME bucket
+  count (or an integer multiple with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``);
+- pick bucket counts so a single bucket fits in one task's memory at
+  the target scale — buckets are the parallelism floor for downstream
+  joins;
+- bucketed tables go through the session catalog (``saveAsTable`` with
+  an explicit ``path``): bucket metadata lives in the catalog, not in
+  the parquet files themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "read_table"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Write ``df`` as an external bucketed parquet table: hashed into
+    ``n_buckets`` by ``key`` and sorted by it within each bucket."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — required so the planner sees bucket metadata."""
+    return spark.table(table)

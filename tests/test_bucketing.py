@@ -1,0 +1,50 @@
+"""Bucketed-layout contract: co-bucketed tables join with NO exchange
+on either side; the identical unbucketed join needs two. This is the
+ingest-time-shuffle trade the engine prescribes for repeated
+fact-to-fact joins at scale (pac_spark/sources/bucketing.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pac_spark.sources.bucketing import read_table, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge planning so exchange-absence is a bucketing
+    effect, not a broadcast side effect."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    # negative control: the plain join shuffles both sides
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plain_plan
+
+    write_bucketed(cust, "t_cust_b", str(tmp_path / "cust"), "c_custkey")
+    write_bucketed(orders, "t_orders_b", str(tmp_path / "orders"), "o_custkey")
+    try:
+        bc = read_table(spark, "t_cust_b")
+        bo = read_table(spark, "t_orders_b")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SelectedBucketsCount" in plan  # scans are bucket-aware
+        # values unaffected by layout
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
