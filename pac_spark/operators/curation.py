@@ -31,7 +31,7 @@ from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 from pac_spark.operators.dedup import ngram_jaccard_pairs
-from pac_spark.operators.text import text_stats
+from pac_spark.operators.text import stats_frame
 
 __all__ = ["corpus_curation", "stratified_sample"]
 
@@ -58,26 +58,32 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     - it has no near-duplicate (n-gram Jaccard >= threshold) with a
       smaller doc_id — for a dup chain (1,2),(2,3) this keeps only 1:
       any doc with a smaller near-dup partner is a loser.
+
+    One pass over ``text``: the content hash is fused into the same
+    scan as the quality stats, the gate filters at the scan, and the
+    keeper window shuffles only the narrow gated stats frame — never
+    an O(N) keeper list through a join. Gating before keeper selection
+    is exact: quality is a pure function of text, so every member of
+    an exact-dup group passes or fails together and the group minimum
+    among survivors equals the overall group minimum whenever any
+    member survives.
     """
-    gated = text_stats(spark, sf_dir).filter(
+    base = catalog.load(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.encode("text", "UTF-8"))
+    )
+    gated = stats_frame(base, extra=("text_hash",)).filter(
         (F.col("quality_score") >= CURATION_MIN_QUALITY) & (~F.col("is_short"))
     )
-    docs = catalog.load(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_hash")
-    )
-    exact_keepers = (
-        docs.withColumn("keep_id", F.min("doc_id").over(W.partitionBy("text_hash")))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id")
-    )
+    keepers = gated.withColumn(
+        "keep_id", F.min("doc_id").over(W.partitionBy("text_hash"))
+    ).filter(F.col("doc_id") == F.col("keep_id"))
     neardup_losers = (
         ngram_jaccard_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     return (
-        gated.join(exact_keepers, "doc_id")
-        .join(neardup_losers, "doc_id", "left_anti")
+        keepers.join(neardup_losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens", "quality_score")
         .orderBy("doc_id")
     )

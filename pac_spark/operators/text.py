@@ -44,20 +44,24 @@ def _stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
 
 
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document structural stats + a composite quality score.
+def stats_frame(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Quality-stat projection over any frame carrying
+    (doc_id, lang, source, n_chars, text); ``extra`` columns pass
+    through untouched so callers can fuse their own per-doc
+    derivations (e.g. a content hash) into the same single scan.
 
     quality = 0.4*min(1, tokens/100) + 0.3*unique_ratio
             + 0.3*(1 - stopword_ratio)  — a deterministic stand-in for
     the usual trained quality classifiers, same plan shape.
     """
-    docs = catalog.load(spark, sf_dir, "documents").select(
+    projected = docs.select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
         F.length("text").alias("n_chars_computed"),
         tokens(F.col("text")).alias("__toks"),
+        *extra,
     )
     toks = F.col("__toks")  # bound once — no per-expression re-split
     n_tokens = F.size(toks)
@@ -70,7 +74,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * unique_ratio
         + 0.3 * (1.0 - stop_ratio)
     )
-    return docs.select(
+    return projected.select(
         "doc_id",
         "lang",
         "source",
@@ -83,7 +87,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(unique_ratio, 8).alias("unique_ratio"),
         F.round(quality, 8).alias("quality_score"),
         (n_tokens < 20).alias("is_short"),
-    ).orderBy("doc_id")
+        *extra,
+    )
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document structural stats + a composite quality score."""
+    return stats_frame(catalog.load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,10 +91,12 @@ def test_curation_gate_runs_in_scan(spark, sf_dir):
 
     plan = _exec_plan(corpus_curation(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
-    # quality-score expression evaluated as a scan-level DataFilter
-    assert plan.count("FileScan parquet") >= 2
+    # single text scan in the curation branch: quality stats and the
+    # content hash are fused, so no O(N) keeper list is ever joined —
+    # the keeper filter is a window over the gated frame
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") >= 2  # curation scan + shingle scan
     sample_plan = _exec_plan(stratified_sample(spark, sf_dir))
     assert "Exchange hashpartitioning" not in sample_plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in sample_plan
