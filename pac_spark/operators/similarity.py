@@ -30,6 +30,7 @@ from pac_spark import catalog
 __all__ = [
     "knn_bruteforce",
     "embedding_similar_pairs",
+    "semantic_dedup",
     "similar_pairs_banded",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -192,6 +193,38 @@ def embedding_similar_pairs(
         "vec_id", _dvec("embedding").alias("v"), "label"
     )
     return similar_pairs_banded(emb, threshold)
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-dup groups (SemDeDup-style): vectors whose
+    cosine reaches the threshold land in one cluster; keeper = minimum
+    vec_id of the cluster, everything else is a semantic duplicate.
+
+    Composition of two already-scale-shaped pieces: banded pair
+    generation (``similar_pairs_banded`` — keyed joins, bounded
+    fan-out) feeds edges into the ER module's connected components
+    (endpoint-only min-label propagation). The driver oracle re-derives
+    the clustering from the exhaustive pair list with a recursive CTE,
+    so banding recall is hash-checked end-to-end here too.
+    """
+    from pac_spark.operators.entity_resolution import connected_components
+
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    edges = similar_pairs_banded(emb, threshold).select(
+        F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
+    )
+    labels = connected_components(
+        emb.select(F.col("vec_id").alias("id")), edges
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_keeper"),
+    ).orderBy("vec_id")
 
 
 N_PLANES = 12

@@ -177,6 +177,28 @@ scored AS (
 SELECT * FROM scored WHERE score >= 0.35 ORDER BY label, vec_a, vec_b
 """
 
+_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_AB}, 8) >= 0.35
+),
+und AS (SELECT id_a AS a, id_b AS b FROM scored
+        UNION ALL SELECT id_b, id_a FROM scored),
+walk(node, lbl) AS (
+    SELECT vec_id, vec_id FROM e
+    UNION
+    SELECT u.b, w.lbl FROM walk w JOIN und u ON w.node = u.a
+),
+clusters AS (
+    SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper
+FROM clusters ORDER BY vec_id
+"""
+
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
 _TEXT_STATS = f"""
@@ -409,4 +431,5 @@ SPECS = [
     QuerySpec("multimodal_frame_sample", MM.frame_sample, _FRAME_SAMPLE),
     QuerySpec("corpus_curation", CU.corpus_curation, _CURATION),
     QuerySpec("stratified_sample", CU.stratified_sample, _sample_sql()),
+    QuerySpec("semantic_dedup", S.semantic_dedup, _SEMANTIC_DEDUP),
 ]

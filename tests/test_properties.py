@@ -298,6 +298,23 @@ def test_stratified_sample_rates(spark, sf_dir):
     assert again == sampled
 
 
+def test_semantic_dedup_clusters_nontrivial(spark, sf_dir):
+    """Semantic dedup must actually group something at the diffuse
+    threshold (0-row-green guard) and keepers must be cluster minima."""
+    from pac_spark.operators.similarity import semantic_dedup
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    assert any(len(m) > 1 for m in by_cluster.values()), "no near-dup group formed"
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
+    keepers = {r["vec_id"] for r in rows if r["is_keeper"]}
+    assert keepers == set(by_cluster)
+
+
 def test_er_approved_gate_drops_rows(spark, sf_dir):
     """The approval gate must discriminate: some consolidated groups
     are rejected (r2's parity rule keyed on cluster_id % 2, which is
