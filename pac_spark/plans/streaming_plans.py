@@ -122,6 +122,21 @@ JOIN events c
 ORDER BY purchase_id, click_id
 """
 
+_STREAM_ENRICHED = f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+j AS (
+    SELECT e.ts, e.value, c.c_mktsegment AS segment
+    FROM e JOIN customer c ON e.user_id = c.c_custkey
+)
+SELECT strftime(date_trunc('hour', ts), '{_FMT}') AS window_start,
+       segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_VAL} AS sum_value
+FROM j
+GROUP BY 1, 2
+ORDER BY window_start, segment
+"""
+
 SPECS = [
     QuerySpec("events_tumbling_1h", windows.tumbling_1h_by_type, _TUMBLING),
     QuerySpec("events_sliding_1h_30m", windows.sliding_1h_30m_by_type, _SLIDING),
@@ -138,5 +153,10 @@ SPECS = [
         "streaming_purchase_click_join",
         stream_exec.streaming_purchase_click_join,
         _STREAM_PC_JOIN,
+    ),
+    QuerySpec(
+        "streaming_enriched_by_segment",
+        stream_exec.streaming_enriched_by_segment,
+        _STREAM_ENRICHED,
     ),
 ]

@@ -29,6 +29,7 @@ __all__ = [
     "streaming_tumbling_1h",
     "streaming_sessions_10m",
     "streaming_dedup_events",
+    "streaming_enriched_by_segment",
     "streaming_purchase_click_join",
 ]
 
@@ -106,6 +107,39 @@ def streaming_sessions_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(spark, out, "stream_sessions_10m", "complete").orderBy(
         "user_id", "session_start"
+    )
+
+
+def streaming_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joins the
+    customer dimension read as a plain batch frame, then aggregates
+    hourly per market segment.
+
+    The static side needs no watermark and holds no state — Spark
+    re-resolves (and re-broadcasts) the batch relation per micro-batch,
+    which is exactly how a slowly-changing dimension should meet a
+    stream at scale: the dim is KBs-to-MBs broadcast to executors, the
+    stream never shuffles for the join."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win").getField("start"), TS_FMT).alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, out, "stream_enriched_by_segment", "complete").orderBy(
+        "window_start", "segment"
     )
 
 
