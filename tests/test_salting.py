@@ -1,0 +1,53 @@
+"""salted_join contract: identical results to the plain join, with the
+salt genuinely in the join key so a hot key spreads across tasks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pac_spark.functions.salting import salted_join
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    # event_type has ~5 distinct values over 10k rows — exactly the
+    # kind of key that hot-spots a shuffle join
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.upper(F.col("event_type")))
+    )
+    plain = {
+        tuple(r)
+        for r in events.join(dim, ["event_type"]).select(
+            "event_id", "event_type", "type_code"
+        ).collect()
+    }
+    salted = salted_join(events, dim, ["event_type"], n_salts=8)
+    got = {
+        tuple(r)
+        for r in salted.select("event_id", "event_type", "type_code").collect()
+    }
+    assert got == plain
+
+    # the salt must be part of the physical join key, not dropped early
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_salted_outer_join_keeps_unmatched(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    dim = spark.createDataFrame(
+        [("click", 1)], "event_type string, code int"
+    )
+    plain = events.join(dim, ["event_type"], "left").select(
+        "event_id", "code"
+    )
+    salted = salted_join(events, dim, ["event_type"], n_salts=4, how="left")
+    assert {tuple(r) for r in salted.select("event_id", "code").collect()} == {
+        tuple(r) for r in plain.collect()
+    }
