@@ -26,7 +26,13 @@ from pyspark.sql import types as T
 
 from pac_spark import catalog
 
-__all__ = ["binary_corpus", "byte_features", "frame_sample", "decode_image_batch"]
+__all__ = [
+    "binary_corpus",
+    "byte_features",
+    "frame_sample",
+    "resize_fixed",
+    "decode_image_batch",
+]
 
 
 def binary_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +149,53 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the sampler body, not the plan."""
     corpus = binary_corpus(spark, sf_dir).select("doc_id", "payload")
     return corpus.mapInPandas(_frame_batches, schema=_FRAME_SCHEMA).orderBy("doc_id")
+
+
+RESIZE_TARGET = 16
+
+# resized emitted as a comma-joined string, not array<int>: the
+# driver's order-insensitive value-hash canonicalizes scalar cells
+# (same reason er_consolidated stringifies its variation arrays)
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("resized", T.StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor resample of each payload to RESIZE_TARGET
+    samples — the 1-D analog of image thumbnail resize: output index i
+    reads source byte floor(i*n/target). Index math is one vectorized
+    numpy gather per row; payloads shorter than the target upsample by
+    repetition, exactly like nearest-neighbor upscale."""
+    import numpy as np
+
+    idx = np.arange(RESIZE_TARGET)
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "n_bytes": [], "resized": []}
+        for b in pdf["payload"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            n = len(arr)
+            out["n_bytes"].append(n)
+            if n == 0:
+                out["resized"].append(None)
+            else:
+                src = (idx * n) // RESIZE_TARGET
+                out["resized"].append(",".join(map(str, arr[src])))
+        yield pd.DataFrame(out)
+
+
+def resize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic payload resize via mapInPandas — the verified
+    plumbing for image/audio resampling: variable-length payload in,
+    fixed-width sample vector out, Arrow-batched. A real deployment
+    swaps the byte gather for PIL's resize over the decoded image;
+    schema and batch contract are unchanged."""
+    corpus = binary_corpus(spark, sf_dir).select("doc_id", "payload")
+    return corpus.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA).orderBy("doc_id")
 
 
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

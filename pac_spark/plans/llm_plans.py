@@ -412,6 +412,21 @@ SELECT * FROM b WHERE bucket < rate_permille ORDER BY doc_id
 """
 
 
+_RESIZE = f"""
+WITH s AS (
+    SELECT doc_id, length(text) AS n,
+           list_transform(generate_series(0, {MM.RESIZE_TARGET - 1}),
+               i -> ascii(text[CAST((i * length(text)) // {MM.RESIZE_TARGET} AS INT) + 1]))
+               AS rz
+    FROM documents
+)
+SELECT doc_id, CAST(n AS INT) AS n_bytes,
+       CASE WHEN n > 0
+            THEN array_to_string(list_transform(rz, x -> CAST(x AS VARCHAR)), ',')
+       END AS resized
+FROM s ORDER BY doc_id
+"""
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -432,4 +447,5 @@ SPECS = [
     QuerySpec("corpus_curation", CU.corpus_curation, _CURATION),
     QuerySpec("stratified_sample", CU.stratified_sample, _sample_sql()),
     QuerySpec("semantic_dedup", S.semantic_dedup, _SEMANTIC_DEDUP),
+    QuerySpec("multimodal_resize", MM.resize_fixed, _RESIZE),
 ]
