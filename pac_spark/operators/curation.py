@@ -33,7 +33,7 @@ from pac_spark import catalog
 from pac_spark.operators.dedup import ngram_jaccard_pairs
 from pac_spark.operators.text import stats_frame
 
-__all__ = ["corpus_curation", "stratified_sample"]
+__all__ = ["corpus_curation", "stratified_sample", "token_budget_mix"]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
 # distribution (median 0.64) — chosen so the gate provably drops rows
@@ -85,6 +85,72 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keepers.join(neardup_losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# per-language token budget for the training-mix query; the synthetic
+# corpus carries 3.5k-12k tokens per language at every test SF, so the
+# budget provably cuts inside each language (non-vacuity tested)
+TOKEN_BUDGET_PER_LANG = 2000
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix selection: per language, keep the highest-quality
+    documents until a token budget fills (running inclusive sum over
+    (quality desc, doc_id asc) order stays <= budget).
+
+    The semantic spec is a per-language ordered cumulative sum — but a
+    window partitioned by language puts an entire language in ONE task,
+    the textbook scale killer for corpus-sized data. The plan here is
+    the two-pass histogram-threshold equivalent:
+
+    1. aggregate token sums per (lang, quality bin) — a map-side-combine
+       shuffle down to a tiny frame (langs x ~30 bins);
+    2. running-sum the BIN frame (window over the tiny aggregate) to
+       split bins into fully-funded ones and the single boundary bin
+       per language;
+    3. keep fully-funded bins via a broadcast semi-join (no sort of the
+       big frame anywhere), and resolve only the boundary bin's docs
+       with a doc-level window — a per-language handful of rows.
+
+    Because quality bins are monotone in quality, the kept set is
+    IDENTICAL to the naive per-doc window — the DuckDB oracle states
+    the naive spec, so the hash check proves the scale-safe plan
+    implements it exactly.
+    """
+    budget = F.lit(TOKEN_BUDGET_PER_LANG)
+    stats = stats_frame(
+        catalog.load(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "n_tokens", "quality_score")
+    binned = stats.withColumn("qbin", F.round("quality_score", 2))
+
+    bin_agg = binned.groupBy("lang", "qbin").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    wb = W.partitionBy("lang").orderBy(F.desc("qbin"))
+    bin_cum = bin_agg.withColumn(
+        "cum_before", F.sum("bin_tokens").over(wb) - F.col("bin_tokens")
+    )
+    full_bins = bin_cum.filter(
+        F.col("cum_before") + F.col("bin_tokens") <= budget
+    ).select("lang", "qbin")
+    boundary = bin_cum.filter(
+        (F.col("cum_before") < budget)
+        & (F.col("cum_before") + F.col("bin_tokens") > budget)
+    ).select("lang", "qbin", "cum_before")
+
+    kept_full = binned.join(F.broadcast(full_bins), ["lang", "qbin"], "left_semi")
+    wd = W.partitionBy("lang").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    kept_boundary = (
+        binned.join(F.broadcast(boundary), ["lang", "qbin"])
+        .withColumn("cum", F.col("cum_before") + F.sum("n_tokens").over(wd))
+        .filter(F.col("cum") <= budget)
+    )
+    cols = ["doc_id", "lang", "n_tokens", "quality_score"]
+    return (
+        kept_full.select(*cols)
+        .unionByName(kept_boundary.select(*cols))
         .orderBy("doc_id")
     )
 

@@ -427,6 +427,32 @@ SELECT doc_id, CAST(n AS INT) AS n_bytes,
 FROM s ORDER BY doc_id
 """
 
+def _token_budget_sql() -> str:
+    from pac_spark.operators import curation as C
+
+    return f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+m AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           ROUND(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (len(list_distinct(toks)) / len(toks))
+                 + 0.3 * (1.0 - len(list_filter(toks,
+                       t -> list_contains({_STOP_LIST}, t))) / len(toks)), 8)
+               AS quality_score
+    FROM d
+),
+ordered AS (
+    SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC
+        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM m
+)
+SELECT doc_id, lang, n_tokens, quality_score
+FROM ordered WHERE cum <= {C.TOKEN_BUDGET_PER_LANG} ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -448,4 +474,5 @@ SPECS = [
     QuerySpec("stratified_sample", CU.stratified_sample, _sample_sql()),
     QuerySpec("semantic_dedup", S.semantic_dedup, _SEMANTIC_DEDUP),
     QuerySpec("multimodal_resize", MM.resize_fixed, _RESIZE),
+    QuerySpec("token_budget_mix", CU.token_budget_mix, _token_budget_sql()),
 ]

@@ -298,6 +298,30 @@ def test_stratified_sample_rates(spark, sf_dir):
     assert again == sampled
 
 
+def test_token_budget_cuts_every_language(spark, sf_dir):
+    """The budget must bind in every language (0-row/keep-all guard):
+    each language keeps some docs, drops some docs, and stays within
+    budget; kept docs are a quality-ranked prefix."""
+    from pac_spark.operators.curation import TOKEN_BUDGET_PER_LANG, token_budget_mix
+    from pac_spark.operators.text import text_stats
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in text_stats(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    mix = token_budget_mix(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in mix:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(totals)
+    for lang, rows in by_lang.items():
+        assert 0 < len(rows) < totals[lang], f"budget must bind for {lang}"
+        assert sum(r["n_tokens"] for r in rows) <= TOKEN_BUDGET_PER_LANG
+
+
 def test_semantic_dedup_clusters_nontrivial(spark, sf_dir):
     """Semantic dedup must actually group something at the diffuse
     threshold (0-row-green guard) and keepers must be cluster minima."""
