@@ -102,6 +102,24 @@ def test_curation_gate_runs_in_scan(spark, sf_dir):
     assert "ReadSchema: struct<doc_id:bigint,lang:string,source:string>" in sample_plan
 
 
+def test_token_budget_avoids_big_frame_sort(spark, sf_dir):
+    """The mix keeps fully-funded quality bins through a broadcast
+    semi-join; window sorts touch only the tiny bin aggregate and the
+    per-language boundary-bin docs — never the full stats frame."""
+    from pac_spark.operators.curation import token_budget_mix
+
+    plan = _exec_plan(token_budget_mix(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    # three Window operators, all per-language over bounded inputs: the
+    # bin running-sum planned once per consuming branch (tiny bin
+    # frame, twice) + the boundary-bin doc resolution. A naive
+    # implementation would instead show one Window directly over the
+    # full documents scan.
+    assert plan.count("Window [sum") == 3
+
+
 def test_knn_query_side_broadcasts(spark, sf_dir):
     """Brute-force kNN is a broadcast of the (tiny) query set against a
     linear scan — BroadcastNestedLoopJoin is the intended shape here."""
