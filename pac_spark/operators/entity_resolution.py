@@ -244,7 +244,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     - convergence is read off the monotone invariant sum(label):
       labels only ever decrease, so the round changed nothing iff the
       checksum is unchanged — an O(1)-result aggregate on the frame
-      the round already materialized, no old-vs-new comparison join.
+      the round already materialized, no old-vs-new comparison join;
+    - deep graphs get pointer doubling: blocked near-dup graphs are
+      near-cliques (1-2 rounds), so early rounds are plain single-hop
+      propagation, but from round 2 each iteration also jumps
+      label := label(label) — path halving, making convergence
+      O(log diameter) instead of O(diameter) for chain-shaped
+      components. Non-convergence inside the round cap raises instead
+      of silently returning partial labels.
 
     ``nodes``: one column ``id``; ``edges``: columns ``id_a``, ``id_b``.
     ``id`` must be numeric (the checksum relies on it). Returns
@@ -283,17 +290,40 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     checksum = _checksum(labels)
 
-    for _ in range(20):  # diameter bound; blocked graphs converge in 2-3
-        labels = checkpoint(
+    converged = False
+    for rnd in range(24):  # doubling: covers diameter ~2^22 chains
+        stepped = (
             und.join(labels, und.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("label"))
             .select(F.col("dst").alias("id"), "label")
         )
+        if rnd >= 2:
+            # pointer doubling — adaptive like the ngram skew guard:
+            # pay the extra self-join only when the graph is provably
+            # not a near-clique (it didn't converge in 2 plain rounds).
+            # Every label value is itself an endpoint id (labels start
+            # as ids and propagate), so the left join always hits.
+            x, y = stepped.alias("x"), stepped.alias("y")
+            stepped = x.join(
+                y, F.col("x.label") == F.col("y.id"), "left"
+            ).select(
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.label"),
+                    F.coalesce(F.col("y.label"), F.col("x.label")),
+                ).alias("label"),
+            )
+        labels = checkpoint(stepped)
         stepped_sum = _checksum(labels)
         if stepped_sum == checksum:
+            converged = True
             break
         checksum = stepped_sum
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within the round cap"
+        )
     # isolated nodes: own component — anti-join against the (small,
     # materialized) endpoint labels, which the planner broadcasts
     isolated = nodes.join(labels, "id", "left_anti").select(

@@ -97,7 +97,28 @@ def test_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH missed too many: {missed}"
 
 
-def test_er_clusters_are_valid_components(spark, sf_dir):
+def test_connected_components_multi_round_convergence(spark, sf_dir):
+    """Blocked ER graphs converge in one join round, so the fixture
+    never exercises the propagation loop's depth. A 60-node path has
+    diameter 59 — far beyond the round cap for single-hop propagation
+    — so this converges only if pointer doubling works; it also guards
+    the checksum-convergence logic against premature exit."""
+    from pac_spark.operators.entity_resolution import connected_components
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n + 5)], "id long")
+    # one long path + a disjoint triangle + isolated nodes n+3, n+4
+    edges = [(i, i + 1) for i in range(n - 1)] + [
+        (n, n + 1),
+        (n + 1, n + 2),
+        (n, n + 2),
+    ]
+    edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["label"] for r in connected_components(nodes, edges_df).collect()}
+    assert len(got) == n + 5
+    assert all(got[i] == 0 for i in range(n)), "path must collapse to min label"
+    assert all(got[i] == n for i in (n, n + 1, n + 2))
+    assert got[n + 3] == n + 3 and got[n + 4] == n + 4, "isolated keep own label"
     """Every edge >= 75 joins records in the same cluster; cluster ids
     are the minimum member id (canonical labeling)."""
     from pac_spark.operators.entity_resolution import (
