@@ -22,6 +22,7 @@ __all__ = [
     "language_id",
     "token_counts",
     "doc_fingerprints",
+    "doc_chunks",
     "corpus_quality_by_lang",
 ]
 
@@ -169,6 +170,41 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("md5_fp", 1, 16).alias("md5_prefix64"),
         minhash1.alias("minhash1"),
     ).orderBy("doc_id")
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the document →
+    training-sample (or RAG-passage) fan-out stage.
+
+    Chunk i covers tokens [i*stride, i*stride + size); the final chunk
+    may be short; a doc shorter than one window yields exactly one
+    chunk. Pure JVM array expressions (sequence → explode → slice):
+    a narrow per-row fan-out that streams through whole-stage codegen —
+    no shuffle, no Python.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    last_idx = F.when(n <= CHUNK_SIZE, F.lit(0)).otherwise(
+        F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STRIDE))).cast("int")
+    )
+    chunked = docs.filter(n > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
 
 
 def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

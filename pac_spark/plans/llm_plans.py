@@ -453,6 +453,29 @@ FROM ordered WHERE cum <= {C.TOKEN_BUDGET_PER_LANG} ORDER BY doc_id
 """
 
 
+_CHUNKS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+c AS (
+    SELECT doc_id, toks,
+           UNNEST(generate_series(0,
+               CASE WHEN n <= {TX.CHUNK_SIZE} THEN 0
+                    ELSE CAST(ceil((n - {TX.CHUNK_SIZE}) / {float(TX.CHUNK_STRIDE)}) AS BIGINT)
+               END)) AS chunk_idx
+    FROM m
+),
+s AS (
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           list_slice(toks, chunk_idx * {TX.CHUNK_STRIDE} + 1,
+                      chunk_idx * {TX.CHUNK_STRIDE} + {TX.CHUNK_SIZE}) AS chunk
+    FROM c
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -475,4 +498,5 @@ SPECS = [
     QuerySpec("semantic_dedup", S.semantic_dedup, _SEMANTIC_DEDUP),
     QuerySpec("multimodal_resize", MM.resize_fixed, _RESIZE),
     QuerySpec("token_budget_mix", CU.token_budget_mix, _token_budget_sql()),
+    QuerySpec("doc_chunks", TX.doc_chunks, _CHUNKS),
 ]
