@@ -33,7 +33,12 @@ from pac_spark import catalog
 from pac_spark.operators.dedup import ngram_jaccard_pairs
 from pac_spark.operators.text import stats_frame
 
-__all__ = ["corpus_curation", "stratified_sample", "token_budget_mix"]
+__all__ = [
+    "corpus_curation",
+    "stratified_sample",
+    "token_budget_mix",
+    "decontaminate",
+]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
 # distribution (median 0.64) — chosen so the gate provably drops rows
@@ -85,6 +90,57 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keepers.join(neardup_losers, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# decontamination: a training doc sharing >= this fraction of its
+# distinct 3-gram shingles with the eval set is contaminated. The
+# synthetic corpus' near-dups of eval docs sit at containment >= 0.95
+# at every SF; unrelated docs stay under ~0.25.
+CONTAMINATION_THRESHOLD = 0.5
+EVAL_SET_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct 3-gram shingles that appear anywhere in the eval set
+    (n-gram containment — the standard train/test overlap check).
+
+    Scale shape: the eval side is a *benchmark* — tiny next to the
+    corpus — so its distinct shingles broadcast; the training side is
+    one explode + broadcast-join + per-doc count, a single shuffle on
+    doc_id. Docs too short to shingle (< 3 tokens) have no containment
+    defined and are excluded, mirroring the oracle.
+    """
+    from pac_spark.operators.dedup import _shingle_sets
+
+    sets = _shingle_sets(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_SET_MOD == 0
+    train = sets.filter(~is_eval).filter(F.size("sh") > 0)
+    eval_shingles = (
+        sets.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+    )
+    shared = (
+        train.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_with_eval"))
+    )
+    containment = F.col("shared_with_eval") / F.col("n_shingles")
+    return (
+        train.select("doc_id", F.size("sh").alias("n_shingles"))
+        .join(shared, "doc_id", "left")
+        .withColumn(
+            "shared_with_eval", F.coalesce("shared_with_eval", F.lit(0).cast("long"))
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "shared_with_eval",
+            F.round(containment, 8).alias("containment"),
+            (containment >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+        )
         .orderBy("doc_id")
     )
 

@@ -476,6 +476,29 @@ SELECT doc_id, chunk_idx,
 FROM s ORDER BY doc_id, chunk_idx
 """
 
+def _decontaminate_sql() -> str:
+    from pac_spark.operators import curation as C
+
+    return f"""
+{_DOCS_PRELUDE},
+n AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles FROM shingle_rows GROUP BY 1),
+eval_sh AS (SELECT DISTINCT shingle FROM shingle_rows WHERE doc_id % {C.EVAL_SET_MOD} = 0),
+shared AS (
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_with_eval
+    FROM shingle_rows s JOIN eval_sh USING (shingle)
+    WHERE s.doc_id % {C.EVAL_SET_MOD} != 0 GROUP BY 1
+)
+SELECT n.doc_id, n.n_shingles,
+       CAST(COALESCE(shared_with_eval, 0) AS BIGINT) AS shared_with_eval,
+       ROUND(COALESCE(shared_with_eval, 0) / n.n_shingles, 8) AS containment,
+       COALESCE(shared_with_eval, 0) / n.n_shingles >= {C.CONTAMINATION_THRESHOLD}
+           AS is_contaminated
+FROM n LEFT JOIN shared USING (doc_id)
+WHERE n.doc_id % {C.EVAL_SET_MOD} != 0
+ORDER BY n.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -499,4 +522,5 @@ SPECS = [
     QuerySpec("multimodal_resize", MM.resize_fixed, _RESIZE),
     QuerySpec("token_budget_mix", CU.token_budget_mix, _token_budget_sql()),
     QuerySpec("doc_chunks", TX.doc_chunks, _CHUNKS),
+    QuerySpec("decontaminate", CU.decontaminate, _decontaminate_sql()),
 ]

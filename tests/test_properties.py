@@ -343,6 +343,19 @@ def test_token_budget_cuts_every_language(spark, sf_dir):
         assert sum(r["n_tokens"] for r in rows) <= TOKEN_BUDGET_PER_LANG
 
 
+def test_decontamination_flags_planted_overlap(spark, sf_dir):
+    """The contamination gate must discriminate: the corpus' planted
+    near-dups of eval docs are flagged, the background is not."""
+    from pac_spark.operators.curation import decontaminate
+
+    rows = decontaminate(spark, sf_dir).collect()
+    assert rows
+    flagged = [r for r in rows if r["is_contaminated"]]
+    assert 0 < len(flagged) < len(rows)
+    assert all(r["containment"] >= 0.5 for r in flagged)
+    assert all(r["doc_id"] % 50 != 0 for r in rows), "eval docs excluded"
+
+
 def test_semantic_dedup_clusters_nontrivial(spark, sf_dir):
     """Semantic dedup must actually group something at the diffuse
     threshold (0-row-green guard) and keepers must be cluster minima."""
