@@ -42,9 +42,30 @@ def all_specs() -> list[QuerySpec]:
     specs += temporal_plans.SPECS
     specs += streaming_plans.SPECS
     specs += relational_plans.SPECS
-    names = [s.name for s in specs]
+
+    # cross-module priority overrides, revised per round: HOIST names
+    # are new/changed this round but live in a module whose slot falls
+    # past the cap; DEMOTE names are unchanged + driver-green in both
+    # prior rounds, freeing their slots
+    hoist = [
+        "streaming_enriched_by_segment",
+        "q22_idle_customers",
+        "approx_distinct_parts",
+    ]
+    demote = [
+        "events_tumbling_1h",
+        "events_sliding_1h_30m",
+        "events_sessions_10m",
+    ]
+    by_priority = (
+        [s for s in specs if s.name in hoist]
+        + [s for s in specs if s.name not in hoist and s.name not in demote]
+        + [s for s in specs if s.name in demote]
+    )
+    names = [s.name for s in by_priority]
     assert len(names) == len(set(names)), "duplicate query names"
-    return specs
+    assert len(names) == len(specs)
+    return by_priority
 
 
 def queries():
