@@ -67,8 +67,10 @@ def read_jdbc(
 
     With a partition column each executor issues its own bounded range
     query; filters composed on the returned DataFrame push down into
-    the remote WHERE clause. Untestable in this container (no database
-    server) — covered by the signature contract test only.
+    the remote WHERE clause. Exercised for real against embedded Derby
+    (bundled with Spark) in ``tests/test_jdbc_roundtrip.py``: write →
+    4-partition bounded-range read-back → pushdown asserted in the
+    plan. A Snowflake/MySQL deployment swaps the url + driver only.
     """
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)

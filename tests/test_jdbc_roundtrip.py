@@ -1,0 +1,52 @@
+"""JDBC connector contract, executed for real: Spark bundles Derby
+(for the Hive metastore), whose embedded in-memory mode gives us an
+actual JDBC database inside the test JVM. Round-trips the customer
+table through it and proves the two properties the 100 TB story needs:
+the read arrives as N bounded range scans (partitioned read), and
+DataFrame filters reach the remote WHERE clause (pushdown)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pac_spark.sources.readers import read_jdbc
+
+_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+_URL = "jdbc:derby:memory:pacjdbc;create=true"
+
+
+def test_jdbc_partitioned_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    # keep Derby's derby.log out of the repo working dir
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    n = cust.count()
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
+    cust.write.mode("overwrite").jdbc(
+        _URL, "CUSTOMERS", properties={"driver": _DRIVER}
+    )
+
+    back = read_jdbc(
+        spark,
+        _URL,
+        "CUSTOMERS",
+        partition_column="c_custkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        driver=_DRIVER,
+    )
+    # partitioned scan: one bounded range query per partition
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == n
+    want = {(r["c_custkey"], r["c_name"]) for r in cust.collect()}
+    got = {(r["c_custkey"], r["c_name"]) for r in back.collect()}
+    assert got == want
+
+    # predicate pushdown into the remote WHERE clause
+    filtered = back.filter(F.col("c_custkey") < 100)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(c_custkey,100)" in plan
+    assert filtered.count() == cust.filter(F.col("c_custkey") < 100).count()
