@@ -32,7 +32,30 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-spread equi-join of ``big`` with ``small`` on ``on``;
-    result rows are identical to ``big.join(small, on, how)``."""
+    result rows are identical to ``big.join(small, on, how)``.
+
+    Only big-side-preserving join types are valid: an unmatched
+    small-side row exists once per salt replica, so right/full outer
+    would emit it ``n_salts`` times instead of once.
+    """
+    allowed = {
+        "inner",
+        "cross",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched "
+            "small-side rows would appear once per salt replica"
+        )
     salt: Column = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
     )

@@ -74,10 +74,13 @@ def queries():
 
     def _tuned(fn):
         def run(spark, sf_dir):
-            # drop the PREVIOUS query's pinned frames/checkpoints (its
-            # result has been collected by the time the next query is
-            # requested) so a full driver session never accumulates
-            # cached blocks across 61 queries
+            # drop the PREVIOUS query's pinned frames/checkpoints so a
+            # full driver session never accumulates cached blocks.
+            # CONTRACT: queries are consumed sequentially — the driver
+            # collects each result before requesting the next (observed
+            # in every round's CORRECTNESS run). Interleaving instead
+            # (build df1, build df2, then collect df1) would free df1's
+            # checkpoint blocks, which localCheckpoint cannot recompute.
             release_caches()
             return fn(tune_runtime(spark), sf_dir)
 

@@ -119,6 +119,9 @@ def test_connected_components_multi_round_convergence(spark, sf_dir):
     assert all(got[i] == 0 for i in range(n)), "path must collapse to min label"
     assert all(got[i] == n for i in (n, n + 1, n + 2))
     assert got[n + 3] == n + 3 and got[n + 4] == n + 4, "isolated keep own label"
+
+
+def test_er_clusters_are_valid_components(spark, sf_dir):
     """Every edge >= 75 joins records in the same cluster; cluster ids
     are the minimum member id (canonical labeling)."""
     from pac_spark.operators.entity_resolution import (

@@ -37,6 +37,20 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert "__salt" in plan
 
 
+def test_salted_join_rejects_small_side_preserving_types(spark, sf_dir):
+    """right/full outer would emit unmatched small-side rows once per
+    salt replica — the function must refuse, not silently duplicate."""
+    import pytest
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    dim = spark.createDataFrame([("click", 1)], "event_type string, code int")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salt replica"):
+            salted_join(events, dim, ["event_type"], how=how)
+
+
 def test_salted_outer_join_keeps_unmatched(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "event_type"
