@@ -58,20 +58,41 @@ def checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def _session_stopped(df_or_jrdd) -> bool:
+    try:
+        if isinstance(df_or_jrdd, DataFrame):
+            return df_or_jrdd.sparkSession.sparkContext._jsc is None
+        return False  # a live JavaRDD handle has no cheap liveness probe
+    except Exception:
+        return True
+
+
 def release_caches() -> int:
     """Unpersist every registered frame/checkpoint; returns the count
     released. Safe to call at any point where no previously returned
     (and not yet collected) DataFrame is still pending — released
-    persists recompute, but released checkpoints do not."""
+    persists recompute, but released checkpoints do not.
+
+    Only stopped-session errors are swallowed (test teardown races);
+    anything else means the release sweep is broken and must surface,
+    not silently leave blocks resident."""
     n = len(_LIVE_DFS) + len(_LIVE_JRDDS)
     while _LIVE_DFS:
+        df = _LIVE_DFS.pop()
         try:
-            _LIVE_DFS.pop().unpersist()
+            df.unpersist()
         except Exception:
-            pass  # session already stopped
+            if not _session_stopped(df):
+                raise
     while _LIVE_JRDDS:
+        jrdd = _LIVE_JRDDS.pop()
         try:
-            _LIVE_JRDDS.pop().unpersist()
-        except Exception:
-            pass
+            jrdd.unpersist()
+        except Exception as exc:
+            # JavaRDD handles outlive their session only at teardown;
+            # a py4j connection error is the stopped-JVM signature
+            if "Py4J" not in type(exc).__name__ and "py4j" not in str(
+                type(exc).__module__
+            ):
+                raise
     return n
