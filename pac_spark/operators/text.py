@@ -24,6 +24,7 @@ __all__ = [
     "doc_fingerprints",
     "doc_chunks",
     "corpus_quality_by_lang",
+    "lang_quality_quantiles",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -205,6 +206,56 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+def lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-score quartiles via grouped
+    ``applyInPandas`` — the per-group vectorized-Python shape
+    (complementing ``mapInPandas`` for per-batch and
+    ``applyInPandasWithState`` for stateful streaming).
+
+    Each language's stats frame arrives as ONE pandas frame per group
+    (Arrow-batched). Quantiles are type-1 (lower: ``arr[floor(p*(n-1))]``
+    — ``percentile_disc`` semantics): pure element selection, so Spark
+    and the oracle agree bit-for-bit. Interpolating definitions
+    (``percentile_cont``/numpy linear) create exact decimal midpoints
+    where Python's round-half-even and SQL round-half-away disagree at
+    the last rounded digit. At scale the shuffle is the groupBy hash
+    partitioning; a group must fit in one task (true for per-language
+    stat rows, NOT for raw documents — this pattern is for bounded
+    per-group frames).
+    """
+    import pandas as pd
+
+    stats = stats_frame(catalog.load(spark, sf_dir, "documents")).select(
+        "lang", "quality_score"
+    )
+
+    def quartiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+
+        arr = np.sort(pdf["quality_score"].to_numpy())
+        n = len(arr)
+
+        def q(p: float) -> float:
+            # p is dyadic (k/4), so p*(n-1) is float-exact and floor is
+            # deterministic on every engine
+            return float(arr[math.floor(p * (n - 1))])
+
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "q25": [q(0.25)],
+                "median": [q(0.50)],
+                "q75": [q(0.75)],
+            }
+        )
+
+    schema = "lang string, n_docs long, q25 double, median double, q75 double"
+    return stats.groupBy("lang").applyInPandas(quartiles, schema=schema).orderBy("lang")
 
 
 def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -309,6 +309,36 @@ SELECT lang,
 FROM s GROUP BY lang ORDER BY lang
 """
 
+# type-1 (lower) quantile: arr[floor(p*(n-1))], pure element selection
+# — interpolating definitions create exact midpoints where Python
+# round-half-even and SQL round-half-away disagree at the last digit
+def _np_quantile_sql(p: float) -> str:
+    return f"arr[CAST(floor(({p}) * (len(arr) - 1)) AS BIGINT) + 1]"
+
+
+_QUANTILES = f"""
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT lang,
+           ROUND(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (len(list_distinct(toks)) / len(toks))
+                 + 0.3 * (1.0 - len(list_filter(toks,
+                       t -> list_contains({_STOP_LIST}, t))) / len(toks)), 8)
+               AS quality_score
+    FROM d
+),
+g AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           LIST(quality_score ORDER BY quality_score) AS arr
+    FROM s GROUP BY lang
+)
+SELECT lang, n_docs,
+       {_np_quantile_sql(0.25)} AS q25,
+       {_np_quantile_sql(0.50)} AS median,
+       {_np_quantile_sql(0.75)} AS q75
+FROM g ORDER BY lang
+"""
+
 _BYTE_FEATURES = """
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_bytes,
@@ -523,4 +553,5 @@ SPECS = [
     QuerySpec("token_budget_mix", CU.token_budget_mix, _token_budget_sql()),
     QuerySpec("doc_chunks", TX.doc_chunks, _CHUNKS),
     QuerySpec("decontaminate", CU.decontaminate, _decontaminate_sql()),
+    QuerySpec("lang_quality_quantiles", TX.lang_quality_quantiles, _QUANTILES),
 ]

@@ -56,6 +56,9 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
+        # unchanged this round (executive_records untouched by the CC
+        # rewrite) and driver-green in both prior rounds
+        "er_records",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]
