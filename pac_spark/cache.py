@@ -58,41 +58,53 @@ def checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
-def _session_stopped(df_or_jrdd) -> bool:
+def _jvm_alive() -> bool:
+    """One liveness probe for both handle kinds: the active session's
+    JVM context exists and is not stopped. A dead gateway raises on
+    the probe itself, which also means 'not alive'."""
+    from pyspark.sql import SparkSession
+
     try:
-        if isinstance(df_or_jrdd, DataFrame):
-            return df_or_jrdd.sparkSession.sparkContext._jsc is None
-        return False  # a live JavaRDD handle has no cheap liveness probe
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        jsc = spark.sparkContext._jsc
+        return jsc is not None and not jsc.sc().isStopped()
     except Exception:
-        return True
+        return False
 
 
 def release_caches() -> int:
     """Unpersist every registered frame/checkpoint; returns the count
-    released. Safe to call at any point where no previously returned
+    attempted. Safe to call at any point where no previously returned
     (and not yet collected) DataFrame is still pending — released
     persists recompute, but released checkpoints do not.
 
-    Only stopped-session errors are swallowed (test teardown races);
-    anything else means the release sweep is broken and must surface,
-    not silently leave blocks resident."""
+    Failure semantics: if the JVM/session is gone (test teardown,
+    crashed gateway) the blocks died with it — handles are dropped
+    silently. If the JVM is alive and an unpersist still fails, the
+    handle is KEPT for the next sweep to retry and the first error is
+    re-raised, so a broken release path surfaces instead of silently
+    leaving blocks resident."""
     n = len(_LIVE_DFS) + len(_LIVE_JRDDS)
-    while _LIVE_DFS:
-        df = _LIVE_DFS.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            if not _session_stopped(df):
-                raise
-    while _LIVE_JRDDS:
-        jrdd = _LIVE_JRDDS.pop()
-        try:
-            jrdd.unpersist()
-        except Exception as exc:
-            # JavaRDD handles outlive their session only at teardown;
-            # a py4j connection error is the stopped-JVM signature
-            if "Py4J" not in type(exc).__name__ and "py4j" not in str(
-                type(exc).__module__
-            ):
-                raise
+    if not _jvm_alive():
+        _LIVE_DFS.clear()
+        _LIVE_JRDDS.clear()
+        return n
+
+    errors: list[Exception] = []
+    for live in (_LIVE_DFS, _LIVE_JRDDS):
+        kept = []
+        while live:
+            handle = live.pop()
+            try:
+                handle.unpersist()
+            except Exception as exc:
+                if _jvm_alive():
+                    kept.append(handle)  # retryable at the next sweep
+                    errors.append(exc)
+                # else: JVM died mid-sweep; blocks are gone, drop handle
+        live.extend(kept)
+    if errors:
+        raise errors[0]
     return n

@@ -215,9 +215,11 @@ def lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` for stateful streaming).
 
     Each language's stats frame arrives as ONE pandas frame per group
-    (Arrow-batched). Quantiles are type-1 (lower: ``arr[floor(p*(n-1))]``
-    — ``percentile_disc`` semantics): pure element selection, so Spark
-    and the oracle agree bit-for-bit. Interpolating definitions
+    (Arrow-batched). Quantiles are numpy's type-1 "lower" definition
+    (``arr[floor(p*(n-1))]`` — NOT SQL ``percentile_disc``, which takes
+    the ``ceil(p*n)``-th smallest and differs at q75 when n % 4 == 2):
+    pure element selection, so Spark and the oracle agree bit-for-bit.
+    Interpolating definitions
     (``percentile_cont``/numpy linear) create exact decimal midpoints
     where Python's round-half-even and SQL round-half-away disagree at
     the last rounded digit. At scale the shuffle is the groupBy hash

@@ -201,6 +201,25 @@ FROM clusters ORDER BY vec_id
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
 
+
+def _quality_sql(n_tokens: str, n_unique: str, n_stop: str) -> str:
+    """The ONE rendering of the quality-score formula (mirrors
+    text.stats_frame); every oracle that scores quality composes this,
+    so a weight change cannot silently drift between copies."""
+    return (
+        f"ROUND(0.4 * least(1.0, {n_tokens} / 100.0) "
+        f"+ 0.3 * ({n_unique} / {n_tokens}) "
+        f"+ 0.3 * (1.0 - {n_stop} / {n_tokens}), 8)"
+    )
+
+
+# the formula over a raw string_split(text) column named `toks`
+_QUALITY_TOKS = _quality_sql(
+    "len(toks)",
+    "len(list_distinct(toks))",
+    f"len(list_filter(toks, t -> list_contains({_STOP_LIST}, t)))",
+)
+
 _TEXT_STATS = f"""
 WITH d AS (
     SELECT *, string_split(text, ' ') AS toks FROM documents
@@ -218,9 +237,7 @@ SELECT doc_id, lang, source, n_chars, n_chars_computed, n_tokens,
        n_unique_tokens, n_stopwords,
        ROUND(n_stopwords / n_tokens, 8) AS stopword_ratio,
        ROUND(n_unique_tokens / n_tokens, 8) AS unique_ratio,
-       ROUND(0.4 * least(1.0, n_tokens / 100.0)
-             + 0.3 * (n_unique_tokens / n_tokens)
-             + 0.3 * (1.0 - n_stopwords / n_tokens), 8) AS quality_score,
+       {_quality_sql("n_tokens", "n_unique_tokens", "n_stopwords")} AS quality_score,
        n_tokens < 20 AS is_short
 FROM m ORDER BY doc_id
 """
@@ -295,9 +312,7 @@ m AS (
 ),
 s AS (
     SELECT doc_id, lang, n_tokens,
-           ROUND(0.4 * least(1.0, n_tokens / 100.0)
-                 + 0.3 * (n_unique_tokens / n_tokens)
-                 + 0.3 * (1.0 - n_stopwords / n_tokens), 8) AS quality_score,
+           {_quality_sql("n_tokens", "n_unique_tokens", "n_stopwords")} AS quality_score,
            n_tokens < 20 AS is_short
     FROM m
 )
@@ -320,10 +335,7 @@ _QUANTILES = f"""
 WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
 s AS (
     SELECT lang,
-           ROUND(0.4 * least(1.0, len(toks) / 100.0)
-                 + 0.3 * (len(list_distinct(toks)) / len(toks))
-                 + 0.3 * (1.0 - len(list_filter(toks,
-                       t -> list_contains({_STOP_LIST}, t))) / len(toks)), 8)
+           {_QUALITY_TOKS}
                AS quality_score
     FROM d
 ),
@@ -393,10 +405,7 @@ dd AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
 stats AS (
     SELECT doc_id, lang, source,
            CAST(len(toks) AS INT) AS n_tokens,
-           ROUND(0.4 * least(1.0, len(toks) / 100.0)
-                 + 0.3 * (len(list_distinct(toks)) / len(toks))
-                 + 0.3 * (1.0 - len(list_filter(toks,
-                       t -> list_contains({_STOP_LIST}, t))) / len(toks)), 8)
+           {_QUALITY_TOKS}
                AS quality_score
     FROM dd
 )
@@ -465,10 +474,7 @@ WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
 m AS (
     SELECT doc_id, lang,
            CAST(len(toks) AS INT) AS n_tokens,
-           ROUND(0.4 * least(1.0, len(toks) / 100.0)
-                 + 0.3 * (len(list_distinct(toks)) / len(toks))
-                 + 0.3 * (1.0 - len(list_filter(toks,
-                       t -> list_contains({_STOP_LIST}, t))) / len(toks)), 8)
+           {_QUALITY_TOKS}
                AS quality_score
     FROM d
 ),
