@@ -346,6 +346,36 @@ def test_token_budget_cuts_every_language(spark, sf_dir):
         assert sum(r["n_tokens"] for r in rows) <= TOKEN_BUDGET_PER_LANG
 
 
+def test_doc_chunks_tile_documents(spark, sf_dir):
+    """Chunking invariants against a third, pure-Python implementation
+    (independent of both the Spark expressions and the SQL oracle):
+    chunk i is exactly toks[i*stride : i*stride+size], the chunk count
+    matches the ceil formula, and every token is covered."""
+    import math
+
+    from pac_spark.operators.text import CHUNK_SIZE, CHUNK_STRIDE, doc_chunks
+
+    toks_by_doc = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    chunks: dict[int, dict[int, str]] = {}
+    for r in doc_chunks(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    assert set(chunks) == {d for d, t in toks_by_doc.items() if len(t) > 0}
+    for doc_id, toks in toks_by_doc.items():
+        n = len(toks)
+        if n == 0:
+            continue
+        want_n = 1 if n <= CHUNK_SIZE else math.ceil((n - CHUNK_SIZE) / CHUNK_STRIDE) + 1
+        got = chunks[doc_id]
+        assert len(got) == want_n, (doc_id, n, want_n, len(got))
+        for i, text in got.items():
+            assert text == " ".join(toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE])
+        # coverage: the final chunk reaches the last token
+        assert (want_n - 1) * CHUNK_STRIDE + CHUNK_SIZE >= n
+
+
 def test_decontamination_flags_planted_overlap(spark, sf_dir):
     """The contamination gate must discriminate: the corpus' planted
     near-dups of eval docs are flagged, the background is not."""
