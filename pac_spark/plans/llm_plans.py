@@ -177,6 +177,52 @@ scored AS (
 SELECT * FROM scored WHERE score >= 0.35 ORDER BY label, vec_a, vec_b
 """
 
+def _ann_lsh_sql() -> str:
+    """Full oracle for sign-LSH ANN: the hyperplanes are deterministic
+    python-side constants, so the bucket assignment (sign of the same
+    left-fold dot product against the same plane literals), the bucket
+    equi-join, and the rank are all exactly reproducible in SQL —
+    shortest-round-trip float literals parse to identical doubles."""
+    from pac_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes()[:6]
+
+    def plane_dot(p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len(v)), i -> v[i] * ({lit})[i])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {plane_dot(p)} >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+    SELECT vec_id, label, v, {bucket} AS bucket,
+           sqrt({_dot_sql('v', 'v')}) AS nv
+    FROM e
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket AS qbucket, nv AS nq
+    FROM b WHERE vec_id IN {S.QUERY_IDS}
+),
+scored AS (
+    SELECT query_id, b.vec_id, b.label, ROUND({_COS}, 8) AS score
+    FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id != q.query_id
+),
+r AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, label, score, rank
+FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank
+"""
+
+
 _SEMANTIC_DEDUP = f"""
 WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 scored AS (
@@ -543,7 +589,7 @@ SPECS = [
     QuerySpec("simhash_neardup", D.simhash_neardup, _SIMHASH),
     QuerySpec("knn_bruteforce", S.knn_bruteforce, _KNN),
     QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
-    QuerySpec("ann_lsh_topk", S.ann_lsh_topk, None),
+    QuerySpec("ann_lsh_topk", S.ann_lsh_topk, _ann_lsh_sql()),
     QuerySpec("ann_ivf_topk", S.ann_ivf_topk, None),
     QuerySpec("text_stats", TX.text_stats, _TEXT_STATS),
     QuerySpec("language_id", TX.language_id, _LANGID),
