@@ -59,7 +59,7 @@ def main() -> None:
     # (the r2 bench showed ±30-360% drift on untouched queries).
     from pac_spark.cache import release_caches
 
-    release_caches()
+    release_caches(all_generations=True)
     spark.catalog.clearCache()
 
     # two timed rounds, min per query: a single pass is hostage to

@@ -3,7 +3,7 @@
 Operators cache a frame when the same expensive stage feeds two
 downstream consumers (fuzzy-scored pairs → edges + confidence banding;
 shingle rows → pair join + rescore). Spark's ``persist`` has no scope:
-without explicit release, a 61-query driver session accumulates every
+without explicit release, a 70-query driver session accumulates every
 query's cached blocks until LRU eviction starts thrashing — acceptable
 on one laptop JVM, memory pressure on a shared cluster (VERDICT r2 #4).
 
@@ -15,10 +15,14 @@ Every cache goes through this registry:
   iterative plans that need lineage truncation (connected components).
   Checkpointed blocks ARE the data — they must only be released after
   the consuming result has been collected.
-- :func:`release_caches` — unpersist everything registered. The query
-  registry calls this at the START of each query, so query N's caches
-  live exactly until query N+1 begins (N's result is collected by
-  then); bench calls it between the warm-up and timed phases.
+- :func:`release_caches` — the sweep the query registry calls at the
+  START of each query. Persists release immediately (worst case they
+  recompute). Checkpoints are deferred ONE generation: query N's
+  checkpoint blocks are freed when query N+2 starts, not N+1 — so even
+  a driver that interleaves one query ahead (builds N+1's DataFrame
+  before collecting N) never loses blocks it still needs. Pass
+  ``all_generations=True`` (bench between phases, test teardown) to
+  drain both generations at once.
 """
 
 from __future__ import annotations
@@ -28,7 +32,11 @@ from pyspark.sql import DataFrame
 __all__ = ["pin", "checkpoint", "release_caches"]
 
 _LIVE_DFS: list[DataFrame] = []
-_LIVE_JRDDS: list = []  # JavaRDD handles backing localCheckpoints
+# JavaRDD handles backing localCheckpoints, two generations deep:
+# _CKPT_PREV holds the generation eligible for release, _CKPT_CUR the
+# most recent one (still potentially feeding an uncollected result).
+_CKPT_PREV: list = []
+_CKPT_CUR: list = []
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -54,18 +62,21 @@ def checkpoint(df: DataFrame) -> DataFrame:
     jmap = sc._jsc.getPersistentRDDs()
     for rid in jmap.keys():
         if rid not in before:
-            _LIVE_JRDDS.append(jmap[rid])
+            _CKPT_CUR.append(jmap[rid])
     return out
 
 
 def _jvm_alive() -> bool:
-    """One liveness probe for both handle kinds: the active session's
-    JVM context exists and is not stopped. A dead gateway raises on
-    the probe itself, which also means 'not alive'."""
+    """One liveness probe for both handle kinds: the JVM context behind
+    the process-global default session exists and is not stopped.
+    ``getDefaultSession`` (not the thread-local ``getActiveSession``)
+    so a sweep running on a driver pool thread that never created a
+    session still sees the live JVM and actually unpersists. A dead
+    gateway raises on the probe itself, which also means 'not alive'."""
     from pyspark.sql import SparkSession
 
     try:
-        spark = SparkSession.getActiveSession()
+        spark = SparkSession.getDefaultSession() or SparkSession.getActiveSession()
         if spark is None:
             return False
         jsc = spark.sparkContext._jsc
@@ -74,11 +85,11 @@ def _jvm_alive() -> bool:
         return False
 
 
-def release_caches() -> int:
-    """Unpersist every registered frame/checkpoint; returns the count
-    attempted. Safe to call at any point where no previously returned
-    (and not yet collected) DataFrame is still pending — released
-    persists recompute, but released checkpoints do not.
+def release_caches(all_generations: bool = False) -> int:
+    """Release registered frames/checkpoints; returns the count
+    attempted. Persists are always safe to release (they recompute).
+    Checkpoints release one generation deferred — see the module
+    docstring — unless ``all_generations=True`` forces a full drain.
 
     Failure semantics: if the JVM/session is gone (test teardown,
     crashed gateway) the blocks died with it — handles are dropped
@@ -86,14 +97,20 @@ def release_caches() -> int:
     handle is KEPT for the next sweep to retry and the first error is
     re-raised, so a broken release path surfaces instead of silently
     leaving blocks resident."""
-    n = len(_LIVE_DFS) + len(_LIVE_JRDDS)
+    global _CKPT_PREV, _CKPT_CUR
+    to_release = [_LIVE_DFS, _CKPT_PREV]
+    if all_generations:
+        to_release.append(_CKPT_CUR)
+    n = sum(len(live) for live in to_release)
     if not _jvm_alive():
-        _LIVE_DFS.clear()
-        _LIVE_JRDDS.clear()
+        for live in to_release:
+            live.clear()
+        if not all_generations:
+            _CKPT_PREV, _CKPT_CUR = _CKPT_CUR, _CKPT_PREV  # rotate (PREV now empty)
         return n
 
     errors: list[Exception] = []
-    for live in (_LIVE_DFS, _LIVE_JRDDS):
+    for live in to_release:
         kept = []
         while live:
             handle = live.pop()
@@ -101,10 +118,14 @@ def release_caches() -> int:
                 handle.unpersist()
             except Exception as exc:
                 if _jvm_alive():
-                    kept.append(handle)  # retryable at the next sweep
+                    kept.append(handle)  # retryable at a later sweep
                     errors.append(exc)
                 # else: JVM died mid-sweep; blocks are gone, drop handle
         live.extend(kept)
+    if not all_generations:
+        # rotate: the just-swept (now mostly empty) PREV list becomes
+        # CUR, and CUR's checkpoints age into PREV for the next sweep
+        _CKPT_PREV, _CKPT_CUR = _CKPT_CUR, _CKPT_PREV
     if errors:
         raise errors[0]
     return n

@@ -20,8 +20,23 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["salted_join"]
+
+_SALT_COL = "__pac_salt_6f3a"  # unlikely name; a collision raises below
+
+
+def _hashable(dtype: T.DataType) -> bool:
+    """xxhash64 rejects maps (and variants) — nested arrays/structs are
+    fine as long as they don't contain a map anywhere."""
+    if isinstance(dtype, (T.MapType, getattr(T, "VariantType", T.MapType))):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _hashable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_hashable(f.dataType) for f in dtype.fields)
+    return True
 
 
 def salted_join(
@@ -36,11 +51,13 @@ def salted_join(
 
     Only big-side-preserving join types are valid: an unmatched
     small-side row exists once per salt replica, so right/full outer
-    would emit it ``n_salts`` times instead of once.
+    would emit it ``n_salts`` times instead of once. The salt hashes
+    every hashable big-side column (maps can't feed xxhash64); at
+    least one non-key hashable column must exist, otherwise every row
+    of a hot key would land in one salt bucket anyway.
     """
     allowed = {
         "inner",
-        "cross",
         "left",
         "left_outer",
         "leftouter",
@@ -56,11 +73,31 @@ def salted_join(
             f"salted_join cannot preserve {how!r} semantics: unmatched "
             "small-side rows would appear once per salt replica"
         )
+    for side, name in ((big, "big"), (small, "small")):
+        if _SALT_COL in side.columns:
+            raise ValueError(
+                f"{name} side already carries the internal salt column "
+                f"{_SALT_COL!r}; rename it before salting"
+            )
+    # the salt must come from NON-key columns: hashing only the join
+    # keys sends every row of a hot key to one salt bucket — a silent
+    # no-op that defeats the whole point
+    salt_src = [
+        f.name
+        for f in big.schema.fields
+        if f.name not in set(on) and _hashable(f.dataType)
+    ]
+    if not salt_src:
+        raise ValueError(
+            "salted_join needs at least one hashable non-key big-side "
+            "column to derive the salt from (maps are not hashable; "
+            "join keys alone cannot spread a hot key)"
+        )
     salt: Column = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts)
     )
-    b = big.withColumn("__salt", salt)
+    b = big.withColumn(_SALT_COL, salt)
     s = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        _SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return b.join(s, on=[*on, "__salt"], how=how).drop("__salt")
+    return b.join(s, on=[*on, _SALT_COL], how=how).drop(_SALT_COL)

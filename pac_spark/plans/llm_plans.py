@@ -397,29 +397,49 @@ SELECT lang, n_docs,
 FROM g ORDER BY lang
 """
 
-_BYTE_FEATURES = """
+# Payload-BYTE prelude for the multimodal oracles: the Spark side
+# resamples UTF-8 payload bytes (numpy over encode(text)), so the
+# oracle must index bytes, not characters — character semantics agree
+# only while every document is pure ASCII (ADVICE r3). DuckDB 1.0 has
+# no blob indexing, so bytes come off the hex dump: byte i =
+# hexpair(2i-1, 2i) of hex(encode(text)).
+_BYTES_CTE = """
+hb AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS INT) AS n
+    FROM documents
+),
+by AS (
+    SELECT doc_id, n,
+           list_transform(generate_series(1, n),
+               i -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
+    FROM hb
+)
+"""
+
+_BYTE_FEATURES = f"""
+WITH {_BYTES_CTE.strip()}
 SELECT doc_id,
-       CAST(length(text) AS INT) AS n_bytes,
-       CAST(list_sum(list_transform(generate_series(1, length(text)),
-                                    i -> ascii(text[i]))) AS BIGINT) AS byte_sum,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(text[1]) ELSE -1 END AS INT)
-           AS first_byte,
-       CAST(CASE WHEN length(text) > 0 THEN ascii(text[length(text)]) ELSE -1 END AS INT)
-           AS last_byte
-FROM documents ORDER BY doc_id
+       n AS n_bytes,
+       CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+       CAST(CASE WHEN n > 0 THEN bytes[1] ELSE -1 END AS INT) AS first_byte,
+       CAST(CASE WHEN n > 0 THEN bytes[n] ELSE -1 END AS INT) AS last_byte
+FROM by ORDER BY doc_id
 """
 
 _FRAME_SAMPLE = f"""
-WITH s AS (
+WITH {_BYTES_CTE.strip()},
+s AS (
     SELECT doc_id,
-           list_transform(generate_series(1, length(text), {MM.FRAME_STRIDE}),
-                          i -> ascii(text[i])) AS fr
-    FROM documents
+           list_transform(generate_series(1, n, {MM.FRAME_STRIDE}),
+                          i -> bytes[i]) AS fr
+    FROM by
 )
 SELECT doc_id,
        CAST(len(fr) AS INT) AS n_frames,
-       array_to_string(list_transform(fr[1:8], x -> CAST(x AS VARCHAR)), ',')
-           AS first_frames,
+       COALESCE(array_to_string(list_transform(fr[1:8], x -> CAST(x AS VARCHAR)), ','),
+                '') AS first_frames,
        CASE WHEN len(fr) > 0
             THEN ROUND(CAST(list_sum(fr) AS DOUBLE) / len(fr), 8) END AS mean_frame
 FROM s ORDER BY doc_id
@@ -498,14 +518,14 @@ SELECT * FROM b WHERE bucket < rate_permille ORDER BY doc_id
 
 
 _RESIZE = f"""
-WITH s AS (
-    SELECT doc_id, length(text) AS n,
+WITH {_BYTES_CTE.strip()},
+s AS (
+    SELECT doc_id, n,
            list_transform(generate_series(0, {MM.RESIZE_TARGET - 1}),
-               i -> ascii(text[CAST((i * length(text)) // {MM.RESIZE_TARGET} AS INT) + 1]))
-               AS rz
-    FROM documents
+               i -> bytes[CAST((i * n) // {MM.RESIZE_TARGET} AS INT) + 1]) AS rz
+    FROM by
 )
-SELECT doc_id, CAST(n AS INT) AS n_bytes,
+SELECT doc_id, n AS n_bytes,
        CASE WHEN n > 0
             THEN array_to_string(list_transform(rz, x -> CAST(x AS VARCHAR)), ',')
        END AS resized

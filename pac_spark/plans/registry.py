@@ -77,13 +77,13 @@ def queries():
 
     def _tuned(fn):
         def run(spark, sf_dir):
-            # drop the PREVIOUS query's pinned frames/checkpoints so a
-            # full driver session never accumulates cached blocks.
-            # CONTRACT: queries are consumed sequentially — the driver
-            # collects each result before requesting the next (observed
-            # in every round's CORRECTNESS run). Interleaving instead
-            # (build df1, build df2, then collect df1) would free df1's
-            # checkpoint blocks, which localCheckpoint cannot recompute.
+            # drop earlier queries' pinned frames/checkpoints so a full
+            # driver session never accumulates cached blocks. Persists
+            # release immediately (recomputable); checkpoint blocks —
+            # which localCheckpoint CANNOT recompute — are deferred one
+            # generation inside release_caches(), so even a driver that
+            # builds query N+1's DataFrame before collecting query N
+            # (one-ahead interleaving) never loses blocks it needs.
             release_caches()
             return fn(tune_runtime(spark), sf_dir)
 

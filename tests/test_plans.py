@@ -145,7 +145,7 @@ def test_no_persisted_rdds_leak_across_queries(spark, sf_dir):
     from pac_spark.plans.registry import queries
 
     qs = queries()
-    release_caches()
+    release_caches(all_generations=True)
     spark.catalog.clearCache()
     base = len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     # er_approved pins the consolidation output AND runs connected
@@ -153,5 +153,5 @@ def test_no_persisted_rdds_leak_across_queries(spark, sf_dir):
     for name in ("er_approved", "ngram_jaccard_pairs"):
         assert qs[name](spark, sf_dir).count() > 0
         assert len(dict(spark.sparkContext._jsc.getPersistentRDDs())) > base
-    release_caches()
+    release_caches(all_generations=True)
     assert len(dict(spark.sparkContext._jsc.getPersistentRDDs())) == base
