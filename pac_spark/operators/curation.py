@@ -100,6 +100,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at every SF; unrelated docs stay under ~0.25.
 CONTAMINATION_THRESHOLD = 0.5
 EVAL_SET_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark
+# broadcast guard: distinct eval shingles above this count take the
+# shuffle join instead — an unconditional broadcast of a "benchmark"
+# that turns out corpus-sized would OOM every executor (VERDICT r3 #6).
+# 2M shingle strings ~ a few hundred MB serialized: safely inside a
+# multi-GB executor, safely above any real benchmark suite.
+EVAL_BROADCAST_MAX_SHINGLES = 2_000_000
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,20 +116,28 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval side is a *benchmark* — tiny next to the
     corpus — so its distinct shingles broadcast; the training side is
     one explode + broadcast-join + per-doc count, a single shuffle on
-    doc_id. Docs too short to shingle (< 3 tokens) have no containment
-    defined and are excluded, mirroring the oracle.
+    doc_id. The broadcast is guarded, not assumed: the eval shingle
+    set is persisted and counted (one cheap job over the already-
+    shuffled distinct), and an eval side above
+    ``EVAL_BROADCAST_MAX_SHINGLES`` falls back to an ordinary shuffle
+    join — same rows, no executor OOM. Docs too short to shingle
+    (< 3 tokens) have no containment defined and are excluded,
+    mirroring the oracle.
     """
+    from pac_spark.cache import pin
     from pac_spark.operators.dedup import _shingle_sets
 
     sets = _shingle_sets(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_SET_MOD == 0
     train = sets.filter(~is_eval).filter(F.size("sh") > 0)
-    eval_shingles = (
+    eval_shingles = pin(
         sets.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
     )
+    small_enough = eval_shingles.count() <= EVAL_BROADCAST_MAX_SHINGLES
+    eval_side = F.broadcast(eval_shingles) if small_enough else eval_shingles
     shared = (
         train.select("doc_id", F.explode("sh").alias("shingle"))
-        .join(F.broadcast(eval_shingles), "shingle")
+        .join(eval_side, "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_with_eval"))
     )
@@ -211,14 +225,14 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sample_bucket(doc_id_col):
+def _sample_bucket(doc_id_col, salt: str = SAMPLE_SALT):
     """Deterministic bucket 0..999: first 4 hex digits of a salted md5
     of the doc id, mod 1000. Pure column arithmetic — identical on any
-    partitioning, and exactly reproducible digit-wise in the oracle."""
+    partitioning, and exactly reproducible digit-wise in the oracle.
+    Distinct salts draw independent samples (stratified sampling and
+    the IVF index fit must not share one)."""
     h = F.md5(
-        F.encode(
-            F.concat(doc_id_col.cast("string"), F.lit(":" + SAMPLE_SALT)), "UTF-8"
-        )
+        F.encode(F.concat(doc_id_col.cast("string"), F.lit(":" + salt)), "UTF-8")
     )
     return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 1000).alias("bucket")
 

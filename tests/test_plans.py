@@ -120,6 +120,27 @@ def test_token_budget_avoids_big_frame_sort(spark, sf_dir):
     assert plan.count("Window [sum") == 3
 
 
+def test_quantiles_no_whole_language_task(spark, sf_dir):
+    """lang_quality_quantiles must never hand one task a whole
+    language: no grouped-pandas stage, and every Window partitions by
+    (lang, qbin[, stat]) over pre-aggregated score counts — the only
+    doc-level operation is the map-side-combined groupBy (VERDICT r3
+    #2)."""
+    import re
+
+    from pac_spark.operators.text import lang_quality_quantiles
+
+    plan = _exec_plan(lang_quality_quantiles(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in plan
+    # every window spec must carry qbin in its partition key — a
+    # windowspecdefinition(lang#N, ...) without qbin would mean a
+    # per-language sort crept back in
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected Window operators in the quantiles plan"
+    for spec in specs:
+        assert "qbin" in spec, f"window partitioned by language only: {spec}"
+
+
 def test_knn_query_side_broadcasts(spark, sf_dir):
     """Brute-force kNN is a broadcast of the (tiny) query set against a
     linear scan — BroadcastNestedLoopJoin is the intended shape here."""

@@ -43,6 +43,23 @@ def test_ivf_scores_match_bruteforce(spark, sf_dir):
     assert all(n <= TOP_K for n in per_query.values())
 
 
+def test_ivf_fit_sample_bounded_and_deterministic(spark, sf_dir):
+    """The index-build sample must stay near IVF_FIT_TARGET regardless
+    of collection size, be deterministic (hash bucket, not RNG), and
+    pass small collections through whole."""
+    from pac_spark.operators.similarity import IVF_FIT_TARGET, _fit_sample
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "vec_id")
+    n1 = _fit_sample(big).count()
+    n2 = _fit_sample(big).count()
+    assert n1 == n2, "hash-bucket sample must be deterministic"
+    assert 0 < n1 < 20000
+    assert n1 < 3 * IVF_FIT_TARGET, f"sample {n1} far off target {IVF_FIT_TARGET}"
+
+    small = spark.range(0, IVF_FIT_TARGET).withColumnRenamed("id", "vec_id")
+    assert _fit_sample(small).count() == IVF_FIT_TARGET
+
+
 def test_custom_sessions_cap_invariant(spark, sf_dir):
     """Every emitted session respects the cap; cap-closed sessions have
     exactly SESSION_CAP events; all sessions fit inside their bounds."""
@@ -387,6 +404,19 @@ def test_decontamination_flags_planted_overlap(spark, sf_dir):
     assert 0 < len(flagged) < len(rows)
     assert all(r["containment"] >= 0.5 for r in flagged)
     assert all(r["doc_id"] % 50 != 0 for r in rows), "eval docs excluded"
+
+
+def test_decontaminate_broadcast_guard_fallback(spark, sf_dir, monkeypatch):
+    """With the broadcast ceiling forced to 0, decontaminate must take
+    the shuffle-join path and still produce identical rows — the guard
+    changes the physical plan, never the answer."""
+    from pac_spark.operators import curation
+
+    base = {tuple(r) for r in curation.decontaminate(spark, sf_dir).collect()}
+    monkeypatch.setattr(curation, "EVAL_BROADCAST_MAX_SHINGLES", 0)
+    guarded_df = curation.decontaminate(spark, sf_dir)
+    guarded = {tuple(r) for r in guarded_df.collect()}
+    assert guarded == base
 
 
 def test_semantic_dedup_clusters_nontrivial(spark, sf_dir):
