@@ -67,19 +67,20 @@ def checkpoint(df: DataFrame) -> DataFrame:
 
 
 def _jvm_alive() -> bool:
-    """One liveness probe for both handle kinds: the JVM context behind
-    the process-global default session exists and is not stopped.
-    ``getDefaultSession`` (not the thread-local ``getActiveSession``)
-    so a sweep running on a driver pool thread that never created a
-    session still sees the live JVM and actually unpersists. A dead
-    gateway raises on the probe itself, which also means 'not alive'."""
-    from pyspark.sql import SparkSession
+    """One liveness probe for both handle kinds: the process-global
+    active SparkContext exists and is not stopped.
+    ``SparkContext._active_spark_context`` (not the THREAD-local
+    ``SparkSession.getActiveSession``) so a sweep running on a driver
+    pool thread that never created a session still sees the live JVM
+    and actually unpersists (ADVICE r3). A dead gateway raises on the
+    probe itself, which also means 'not alive'."""
+    from pyspark import SparkContext
 
     try:
-        spark = SparkSession.getDefaultSession() or SparkSession.getActiveSession()
-        if spark is None:
+        sc = SparkContext._active_spark_context
+        if sc is None:
             return False
-        jsc = spark.sparkContext._jsc
+        jsc = sc._jsc
         return jsc is not None and not jsc.sc().isStopped()
     except Exception:
         return False

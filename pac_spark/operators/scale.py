@@ -1,0 +1,88 @@
+"""Scale-technique showcase queries: the skew-salted join and the
+bucketed-layout join, each run end-to-end on real tables so the driver
+hash-verifies that the technique is invisible to results.
+
+Both techniques exist for the same reason at 100 TB: the shuffle is
+the enemy. Salting spreads a hot key's shuffle across ``n_salts``
+tasks at the cost of replicating a small side; bucketing removes the
+join shuffle entirely by paying it once at write time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.functions.exact import money_sum
+from pac_spark.functions.salting import salted_join
+from pac_spark.sources.bucketing import read_table, write_bucketed
+
+__all__ = ["salted_events_join", "bucketed_orders_join"]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def salted_events_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-heavy equi-join through :func:`salted_join`: the events
+    fact carries ~5 distinct event types over every row — exactly the
+    key distribution that hot-spots a shuffle join — and the type dim
+    is tiny. The driver compares the salted result against the plain
+    join SQL, proving row-for-row that salting never changes results
+    (the salt is derived, joined on, and dropped internally).
+    """
+    events = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.upper(F.col("event_type")))
+    )
+    joined = salted_join(events, dim, ["event_type"], n_salts=16)
+    return joined.select("event_id", "event_type", "type_code", "value").orderBy(
+        "event_id"
+    )
+
+
+def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on a bucketed layout: orders and lineitem are
+    written hash-bucketed (and sorted) by their order key, then joined
+    with zero exchanges on either side — the ingest-time-shuffle trade
+    ``sources.bucketing`` prescribes for repeated joins at scale. The
+    aggregate afterwards is the query's only shuffle, and it runs on
+    the (already co-located) join output.
+
+    The oracle is the plain join + aggregate SQL, so the hash check
+    proves the layout is invisible to results; the plan test asserts
+    the exchange-free join shape.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_lineitem = f"pac_b_orders_{tag}", f"pac_b_lineitem_{tag}"
+    warehouse = os.path.join(_REPO_ROOT, "spark-warehouse")
+
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, t_orders, os.path.join(warehouse, t_orders), "o_orderkey")
+    write_bucketed(
+        lineitem, t_lineitem, os.path.join(warehouse, t_lineitem), "l_orderkey"
+    )
+
+    bo = read_table(spark, t_orders)
+    bl = read_table(spark, t_lineitem)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            money_sum(disc_price, scale=4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

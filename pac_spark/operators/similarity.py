@@ -29,6 +29,7 @@ from pac_spark import catalog
 
 __all__ = [
     "knn_bruteforce",
+    "knn_rerank",
     "embedding_similar_pairs",
     "semantic_dedup",
     "similar_pairs_banded",
@@ -84,6 +85,47 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query candidate re-ranking via grouped ``applyInPandas`` —
+    the bounded-group vectorized-Python shape (complementing
+    ``mapInPandas`` for per-batch and ``applyInPandasWithState`` for
+    stateful streaming).
+
+    Each query's top-k list arrives as ONE pandas frame; the rerank
+    derives gap-to-best and relative-score features (the slot where a
+    real pipeline runs a cross-encoder over the candidate list). This
+    is the legitimate ``applyInPandas`` regime: groups are top-k lists
+    — at most ``TOP_K`` rows by construction at ANY corpus size.
+    Unbounded per-group frames (per-language stats, per-label vectors)
+    must use histogram/aggregate plans instead — see
+    ``text.lang_quality_quantiles`` for the restructured example.
+
+    All derived features are raw IEEE double arithmetic on the
+    already-hash-verified scores (subtract, divide — no rounding, no
+    transcendentals), so numpy and the DuckDB oracle agree bit-exactly.
+    """
+    import pandas as pd
+
+    base = knn_bruteforce(spark, sf_dir)
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        best = pdf["score"].max()
+        out = pdf.copy()
+        out["gap_to_best"] = best - pdf["score"]
+        out["rel_score"] = (pdf["score"] / best) if best != 0.0 else None
+        return out
+
+    schema = (
+        "query_id long, vec_id long, label int, score double, rank int, "
+        "gap_to_best double, rel_score double"
+    )
+    return (
+        base.groupBy("query_id")
+        .applyInPandas(rerank, schema=schema)
         .orderBy("query_id", "rank")
     )
 

@@ -10,6 +10,7 @@ gets a *real* correctness check, not a rows-only count.
 from __future__ import annotations
 
 from pac_spark.functions.exact import exact_avg_sql
+from pac_spark.operators import dedup as _D
 from pac_spark.operators import entity_resolution as ER
 from pac_spark.plans.spec import QuerySpec
 
@@ -71,21 +72,18 @@ records AS (
 )
 """
 
-# per-field raw scores (NULL when either side absent), then the blend in
-# the same addition order as the Spark plan: name, address, title, company
-_SCORED_CTE = f"""
-blocked AS (
-    SELECT *, regexp_replace(name, '[^0-9]', '', 'g') AS block FROM records
-),
-raw_pairs AS (
-    SELECT a.record_id AS id_a, b.record_id AS id_b,
+# the two-sided record projection every pair source emits, so the
+# field-scoring CTE below composes with any blocking strategy
+_PAIR_COLS = """a.record_id AS id_a, b.record_id AS id_b,
            a.name AS name_a, b.name AS name_b,
            a.title AS title_a, b.title AS title_b,
            a.address AS address_a, b.address AS address_b,
-           a.company AS company_a, b.company AS company_b
-    FROM blocked a JOIN blocked b
-      ON a.block = b.block AND a.record_id < b.record_id
-),
+           a.company AS company_a, b.company AS company_b"""
+
+# per-field raw scores (NULL when either side absent), then the blend in
+# the same addition order as the Spark plan: name, address, title,
+# company. Expects a CTE named raw_pairs — composes with any blocking.
+_FIELD_SCORED_CTE = f"""
 field_scores AS (
     SELECT id_a, id_b,
         CASE WHEN {_present('name_a', 'name_b')}
@@ -120,6 +118,18 @@ scored AS (
             END, 6) AS overall_score
     FROM field_scores
 )
+"""
+
+_SCORED_CTE = f"""
+blocked AS (
+    SELECT *, regexp_replace(name, '[^0-9]', '', 'g') AS block FROM records
+),
+raw_pairs AS (
+    SELECT {_PAIR_COLS}
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.record_id < b.record_id
+),
+{_FIELD_SCORED_CTE.strip()}
 """
 
 _CLUSTERS_CTE = f"""
@@ -272,6 +282,49 @@ FROM records ORDER BY record_id
 """
 
 
+# LSH-blocked candidate pairs: the oracle re-derives the MinHash
+# signatures (same md5 seed family as operators.dedup), the band keys,
+# the bucket self-join, and the scoring — so the production blocking
+# pipeline is hash-verified end-to-end, exactly like minhash_lsh_dedup.
+_LSH_MH_COLS = ", ".join(
+    f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(_D.N_HASHES)
+)
+_LSH_ROWS = _D.N_HASHES // _D.N_BANDS
+_LSH_BANDS = "\n    UNION ALL ".join(
+    "SELECT record_id, {b} AS band_idx, md5({key}) AS band_key FROM sigs".format(
+        b=b,
+        key=" || '|' || ".join(f"mh{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS)),
+    )
+    for b in range(_D.N_BANDS)
+)
+
+_ER_PAIRS_LSH = f"""
+WITH {_RECORDS_CTE.strip()},
+runs AS (
+    SELECT record_id,
+           UNNEST(list_distinct(regexp_extract_all(name, '[0-9]+'))) AS shingle
+    FROM records
+),
+sigs AS (SELECT record_id, {_LSH_MH_COLS} FROM runs GROUP BY record_id),
+bands AS (
+    {_LSH_BANDS}
+),
+cands AS (
+    SELECT DISTINCT a.record_id AS id_a, b.record_id AS id_b
+    FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.record_id < b.record_id
+),
+raw_pairs AS (
+    SELECT {_PAIR_COLS}
+    FROM cands c JOIN records a ON c.id_a = a.record_id
+                 JOIN records b ON c.id_b = b.record_id
+),
+{_FIELD_SCORED_CTE.strip()}
+SELECT id_a, id_b, name_score, title_score, address_score, company_score, overall_score
+FROM scored WHERE overall_score >= {ER.GROUP_THRESHOLD} ORDER BY id_a, id_b
+"""
+
+
 def _records_q(spark, sf_dir):
     return ER.executive_records(spark, sf_dir).orderBy("record_id")
 
@@ -283,6 +336,7 @@ def _pairs_q(spark, sf_dir):
 SPECS = [
     QuerySpec("er_records", _records_q, _ER_RECORDS),
     QuerySpec("er_candidate_pairs", _pairs_q, _ER_PAIRS),
+    QuerySpec("er_candidate_pairs_lsh", ER.candidate_pairs_lsh, _ER_PAIRS_LSH),
     QuerySpec("er_clusters", ER.er_clusters, _ER_CLUSTERS),
     QuerySpec("er_consolidated", ER.er_consolidated, _ER_CONSOLIDATED),
     QuerySpec("er_approved", ER.er_approved, _ER_APPROVED),

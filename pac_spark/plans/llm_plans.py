@@ -162,6 +162,28 @@ SELECT query_id, vec_id, label, score, rank
 FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank
 """
 
+# rerank features as raw IEEE arithmetic over the KNN result — no
+# rounding, so numpy (Spark side) and DuckDB agree bit-exactly
+_KNN_RERANK = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN {S.QUERY_IDS}),
+scored AS (
+    SELECT query_id, vec_id, label, ROUND({_COS}, 8) AS score
+    FROM e, q WHERE vec_id != query_id
+),
+r AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+    FROM scored
+),
+topk AS (SELECT * FROM r WHERE rank <= {S.TOP_K})
+SELECT query_id, vec_id, label, score, rank,
+       MAX(score) OVER (PARTITION BY query_id) - score AS gap_to_best,
+       CASE WHEN MAX(score) OVER (PARTITION BY query_id) != 0
+            THEN score / MAX(score) OVER (PARTITION BY query_id) END AS rel_score
+FROM topk ORDER BY query_id, rank
+"""
+
 _COS_AB = (
     f"{_dot_sql('a.v', 'b.v')} / "
     f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')}))"
@@ -608,6 +630,7 @@ SPECS = [
     QuerySpec("minhash_lsh_dedup", D.minhash_lsh_dedup, _MINHASH_LSH),
     QuerySpec("simhash_neardup", D.simhash_neardup, _SIMHASH),
     QuerySpec("knn_bruteforce", S.knn_bruteforce, _KNN),
+    QuerySpec("knn_rerank", S.knn_rerank, _KNN_RERANK),
     QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
     QuerySpec("ann_lsh_topk", S.ann_lsh_topk, _ann_lsh_sql()),
     QuerySpec("ann_ivf_topk", S.ann_ivf_topk, None),

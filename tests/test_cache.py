@@ -1,0 +1,52 @@
+"""Cache lifecycle contracts (ADVICE r3): checkpoint blocks survive
+exactly one release generation (so a one-ahead-interleaving driver
+never loses them), and the liveness probe works from threads that
+never created a session.
+"""
+
+from __future__ import annotations
+
+import threading
+
+
+def test_checkpoint_release_deferred_one_generation(spark):
+    from pac_spark import cache
+
+    cache.release_caches(all_generations=True)  # clean slate
+    out = cache.checkpoint(spark.range(100))
+    assert out.count() == 100
+    n_ck = len(cache._CKPT_CUR)
+    assert n_ck >= 1, "checkpoint() must register its block handle"
+
+    cache.release_caches()  # generation 1: block must SURVIVE
+    assert len(cache._CKPT_PREV) == n_ck and not cache._CKPT_CUR
+    assert out.count() == 100, "deferred checkpoint still collectible"
+
+    cache.release_caches()  # generation 2: block freed
+    assert not cache._CKPT_PREV and not cache._CKPT_CUR
+
+
+def test_persists_release_immediately(spark):
+    from pac_spark import cache
+
+    cache.release_caches(all_generations=True)
+    pinned = cache.pin(spark.range(50))
+    assert pinned.count() == 50
+    cache.release_caches()
+    assert not cache._LIVE_DFS
+    # persisted frames recompute after release — values unaffected
+    assert pinned.count() == 50
+
+
+def test_jvm_alive_from_foreign_thread(spark):
+    """The probe must use the process-global context: a driver pool
+    thread that never created a session still sees the live JVM, so
+    release sweeps there actually unpersist instead of silently
+    dropping handles."""
+    from pac_spark.cache import _jvm_alive
+
+    results: list[bool] = []
+    t = threading.Thread(target=lambda: results.append(_jvm_alive()))
+    t.start()
+    t.join()
+    assert results == [True]

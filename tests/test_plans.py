@@ -120,6 +120,24 @@ def test_token_budget_avoids_big_frame_sort(spark, sf_dir):
     assert plan.count("Window [sum") == 3
 
 
+def test_bucketed_join_query_exchange_free_join(spark, sf_dir):
+    """The registered bucketed-layout query must plan its fact-to-fact
+    join WITHOUT an exchange on either side (bucket metadata consumed);
+    the only hash exchange is the final per-priority aggregate.
+    Broadcast is disabled so exchange-absence is a bucketing effect."""
+    from pac_spark.operators.scale import bucketed_orders_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _exec_plan(bucketed_orders_join(spark, sf_dir))
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_quantiles_no_whole_language_task(spark, sf_dir):
     """lang_quality_quantiles must never hand one task a whole
     language: no grouped-pandas stage, and every Window partitions by

@@ -436,6 +436,32 @@ def test_semantic_dedup_clusters_nontrivial(spark, sf_dir):
     assert keepers == set(by_cluster)
 
 
+def test_lsh_blocking_recovers_digit_block_pairs(spark, sf_dir):
+    """On this fixture the LSH-blocked ER path must lose NO pair the
+    digit-string blocking scores >= GROUP_THRESHOLD: variants of one
+    customer share their digit runs, so their MinHash band keys are
+    identical — recall is structural, not probabilistic. Spurious
+    extra pairs (md5 band collisions across customers) are allowed by
+    LSH semantics but must rescore below threshold or be genuine."""
+    from pac_spark.operators.entity_resolution import (
+        GROUP_THRESHOLD,
+        candidate_pairs,
+        candidate_pairs_lsh,
+    )
+
+    digit = {
+        (r["id_a"], r["id_b"])
+        for r in candidate_pairs(spark, sf_dir).collect()
+        if r["overall_score"] >= GROUP_THRESHOLD
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in candidate_pairs_lsh(spark, sf_dir).collect()
+    }
+    assert digit, "fixture must produce threshold pairs"
+    missed = digit - lsh
+    assert not missed, f"LSH blocking lost {len(missed)} pairs: {sorted(missed)[:5]}"
+
+
 def test_er_approved_gate_drops_rows(spark, sf_dir):
     """The approval gate must discriminate: some consolidated groups
     are rejected (r2's parity rule keyed on cluster_id % 2, which is

@@ -1,0 +1,55 @@
+"""The registry's demotion policy, enforced (VERDICT r3 #1): any spec
+past the driver's verification cap ships driver-unverified this round,
+so the tail may only hold queries that were hash-green in TWO
+CONSECUTIVE driver rounds. This test replays the CORRECTNESS_r*.json
+history against the current ordering, turning the written policy
+(registry.all_specs docstring) into an invariant that fails the build
+the moment a reorder or new spec pushes an under-verified query past
+the cap.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pac_spark.plans.registry import DRIVER_CAP, all_specs
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green(path: str) -> set[str]:
+    with open(path) as f:
+        rows = json.load(f)
+    return {
+        name
+        for name, r in rows.items()
+        if r.get("hash_match")
+        or (r.get("err") == "no_oracle" and r.get("spark_rows"))
+    }
+
+
+def test_tail_specs_have_two_consecutive_driver_greens():
+    files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    assert len(files) >= 2, "needs at least two driver rounds of history"
+    greens = [_green(f) for f in files]
+    tail = [s.name for s in all_specs()[DRIVER_CAP:]]
+    violations = [
+        name
+        for name in tail
+        if not any(
+            name in greens[i] and name in greens[i + 1]
+            for i in range(len(greens) - 1)
+        )
+    ]
+    assert not violations, (
+        f"tail specs without two consecutive driver-green rounds: "
+        f"{violations} — hoist them inside the first {DRIVER_CAP}"
+    )
+
+
+def test_registry_names_unique_and_cap_meaningful():
+    names = [s.name for s in all_specs()]
+    assert len(names) == len(set(names))
+    assert len(names) > DRIVER_CAP, "policy test is vacuous under the cap"
