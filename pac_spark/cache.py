@@ -104,10 +104,12 @@ def release_caches(all_generations: bool = False) -> int:
         to_release.append(_CKPT_CUR)
     n = sum(len(live) for live in to_release)
     if not _jvm_alive():
-        for live in to_release:
+        # blocks died with the JVM regardless of generation — drop ALL
+        # handles (keeping CUR would hand dead-gateway objects to a
+        # future sweep under a replacement JVM, which would re-raise
+        # their errors into an unrelated query)
+        for live in (_LIVE_DFS, _CKPT_PREV, _CKPT_CUR):
             live.clear()
-        if not all_generations:
-            _CKPT_PREV, _CKPT_CUR = _CKPT_CUR, _CKPT_PREV  # rotate (PREV now empty)
         return n
 
     errors: list[Exception] = []
