@@ -35,6 +35,7 @@ __all__ = [
     "similar_pairs_banded",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "label_centroids",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -86,6 +87,36 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the building block of k-means refits, class prototypes, and
+    centroid-based semantic dedup.
+
+    Plan: ``posexplode`` the vectors and aggregate per (label, pos) —
+    one map-side-combined shuffle whose key count is labels x dims, so
+    reducer state is bounded by the schema, never by corpus size. Rows
+    out (not reassembled arrays): at 100 TB the consumer is the next
+    keyed operation, and ``collect_list``-style array reassembly would
+    only add a nondeterministic-order hazard. The mean uses the
+    fixed-point exact-sum pattern (``functions.exact``), so the result
+    is bit-identical between Spark's aggregation tree and the serial
+    oracle at any partition count.
+    """
+    from pac_spark.functions.exact import exact_avg
+
+    exploded = catalog.load(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(_dvec("embedding")).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            exact_avg(F.col("val"), scale=6).alias("centroid"),
+        )
+        .orderBy("label", "pos")
     )
 
 

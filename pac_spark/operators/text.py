@@ -26,6 +26,7 @@ __all__ = [
     "doc_chunks",
     "corpus_quality_by_lang",
     "lang_quality_quantiles",
+    "vocab_top_terms",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -300,6 +301,36 @@ def lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.join(vals, "lang")
         .select("lang", "n_docs", "q25", "median", "q75")
         .orderBy("lang")
+    )
+
+
+VOCAB_TOP_N = 100
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction: total occurrences + document
+    frequency per term, top ``VOCAB_TOP_N`` by count — the frequency
+    table a tokenizer-training (BPE/unigram) or stopword-mining stage
+    starts from.
+
+    The classic wordcount shape, which is exactly why it belongs in
+    the engine: explode → groupBy(term) is one map-side-combined
+    shuffle; doc frequency rides the same aggregate as a distinct
+    count; the top-N is TakeOrderedAndProject (per-partition heaps,
+    no global sort). Ordering is total (count desc, term asc — terms
+    unique), so the result is deterministic at any partitioning.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        docs.groupBy("term")
+        .agg(
+            F.count("*").alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_count"), F.asc("term"))
+        .limit(VOCAB_TOP_N)
     )
 
 

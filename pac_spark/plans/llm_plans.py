@@ -162,6 +162,31 @@ SELECT query_id, vec_id, label, score, rank
 FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank
 """
 
+_VOCAB = f"""
+WITH t AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS term_count,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM t GROUP BY term
+ORDER BY term_count DESC, term ASC
+LIMIT {TX.VOCAB_TOP_N}
+"""
+
+_CENTROIDS = f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+    SELECT label, UNNEST(generate_series(1, len(v))) AS i, v FROM e
+)
+SELECT label,
+       CAST(i - 1 AS INT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {exact_avg_sql('v[i]', 6)} AS centroid
+FROM x GROUP BY label, i
+ORDER BY label, pos
+"""
+
 # rerank features as raw IEEE arithmetic over the KNN result — no
 # rounding, so numpy (Spark side) and DuckDB agree bit-exactly
 _KNN_RERANK = f"""
@@ -649,4 +674,6 @@ SPECS = [
     QuerySpec("doc_chunks", TX.doc_chunks, _CHUNKS),
     QuerySpec("decontaminate", CU.decontaminate, _decontaminate_sql()),
     QuerySpec("lang_quality_quantiles", TX.lang_quality_quantiles, _QUANTILES),
+    QuerySpec("vocab_top_terms", TX.vocab_top_terms, _VOCAB),
+    QuerySpec("label_centroids", S.label_centroids, _CENTROIDS),
 ]

@@ -159,6 +159,17 @@ def test_quantiles_no_whole_language_task(spark, sf_dir):
         assert "qbin" in spec, f"window partitioned by language only: {spec}"
 
 
+def test_vocab_topn_uses_take_ordered(spark, sf_dir):
+    """Vocabulary induction's top-N must plan as TakeOrderedAndProject
+    (per-partition heaps) over a map-side-combined aggregate — never a
+    global sort of the full term table."""
+    from pac_spark.operators.text import vocab_top_terms
+
+    plan = _exec_plan(vocab_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
+
+
 def test_knn_query_side_broadcasts(spark, sf_dir):
     """Brute-force kNN is a broadcast of the (tiny) query set against a
     linear scan — BroadcastNestedLoopJoin is the intended shape here."""
