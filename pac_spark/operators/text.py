@@ -243,12 +243,16 @@ def lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every window partition is bounded by construction (coarse bins per
     language; distinct scores per bin), never by corpus statistics.
     """
+    from pac_spark.cache import pin
+
     stats = stats_frame(catalog.load(spark, sf_dir, "documents")).select(
         "lang", "quality_score"
     )
-    # (1) doc pass: counts per exact score value
-    score_counts = stats.groupBy("lang", "quality_score").agg(
-        F.count("*").alias("cnt")
+    # (1) doc pass: counts per exact score value — pinned, because two
+    # branches consume it (coarse histogram + bin-local selection) and
+    # recomputation would scan and shuffle the corpus twice
+    score_counts = pin(
+        stats.groupBy("lang", "quality_score").agg(F.count("*").alias("cnt"))
     )
     binned = score_counts.withColumn(
         "qbin", F.floor(F.col("quality_score") * 100).cast("int")
