@@ -261,14 +261,11 @@ def candidate_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     records = executive_records(spark, sf_dir)
-    shingles = (
-        records.select(
-            F.col("record_id").alias("doc_id"),
-            F.explode(
-                F.regexp_extract_all("name", F.lit("[0-9]+"), 0)
-            ).alias("shingle"),
-        )
-        .distinct()
+    # no distinct: duplicate (record, run) rows cannot change a MIN
+    # aggregate, so deduping here would only add a shuffle
+    shingles = records.select(
+        F.col("record_id").alias("doc_id"),
+        F.explode(F.regexp_extract_all("name", F.lit("[0-9]+"), 0)).alias("shingle"),
     )
     cands = _lsh_candidates(
         _band_rows(_signatures_from_shingle_rows(shingles))
