@@ -38,9 +38,11 @@ def all_specs() -> list[QuerySpec]:
         scale_plans,
         streaming_plans,
         temporal_plans,
+        tpch_plans,
     )
 
     specs: list[QuerySpec] = []
+    specs += tpch_plans.SPECS
     specs += llm_plans.SPECS
     specs += scale_plans.SPECS
     specs += issues_plans.SPECS
@@ -75,6 +77,21 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
+        # two+ consecutive greens (r2+r3), unchanged in r4 — demoted to
+        # make driver slots for the TPC-H completion suite (tpch_plans)
+        "minhash_signatures",
+        "minhash_lsh_dedup",
+        "simhash_neardup",
+        "issues_count_validation",
+        "company_issue_summary",
+        "flagship_roles_resolved",
+        "export_envelope",
+        "er_consolidated",
+        "er_approved",
+        "er_links",
+        "er_records_stringified",
+        "interval_overlap_join",
+        "q18_large_orders",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]
