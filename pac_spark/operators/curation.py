@@ -38,6 +38,7 @@ __all__ = [
     "stratified_sample",
     "token_budget_mix",
     "decontaminate",
+    "training_shards",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -254,4 +255,44 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") < F.col("rate_permille"))
         .orderBy("doc_id")
+    )
+
+
+# shard count is a layout dial: O(cluster write parallelism), not a
+# constant — at 100 TB you'd run thousands; 32 keeps the per-shard row
+# streams non-trivial at the test scale factors
+N_TRAINING_SHARDS = 32
+SHARD_SALT = "training_shards_v1"
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-ready shard layout: assign every document a
+    deterministic shard and a deterministic position within it — the
+    "global shuffle" a training run reads, reproducible bit-for-bit
+    on any cluster layout (no rand(), no partition-index dependence).
+
+    Shard = salted-md5 bucket of doc_id (uniform, stateless); position
+    = rank of the full hash within the shard (hash order ≈ shuffled
+    order, which is the point: adjacent source documents land far
+    apart). The plan is exactly the writer's shape — one shuffle on
+    shard_id, sort within shard — expressed as a window so the oracle
+    can check it. One shard is one task's sort (externally spillable);
+    shard count scales with the cluster, so no task ever holds more
+    than (corpus / shards) rows."""
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = F.md5(
+        F.encode(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHARD_SALT)),
+            "UTF-8",
+        )
+    )
+    with_hash = docs.select("doc_id", "lang", "source", h.alias("_h")).withColumn(
+        "shard_id",
+        (F.conv(F.substring("_h", 1, 4), 16, 10).cast("int") % N_TRAINING_SHARDS),
+    )
+    order = W.partitionBy("shard_id").orderBy("_h", "doc_id")
+    return (
+        with_hash.withColumn("position", F.row_number().over(order).cast("int"))
+        .select("doc_id", "lang", "source", "shard_id", "position")
+        .orderBy("shard_id", "position")
     )

@@ -27,6 +27,8 @@ __all__ = [
     "corpus_quality_by_lang",
     "lang_quality_quantiles",
     "vocab_top_terms",
+    "doc_top_terms",
+    "unigram_prob_score",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -351,4 +353,94 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_short").cast("long")).alias("n_short_docs"),
         )
         .orderBy("lang")
+    )
+
+
+TOP_TERMS_PER_DOC = 3
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the ``TOP_TERMS_PER_DOC``
+    terms with the highest tf-idf-style relevance, idf in rational
+    form ``N / df`` (not ``ln(N/df)``) so every intermediate is exact
+    integer arithmetic and the one double division is bit-identical
+    across engines — the log is a monotone transform of the same
+    per-term quantity and would add nothing but float noise here.
+
+    Shape: tokenize → per-(doc, term) counts (one map-side-combined
+    shuffle) → document frequency per term (same exchange reused by
+    AQE where possible) → score join → per-doc top-k window. The
+    window partitions by doc_id, so a task holds one document's
+    distinct terms — bounded by document length, safe at any corpus
+    size. Ordering (score desc, term asc) is total within a doc;
+    results are deterministic at any partition count.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    doc_term = docs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = doc_term.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = catalog.load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("_n_docs")
+    )
+    scored = (
+        doc_term.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("_n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    top = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(top).cast("int"))
+        .filter(F.col("term_rank") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "term_rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model fluency score per document (the CCNet-
+    style corpus-LM quality gate): the mean corpus probability of the
+    document's tokens. Junk documents full of rare tokens score low;
+    fluent documents built from common words score high.
+
+    The classical form averages ``-ln p(tok)``; this uses the linear
+    mean of ``p(tok)`` instead, for the same reason as
+    :func:`doc_top_terms` — the token-mass numerator stays an exact
+    BIGINT sum (order-independent at any partition count, no
+    transcendental whose last ulp differs between engines), and the
+    scoring stays a meaningful fluency signal.
+
+    Shape: tokenize → corpus term counts (one wordcount shuffle) →
+    re-join tokens to counts on term → per-doc integer mass sum →
+    one double division against the 1-row broadcast total.
+    """
+    toks = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("_total_tokens"))
+    return (
+        toks.join(tf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("_mass"),
+            F.count("*").alias("n_tokens"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_mass").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * F.col("_total_tokens").cast("double")
+                )
+            ).alias("avg_token_prob"),
+        )
+        .orderBy("doc_id")
     )

@@ -648,6 +648,62 @@ ORDER BY n.doc_id
 """
 
 
+_TOP_TERMS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT dt.doc_id, dt.term, dt.tf, dfq.df,
+           CAST(dt.tf * nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score
+    FROM dt JOIN dfq USING (term), nd
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term ASC) AS INT) AS term_rank
+    FROM scored
+)
+SELECT doc_id, term_rank, term, tf, df, score
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+_UNIGRAM_PROB = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks),
+pd AS (
+    SELECT doc_id, SUM(cnt) AS mass, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks JOIN tf USING (term) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(mass AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE))
+           AS avg_token_prob
+FROM pd, tot ORDER BY doc_id
+"""
+
+
+def _shards_sql() -> str:
+    from pac_spark.operators import curation as C
+
+    digits = " + ".join(
+        f"({_SAMPLE_HEXD.format(salt=C.SHARD_SALT, i=i + 1)}) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH h AS (
+    SELECT doc_id, lang, source,
+           md5(CAST(doc_id AS VARCHAR) || ':{C.SHARD_SALT}') AS _h,
+           CAST(({digits}) % {C.N_TRAINING_SHARDS} AS INT) AS shard_id
+    FROM documents
+)
+SELECT doc_id, lang, source, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY _h, doc_id) AS INT)
+           AS position
+FROM h ORDER BY shard_id, position
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -676,4 +732,7 @@ SPECS = [
     QuerySpec("lang_quality_quantiles", TX.lang_quality_quantiles, _QUANTILES),
     QuerySpec("vocab_top_terms", TX.vocab_top_terms, _VOCAB),
     QuerySpec("label_centroids", S.label_centroids, _CENTROIDS),
+    QuerySpec("doc_top_terms", TX.doc_top_terms, _TOP_TERMS),
+    QuerySpec("unigram_prob_score", TX.unigram_prob_score, _UNIGRAM_PROB),
+    QuerySpec("training_shards", CU.training_shards, _shards_sql()),
 ]

@@ -92,6 +92,11 @@ def all_specs() -> list[QuerySpec]:
         "er_records_stringified",
         "interval_overlap_join",
         "q18_large_orders",
+        # three-round green, unchanged in r4 — slots for doc_top_terms /
+        # unigram_prob_score / training_shards
+        "ngram_jaccard_pairs",
+        "pivot_daily_event_counts",
+        "grouping_sets_revenue",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]
