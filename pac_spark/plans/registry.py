@@ -93,10 +93,11 @@ def all_specs() -> list[QuerySpec]:
         "interval_overlap_join",
         "q18_large_orders",
         # three-round green, unchanged in r4 — slots for doc_top_terms /
-        # unigram_prob_score / training_shards
+        # unigram_prob_score / training_shards / streaming_sliding_1h_30m
         "ngram_jaccard_pairs",
         "pivot_daily_event_counts",
         "grouping_sets_revenue",
+        "streaming_sessions_10m",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]

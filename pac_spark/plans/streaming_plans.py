@@ -142,6 +142,7 @@ SPECS = [
     QuerySpec("events_sliding_1h_30m", windows.sliding_1h_30m_by_type, _SLIDING),
     QuerySpec("events_sessions_10m", windows.session_windows_10m, _SESSION_BATCH),
     QuerySpec("streaming_tumbling_1h", stream_exec.streaming_tumbling_1h, _TUMBLING),
+    QuerySpec("streaming_sliding_1h_30m", stream_exec.streaming_sliding_1h_30m, _SLIDING),
     QuerySpec("streaming_sessions_10m", stream_exec.streaming_sessions_10m, _SESSION_STREAM),
     QuerySpec("streaming_dedup_events", stream_exec.streaming_dedup_events, _STREAM_DEDUP),
     QuerySpec(

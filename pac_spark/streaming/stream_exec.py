@@ -27,6 +27,7 @@ __all__ = [
     "stream_events",
     "run_to_memory",
     "streaming_tumbling_1h",
+    "streaming_sliding_1h_30m",
     "streaming_sessions_10m",
     "streaming_dedup_events",
     "streaming_enriched_by_segment",
@@ -77,6 +78,18 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     out = windowed_agg(events, "1 hour")
     return run_to_memory(spark, out, "stream_tumbling_1h", "complete").orderBy(
+        "window_start", "event_type"
+    )
+
+
+def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1h/30m sliding-window aggregation as an actual stream —
+    same logical plan as the batch ``sliding_1h_30m_by_type`` (each
+    event lands in two overlapping windows), watermarked and drained
+    complete-mode; shares the batch DuckDB oracle."""
+    events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    out = windowed_agg(events, "1 hour", "30 minutes")
+    return run_to_memory(spark, out, "stream_sliding_1h_30m", "complete").orderBy(
         "window_start", "event_type"
     )
 
