@@ -486,3 +486,53 @@ def test_er_approved_gate_drops_rows(spark, sf_dir):
     n_all = er_consolidated(spark, sf_dir).count()
     n_approved = er_approved(spark, sf_dir).count()
     assert 0 < n_approved < n_all
+
+
+def test_training_shards_match_independent_python(spark, sf_dir):
+    """Re-derive every shard assignment and within-shard position with
+    hashlib — an implementation sharing zero code with the Spark plan
+    (and none with the DuckDB oracle's hex-digit arithmetic)."""
+    import hashlib
+
+    from pac_spark.operators.curation import (
+        N_TRAINING_SHARDS,
+        SHARD_SALT,
+        training_shards,
+    )
+
+    rows = training_shards(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()
+    expect = {}
+    by_shard = {}
+    for (doc_id,) in docs:
+        h = hashlib.md5(f"{doc_id}:{SHARD_SALT}".encode()).hexdigest()
+        shard = int(h[:4], 16) % N_TRAINING_SHARDS
+        by_shard.setdefault(shard, []).append((h, doc_id))
+    for shard, members in by_shard.items():
+        for pos, (_, doc_id) in enumerate(sorted(members), start=1):
+            expect[doc_id] = (shard, pos)
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert (r.shard_id, r.position) == expect[r.doc_id], r.doc_id
+    # layout sanity: every shard is populated at this corpus size
+    assert len(by_shard) == N_TRAINING_SHARDS
+
+
+def test_unigram_prob_bounds_and_mass(spark, sf_dir):
+    """Scores are probabilities of observed tokens: each in (0, 1],
+    and the token-mass identity holds — sum over docs of
+    n_tokens * avg_token_prob * total_tokens equals the sum over
+    distinct terms of cnt² (both count co-occurrence mass)."""
+    from pac_spark.operators.text import unigram_prob_score
+
+    rows = unigram_prob_score(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    assert total > 0
+    for r in rows:
+        assert 0.0 < r.avg_token_prob <= 1.0
+    mass_lhs = round(sum(r.avg_token_prob * r.n_tokens * total for r in rows))
+    import collections
+
+    texts = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    cnt = collections.Counter(tok for (t,) in texts for tok in t.split(" "))
+    assert mass_lhs == sum(c * c for c in cnt.values())
