@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_parquet", "read_csv", "read_json", "read_jdbc"]
+__all__ = ["read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc"]
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -51,6 +51,14 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format large warehouses hand us.
+    Schema from file footers; predicate pushdown and column pruning
+    work exactly as for parquet (both go through the vectorized
+    columnar reader)."""
+    return spark.read.orc(path)
 
 
 def read_jdbc(

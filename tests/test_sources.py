@@ -15,7 +15,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pac_spark.sources.readers import read_csv, read_json, read_parquet
+from pac_spark.sources.readers import read_csv, read_json, read_orc, read_parquet
 from pac_spark.sources.sinks import parquet_write
 
 
@@ -76,3 +76,14 @@ def test_jdbc_reader_is_importable():
     from pac_spark.sources.readers import read_jdbc
 
     assert callable(read_jdbc)
+
+
+def test_orc_roundtrip_and_pushdown(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = read_orc(spark, path)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+    qe = back.filter("n_nationkey = 3")._jdf.queryExecution().toString()
+    assert "PushedFilters" in qe and "PushedFilters: []" not in qe
