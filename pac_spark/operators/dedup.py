@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_dedup",
     "simhash_neardup",
+    "incremental_neardup_filter",
 ]
 
 N_HASHES = 8
@@ -408,4 +409,87 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# the incremental split: documents with doc_id % 10 >= NEW_BATCH_MOD
+# play the "newly ingested batch"; the rest are the standing corpus.
+# In production the historical side is a *stored* band-bucket index
+# (written once per ingest, appended incrementally) — the split here
+# derives both sides from one table so the operator is self-contained
+# and oracle-checkable.
+NEW_BATCH_MOD = 8
+
+
+def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingestion dedup: admit a newly-ingested document only
+    if it is NOT a near-duplicate of the standing corpus.
+
+    This is the shape a training pipeline actually runs day to day —
+    each new crawl batch screens against everything already kept, and
+    new×new comparisons are deliberately out of scope (handled by the
+    batch dedup passes when the batch is folded in). Candidates come
+    from the same MinHash band buckets as :func:`minhash_lsh_dedup`,
+    but the join is new-side bands × historical-side bands only: cost
+    scales with bucket collisions against the index, never with
+    |history|² or |new|×|history|. Flagged candidates are rescored
+    with exact Jaccard on the shared shingle pass.
+
+    At 100 TB the historical band table is a bucketed, sorted-on-
+    (band_idx, band_key) stored index; a day's batch is orders of
+    magnitude smaller than history, so the band join broadcasts the
+    new side and never reshuffles the index.
+    """
+    doc_sets = _shingle_sets(spark, sf_dir)
+    sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    bands = _band_rows(_signatures_from_shingle_rows(sh))
+    is_new = (F.col("doc_id") % 10) >= NEW_BATCH_MOD
+    new_bands = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    hist_bands = bands.filter(~is_new).select(
+        F.col("doc_id").alias("hist_id"), "band_idx", "band_key"
+    )
+    cands = (
+        new_bands.join(hist_bands, on=["band_idx", "band_key"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    paired = (
+        cands.join(doc_sets.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .withColumnRenamed("sh", "sh_new")
+        .join(doc_sets.withColumnRenamed("doc_id", "hist_id"), "hist_id")
+        .withColumnRenamed("sh", "sh_hist")
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_hist"))
+    union = F.size("sh_new") + F.size("sh_hist") - inter
+    matches = (
+        paired.select(
+            "new_id", "hist_id", F.round(inter / union, 8).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_dup_matches"),
+            F.min("hist_id").alias("nearest_hist"),
+        )
+    )
+    new_docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(is_new)
+        .select("doc_id", "lang", "source")
+    )
+    return (
+        new_docs.join(matches, new_docs.doc_id == matches.new_id, "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("n_dup_matches", F.lit(0)).cast("int").alias("n_dup_matches"),
+            "nearest_hist",
+            (F.coalesce("n_dup_matches", F.lit(0)) == 0).alias("admitted"),
+        )
+        .orderBy("doc_id")
     )

@@ -704,6 +704,48 @@ FROM h ORDER BY shard_id, position
 """
 
 
+_INCREMENTAL = f"""
+{_DOCS_PRELUDE},
+sigs AS (SELECT doc_id, {_MH_COLS} FROM shingle_rows GROUP BY doc_id),
+bands AS (
+    {_BAND_SELECTS}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id % 10 >= {D.NEW_BATCH_MOD} AND b.doc_id % 10 < {D.NEW_BATCH_MOD}
+),
+doc_sets AS (
+    SELECT doc_id, LIST(shingle ORDER BY shingle) AS sh FROM shingle_rows GROUP BY doc_id
+),
+matches AS (
+    SELECT new_id,
+           CAST(COUNT(*) AS INT) AS n_dup_matches,
+           MIN(hist_id) AS nearest_hist
+    FROM (
+        SELECT new_id, hist_id,
+               ROUND(len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 8)
+                   AS jaccard
+        FROM cands
+        JOIN doc_sets sa ON new_id = sa.doc_id
+        JOIN doc_sets sb ON hist_id = sb.doc_id
+    )
+    WHERE jaccard >= {D.JACCARD_THRESHOLD}
+    GROUP BY new_id
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(COALESCE(m.n_dup_matches, 0) AS INT) AS n_dup_matches,
+       m.nearest_hist,
+       COALESCE(m.n_dup_matches, 0) = 0 AS admitted
+FROM documents d
+LEFT JOIN matches m ON d.doc_id = m.new_id
+WHERE d.doc_id % 10 >= {D.NEW_BATCH_MOD}
+ORDER BY d.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -735,4 +777,5 @@ SPECS = [
     QuerySpec("doc_top_terms", TX.doc_top_terms, _TOP_TERMS),
     QuerySpec("unigram_prob_score", TX.unigram_prob_score, _UNIGRAM_PROB),
     QuerySpec("training_shards", CU.training_shards, _shards_sql()),
+    QuerySpec("incremental_neardup_filter", D.incremental_neardup_filter, _INCREMENTAL),
 ]

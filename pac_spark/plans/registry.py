@@ -98,6 +98,8 @@ def all_specs() -> list[QuerySpec]:
         "pivot_daily_event_counts",
         "grouping_sets_revenue",
         "streaming_sessions_10m",
+        # slot for incremental_neardup_filter
+        "flagship_company_positions",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]
