@@ -62,17 +62,21 @@ def main() -> None:
     release_caches(all_generations=True)
     spark.catalog.clearCache()
 
-    # two timed rounds, min per query: a single pass is hostage to
+    # three timed rounds, min per query: a single pass is hostage to
     # whatever JVM event (full GC, state-store teardown from an earlier
     # streaming query, block eviction) lands on it — observed swings of
-    # 3x on unchanged plans. The min of two runs is the steady-state
-    # number a cluster would see; each run still pays its query's own
-    # materialization (caches are released between queries).
+    # 3x on unchanged plans, and with only two rounds both samples of a
+    # query regularly land on the same disturbance. The min of three is
+    # the steady-state number a cluster would see; each run still pays
+    # its query's own materialization (caches are released between
+    # queries). A GC hint between timed queries keeps one query's
+    # garbage from billing the next query's measurement.
     timings: dict[str, float] = {}
-    for _round in range(2):
+    for _round in range(3):
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             elapsed = round(time.time() - t0, 3)

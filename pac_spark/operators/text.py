@@ -29,6 +29,7 @@ __all__ = [
     "vocab_top_terms",
     "doc_top_terms",
     "unigram_prob_score",
+    "doc_repetition_signals",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -444,3 +445,92 @@ def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Gopher-style repetition thresholds: a document whose single most
+# frequent bigram exceeds this share of all bigrams, or whose
+# duplicated-token mass exceeds this share of all tokens, is flagged
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TOKEN_MAX = 0.60
+
+
+def _max_run(col: str) -> Column:
+    """Most frequent element of an already-SORTED array column + its
+    count, as ``struct(val, cnt)`` — one linear scan over the array,
+    ties broken toward the lexicographically smallest element (the
+    sorted order plus a strictly-greater update rule guarantees it).
+
+    This is the zero-shuffle mode computation: sorting each document's
+    own array is O(len log len) per row inside whole-stage codegen,
+    vs the explode → groupBy(doc, elem) → window alternative that
+    shuffles every token occurrence in the corpus twice. Per-row work
+    is bounded by document length, which the chunking stage bounds
+    upstream — the right trade at 100 TB where shuffle bytes, not
+    per-core arithmetic, are the scarce resource.
+    """
+    return F.expr(
+        f"""CASE WHEN size({col}) = 0
+          THEN named_struct('val', CAST(NULL AS STRING), 'cnt', 0)
+          ELSE aggregate(
+            slice({col}, 2, size({col}) - 1),
+            named_struct('cur', {col}[0], 'run', 1, 'val', {col}[0], 'cnt', 1),
+            (acc, x) -> IF(x = acc.cur,
+              named_struct('cur', x, 'run', acc.run + 1,
+                           'val', IF(acc.run + 1 > acc.cnt, x, acc.val),
+                           'cnt', greatest(acc.run + 1, acc.cnt)),
+              named_struct('cur', x, 'run', 1, 'val', acc.val, 'cnt', acc.cnt)),
+            acc -> named_struct('val', acc.val, 'cnt', acc.cnt))
+          END"""
+    )
+
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-filter
+    family): most-frequent token and bigram with their corpus-share
+    fractions, duplicated-token mass, and the composite flag.
+
+    Everything is computed from each document's own token array —
+    sort + linear scan per row, no explode, no shuffle; the whole
+    operator is one narrow codegen projection over the scan, like
+    every other per-doc stage in this module.
+    """
+    from pac_spark.operators.text_core import shingles_of_tokens
+
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
+    arrays = docs.select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_unique_tokens"),
+        F.array_sort("__toks").alias("__stoks"),
+        F.array_sort(shingles_of_tokens("__toks", 2)).alias("__sbigs"),
+    )
+    picked = arrays.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        _max_run("__stoks").alias("__mt"),
+        _max_run("__sbigs").alias("__mb"),
+    )
+    n = F.col("n_tokens")
+    top_tok_frac = F.round(F.col("__mt.cnt") / n, 8)
+    top_big_frac = F.when(
+        n >= 2, F.round(F.col("__mb.cnt") / (n - F.lit(1)), 8)
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.round((n - F.col("n_unique_tokens")) / n, 8)
+    return picked.select(
+        "doc_id",
+        "n_tokens",
+        F.col("__mt.val").alias("top_token"),
+        F.col("__mt.cnt").cast("int").alias("top_token_cnt"),
+        top_tok_frac.alias("top_token_frac"),
+        F.col("__mb.val").alias("top_bigram"),
+        F.col("__mb.cnt").cast("int").alias("top_bigram_cnt"),
+        top_big_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_token_frac"),
+        (
+            (top_big_frac > F.lit(REP_TOP_BIGRAM_MAX))
+            | (dup_frac > F.lit(REP_DUP_TOKEN_MAX))
+        ).alias("is_repetitive"),
+    ).orderBy("doc_id")

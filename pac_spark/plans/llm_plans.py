@@ -13,6 +13,7 @@ from pac_spark.functions.exact import exact_avg_sql
 from pac_spark.operators import curation as CU
 from pac_spark.operators import dedup as D
 from pac_spark.operators import multimodal as MM
+from pac_spark.operators import scrub as SC
 from pac_spark.operators import similarity as S
 from pac_spark.operators import text as TX
 from pac_spark.operators.text_core import SHINGLES_SQL
@@ -746,6 +747,59 @@ ORDER BY d.doc_id
 """
 
 
+_REPETITION = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS n_unique
+    FROM toks GROUP BY 1
+),
+tcounts AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+ttop AS (
+    SELECT doc_id, tok, cnt FROM (
+        SELECT doc_id, tok, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, tok ASC) AS rn
+        FROM tcounts) WHERE rn = 1
+),
+bigrams AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bcounts AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2),
+btop AS (
+    SELECT doc_id, bg, cnt FROM (
+        SELECT doc_id, bg, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bg ASC) AS rn
+        FROM bcounts) WHERE rn = 1
+)
+SELECT s.doc_id,
+       CAST(s.n AS INT) AS n_tokens,
+       t.tok AS top_token,
+       CAST(t.cnt AS INT) AS top_token_cnt,
+       ROUND(t.cnt / s.n, 8) AS top_token_frac,
+       b.bg AS top_bigram,
+       CAST(COALESCE(b.cnt, 0) AS INT) AS top_bigram_cnt,
+       CASE WHEN s.n >= 2 THEN ROUND(b.cnt / (s.n - 1), 8)
+            ELSE 0.0 END AS top_bigram_frac,
+       ROUND((s.n - s.n_unique) / s.n, 8) AS dup_token_frac,
+       (CASE WHEN s.n >= 2 THEN ROUND(b.cnt / (s.n - 1), 8) ELSE 0.0 END
+            > {top_bigram_max}
+        OR ROUND((s.n - s.n_unique) / s.n, 8) > {dup_token_max})
+           AS is_repetitive
+FROM sizes s
+JOIN ttop t USING (doc_id)
+LEFT JOIN btop b USING (doc_id)
+ORDER BY s.doc_id
+""".format(
+    top_bigram_max=TX.REP_TOP_BIGRAM_MAX, dup_token_max=TX.REP_DUP_TOKEN_MAX
+)
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -778,4 +832,6 @@ SPECS = [
     QuerySpec("unigram_prob_score", TX.unigram_prob_score, _UNIGRAM_PROB),
     QuerySpec("training_shards", CU.training_shards, _shards_sql()),
     QuerySpec("incremental_neardup_filter", D.incremental_neardup_filter, _INCREMENTAL),
+    QuerySpec("pii_scrub_docs", SC.pii_scrub_docs, SC.SCRUB_SQL()),
+    QuerySpec("doc_repetition_signals", TX.doc_repetition_signals, _REPETITION),
 ]

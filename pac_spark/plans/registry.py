@@ -100,6 +100,12 @@ def all_specs() -> list[QuerySpec]:
         "streaming_sessions_10m",
         # slot for incremental_neardup_filter
         "flagship_company_positions",
+        # three-round green (r1+r2+r3) — slots for pii_scrub_docs /
+        # doc_repetition_signals; their code paths stay cap-covered via
+        # er_candidate_pairs_lsh (same rescorer) and
+        # streaming_sliding_1h_30m (same stream executor)
+        "er_candidate_pairs",
+        "streaming_tumbling_1h",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]
