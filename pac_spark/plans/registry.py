@@ -65,6 +65,8 @@ def all_specs() -> list[QuerySpec]:
         "q17_small_quantity_revenue",
         # single driver-green (r3 only) — must not ride the tail yet
         "streaming_enriched_by_segment",
+        # new this round
+        "streaming_neardup_admission",
     ]
     demote = [
         # three-round green (r1+r2+r3), code untouched in r4
@@ -106,6 +108,9 @@ def all_specs() -> list[QuerySpec]:
         # streaming_sliding_1h_30m (same stream executor)
         "er_candidate_pairs",
         "streaming_tumbling_1h",
+        # three-round green; the connected-components engine it runs
+        # stays cap-covered via semantic_dedup (same clustering core)
+        "er_clusters",
     ]
     by_priority = (
         [s for s in specs if s.name in hoist]

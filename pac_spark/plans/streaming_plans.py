@@ -137,6 +137,15 @@ GROUP BY 1, 2
 ORDER BY window_start, segment
 """
 
+def _streaming_admission_sql() -> str:
+    """The streaming admission shares the batch incremental-dedup
+    oracle — Structured Streaming's exactly-once drain makes the
+    results identical."""
+    from pac_spark.plans.llm_plans import _INCREMENTAL
+
+    return _INCREMENTAL
+
+
 SPECS = [
     QuerySpec("events_tumbling_1h", windows.tumbling_1h_by_type, _TUMBLING),
     QuerySpec("events_sliding_1h_30m", windows.sliding_1h_30m_by_type, _SLIDING),
@@ -159,5 +168,10 @@ SPECS = [
         "streaming_enriched_by_segment",
         stream_exec.streaming_enriched_by_segment,
         _STREAM_ENRICHED,
+    ),
+    QuerySpec(
+        "streaming_neardup_admission",
+        stream_exec.streaming_neardup_admission,
+        _streaming_admission_sql(),
     ),
 ]

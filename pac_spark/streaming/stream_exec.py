@@ -32,6 +32,7 @@ __all__ = [
     "streaming_dedup_events",
     "streaming_enriched_by_segment",
     "streaming_purchase_click_join",
+    "streaming_neardup_admission",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -213,4 +214,144 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
     return run_to_memory(spark, out, "stream_dedup_events", "complete").orderBy(
         "event_type"
+    )
+
+
+def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continual-ingestion dedup as an actual stream: newly-ingested
+    documents arrive on a ``readStream``, and each is admitted only if
+    it is not a near-duplicate of the standing corpus — the streaming
+    twin of ``operators/dedup.py::incremental_neardup_filter``, sharing
+    its oracle.
+
+    The per-document MinHash signature is computed ROW-LOCALLY from the
+    document's own shingle array (``array_min`` over per-seed md5
+    transforms — no groupBy), which is what makes the plan stream
+    legally: the only stateful operator is the final per-document
+    aggregation. Band rows then LEFT-join the *static* historical band
+    index (so documents with zero collisions still flow through and
+    get admitted), collisions rescore with exact Jaccard against the
+    static historical shingle sets, and ``collect_set`` dedupes
+    multi-band collisions of the same (new, hist) pair.
+
+    At 100 TB the historical index is a stored, bucketed table and a
+    day's batch is small: both static joins broadcast, the stream never
+    shuffles before its one keyed aggregation, and state is bounded by
+    the ingest batch in flight (complete-mode drain here is a test
+    harness artifact — production runs the same plan with foreachBatch
+    appending admissions to the corpus and the index).
+    """
+    from pac_spark.cache import pin
+    from pac_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        N_HASHES,
+        NEW_BATCH_MOD,
+        _band_rows,
+        _shingle_sets,
+        _signatures_from_shingle_rows,
+    )
+    from pac_spark.operators.text_core import shingles_of_tokens, tokens
+
+    # ---- static side: the standing corpus's band index + shingle sets
+    doc_sets = _shingle_sets(spark, sf_dir)
+    is_hist = (F.col("doc_id") % 10) < NEW_BATCH_MOD
+    hist_sets = doc_sets.filter(is_hist).select(
+        F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_hist")
+    )
+    hist_rows = (
+        doc_sets.filter(is_hist)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    hist_bands = pin(
+        _band_rows(_signatures_from_shingle_rows(hist_rows)).select(
+            F.col("doc_id").alias("hist_id"), "band_idx", "band_key"
+        )
+    )
+
+    # ---- stream side: new batch, row-local signature + band keys
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    new = (
+        stream.filter((F.col("doc_id") % 10) >= NEW_BATCH_MOD)
+        .select("doc_id", "lang", "source", tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.array_distinct(shingles_of_tokens("__toks", 3)).alias("sh"),
+        )
+    )
+    # NB: binding the seed with a Python default arg (lambda x, s=s:)
+    # silently breaks here — PySpark treats any two-parameter lambda
+    # as transform's (element, index) form and binds the second name
+    # to the index Column, so the seed prefix becomes the stringified
+    # Column object. SQL lambdas keep the seed a plain literal.
+    sigs = new.select(
+        "doc_id",
+        "lang",
+        "source",
+        "sh",
+        *[
+            F.expr(
+                f"array_min(transform(sh, x{s} -> "
+                f"md5(encode(concat('{s}|', x{s}), 'UTF-8'))))"
+            ).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ],
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        "UTF-8",
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "lang", "source", "sh", F.explode_outer(band_arr).alias("band")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "sh",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+    # ---- stream-static joins + rescoring + one keyed aggregation
+    cands = banded.join(F.broadcast(hist_bands), ["band_idx", "band_key"], "left")
+    rescored = cands.join(F.broadcast(hist_sets), "hist_id", "left")
+    inter = F.size(F.array_intersect("sh", "sh_hist"))
+    union = F.size("sh") + F.size("sh_hist") - inter
+    is_dup = F.round(inter / union, 8) >= JACCARD_THRESHOLD
+    hit = F.when(is_dup, F.col("hist_id"))
+    out = (
+        rescored.groupBy("doc_id", "lang", "source")
+        .agg(
+            F.size(F.collect_set(hit)).cast("int").alias("n_dup_matches"),
+            F.min(hit).alias("nearest_hist"),
+        )
+        .withColumn("admitted", F.col("n_dup_matches") == 0)
+    )
+    return run_to_memory(spark, out, "stream_neardup_admission", "complete").orderBy(
+        "doc_id"
     )

@@ -135,3 +135,38 @@ def test_weighted_similarity_renormalizes(spark):
     # (80*0.5 + 60*0.25) / 0.75
     assert abs(out[1]["w"] - (80 * 0.5 + 60 * 0.25) / 0.75) < 1e-9
     assert out[2]["w"] is None
+
+
+def test_max_run_matches_python_counter(spark):
+    """The sorted-array max-run kernel behind doc_repetition_signals
+    must agree with a plain Python Counter (max count, ties to the
+    lexicographically smallest element) over a deterministic battery
+    of random token arrays, including empty and single-element."""
+    import random
+    from collections import Counter
+
+    from pac_spark.operators.text import _max_run
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "aa", "ab", "z", "zz"]
+    arrays = [[]] + [["solo"]] + [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 40))] for _ in range(60)
+    ]
+    rows = [(i, arr) for i, arr in enumerate(arrays)]
+    df = spark.createDataFrame(rows, "id long, arr array<string>")
+    out = {
+        r["id"]: (r["mr"]["val"], r["mr"]["cnt"])
+        for r in df.select(
+            "id", F.expr("array_sort(arr)").alias("__sorted")
+        )
+        .select("id", _max_run("__sorted").alias("mr"))
+        .collect()
+    }
+    for i, arr in enumerate(arrays):
+        if not arr:
+            assert out[i] == (None, 0)
+            continue
+        counts = Counter(arr)
+        best_cnt = max(counts.values())
+        best_val = min(v for v, c in counts.items() if c == best_cnt)
+        assert out[i] == (best_val, best_cnt), f"array {i}: {arr}"
