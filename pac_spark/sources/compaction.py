@@ -1,0 +1,78 @@
+"""Table compaction & file layout: the small-files maintenance pass
+every long-lived 100 TB table needs (streaming sinks and per-batch
+appends leave thousands of KB-sized files; scans then pay one task +
+one open per file).
+
+Two layout modes:
+
+- :func:`compact` — AQE REBALANCE: coalesces/splits partitions toward
+  ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` at runtime from
+  the *measured* shuffle sizes. No count() pre-pass, no guessed file
+  number — the right mechanism when the input size is unknown, which
+  at 100 TB is always.
+- :func:`compact_clustered` — ``repartitionByRange`` + in-partition
+  sort on the cluster keys: output files carry DISJOINT key ranges, so
+  parquet footer min/max statistics prune file scans for range
+  predicates (the poor man's clustering index; the range boundaries
+  come from Spark's reservoir sampling of the keys, not a full pass).
+
+Both cap rows per file (``maxRecordsPerFile``) so a skewed partition
+cannot produce one giant file.
+
+The reference has no table-maintenance story (its sink rewrites whole
+JSON trees per run — index_align_to_firebase.py:499-500); this is part
+of the engine's ops surface for the driver-contract extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["compact", "compact_clustered"]
+
+
+def _write(df: DataFrame, dest: str, max_records_per_file: int | None) -> None:
+    writer = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(dest)
+
+
+def compact(
+    df: DataFrame,
+    dest: str,
+    advisory_partition_mb: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite ``df`` to ``dest`` with size-targeted files via the AQE
+    REBALANCE hint. Row content is preserved exactly; file boundaries
+    are chosen by AQE from measured sizes."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, None)
+    try:
+        if advisory_partition_mb is not None:
+            spark.conf.set(key, f"{advisory_partition_mb}m")
+        _write(df.hint("rebalance"), dest, max_records_per_file)
+    finally:
+        if advisory_partition_mb is not None and prev is not None:
+            spark.conf.set(key, prev)
+
+
+def compact_clustered(
+    df: DataFrame,
+    dest: str,
+    cluster_by: list[str],
+    n_files: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite ``df`` to ``dest`` as ``n_files`` range-clustered,
+    internally sorted parquet files: file k holds keys in a range
+    disjoint from file k+1's, so footer min/max stats prune whole
+    files for range predicates. ``n_files`` scales with the table
+    (bytes / target file size) — at 100 TB pick it from table-level
+    metadata, not a count pass."""
+    clustered = df.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+        *cluster_by
+    )
+    _write(clustered, dest, max_records_per_file)

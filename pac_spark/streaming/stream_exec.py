@@ -217,8 +217,13 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continual-ingestion dedup as an actual stream: newly-ingested
+def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (unstarted) streaming plan behind
+    :func:`streaming_neardup_admission`, exposed so plan-shape tests
+    can assert the broadcast contract on the stream's own logical plan
+    rather than on a batch stand-in.
+
+    Continual-ingestion dedup as an actual stream: newly-ingested
     documents arrive on a ``readStream``, and each is admitted only if
     it is not a near-duplicate of the standing corpus — the streaming
     twin of ``operators/dedup.py::incremental_neardup_filter``, sharing
@@ -344,7 +349,7 @@ def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.size("sh") + F.size("sh_hist") - inter
     is_dup = F.round(inter / union, 8) >= JACCARD_THRESHOLD
     hit = F.when(is_dup, F.col("hist_id"))
-    out = (
+    return (
         rescored.groupBy("doc_id", "lang", "source")
         .agg(
             F.size(F.collect_set(hit)).cast("int").alias("n_dup_matches"),
@@ -352,6 +357,12 @@ def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("admitted", F.col("n_dup_matches") == 0)
     )
+
+
+def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain :func:`admission_stream_plan` (availableNow trigger,
+    complete mode) and return the admissions as a batch frame."""
+    out = admission_stream_plan(spark, sf_dir)
     return run_to_memory(spark, out, "stream_neardup_admission", "complete").orderBy(
         "doc_id"
     )

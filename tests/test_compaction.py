@@ -1,0 +1,80 @@
+"""Compaction: a fragmented table must come back with fewer,
+size-targeted files and bit-identical content; range clustering must
+leave disjoint per-file key ranges (the property footer-stats pruning
+relies on)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+
+from pac_spark.sources.compaction import compact, compact_clustered
+
+
+def _files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _fragmented_orders(spark, sf_dir, tmp_path) -> str:
+    src = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    # simulate a streaming sink's droppings: 64 tiny files
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    assert len(_files(src)) == 64
+    return src
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    src = _fragmented_orders(spark, sf_dir, tmp_path)
+    dest = str(tmp_path / "compacted")
+    df = spark.read.parquet(src)
+    compact(df, dest, advisory_partition_mb=64)
+    out_files = _files(dest)
+    assert 0 < len(out_files) < 8, out_files
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dest)
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+
+def test_compact_clustered_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    src = _fragmented_orders(spark, sf_dir, tmp_path)
+    dest = str(tmp_path / "clustered")
+    df = spark.read.parquet(src)
+    compact_clustered(df, dest, cluster_by=["o_orderkey"], n_files=4)
+    out_files = _files(dest)
+    assert len(out_files) == 4
+    con = duckdb.connect()
+    ranges = []
+    for f in out_files:
+        lo, hi = con.execute(
+            f"SELECT MIN(o_orderkey), MAX(o_orderkey) FROM '{f}'"
+        ).fetchone()
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, ranges  # disjoint => footer stats prune
+    # content preserved
+    after = spark.read.parquet(dest)
+    before = spark.read.parquet(src)
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0
+
+
+def test_max_records_per_file_caps_skew(spark, sf_dir, tmp_path):
+    dest = str(tmp_path / "capped")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n = orders.count()
+    cap = max(1, n // 10)
+    compact_clustered(
+        orders, dest, cluster_by=["o_orderkey"], n_files=1, max_records_per_file=cap
+    )
+    out_files = _files(dest)
+    assert len(out_files) >= 10  # one range partition, but the cap splits it
+    con = duckdb.connect()
+    for f in out_files:
+        (cnt,) = con.execute(f"SELECT COUNT(*) FROM '{f}'").fetchone()
+        assert cnt <= cap

@@ -205,3 +205,38 @@ def test_no_persisted_rdds_leak_across_queries(spark, sf_dir):
         assert len(dict(spark.sparkContext._jsc.getPersistentRDDs())) > base
     release_caches(all_generations=True)
     assert len(dict(spark.sparkContext._jsc.getPersistentRDDs())) == base
+
+
+def test_scrub_and_repetition_are_single_scan_projections(spark, sf_dir):
+    """The per-document scrub and repetition operators must stay pure
+    codegen projections: the only Exchange allowed is the final
+    presentation orderBy (rangepartitioning) — no aggregation shuffle,
+    no join, no Python boundary."""
+    from pac_spark.operators.scrub import pii_scrub_docs
+    from pac_spark.operators.text import doc_repetition_signals
+
+    for fn in (pii_scrub_docs, doc_repetition_signals):
+        plan = _exec_plan(fn(spark, sf_dir))
+        assert plan.count("Exchange") == 1, plan
+        assert "rangepartitioning" in plan
+        assert "HashAggregate" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_streaming_admission_static_joins_broadcast(spark, sf_dir):
+    """The admission stream's two static joins (band index, historical
+    shingle sets) must carry broadcast hints and the plan must be a
+    legal stream: exactly one stateful aggregation, no stream-side
+    shuffle-inducing operator before it."""
+    from pac_spark.streaming.stream_exec import admission_stream_plan
+
+    out = admission_stream_plan(spark, sf_dir)
+    assert out.isStreaming
+    # optimized/physical plans require writeStream.start(); the
+    # analyzed plan is available and carries the resolved hints
+    logical = out._jdf.queryExecution().analyzed().toString()
+    assert logical.lower().count("broadcast") >= 2, logical
+    # exactly one STREAMING aggregate ("~"-prefixed operators are on
+    # the stream side; the static index's own groupBy doesn't count)
+    assert logical.count("~Aggregate") == 1, logical
