@@ -30,6 +30,7 @@ __all__ = [
     "asof_join_purchase_click",
     "range_band_join_quantity",
     "interval_overlap_join",
+    "funnel_view_click_purchase",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -243,3 +244,61 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("b_end", _TS6).alias("click_end"),
         overlap.alias("overlap_micros"),
     ).orderBy("user_id", "view_start", "click_start")
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis: for every user, the earliest
+    completion of view → click → purchase, each later stage strictly
+    after the previous one (the product-analytics staple the reference
+    family's event data implies but never computes).
+
+    Earliest-completion semantics: t_view = first view ever;
+    t_click = first click strictly after t_view; t_purchase = first
+    purchase strictly after t_click. Users who stall mid-funnel keep
+    the stages they reached (LEFT joins), so stage-to-stage drop-off
+    falls out of the flags.
+
+    Scale shape: a cascade of conditional min-aggregations, all keyed
+    on user_id — the first groupBy pays the one hash shuffle and every
+    later join/groupBy reuses that partitioning (co-hashed, no extra
+    exchange under AQE). No per-user event list is ever materialized,
+    so a power user with millions of events costs max-aggregate state,
+    not memory — the collect_list-and-scan alternative would cap user
+    history by task heap instead.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t_view", _TS6).alias("view_ts"),
+            F.date_format("t_click", _TS6).alias("click_ts"),
+            F.date_format("t_purchase", _TS6).alias("purchase_ts"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias(
+                "view_to_purchase_micros"
+            ),
+        )
+        .orderBy("user_id")
+    )

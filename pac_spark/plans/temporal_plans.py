@@ -110,6 +110,39 @@ JOIN clicks c ON v.user_id = c.user_id
 ORDER BY v.user_id, view_start, click_start
 """
 
+_FUNNEL = f"""
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM e
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       strftime(t_view, '{_TS6}') AS view_ts,
+       strftime(t_click, '{_TS6}') AS click_ts,
+       strftime(t_purchase, '{_TS6}') AS purchase_ts,
+       t_click IS NOT NULL AS reached_click,
+       t_purchase IS NOT NULL AS reached_purchase,
+       epoch_us(t_purchase) - epoch_us(t_view) AS view_to_purchase_micros
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
 SPECS = [
     QuerySpec("interval_overlap_join", T.interval_overlap_join, _INTERVAL_OVERLAP),
     QuerySpec("q6_forecast_revenue", R.q6_forecast_revenue, _Q6),
@@ -118,4 +151,16 @@ SPECS = [
     QuerySpec("grouping_sets_revenue", R.grouping_sets_revenue, _GROUPING_SETS),
     QuerySpec("asof_join_purchase_click", T.asof_join_purchase_click, T.ASOF_ORACLE),
     QuerySpec("range_band_join_quantity", T.range_band_join_quantity, _RANGE_BAND),
+]
+
+# Queued for the NEXT driver rotation: the registry's enforced policy
+# (tests/test_registry_policy.py) forbids a zero-green spec riding the
+# tail, and this round's 50 cap slots are fully claimed by new/under-
+# verified specs. Queued specs run the IDENTICAL local oracle gate
+# (tests/test_oracle_parity.py picks them up) and move into SPECS +
+# the hoist list when a rotation slot frees up.
+SPECS_QUEUED = [
+    QuerySpec(
+        "funnel_view_click_purchase", T.funnel_view_click_purchase, _FUNNEL
+    ),
 ]
