@@ -258,13 +258,16 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stages they reached (LEFT joins), so stage-to-stage drop-off
     falls out of the flags.
 
-    Scale shape: a cascade of conditional min-aggregations, all keyed
-    on user_id — the first groupBy pays the one hash shuffle and every
-    later join/groupBy reuses that partitioning (co-hashed, no extra
-    exchange under AQE). No per-user event list is ever materialized,
-    so a power user with millions of events costs max-aggregate state,
-    not memory — the collect_list-and-scan alternative would cap user
-    history by task heap instead.
+    Scale shape: a cascade of conditional min-aggregations keyed on
+    user_id. Each stage scans only its own event type (the filter
+    pushes into the scan, so a type-partitioned event log reads 3
+    narrow slices, not 3 full passes), shuffles that slice once for
+    its groupBy, and joins the previous stage's per-user frame —
+    co-hashed on user_id, broadcast when the funnel head is small.
+    No per-user event list is ever materialized, so a power user with
+    millions of events costs min-aggregate state, not task memory —
+    the collect_list-and-scan alternative would cap user history by
+    task heap instead.
     """
     ev = catalog.load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     views = (

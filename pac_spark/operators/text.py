@@ -30,6 +30,7 @@ __all__ = [
     "doc_top_terms",
     "unigram_prob_score",
     "doc_repetition_signals",
+    "corr_quality_tokens_by_lang",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -534,3 +535,53 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (dup_frac > F.lit(REP_DUP_TOKEN_MAX))
         ).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+QUALITY_SCALE = 10**8  # quality_score carries 8 rounded decimals
+
+
+def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between quality score and
+    document length — the curation diagnostic that tells you whether a
+    quality gate is secretly a length gate.
+
+    Native ``corr()`` is NOT engine-portable: its streaming covariance
+    accumulates doubles in partition order, so Spark's aggregation tree
+    and a serial oracle disagree in the last ulps. Here every moment
+    (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT sum of integers
+    (quality at its 8-decimal scale), associative at any partition
+    count, and the one double formula runs identically on both engines
+    — bit-identical correlation, hash-checkable like any other query.
+    Bounds: the scaled second moment Σx² ≤ n·(10⁸)² needs BIGINT
+    headroom; past ~90 rows per group of all-1.0 quality it would need
+    the decimal(38,0) variant — the fixture's per-language groups and
+    sub-1.0 scores sit far inside that, and the cast overflows loudly,
+    never silently.
+    """
+    stats = stats_frame(catalog.load(spark, sf_dir, "documents"))
+    x = F.round(F.col("quality_score") * QUALITY_SCALE).cast("long")
+    y = F.col("n_tokens").cast("long")
+    agg = (
+        stats.select("lang", x.alias("x"), y.alias("y"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (num / den).alias("corr_quality_tokens"),
+        (num / (n * (n - F.lit(1.0)) * F.lit(float(QUALITY_SCALE)))).alias(
+            "cov_quality_tokens"
+        ),
+    ).orderBy("lang")

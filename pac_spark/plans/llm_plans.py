@@ -747,6 +747,41 @@ ORDER BY d.doc_id
 """
 
 
+_CORR = f"""
+WITH stats AS ({_TEXT_STATS.strip().rstrip()}),
+xy AS (
+    SELECT lang,
+           CAST(ROUND(quality_score * {TX.QUALITY_SCALE}) AS BIGINT) AS x,
+           CAST(n_tokens AS BIGINT) AS y
+    FROM stats
+),
+m AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM xy GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_quality_tokens,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+              * {float(TX.QUALITY_SCALE)})
+           AS cov_quality_tokens
+FROM m ORDER BY lang
+"""
+
+
 _REPETITION = """
 WITH toks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -834,4 +869,12 @@ SPECS = [
     QuerySpec("incremental_neardup_filter", D.incremental_neardup_filter, _INCREMENTAL),
     QuerySpec("pii_scrub_docs", SC.pii_scrub_docs, SC.SCRUB_SQL()),
     QuerySpec("doc_repetition_signals", TX.doc_repetition_signals, _REPETITION),
+]
+
+# Queued for the next driver rotation (see temporal_plans.SPECS_QUEUED
+# for the policy rationale); the local oracle gate covers them now.
+SPECS_QUEUED = [
+    QuerySpec(
+        "corr_quality_tokens_by_lang", TX.corr_quality_tokens_by_lang, _CORR
+    ),
 ]

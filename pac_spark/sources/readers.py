@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["read_parquet", "read_csv", "read_json", "read_orc", "read_jdbc"]
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_csv_quarantine",
+    "read_json",
+    "read_orc",
+    "read_jdbc",
+]
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -42,6 +49,47 @@ def read_csv(
     elif infer:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+):
+    """CSV ingestion that never drops data silently: PERMISSIVE parse
+    with corrupt-record capture, split into (good, quarantined).
+
+    A 100 TB crawl ingest always carries malformed rows; FAILFAST
+    aborts the job on the first one and DROPMALFORMED erases evidence.
+    This returns the cleanly-parsed frame AND the raw text of every
+    row that failed the schema, so bad rows land in a quarantine sink
+    for inspection instead of vanishing.
+
+    The parsed frame is pinned (registered persist): Spark refuses a
+    filter that references only the internal corrupt-record column on
+    a streaming-parse plan, and the persist also guarantees good/bad
+    split from ONE parse pass rather than two.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    from pac_spark.cache import pin
+
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    df = pin(
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return good, bad
 
 
 def read_json(

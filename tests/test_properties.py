@@ -536,3 +536,39 @@ def test_unigram_prob_bounds_and_mass(spark, sf_dir):
     texts = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
     cnt = collections.Counter(tok for (t,) in texts for tok in t.split(" "))
     assert mass_lhs == sum(c * c for c in cnt.values())
+
+
+def test_funnel_stage_ordering_and_monotone_counts(spark, sf_dir):
+    """Funnel invariants: stage timestamps strictly increase where
+    present, a later stage implies the earlier one, and stage user
+    counts are monotone non-increasing. Non-vacuity: the fixture must
+    actually contain users reaching the final stage."""
+    from pac_spark.operators.temporal import funnel_view_click_purchase
+
+    rows = funnel_view_click_purchase(spark, sf_dir).collect()
+    assert rows
+    n_view = len(rows)
+    n_click = sum(1 for r in rows if r["reached_click"])
+    n_purchase = sum(1 for r in rows if r["reached_purchase"])
+    assert n_view >= n_click >= n_purchase
+    assert n_purchase > 0, "fixture has no completed funnel - vacuous"
+    for r in rows:
+        if r["reached_purchase"]:
+            assert r["reached_click"], r
+            assert r["view_ts"] < r["click_ts"] < r["purchase_ts"], r
+            assert r["view_to_purchase_micros"] > 0
+        elif r["reached_click"]:
+            assert r["view_ts"] < r["click_ts"], r
+            assert r["purchase_ts"] is None
+        else:
+            assert r["click_ts"] is None and r["purchase_ts"] is None
+
+
+def test_funnel_plan_no_cartesian_and_pushed_filters(spark, sf_dir):
+    from pac_spark.operators.temporal import funnel_view_click_purchase
+
+    qe = funnel_view_click_purchase(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    full = qe.toString()
+    assert "PushedFilters" in full and "PushedFilters: []" not in full

@@ -87,3 +87,33 @@ def test_orc_roundtrip_and_pushdown(spark, nation, tmp_path):
     )
     qe = back.filter("n_nationkey = 3")._jdf.queryExecution().toString()
     assert "PushedFilters" in qe and "PushedFilters: []" not in qe
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pac_spark.sources.readers import read_csv_quarantine
+
+    path = tmp_path / "dirty.csv"
+    path.write_text(
+        "id,name,qty\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"   # type mismatch -> quarantine
+        "3,gamma,30\n"
+        "4,delta\n"               # missing column -> quarantine
+        "5,epsilon,50\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("qty", LongType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(path), schema)
+    good_rows = {r["id"]: (r["name"], r["qty"]) for r in good.collect()}
+    bad_rows = sorted(r["raw_record"] for r in bad.collect())
+    assert good_rows == {1: ("alpha", 10), 3: ("gamma", 30), 5: ("epsilon", 50)}
+    assert bad_rows == ["2,beta,not_a_number", "4,delta"]
+    # nothing silently dropped: every input line is in exactly one side
+    assert len(good_rows) + len(bad_rows) == 5
