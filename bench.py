@@ -81,6 +81,14 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             elapsed = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+            # drain BOTH checkpoint generations: the registry's
+            # one-generation deferral exists for a driver that builds
+            # query N+1 before collecting N, but this bench is strictly
+            # sequential — deferred blocks from an iterative query
+            # (er_clusters) otherwise occupy storage memory through the
+            # NEXT query's measurement (A/B: +30-70% on the query that
+            # follows).
+            release_caches(all_generations=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
