@@ -1,0 +1,113 @@
+"""Data profiling: per-column summary statistics in ONE scan — the
+ANALYZE/quality-report surface of the engine (the reference eyeballs
+`df.head()` prints, e.g. test_index_align.py's diagnostics; this is
+that need done as a distributed operator).
+
+Shape: every column contributes (count, nulls, distinct, min, max)
+aggregates to a single global aggregation — one pass over the table,
+partial-aggregated map-side, no per-column jobs (``df.summary()``
+similarly single-passes but drops distincts and types). The wide
+1-row aggregate then unpivots JVM-side (array-of-struct → explode) to
+one row per column.
+
+``exact_distinct=True`` (default here, needed for the value-hash
+oracle) uses ``countDistinct``, which rewrites the single aggregate
+into Spark's expand-based multi-distinct plan — fine at fixture
+scale, O(columns) data expansion. At 100 TB pass ``False`` for
+``approx_count_distinct`` (HLL, one true pass, mergeable at any
+partition count) — the numbers stop being oracle-exact but the plan
+stops expanding.
+
+Min/max are stringified with per-type deterministic formats (printf
+for doubles, explicit timestamp pattern) rather than bare casts, so
+the cross-engine comparison never hinges on an engine's float/
+timestamp rendering quirks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+
+__all__ = ["profile", "profile_orders", "PROFILE_SQL"]
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _fmt(col: Column, dtype: str) -> Column:
+    if dtype in ("double", "float"):
+        return F.when(col.isNotNull(), F.format_string("%.6f", col))
+    if dtype.startswith("timestamp"):
+        return F.date_format(col, _TS_FMT_SPARK)
+    return col.cast("string")
+
+
+def _fmt_sql(name: str, dtype: str) -> str:
+    if dtype in ("double", "float"):
+        return f"printf('%.6f', {name})"
+    if dtype.startswith("timestamp"):
+        return f"strftime(CAST({name} AS TIMESTAMP), '{_TS_FMT_DUCK}')"
+    return f"CAST({name} AS VARCHAR)"
+
+
+def profile(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """One row per column: (column, dtype, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max stringified so heterogeneous
+    column types stack into one frame."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, t in df.dtypes:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__cnt_{c}"))
+        aggs.append(
+            (F.countDistinct(col) if exact_distinct else F.approx_count_distinct(col))
+            .alias(f"__dst_{c}")
+        )
+        aggs.append(_fmt(F.min(col), t).alias(f"__min_{c}"))
+        aggs.append(_fmt(F.max(col), t).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(t).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_nulls"),
+                F.col(f"__dst_{c}").cast("long").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c, t in df.dtypes
+        ]
+    )
+    return (
+        wide.select(F.explode(per_col).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: profile the ``orders`` table."""
+    return profile(catalog.load(spark, sf_dir, "orders"))
+
+
+def PROFILE_SQL(table: str, columns: list[tuple[str, str]]) -> str:
+    """DuckDB oracle mirroring :func:`profile` over ``table`` with
+    ``columns`` = [(name, spark_dtype_string), ...] — same per-type
+    min/max formatting as the Spark side."""
+    selects = []
+    for c, t in columns:
+        selects.append(
+            f"""SELECT '{c}' AS "column", '{t}' AS dtype,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_fmt_sql(f'MIN({c})', t)} AS min_value,
+       {_fmt_sql(f'MAX({c})', t)} AS max_value
+FROM {table}"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f'SELECT * FROM ({union}) ORDER BY "column"'

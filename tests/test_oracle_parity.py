@@ -8,10 +8,10 @@ import pytest
 from pac_spark.plans.registry import all_specs
 from tests.conftest import assert_oracle_match
 
-from pac_spark.plans import llm_plans, temporal_plans
+from pac_spark.plans.queued import SPECS_QUEUED
 
 # queued specs (awaiting a driver-rotation slot) run the identical gate
-SPECS = all_specs() + temporal_plans.SPECS_QUEUED + llm_plans.SPECS_QUEUED
+SPECS = all_specs() + SPECS_QUEUED
 ORACLE_SPECS = [s for s in SPECS if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in SPECS if s.oracle is None]
 
