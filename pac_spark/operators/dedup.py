@@ -26,7 +26,7 @@ Embedding-cosine near-dup lives in operators/similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pac_spark import catalog
@@ -274,10 +274,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
-def _band_rows(signatures: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_key): band key = md5 of its 2 minhashes."""
+def _band_struct_array() -> Column:
+    """array<struct(band_idx, band_key)> built from mh0..mhN columns in
+    scope — THE band-key encoding (md5 over '|'-joined minhashes of the
+    band). Single definition shared by the batch index builder and the
+    streaming admission's row-local path: if this encoding ever drifts
+    between the two, stream band keys silently stop colliding with the
+    stored index."""
     rows_per_band = N_HASHES // N_BANDS
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
@@ -297,14 +302,23 @@ def _band_rows(signatures: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
+
+
+def _band_rows(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): band key = md5 of its 2 minhashes."""
     return signatures.select(
-        "doc_id", F.explode(bands).alias("band")
+        "doc_id", F.explode(_band_struct_array()).alias("band")
     ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
 
 
 def _signatures_from_shingle_rows(sh: DataFrame) -> DataFrame:
     """Minhash signatures computed from an existing (doc_id, shingle)
-    frame — lets callers share one shingling pass across stages."""
+    frame — lets callers share one shingling pass across stages.
+
+    The seed-hash encoding (md5 of '{seed}|' + shingle) must stay
+    byte-identical to :func:`_rowlocal_signature_cols`;
+    ``tests/test_properties.py::test_rowlocal_signatures_match_grouped``
+    locks the two paths together."""
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
             f"mh{s}"
@@ -312,6 +326,22 @@ def _signatures_from_shingle_rows(sh: DataFrame) -> DataFrame:
         for s in range(N_HASHES)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _rowlocal_signature_cols(sh_col: str) -> list[Column]:
+    """The same minhash signature computed ROW-LOCALLY from a distinct-
+    shingle array column — no groupBy, so it is legal mid-stream
+    (streaming admission). SQL lambdas with per-seed variable names:
+    a Python two-parameter lambda (``lambda x, s=s``) would be treated
+    as transform's (element, index) form and bind the seed to the
+    index Column."""
+    return [
+        F.expr(
+            f"array_min(transform({sh_col}, x{s} -> "
+            f"md5(encode(concat('{s}|', x{s}), 'UTF-8'))))"
+        ).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
 
 
 def _lsh_candidates(bands: DataFrame) -> DataFrame:

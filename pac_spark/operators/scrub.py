@@ -54,7 +54,16 @@ DENYLIST_TERMS: tuple[str, ...] = ("customer",)
 
 
 def _denylist_pattern(terms: tuple[str, ...]) -> str:
-    return r"\b(" + "|".join(terms) + r")\b"
+    if not terms:
+        # \b()\b would match the empty string at every word boundary
+        # and spray replacements through every document
+        raise ValueError("denylist must contain at least one term")
+    import re
+
+    # terms are data, not patterns: escape metacharacters so 'j.doe'
+    # doesn't match 'jxdoe' and 'c++fan' doesn't blow up the parser
+    # (re.escape output is valid in both Java regex and RE2)
+    return r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
 
 
 def scrub_frame(

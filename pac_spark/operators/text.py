@@ -553,10 +553,12 @@ def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the one double formula runs identically on both engines
     — bit-identical correlation, hash-checkable like any other query.
     Bounds: the scaled second moment Σx² ≤ n·(10⁸)² needs BIGINT
-    headroom; past ~90 rows per group of all-1.0 quality it would need
-    the decimal(38,0) variant — the fixture's per-language groups and
-    sub-1.0 scores sit far inside that, and the cast overflows loudly,
-    never silently.
+    headroom, which runs out at n ≈ 922 rows per group of all-1.0
+    quality (2⁶³/10¹⁶). Spark's non-ANSI sum WRAPS on overflow rather
+    than erroring, so the plan carries an explicit assert_true guard
+    on the group count — past the bound the query fails loudly
+    instead of returning a wrapped correlation (the 100 TB variant
+    swaps the sums to decimal(38,0) and drops the guard).
     """
     stats = stats_frame(catalog.load(spark, sf_dir, "documents"))
     x = F.round(F.col("quality_score") * QUALITY_SCALE).cast("long")
@@ -572,6 +574,16 @@ def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).alias("syy"),
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
         )
+    )
+    # BIGINT headroom guard: n·10¹⁶ must stay under 2⁶³. assert_true
+    # inside a filter cannot be pruned by Catalyst and raises at
+    # runtime the moment a group outgrows the exact-integer bound.
+    max_n = (2**63 - 1) // QUALITY_SCALE**2
+    agg = agg.filter(
+        F.assert_true(
+            F.col("n") <= F.lit(max_n),
+            F.lit(f"corr moment sums need decimal(38,0) past {max_n} rows/group"),
+        ).isNull()
     )
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))

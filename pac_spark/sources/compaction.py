@@ -49,14 +49,20 @@ def compact(
     are chosen by AQE from measured sizes."""
     spark = df.sparkSession
     key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    # conf.get returns None when the key was never explicitly set (the
+    # registered default is not surfaced) — restore must UNSET in that
+    # case or the override leaks into every later query on the session
     prev = spark.conf.get(key, None)
     try:
         if advisory_partition_mb is not None:
             spark.conf.set(key, f"{advisory_partition_mb}m")
         _write(df.hint("rebalance"), dest, max_records_per_file)
     finally:
-        if advisory_partition_mb is not None and prev is not None:
-            spark.conf.set(key, prev)
+        if advisory_partition_mb is not None:
+            if prev is not None:
+                spark.conf.set(key, prev)
+            else:
+                spark.conf.unset(key)
 
 
 def compact_clustered(

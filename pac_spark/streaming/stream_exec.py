@@ -249,10 +249,10 @@ def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.cache import pin
     from pac_spark.operators.dedup import (
         JACCARD_THRESHOLD,
-        N_BANDS,
-        N_HASHES,
         NEW_BATCH_MOD,
         _band_rows,
+        _band_struct_array,
+        _rowlocal_signature_cols,
         _shingle_sets,
         _signatures_from_shingle_rows,
     )
@@ -292,47 +292,17 @@ def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles_of_tokens("__toks", 3)).alias("sh"),
         )
     )
-    # NB: binding the seed with a Python default arg (lambda x, s=s:)
-    # silently breaks here — PySpark treats any two-parameter lambda
-    # as transform's (element, index) form and binds the second name
-    # to the index Column, so the seed prefix becomes the stringified
-    # Column object. SQL lambdas keep the seed a plain literal.
+    # signature + band-key encodings come from dedup.py so the stream
+    # can never drift from the batch-built index it must collide with
     sigs = new.select(
+        "doc_id", "lang", "source", "sh", *_rowlocal_signature_cols("sh")
+    )
+    banded = sigs.select(
         "doc_id",
         "lang",
         "source",
         "sh",
-        *[
-            F.expr(
-                f"array_min(transform(sh, x{s} -> "
-                f"md5(encode(concat('{s}|', x{s}), 'UTF-8'))))"
-            ).alias(f"mh{s}")
-            for s in range(N_HASHES)
-        ],
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.encode(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                        "UTF-8",
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", "lang", "source", "sh", F.explode_outer(band_arr).alias("band")
+        F.explode_outer(_band_struct_array()).alias("band"),
     ).select(
         "doc_id",
         "lang",

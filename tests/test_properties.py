@@ -572,3 +572,28 @@ def test_funnel_plan_no_cartesian_and_pushed_filters(spark, sf_dir):
     assert "CartesianProduct" not in plan
     full = qe.toString()
     assert "PushedFilters" in full and "PushedFilters: []" not in full
+
+
+def test_rowlocal_signatures_match_grouped(spark, sf_dir):
+    """The row-local (streaming) minhash signature must be
+    byte-identical to the groupBy (batch index) signature for every
+    document — the property that makes stream band keys collide with
+    the stored index at all."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.dedup import (
+        _rowlocal_signature_cols,
+        _shingle_sets,
+        _signatures_from_shingle_rows,
+    )
+
+    doc_sets = _shingle_sets(spark, sf_dir)
+    rows = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
+    grouped = _signatures_from_shingle_rows(rows)
+    rowlocal = doc_sets.filter(F.size("sh") > 0).select(
+        "doc_id", *_rowlocal_signature_cols("sh")
+    )
+    assert grouped.exceptAll(rowlocal).count() == 0
+    assert rowlocal.exceptAll(grouped).count() == 0

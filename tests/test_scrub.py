@@ -44,3 +44,26 @@ def test_scrub_actually_redacts(spark):
     assert out[4]["is_clean"] is False and out[5]["is_clean"] is True
     # every class fires in one doc
     assert all(out[4][f"n_{c}"] >= 1 for c in ("email", "ipv4", "phone", "denylist"))
+
+
+def test_denylist_terms_are_escaped_and_nonempty(spark, duck):
+    import pytest
+
+    from pac_spark.operators.scrub import scrub_frame
+
+    rows = [(0, "en", "met j.doe and jxdoe plus c++fan today")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = scrub_frame(docs, denylist=("j.doe", "c++fan")).collect()[0]
+    # '.' must not act as a wildcard, '++' must not blow up the parser
+    assert out["n_denylist"] == 2
+    assert "jxdoe" in out["scrubbed_text"]
+    assert "j.doe" not in out["scrubbed_text"]
+    with pytest.raises(ValueError):
+        scrub_frame(docs, denylist=())
+    # the escaped pattern must be RE2-valid too (oracle side)
+    from pac_spark.operators.scrub import SCRUB_SQL
+
+    duck.execute("CREATE OR REPLACE TABLE _esc(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    duck.executemany("INSERT INTO _esc VALUES (?, ?, ?)", rows)
+    orc = duck.sql(SCRUB_SQL(source="_esc", denylist=("j.doe", "c++fan"))).fetchall()
+    assert orc[0][2 + 3] == 2  # n_denylist column (doc_id, lang, 3 pii counts, denylist)
