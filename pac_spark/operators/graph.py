@@ -1,0 +1,173 @@
+"""Iterative graph analytics beyond connected components: PageRank
+over the customer↔supplier trade graph (who traded with whom, via
+orders ⋈ lineitem), in exact integer arithmetic.
+
+Floating-point PageRank is not engine-portable: each node's incoming
+mass is a SUM of doubles whose accumulation order differs between
+Spark's partial-aggregation tree and a serial oracle. Here ranks live
+in integer micro-units (RANK_SCALE), per-edge contributions use
+integer division, and the damping update is integer arithmetic — every
+iteration is bit-identical at any partition count AND identical to the
+DuckDB oracle, which unrolls the same ``PR_ITERATIONS`` updates as
+chained CTEs (aggregation is not legal inside a recursive CTE, and an
+unrolled oracle is also more honestly "the same computation").
+
+Scale shape per iteration: ranks ⋈ edges on src (both sides hash-
+partitioned on the same key — one exchange each, reused round to
+round), one map-side-combined groupBy(dst), a right join back to the
+node set for teleport-only nodes. Lineage is truncated per round with
+the registered checkpoint lifecycle exactly like connected components
+(``entity_resolution.py``). Truncating integer division loses a few
+micro-units of mass per edge (bounded by E per iteration) — the
+standard price of exactness; ranks remain a total order, which is what
+PageRank is for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.cache import checkpoint, pin
+
+__all__ = [
+    "RANK_SCALE",
+    "PR_ITERATIONS",
+    "DAMPING_PCT",
+    "trade_edges",
+    "pagerank",
+    "pagerank_trade_graph",
+    "PAGERANK_SQL",
+]
+
+RANK_SCALE = 10**12  # rank micro-units: total initial mass
+PR_ITERATIONS = 10
+DAMPING_PCT = 85  # 0.85 damping as an integer percentage
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (random-walk) edges: customer c traded with supplier s
+    iff some lineitem of c's order was supplied by s. Distinct pairs,
+    both directions; node ids are disambiguated by role prefix
+    (customers 1xxxx, suppliers 2xxxx) since TPC-H key spaces overlap."""
+    orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") + F.lit(10**9)).alias("cust"),
+            (F.col("l_suppkey") + F.lit(2 * 10**9)).alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.union(rev)
+
+
+def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
+    """(node, rank) after ``iterations`` exact-integer updates.
+
+    rank₀ = RANK_SCALE div N for every node;
+    rankᵢ₊₁(v) = (15·RANK_SCALE) div (100·N)
+               + (85 · Σ_{u→v} rankᵢ(u) div deg(u)) div 100
+    """
+    spark = edges.sparkSession
+    edges = pin(edges)
+    nodes = pin(edges.select(F.col("src").alias("node")).distinct())
+    n_nodes = nodes.count()  # one small scalar; fixes N for the formula
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edged = pin(edges.join(deg, "src"))
+
+    teleport = ((100 - DAMPING_PCT) * RANK_SCALE) // (100 * n_nodes)
+    init = RANK_SCALE // n_nodes
+    ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
+    for _ in range(iterations):
+        contrib = (
+            edged.join(ranks, edged.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = checkpoint(
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({DAMPING_PCT} * coalesce(mass, 0L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: PageRank over the trade graph, ranked output."""
+    ranks = pagerank(trade_edges(spark, sf_dir))
+    role = F.when(F.col("node") >= 2 * 10**9, F.lit("supplier")).otherwise(
+        F.lit("customer")
+    )
+    key = F.when(
+        F.col("node") >= 2 * 10**9, F.col("node") - F.lit(2 * 10**9)
+    ).otherwise(F.col("node") - F.lit(10**9))
+    return ranks.select(
+        role.alias("role"),
+        key.alias("entity_key"),
+        F.col("rank").alias("rank_micro"),
+    ).orderBy(F.desc("rank_micro"), "role", "entity_key")
+
+
+def PAGERANK_SQL(iterations: int = PR_ITERATIONS) -> str:
+    """DuckDB oracle: the SAME integer updates, unrolled as chained
+    CTEs (pr0..prN)."""
+    parts = [
+        f"""WITH pairs AS (
+    SELECT DISTINCT o_custkey + 1000000000 AS cust,
+                    l_suppkey + 2000000000 AS supp
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+edged AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+pr0 AS (
+    SELECT node, CAST({RANK_SCALE} // n_nodes AS BIGINT) AS rank
+    FROM nodes, n
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+m{i} AS (
+    SELECT e.dst, SUM(p.rank // e.deg) AS mass
+    FROM edged e JOIN pr{i} p ON e.src = p.node
+    GROUP BY e.dst
+),
+pr{i + 1} AS (
+    SELECT nodes.node,
+           CAST(({100 - DAMPING_PCT} * {RANK_SCALE}) // (100 * n.n_nodes)
+                + ({DAMPING_PCT} * COALESCE(m{i}.mass, 0)) // 100 AS BIGINT)
+               AS rank
+    FROM nodes CROSS JOIN n
+    LEFT JOIN m{i} ON nodes.node = m{i}.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CASE WHEN node >= 2000000000 THEN 'supplier' ELSE 'customer' END AS role,
+       CAST(CASE WHEN node >= 2000000000 THEN node - 2000000000
+                 ELSE node - 1000000000 END AS BIGINT) AS entity_key,
+       rank AS rank_micro
+FROM pr{iterations}
+ORDER BY rank_micro DESC, role, entity_key"""
+    )
+    return "".join(parts)

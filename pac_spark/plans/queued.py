@@ -17,6 +17,7 @@ __all__ = ["SPECS_QUEUED"]
 
 
 def _specs() -> list[QuerySpec]:
+    from pac_spark.operators import graph as G
     from pac_spark.operators import profile as P
     from pac_spark.plans import llm_plans, temporal_plans
 
@@ -36,7 +37,12 @@ def _specs() -> list[QuerySpec]:
                 "profile_orders",
                 P.profile_orders,
                 P.PROFILE_SQL("orders", orders_cols),
-            )
+            ),
+            QuerySpec(
+                "pagerank_trade_graph",
+                G.pagerank_trade_graph,
+                G.PAGERANK_SQL(),
+            ),
         ]
     )
 

@@ -597,3 +597,34 @@ def test_rowlocal_signatures_match_grouped(spark, sf_dir):
     )
     assert grouped.exceptAll(rowlocal).count() == 0
     assert rowlocal.exceptAll(grouped).count() == 0
+
+
+def test_pagerank_mass_and_partition_invariance(spark, sf_dir):
+    """Exact-integer PageRank: total mass stays within the truncation
+    bound (each edge and each damping step can only LOSE micro-units,
+    never create them), ranks are identical under a different
+    partitioning (associativity of the integer sums), and suppliers —
+    the high-degree side of the bipartite trade graph — hold the top
+    ranks."""
+    from pac_spark.operators.graph import (
+        PR_ITERATIONS,
+        RANK_SCALE,
+        pagerank,
+        trade_edges,
+    )
+
+    edges = trade_edges(spark, sf_dir)
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    total = sum(r1.values())
+    n_edges = edges.count()
+    # per iteration: <= E lost to contribution division, <= N+1 to the
+    # damping/teleport divisions; loose upper bound on total loss
+    max_loss = PR_ITERATIONS * (n_edges + len(r1) + 1) * 100
+    assert 0 < RANK_SCALE - total < max_loss, (total, RANK_SCALE, max_loss)
+    r2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(7, "dst")).collect()
+    }
+    assert r1 == r2, "integer pagerank must be partition-invariant"
+    top_role = max(r1.items(), key=lambda kv: kv[1])[0]
+    assert top_role >= 2 * 10**9, "a supplier should top the trade graph"
