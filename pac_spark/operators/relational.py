@@ -579,3 +579,34 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_group")
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event, counted as active in each subsequent week they
+    produced any event — the cohort × week-offset retention matrix in
+    long form (the other product-analytics staple next to the funnel).
+
+    Scale shape: first-event week per user (one groupBy on user_id),
+    distinct (user, week) activity pairs (same shuffle key), a
+    co-hashed join, then a small aggregate over (cohort, offset) —
+    cardinality weeks², tiny. countDistinct is safe here because each
+    (cohort, offset) group holds at most one row per user by
+    construction of the distinct activity pairs.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    )
+    first = ev.groupBy("user_id").agg(F.min("w").alias("w0"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("w0")) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1,0 +1,128 @@
+"""Snapshot diffing / CDC: the slowly-changing-dimension maintenance
+operator (detect inserts / deletes / updates between two snapshots of
+a keyed table) every warehouse pipeline runs on dimension loads. The
+reference's sink rewrites whole subtrees per run (its Firebase set()
+overwrite, ``index_align_to_firebase.py:499-500``) precisely because
+it lacks this; with a diff, only changed keys need writing.
+
+The driver testdata ships one snapshot, so the "old" side is derived
+from the current ``customer`` table by a deterministic transform both
+engines replay identically: keys ≡0 (mod ``MOD_INSERT``) are removed
+from old (→ inserts), balances of keys ≡0 (mod ``MOD_UPDATE``) are
+shifted (→ updates), and keys ≡0 (mod ``MOD_DELETE``) are mirrored to
+a synthetic high key-range present only in old (→ deletes). The diff
+logic itself is snapshot-agnostic: :func:`snapshot_diff` takes any two
+frames sharing a key.
+
+Scale shape: one full-outer sort-merge join on the key, null-safe
+column comparisons (``<=>``), change rows only — no collect, no
+windows; exactly the plan you'd run nightly on a billion-row dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+
+__all__ = ["snapshot_diff", "scd2_customer_diff", "SCD2_SQL"]
+
+MOD_UPDATE = 7
+MOD_INSERT = 11
+MOD_DELETE = 13
+GHOST_OFFSET = 10**7  # synthetic delete keys live far above real keys
+
+_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Rows that changed between two snapshots sharing ``key``:
+    (key, change_type ∈ insert|delete|update, per-side payloads)."""
+    cols = [c for c in new.columns if c != key]
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    differs = None
+    for c in cols:
+        d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            change.alias("change_type"),
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in cols],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in cols],
+        )
+        .filter(F.col("change_type") != "unchanged")
+        .orderBy(key)
+    )
+
+
+def _old_snapshot(new: DataFrame) -> DataFrame:
+    key = F.col("c_custkey")
+    base = new.filter(key % MOD_INSERT != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(key % MOD_UPDATE == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    ghosts = new.filter(key % MOD_DELETE == 0).select(
+        (key + GHOST_OFFSET).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return base.unionByName(ghosts)
+
+
+def scd2_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: diff the derived old snapshot against the
+    current ``customer`` table."""
+    new = catalog.load(spark, sf_dir, "customer").select(*_COLS)
+    return snapshot_diff(_old_snapshot(new), new, "c_custkey")
+
+
+def SCD2_SQL() -> str:
+    cols = [c for c in _COLS if c != "c_custkey"]
+    differs = " OR ".join(
+        f"(o.{c} IS DISTINCT FROM n.{c})" for c in cols
+    )
+    old_cols = ", ".join(f"o.{c} AS old_{c}" for c in cols)
+    new_cols = ", ".join(f"n.{c} AS new_{c}" for c in cols)
+    return f"""
+WITH newc AS (SELECT {", ".join(_COLS)} FROM customer),
+old_base AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % {MOD_UPDATE} = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM newc WHERE c_custkey % {MOD_INSERT} <> 0
+),
+ghosts AS (
+    SELECT c_custkey + {GHOST_OFFSET} AS c_custkey, c_name, c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM newc WHERE c_custkey % {MOD_DELETE} = 0
+),
+oldc AS (SELECT * FROM old_base UNION ALL SELECT * FROM ghosts),
+d AS (
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN {differs} THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           {old_cols}, {new_cols}
+    FROM oldc o FULL JOIN newc n ON o.c_custkey = n.c_custkey
+)
+SELECT * FROM d WHERE change_type <> 'unchanged' ORDER BY c_custkey
+"""

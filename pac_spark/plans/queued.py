@@ -16,9 +16,25 @@ from pac_spark.plans.spec import QuerySpec
 __all__ = ["SPECS_QUEUED"]
 
 
+_COHORT = """
+WITH e AS (
+    SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events
+),
+f AS (SELECT user_id, MIN(w) AS w0 FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, w FROM e)
+SELECT strftime(f.w0, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.w0, a.w) // 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _specs() -> list[QuerySpec]:
     from pac_spark.operators import graph as G
     from pac_spark.operators import profile as P
+    from pac_spark.operators import relational as R
+    from pac_spark.operators import scd as SD
     from pac_spark.plans import llm_plans, temporal_plans
 
     orders_cols = [
@@ -43,6 +59,8 @@ def _specs() -> list[QuerySpec]:
                 G.pagerank_trade_graph,
                 G.PAGERANK_SQL(),
             ),
+            QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
+            QuerySpec("cohort_retention", R.cohort_retention, _COHORT),
         ]
     )
 

@@ -628,3 +628,37 @@ def test_pagerank_mass_and_partition_invariance(spark, sf_dir):
     assert r1 == r2, "integer pagerank must be partition-invariant"
     top_role = max(r1.items(), key=lambda kv: kv[1])[0]
     assert top_role >= 2 * 10**9, "a supplier should top the trade graph"
+
+
+def test_scd2_change_counts_match_construction(spark, sf_dir):
+    """The derived-snapshot diff must classify exactly the keys the
+    modular construction changed: inserts = keys ≡0 (mod 11), deletes
+    = ghost keys from ≡0 (mod 13), updates = ≡0 (mod 7) minus those
+    already counted as inserts."""
+    from pac_spark.operators.scd import (
+        GHOST_OFFSET,
+        MOD_DELETE,
+        MOD_INSERT,
+        MOD_UPDATE,
+        scd2_customer_diff,
+    )
+
+    keys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    rows = scd2_customer_diff(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["change_type"], set()).add(r["c_custkey"])
+    want_insert = {k for k in keys if k % MOD_INSERT == 0}
+    want_delete = {k + GHOST_OFFSET for k in keys if k % MOD_DELETE == 0}
+    want_update = {k for k in keys if k % MOD_UPDATE == 0 and k % MOD_INSERT != 0}
+    assert got.get("insert", set()) == want_insert
+    assert got.get("delete", set()) == want_delete
+    assert got.get("update", set()) == want_update
+    for r in rows:
+        if r["change_type"] == "update":
+            assert r["old_c_acctbal"] != r["new_c_acctbal"]
