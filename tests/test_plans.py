@@ -240,3 +240,33 @@ def test_streaming_admission_static_joins_broadcast(spark, sf_dir):
     # exactly one STREAMING aggregate ("~"-prefixed operators are on
     # the stream side; the static index's own groupBy doesn't count)
     assert logical.count("~Aggregate") == 1, logical
+
+
+def test_queued_operators_plan_shapes(spark, sf_dir):
+    """Queued-spec operators keep the plans that survive scale: no
+    cartesian products anywhere; the SCD2 diff is a single full-outer
+    sort-merge join; cohort retention never materializes per-user
+    event lists (no collect_list); profiling is ONE aggregation pass
+    plus the unpivot."""
+    from pac_spark.operators.graph import pagerank_trade_graph
+    from pac_spark.operators.profile import profile_orders
+    from pac_spark.operators.relational import cohort_retention
+    from pac_spark.operators.scd import scd2_customer_diff
+    from pac_spark.operators.temporal import funnel_view_click_purchase
+
+    for fn in (
+        pagerank_trade_graph,
+        profile_orders,
+        cohort_retention,
+        scd2_customer_diff,
+        funnel_view_click_purchase,
+    ):
+        plan = _exec_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+    scd_plan = _exec_plan(scd2_customer_diff(spark, sf_dir))
+    assert scd_plan.count("SortMergeJoin") == 1, scd_plan
+    assert "FullOuter" in scd_plan, scd_plan
+
+    cohort_plan = _exec_plan(cohort_retention(spark, sf_dir))
+    assert "collect_list" not in cohort_plan
