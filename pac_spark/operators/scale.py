@@ -20,7 +20,7 @@ from pac_spark.functions.exact import money_sum
 from pac_spark.functions.salting import salted_join
 from pac_spark.sources.bucketing import read_table, write_bucketed
 
-__all__ = ["salted_events_join", "bucketed_orders_join"]
+__all__ = ["salted_events_join", "bucketed_orders_join", "key_skew_report"]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -85,4 +85,42 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(disc_price, scale=4).alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+SKEW_TOP_N = 10
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the events fact on ``user_id`` —
+    the measurement that decides between a plain join, AQE skew
+    splitting, and :func:`~pac_spark.functions.salting.salted_join`.
+
+    Per hot key: row count, share of the table (permille, exact
+    integer arithmetic), and the ratio to a perfectly uniform key
+    (count × n_distinct_keys / n_rows, in percent) — a ratio ≫ 100
+    marks the keys that would hot-spot a shuffle task. One map-side-
+    combined groupBy then TakeOrderedAndProject over the (already
+    tiny) per-key counts; the two global scalars ride a 1-row
+    broadcast, so the whole report is two passes over key counts,
+    never over rows.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count("*").alias("_n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr("(n_rows * 1000) div _total").alias("share_permille"),
+            F.expr("(n_rows * _n_keys * 100) div _total").alias(
+                "uniform_ratio_pct"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(SKEW_TOP_N)
     )

@@ -30,10 +30,24 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_SKEW = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+SELECT user_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 1000) // total AS BIGINT) AS share_permille,
+       CAST((n_rows * n_keys * 100) // total AS BIGINT) AS uniform_ratio_pct
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+"""
+
+
 def _specs() -> list[QuerySpec]:
     from pac_spark.operators import graph as G
     from pac_spark.operators import profile as P
     from pac_spark.operators import relational as R
+    from pac_spark.operators import scale as SC
     from pac_spark.operators import scd as SD
     from pac_spark.plans import llm_plans, temporal_plans
 
@@ -61,6 +75,7 @@ def _specs() -> list[QuerySpec]:
             ),
             QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
             QuerySpec("cohort_retention", R.cohort_retention, _COHORT),
+            QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
         ]
     )
 

@@ -117,3 +117,28 @@ def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
     assert bad_rows == ["2,beta,not_a_number", "4,delta"]
     # nothing silently dropped: every input line is in exactly one side
     assert len(good_rows) + len(bad_rows) == 5
+
+
+def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
+    """register_views exposes the whole catalog to spark.sql; an ANSI
+    query over the views must return exactly what the DataFrame-built
+    operator returns (identical Catalyst plans underneath)."""
+    from pac_spark.catalog import register_views
+    from pac_spark.operators.relational import q6_forecast_revenue
+
+    register_views(spark, sf_dir)
+    sql = spark.sql(
+        """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """
+    ).collect()[0]
+    df = q6_forecast_revenue(spark, sf_dir).collect()[0]
+    assert sql["revenue"] == df["revenue"]
+    assert sql["n_items"] == df["n_items"]
