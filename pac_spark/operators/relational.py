@@ -610,3 +610,74 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts + exact row-normalized
+    permille probabilities — the empirical Markov chain over the event
+    stream (what powers next-action prediction and anomaly scoring).
+
+    One window (lag over user_id ordered by ts, event_id) = one
+    shuffle on user_id with per-user sorted partitions bounded by user
+    activity, then a tiny (types²) aggregate. Probabilities are exact
+    integer permille (count·1000 div row_total) so the result is
+    hash-comparable — a double division would be safe here too, but
+    the integer form keeps the whole frame engine-exact by
+    construction.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row_totals = pairs.groupBy("event_type").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return (
+        pairs.join(row_totals, "event_type")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            "n_transitions",
+            F.expr("(n_transitions * 1000) div _row_total").alias("permille"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+BASKET_MIN_COUNT = 3
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the
+    same order, counted across orders, kept at ≥ BASKET_MIN_COUNT —
+    the candidate-generation step of frequent-itemset mining.
+
+    The pair generator is a self-join keyed on l_orderkey (never a
+    cartesian): fan-out per order is items², bounded by order size
+    (≤ 7 lineitems in TPC-H-shaped data; a retail basket of ~50 items
+    stays trivially small). One shuffle for the join, one map-side-
+    combined aggregate on the pair. The distinct on (order, part)
+    first makes the count "orders containing both", not "lineitem
+    pair combinations" — a part ordered twice still counts once."""
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= BASKET_MIN_COUNT)
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+    )

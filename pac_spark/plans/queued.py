@@ -30,6 +30,44 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_TRANSITIONS = """
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+    FROM events
+),
+lagged AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM e
+),
+pairs AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM lagged WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+rt AS (SELECT from_type, SUM(n_transitions) AS row_total FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type,
+       CAST(p.n_transitions AS BIGINT) AS n_transitions,
+       CAST((p.n_transitions * 1000) // rt.row_total AS BIGINT) AS permille
+FROM pairs p JOIN rt ON p.from_type = rt.from_type
+ORDER BY p.from_type, p.to_type
+"""
+
+
+_BASKET = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_together
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_count}
+ORDER BY n_orders_together DESC, part_a, part_b
+"""
+
+
 _SKEW = """
 WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
 t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
@@ -76,6 +114,14 @@ def _specs() -> list[QuerySpec]:
             QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
             QuerySpec("cohort_retention", R.cohort_retention, _COHORT),
             QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
+            QuerySpec(
+                "event_transition_matrix", R.event_transition_matrix, _TRANSITIONS
+            ),
+            QuerySpec(
+                "basket_part_pairs",
+                R.basket_part_pairs,
+                _BASKET.format(min_count=R.BASKET_MIN_COUNT),
+            ),
         ]
     )
 
