@@ -250,7 +250,12 @@ def test_queued_operators_plan_shapes(spark, sf_dir):
     plus the unpivot."""
     from pac_spark.operators.graph import pagerank_trade_graph
     from pac_spark.operators.profile import profile_orders
-    from pac_spark.operators.relational import cohort_retention
+    from pac_spark.operators.relational import (
+        basket_part_pairs,
+        cohort_retention,
+        event_transition_matrix,
+    )
+    from pac_spark.operators.scale import key_skew_report
     from pac_spark.operators.scd import scd2_customer_diff
     from pac_spark.operators.temporal import funnel_view_click_purchase
 
@@ -260,6 +265,9 @@ def test_queued_operators_plan_shapes(spark, sf_dir):
         cohort_retention,
         scd2_customer_diff,
         funnel_view_click_purchase,
+        event_transition_matrix,
+        basket_part_pairs,
+        key_skew_report,
     ):
         plan = _exec_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, fn.__name__
