@@ -73,7 +73,6 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     rankᵢ₊₁(v) = (15·RANK_SCALE) div (100·N)
                + (85 · Σ_{u→v} rankᵢ(u) div deg(u)) div 100
     """
-    spark = edges.sparkSession
     edges = pin(edges)
     nodes = pin(edges.select(F.col("src").alias("node")).distinct())
     n_nodes = nodes.count()  # one small scalar; fixes N for the formula

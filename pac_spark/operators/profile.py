@@ -18,9 +18,10 @@ scale, O(columns) data expansion. At 100 TB pass ``False`` for
 partition count) — the numbers stop being oracle-exact but the plan
 stops expanding.
 
-Min/max are stringified with per-type deterministic formats (printf
-for doubles, explicit timestamp pattern) rather than bare casts, so
-the cross-engine comparison never hinges on an engine's float/
+Min/max are stringified with per-type deterministic formats (integer
+micro-unit strings for doubles — printf tie-rounding differs between
+engines — and an explicit timestamp pattern) rather than bare casts,
+so the cross-engine comparison never hinges on an engine's float/
 timestamp rendering quirks.
 """
 
@@ -38,8 +39,13 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
 def _fmt(col: Column, dtype: str) -> Column:
+    # doubles as integer micro-unit strings, not printf: %.6f tie
+    # rounding differs between Java Formatter (HALF_UP) and C printf
+    # (half-even), so a dyadic-rational min/max (e.g. 2^-7) would
+    # format differently per engine. ROUND(x*1e6) rounds away from
+    # zero in both Spark (BigDecimal HALF_UP) and DuckDB (std::round).
     if dtype in ("double", "float"):
-        return F.when(col.isNotNull(), F.format_string("%.6f", col))
+        return F.round(col * F.lit(10**6)).cast("long").cast("string")
     if dtype.startswith("timestamp"):
         return F.date_format(col, _TS_FMT_SPARK)
     return col.cast("string")
@@ -47,7 +53,7 @@ def _fmt(col: Column, dtype: str) -> Column:
 
 def _fmt_sql(name: str, dtype: str) -> str:
     if dtype in ("double", "float"):
-        return f"printf('%.6f', {name})"
+        return f"CAST(CAST(ROUND({name} * 1000000) AS BIGINT) AS VARCHAR)"
     if dtype.startswith("timestamp"):
         return f"strftime(CAST({name} AS TIMESTAMP), '{_TS_FMT_DUCK}')"
     return f"CAST({name} AS VARCHAR)"

@@ -117,7 +117,12 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_rows",
             F.expr("(n_rows * 1000) div _total").alias("share_permille"),
-            F.expr("(n_rows * _n_keys * 100) div _total").alias(
+            # ratio vs the mean rows-per-key, NOT n_rows*n_keys*100
+            # div total: that form overflows BIGINT for a hot key on a
+            # 1e12-row/1e9-key fact (1e8*1e9*100 > 2^63, and non-ANSI
+            # Spark wraps silently). _total div _n_keys >= 1 always
+            # (every counted key has >= 1 row), so no zero-division.
+            F.expr("(n_rows * 100) div (_total div _n_keys)").alias(
                 "uniform_ratio_pct"
             ),
         )

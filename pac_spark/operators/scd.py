@@ -88,8 +88,25 @@ def _old_snapshot(new: DataFrame) -> DataFrame:
 
 def scd2_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: diff the derived old snapshot against the
-    current ``customer`` table."""
+    current ``customer`` table.
+
+    The ghost-key construction assumes real keys stay below
+    GHOST_OFFSET (true through SF ~66: max c_custkey = 150000·SF); a
+    collision would silently misclassify deletes as updates, so the
+    assumption is enforced with a runtime assert_true on the real key
+    maximum rather than trusted."""
     new = catalog.load(spark, sf_dir, "customer").select(*_COLS)
+    bound = new.agg(F.max("c_custkey").alias("_max_key"))
+    new = (
+        new.join(F.broadcast(bound))
+        .filter(
+            F.assert_true(
+                F.col("_max_key") < GHOST_OFFSET,
+                F.lit(f"c_custkey reached GHOST_OFFSET={GHOST_OFFSET}; raise it"),
+            ).isNull()
+        )
+        .drop("_max_key")
+    )
     return snapshot_diff(_old_snapshot(new), new, "c_custkey")
 
 

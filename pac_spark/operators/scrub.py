@@ -53,6 +53,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 DENYLIST_TERMS: tuple[str, ...] = ("customer",)
 
 
+def _is_word_char(ch: str) -> bool:
+    return ch.isalnum() or ch == "_"
+
+
 def _denylist_pattern(terms: tuple[str, ...]) -> str:
     if not terms:
         # \b()\b would match the empty string at every word boundary
@@ -62,8 +66,19 @@ def _denylist_pattern(terms: tuple[str, ...]) -> str:
 
     # terms are data, not patterns: escape metacharacters so 'j.doe'
     # doesn't match 'jxdoe' and 'c++fan' doesn't blow up the parser
-    # (re.escape output is valid in both Java regex and RE2)
-    return r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+    # (re.escape output is valid in both Java regex and RE2). The \b
+    # anchors are PER-TERM and conditional on the term's edge chars:
+    # \b between a non-word edge char and anything never matches, so
+    # an unconditional \b would make 'c++' or '@handle' silently
+    # unmatchable.
+    alts = []
+    for t in terms:
+        if not t:
+            raise ValueError("denylist terms must be non-empty")
+        head = r"\b" if _is_word_char(t[0]) else ""
+        tail = r"\b" if _is_word_char(t[-1]) else ""
+        alts.append(head + re.escape(t) + tail)
+    return "(?:" + "|".join(alts) + ")"
 
 
 def scrub_frame(
@@ -106,9 +121,14 @@ def SCRUB_SQL(
 ) -> str:
     """DuckDB oracle over ``source(doc_id, lang, text)`` running the
     SAME pattern strings (DuckDB does not backslash-process regular
-    single-quoted literals, so patterns embed verbatim)."""
+    single-quoted literals, so patterns embed verbatim; a single quote
+    inside a denylist term — 'o''brien' — is SQL-escaped, the one
+    character that IS literal-significant)."""
     deny = _denylist_pattern(denylist)
-    classes = [*PII_PATTERNS, ("denylist", deny, "<REDACTED>")]
+    classes = [
+        *[(n, p.replace("'", "''"), r) for n, p, r in PII_PATTERNS],
+        ("denylist", deny.replace("'", "''"), "<REDACTED>"),
+    ]
     count_cols = [
         f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
         for name, pat, _ in classes

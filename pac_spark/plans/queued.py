@@ -74,7 +74,7 @@ t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
 SELECT user_id,
        CAST(n_rows AS BIGINT) AS n_rows,
        CAST((n_rows * 1000) // total AS BIGINT) AS share_permille,
-       CAST((n_rows * n_keys * 100) // total AS BIGINT) AS uniform_ratio_pct
+       CAST((n_rows * 100) // (total // n_keys) AS BIGINT) AS uniform_ratio_pct
 FROM c, t
 ORDER BY n_rows DESC, user_id
 LIMIT 10

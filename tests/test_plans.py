@@ -259,6 +259,7 @@ def test_queued_operators_plan_shapes(spark, sf_dir):
     from pac_spark.operators.scd import scd2_customer_diff
     from pac_spark.operators.temporal import funnel_view_click_purchase
 
+    plans = {}
     for fn in (
         pagerank_trade_graph,
         profile_orders,
@@ -269,12 +270,11 @@ def test_queued_operators_plan_shapes(spark, sf_dir):
         basket_part_pairs,
         key_skew_report,
     ):
-        plan = _exec_plan(fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, fn.__name__
+        plans[fn.__name__] = _exec_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plans[fn.__name__], fn.__name__
 
-    scd_plan = _exec_plan(scd2_customer_diff(spark, sf_dir))
+    scd_plan = plans["scd2_customer_diff"]
     assert scd_plan.count("SortMergeJoin") == 1, scd_plan
     assert "FullOuter" in scd_plan, scd_plan
 
-    cohort_plan = _exec_plan(cohort_retention(spark, sf_dir))
-    assert "collect_list" not in cohort_plan
+    assert "collect_list" not in plans["cohort_retention"]

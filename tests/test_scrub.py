@@ -58,6 +58,14 @@ def test_denylist_terms_are_escaped_and_nonempty(spark, duck):
     assert out["n_denylist"] == 2
     assert "jxdoe" in out["scrubbed_text"]
     assert "j.doe" not in out["scrubbed_text"]
+    # terms with NON-WORD edge chars: an unconditional \b would make
+    # these silently unmatchable (\b after '+' or before '@' needs an
+    # adjacent word char)
+    rows2 = [(0, "en", "use c++ and ping @handle now")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, lang string, text string")
+    out2 = scrub_frame(docs2, denylist=("c++", "@handle")).collect()[0]
+    assert out2["n_denylist"] == 2, out2
+    assert "c++" not in out2["scrubbed_text"] and "@handle" not in out2["scrubbed_text"]
     with pytest.raises(ValueError):
         scrub_frame(docs, denylist=())
     # the escaped pattern must be RE2-valid too (oracle side)
