@@ -70,7 +70,11 @@ def _denylist_pattern(terms: tuple[str, ...]) -> str:
     # anchors are PER-TERM and conditional on the term's edge chars:
     # \b between a non-word edge char and anything never matches, so
     # an unconditional \b would make 'c++' or '@handle' silently
-    # unmatchable.
+    # unmatchable. The trade (property-tested in
+    # tests/test_pattern_properties.py): word-edged terms match
+    # whole-word-exactly; symbol-edged terms have no expressible
+    # boundary in lookaround-free RE2, so they may substring-match —
+    # over-redaction, the safe direction for PII.
     alts = []
     for t in terms:
         if not t:
