@@ -30,6 +30,7 @@ __all__ = [
     "asof_join_purchase_click",
     "range_band_join_quantity",
     "interval_overlap_join",
+    "funnel",
     "funnel_view_click_purchase",
 ]
 
@@ -246,62 +247,68 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "view_start", "click_start")
 
 
-def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequential funnel analysis: for every user, the earliest
-    completion of view → click → purchase, each later stage strictly
-    after the previous one (the product-analytics staple the reference
-    family's event data implies but never computes).
-
-    Earliest-completion semantics: t_view = first view ever;
-    t_click = first click strictly after t_view; t_purchase = first
-    purchase strictly after t_click. Users who stall mid-funnel keep
-    the stages they reached (LEFT joins), so stage-to-stage drop-off
-    falls out of the flags.
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Generic sequential funnel: for every user, the earliest
+    completion of ``stages`` in order, each later stage strictly after
+    the previous one. Users who stall mid-funnel keep the stages they
+    reached (LEFT joins), so stage-to-stage drop-off falls out of the
+    ``reached_*`` flags.
 
     Scale shape: a cascade of conditional min-aggregations keyed on
-    user_id. Each stage scans only its own event type (the filter
-    pushes into the scan, so a type-partitioned event log reads 3
-    narrow slices, not 3 full passes), shuffles that slice once for
+    ``user_col``. Each stage scans only its own event type (the filter
+    pushes into the scan, so a type-partitioned event log reads K
+    narrow slices, not K full passes), shuffles that slice once for
     its groupBy, and joins the previous stage's per-user frame —
-    co-hashed on user_id, broadcast when the funnel head is small.
-    No per-user event list is ever materialized, so a power user with
-    millions of events costs min-aggregate state, not task memory —
-    the collect_list-and-scan alternative would cap user history by
-    task heap instead.
+    co-hashed on the user key, broadcast when the funnel head is
+    small. No per-user event list is ever materialized, so a power
+    user with millions of events costs min-aggregate state, not task
+    memory — the collect_list-and-scan alternative would cap user
+    history by task heap instead.
     """
-    ev = catalog.load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        views.join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
-        .select(
-            "user_id",
-            F.date_format("t_view", _TS6).alias("view_ts"),
-            F.date_format("t_click", _TS6).alias("click_ts"),
-            F.date_format("t_purchase", _TS6).alias("purchase_ts"),
-            F.col("t_click").isNotNull().alias("reached_click"),
-            F.col("t_purchase").isNotNull().alias("reached_purchase"),
-            (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias(
-                "view_to_purchase_micros"
-            ),
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least two stages")
+    ev = events.select(user_col, type_col, ts_col)
+    frames = []
+    prev_t = None
+    for stage in stages:
+        t = f"t_{stage}"
+        sliced = ev.filter(F.col(type_col) == stage)
+        if prev_t is not None:
+            sliced = sliced.join(frames[-1], user_col).filter(
+                F.col(ts_col) > F.col(prev_t)
+            )
+        frames.append(
+            sliced.groupBy(user_col).agg(F.min(ts_col).alias(t)).select(user_col, t)
         )
-        .orderBy("user_id")
+        prev_t = t
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.join(f, user_col, "left")
+    first_t, last_t = f"t_{stages[0]}", f"t_{stages[-1]}"
+    return out.select(
+        user_col,
+        *[F.date_format(f"t_{s}", _TS6).alias(f"{s}_ts") for s in stages],
+        *[
+            F.col(f"t_{s}").isNotNull().alias(f"reached_{s}")
+            for s in stages[1:]
+        ],
+        (F.unix_micros(last_t) - F.unix_micros(first_t)).alias(
+            f"{stages[0]}_to_{stages[-1]}_micros"
+        ),
+    ).orderBy(user_col)
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the view → click → purchase funnel over the
+    events table (the product-analytics staple the reference family's
+    event data implies but never computes) — an instantiation of the
+    generic :func:`funnel` operator."""
+    return funnel(
+        catalog.load(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )

@@ -662,3 +662,24 @@ def test_scd2_change_counts_match_construction(spark, sf_dir):
     for r in rows:
         if r["change_type"] == "update":
             assert r["old_c_acctbal"] != r["new_c_acctbal"]
+
+
+def test_generic_funnel_alternate_stages(spark, sf_dir):
+    """The generic funnel must work for any stage list: run the
+    signup → view → purchase ordering and check the same invariants
+    (monotone stage counts, strictly increasing stage timestamps)."""
+    from pac_spark import catalog
+    from pac_spark.operators.temporal import funnel
+
+    rows = funnel(
+        catalog.load(spark, sf_dir, "events"), ["signup", "view", "purchase"]
+    ).collect()
+    assert rows
+    n1 = len(rows)
+    n2 = sum(1 for r in rows if r["reached_view"])
+    n3 = sum(1 for r in rows if r["reached_purchase"])
+    assert n1 >= n2 >= n3 > 0
+    for r in rows:
+        if r["reached_purchase"]:
+            assert r["signup_ts"] < r["view_ts"] < r["purchase_ts"]
+            assert r["signup_to_purchase_micros"] > 0
