@@ -58,6 +58,15 @@ def all_specs() -> list[QuerySpec]:
     # consecutive prior rounds, freeing their slots. The demotion
     # policy is now ENFORCED by tests/test_registry_policy.py, which
     # replays the CORRECTNESS_r*.json history against the tail.
+    #
+    # R5 ROTATION PLAN (for whoever opens the next round): promote
+    # plans/queued.py::SPECS_QUEUED (9 specs, all locally hash-green)
+    # into their home modules' SPECS + this hoist list; keep every
+    # r4-new spec (TPC-H completion, scrub/repetition, streaming
+    # admission, salted/bucketed, LSH-ER) in the cap for its SECOND
+    # consecutive green; fill remaining slots by demoting specs that
+    # will then hold r3+r4 consecutive greens. ~35 second-green +
+    # 9 promotions fits the 50 cap.
     hoist = [
         # single driver-green (r2 only) — VERDICT r3 #1
         "q4_late_shipments",
