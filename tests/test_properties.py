@@ -683,3 +683,51 @@ def test_generic_funnel_alternate_stages(spark, sf_dir):
         if r["reached_purchase"]:
             assert r["signup_ts"] < r["view_ts"] < r["purchase_ts"]
             assert r["signup_to_purchase_micros"] > 0
+
+
+def test_profile_counts_nulls_and_distincts_on_crafted_frame(spark):
+    """The orders fixture carries no NULLs, so the fixture parity row
+    exercises n_nulls only as zeros. Craft a frame with nulls, dupes,
+    and a double column and check every profile statistic by hand."""
+    from pac_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (4, "b", 2.5), (4, "b", 2.5)],
+        "id long, tag string, score double",
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["id"]["n_rows"] == 5
+    assert rows["id"]["n_nulls"] == 0 and rows["id"]["n_distinct"] == 4
+    assert rows["tag"]["n_nulls"] == 1 and rows["tag"]["n_distinct"] == 2
+    assert rows["tag"]["min_value"] == "a" and rows["tag"]["max_value"] == "b"
+    assert rows["score"]["n_nulls"] == 1 and rows["score"]["n_distinct"] == 2
+    # doubles stringify as integer micro-units
+    assert rows["score"]["min_value"] == "1500000"
+    assert rows["score"]["max_value"] == "2500000"
+
+
+def test_skew_report_surfaces_planted_hot_key(spark, sf_dir, tmp_path):
+    """On a crafted fact where one key holds half the rows, the report
+    must rank it first with share ~500 permille and a uniform-ratio
+    far above 100."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.scale import key_skew_report
+
+    n = 2000
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts")
+    hot = spark.range(n).select(F.lit(7).alias("user_id"), ts)
+    cold = spark.range(n).select((F.col("id") % 100 + 100).alias("user_id"), ts)
+    skew_dir = str(tmp_path / "skewed")
+    os.makedirs(skew_dir, exist_ok=True)
+    hot.unionByName(cold).write.mode("overwrite").parquet(
+        os.path.join(skew_dir, "events.parquet")
+    )
+    top = key_skew_report(spark, skew_dir).collect()
+    assert top[0]["user_id"] == 7
+    assert abs(top[0]["share_permille"] - 500) <= 1
+    # 101 keys, half the table on one: ratio ~ 50x the uniform key
+    assert top[0]["uniform_ratio_pct"] > 1000
+    assert all(r["uniform_ratio_pct"] < 200 for r in top[1:])
