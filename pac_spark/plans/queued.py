@@ -87,6 +87,7 @@ def _specs() -> list[QuerySpec]:
     from pac_spark.operators import relational as R
     from pac_spark.operators import scale as SC
     from pac_spark.operators import scd as SD
+    from pac_spark.streaming import stateful as ST
     from pac_spark.plans import llm_plans, temporal_plans
 
     orders_cols = [
@@ -116,6 +117,11 @@ def _specs() -> list[QuerySpec]:
             QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
             QuerySpec(
                 "event_transition_matrix", R.event_transition_matrix, _TRANSITIONS
+            ),
+            QuerySpec(
+                "streaming_user_lifetime_stats",
+                ST.streaming_user_lifetime_stats,
+                ST.LIFETIME_ORACLE,
             ),
             QuerySpec(
                 "basket_part_pairs",

@@ -51,7 +51,12 @@ from pyspark.sql.types import (
 
 from pac_spark.streaming.stream_exec import run_to_memory, stream_events
 
-__all__ = ["streaming_user_sessions_custom", "CUSTOM_SESSIONS_ORACLE"]
+__all__ = [
+    "streaming_user_sessions_custom",
+    "CUSTOM_SESSIONS_ORACLE",
+    "streaming_user_lifetime_stats",
+    "LIFETIME_ORACLE",
+]
 
 GAP_SECONDS = 600
 SESSION_CAP = 25
@@ -215,4 +220,136 @@ SELECT user_id, session_start, session_end, n_events, sum_value,
 FROM marked
 WHERE NOT is_open_tail OR n_events = {SESSION_CAP}
 ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# A second custom stateful shape: per-user LIFETIME aggregates with an
+# order-sensitive anomaly rule. (Spark 4's transformWithStateInPandas —
+# the named-ValueState successor to applyInPandasWithState — would be
+# the natural home for this, but its driver worker needs google.protobuf,
+# which this container does not ship; the port is mechanical: the
+# GroupState tuple below becomes handle.getValueState("lifetime", ...).)
+
+LIFETIME_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_anomalies", LongType()),
+        StructField("first_ts", StringType()),
+        StructField("last_ts", StringType()),
+    ]
+)
+
+# running state: (n, cents, n_anom, first_us, last_us)
+_LIFETIME_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("n_anom", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _lifetime_fold(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold a batch of one user's events into the running lifetime
+    state. An event is anomalous when its value exceeds 3x the user's
+    PRIOR running mean — order-sensitive, held exact by the integer
+    cross-multiplication ``cents * prior_n > 3 * prior_sum_cents``
+    (no float mean anywhere, so the DuckDB window oracle reproduces
+    the rule bit-for-bit). Emits the updated totals row each batch;
+    totals are monotone in n_events, so the caller keeps the
+    highest-count row per key — correct under ANY batch split."""
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.assign(_us=_ts_to_us(batch["ts"])).sort_values(
+        ["_us", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        n, cents, n_anom, first_us, last_us = state.get
+    else:
+        n = cents = n_anom = 0
+        first_us = last_us = 0
+    for _us, value in zip(batch["_us"], batch["value"]):
+        c = int(round(value * 100))
+        if n > 0 and c * n > 3 * cents:
+            n_anom += 1
+        if n == 0:
+            first_us = int(_us)
+        last_us = int(_us)
+        n += 1
+        cents += c
+    state.update((n, cents, n_anom, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "n_anomalies": [n_anom],
+            "first_ts": [_fmt_us(first_us)],
+            "last_ts": [_fmt_us(last_us)],
+        }
+    )
+
+
+def streaming_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime stats (count, exact-cents total, anomaly
+    count, first/last event time) as a true stateful stream.
+
+    Update-mode drain emits one totals row per key per micro-batch;
+    totals are monotone in ``n_events``, so the finalizer keeps each
+    key's highest-count row — no single-batch assumption. Within-batch
+    event-time ordering is restored by the per-key sort (same
+    discipline as the sessionizer above); across batches the file
+    stream's append order preserves it for this source.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _lifetime_fold,
+        outputStructType=LIFETIME_SCHEMA,
+        stateStructType=_LIFETIME_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(spark, out, "stream_user_lifetime", "update")
+    last = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
+LIFETIME_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+w AS (
+    SELECT user_id, ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+           COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_n
+    FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+       CAST(SUM(CASE WHEN prior_n > 0 AND cents * prior_n > 3 * prior_sum
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       strftime(MIN(ts), '{_TS6}') AS first_ts,
+       strftime(MAX(ts), '{_TS6}') AS last_ts
+FROM w GROUP BY user_id ORDER BY user_id
 """
