@@ -76,6 +76,8 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     edges = pin(edges)
     nodes = pin(edges.select(F.col("src").alias("node")).distinct())
     n_nodes = nodes.count()  # one small scalar; fixes N for the formula
+    if n_nodes == 0:
+        raise ValueError("pagerank needs a non-empty edge set")
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edged = pin(edges.join(deg, "src"))
 

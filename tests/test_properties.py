@@ -731,3 +731,13 @@ def test_skew_report_surfaces_planted_hot_key(spark, sf_dir, tmp_path):
     # 101 keys, half the table on one: ratio ~ 50x the uniform key
     assert top[0]["uniform_ratio_pct"] > 1000
     assert all(r["uniform_ratio_pct"] < 200 for r in top[1:])
+
+
+def test_pagerank_rejects_empty_graph(spark):
+    import pytest
+
+    from pac_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(empty)
