@@ -53,9 +53,14 @@ __all__ = [
     "q13_order_distribution",
     "q17_small_quantity_revenue",
     "q22_idle_customers",
+    "cohort_retention",
+    "event_transition_matrix",
+    "basket_part_pairs",
+    "rolling_1h_user_stats",
 ]
 
 _DATE = "yyyy-MM-dd"
+_TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,4 +685,39 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders_together"))
         .filter(F.col("n_orders_together") >= BASKET_MIN_COUNT)
         .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+    )
+
+
+def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling window: for every event, the count and
+    exact-cents value sum of the same user's events in the trailing
+    hour (inclusive) — the time-series surface ROWS frames can't
+    express (a frame must span a *time interval*, not a row count).
+
+    Spark's rangeBetween needs a numeric order key, so the frame runs
+    over ``unix_micros(ts)`` with a ±3.6e9-micro bound — exactly the
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` the
+    oracle states. One shuffle on user_id, per-user sorted frames
+    bounded by user activity; the sum is integer cents, so the rolling
+    values are order-exact at any partition count.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("_cents", cents)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS6).alias("ts"),
+            F.count("*").over(w).alias("n_events_1h"),
+            (F.sum("_cents").over(w).cast("double") / 100.0).alias("sum_value_1h"),
+        )
+        .orderBy("event_id")
     )

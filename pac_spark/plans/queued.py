@@ -68,6 +68,23 @@ ORDER BY n_orders_together DESC, part_a, part_b
 """
 
 
+_ROLLING = """
+WITH e AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+       CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS sum_value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 _SKEW = """
 WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
 t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
@@ -115,6 +132,7 @@ def _specs() -> list[QuerySpec]:
             QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
             QuerySpec("cohort_retention", R.cohort_retention, _COHORT),
             QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
+            QuerySpec("rolling_1h_user_stats", R.rolling_1h_user_stats, _ROLLING),
             QuerySpec(
                 "event_transition_matrix", R.event_transition_matrix, _TRANSITIONS
             ),
