@@ -22,6 +22,7 @@ from pyspark.sql.types import StructType
 
 __all__ = [
     "read_parquet",
+    "read_parquet_evolving",
     "read_csv",
     "read_csv_quarantine",
     "read_json",
@@ -49,6 +50,21 @@ def read_csv(
     elif infer:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across batches with EVOLVED schemas
+    (``mergeSchema``): a long-lived ingest directory accumulates files
+    written months apart with columns added over time; the merged scan
+    presents the union schema, with NULLs where an old file lacks a
+    new column.
+
+    Off by default in plain ``read.parquet`` for a reason — schema
+    merging reads every file's footer up front, a real cost at 100 TB
+    (use a table format's catalog schema there); this entry point is
+    for the evolving-directory case where that cost is the point.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def read_csv_quarantine(

@@ -142,3 +142,26 @@ def test_sql_surface_matches_dataframe_plan(spark, sf_dir):
     df = q6_forecast_revenue(spark, sf_dir).collect()[0]
     assert sql["revenue"] == df["revenue"]
     assert sql["n_items"] == df["n_items"]
+
+
+def test_parquet_schema_evolution_merges_batches(spark, tmp_path):
+    """Two ingest batches written months apart with different columns:
+    the merged scan presents the union schema with NULLs where the old
+    batch lacks the new column, and all rows survive."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.sources.readers import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    old = spark.range(3).select(F.col("id"), F.lit("old").alias("src"))
+    new = spark.range(3, 5).select(
+        F.col("id"), F.lit("new").alias("src"), F.lit(0.9).alias("quality")
+    )
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"id", "src", "quality"}
+    rows = {r["id"]: (r["src"], r["quality"]) for r in merged.collect()}
+    assert len(rows) == 5
+    assert rows[0] == ("old", None)
+    assert rows[4] == ("new", 0.9)
