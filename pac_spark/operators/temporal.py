@@ -273,6 +273,10 @@ def funnel(
     """
     if len(stages) < 2:
         raise ValueError("a funnel needs at least two stages")
+    if len(set(stages)) != len(stages):
+        # duplicate names would alias colliding t_<stage> columns and
+        # surface as an opaque AMBIGUOUS_REFERENCE deep in analysis
+        raise ValueError("funnel stages must be unique")
     ev = events.select(user_col, type_col, ts_col)
     frames = []
     prev_t = None

@@ -98,6 +98,14 @@ def _fmt_us(us: int) -> str:
     return pd.Timestamp(us, unit="us").strftime(_TS6)
 
 
+def _cents(value: float) -> int:
+    """Exact integer cents, rounded half AWAY FROM ZERO to match the
+    oracle's ROUND and functions.exact — Python's round() banker's mode
+    and plain int(v*100 + 0.5) (floors negatives) both diverge on
+    exact-half and negative values."""
+    return int(math.copysign(int(abs(value) * 100 + 0.5), value))
+
+
 def _sessionize(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -135,10 +143,7 @@ def _sessionize(
             start_us = us
         last_us = us
         n += 1
-        # exact integer-cents sum, rounded half away from zero to match
-        # ROUND semantics in the oracle and functions.exact (plain
-        # int(v*100 + 0.5) would floor negatives: -1.005 -> -100 vs -101)
-        cents += int(math.copysign(int(abs(value) * 100 + 0.5), value))
+        cents += _cents(value)
         if n == SESSION_CAP:
             close("cap")
             n = cents = 0
@@ -276,12 +281,13 @@ def _lifetime_fold(
         n = cents = n_anom = 0
         first_us = last_us = 0
     for _us, value in zip(batch["_us"], batch["value"]):
-        c = int(round(value * 100))
+        c = _cents(value)
         if n > 0 and c * n > 3 * cents:
             n_anom += 1
-        if n == 0:
-            first_us = int(_us)
-        last_us = int(_us)
+        # first/last via min/max so they stay correct even if a later
+        # micro-batch carries earlier events (order-insensitive)
+        first_us = int(_us) if n == 0 else min(first_us, int(_us))
+        last_us = max(last_us, int(_us))
         n += 1
         cents += c
     state.update((n, cents, n_anom, first_us, last_us))

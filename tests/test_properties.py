@@ -741,3 +741,27 @@ def test_pagerank_rejects_empty_graph(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="non-empty"):
         pagerank(empty)
+
+
+def test_lifetime_cents_rounding_half_away_from_zero():
+    from pac_spark.streaming.stateful import _cents
+
+    assert _cents(1.125) == 113  # python round() would give 112
+    assert _cents(-1.125) == -113  # int(v*100+0.5) would give -112
+    # -1.005's double is -100.4999..., so -100 IS the cross-engine answer
+    assert _cents(-1.005) == -100
+    assert _cents(-0.125) == -13  # python round(-12.5) would give -12
+    assert _cents(0.0) == 0
+
+
+def test_funnel_rejects_duplicate_stages(spark, sf_dir):
+    import pytest
+
+    from pac_spark import catalog
+    from pac_spark.operators.temporal import funnel
+
+    ev = catalog.load(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="unique"):
+        funnel(ev, ["view", "click", "view"])
+    with pytest.raises(ValueError, match="two stages"):
+        funnel(ev, ["view"])
