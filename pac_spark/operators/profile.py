@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from pac_spark import catalog
 
-__all__ = ["profile", "profile_orders", "PROFILE_SQL"]
+__all__ = [
+    "profile",
+    "profile_orders",
+    "PROFILE_SQL",
+    "RI_RELATIONSHIPS",
+    "referential_integrity_report",
+    "RI_SQL",
+]
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -117,3 +124,73 @@ FROM {table}"""
         )
     union = "\nUNION ALL\n".join(selects)
     return f'SELECT * FROM ({union}) ORDER BY "column"'
+
+
+# (parent table, parent key, child table, child key) relationships of
+# the TPC-H-ish star schema the engine serves
+RI_RELATIONSHIPS = (
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),
+    ("region", "r_regionkey", "nation", "n_regionkey"),
+)
+
+
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the star schema: for every declared
+    parent→child relationship, the child row count, the number of
+    orphaned child rows (key not present in the parent, NULLs counted
+    separately), and a pass flag — the data-quality gate a warehouse
+    runs after every load.
+
+    Scale shape per relationship: ONE left join from the child to the
+    parent's distinct keys plus conditional counts — dimension parents
+    broadcast, the one fact-fact pair (orders←lineitem) plans as a
+    shuffled join on the key. Fully declarative: the six 1-row
+    aggregates union JVM-side, no driver-side counting anywhere."""
+    reports = []
+    for parent, pkey, child, ckey in RI_RELATIONSHIPS:
+        p = catalog.load(spark, sf_dir, parent).select(pkey).distinct()
+        c = catalog.load(spark, sf_dir, child).select(ckey)
+        joined = c.join(p, c[ckey] == p[pkey], "left")
+        is_null_key = c[ckey].isNull()
+        is_orphan = c[ckey].isNotNull() & p[pkey].isNull()
+        reports.append(
+            joined.agg(
+                F.lit(f"{child}.{ckey}").alias("fk"),
+                F.lit(f"{parent}.{pkey}").alias("references"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(is_null_key.cast("long")).alias("n_null_keys"),
+                F.sum(is_orphan.cast("long")).alias("n_orphans"),
+            ).withColumn(
+                "ok", (F.col("n_orphans") == 0) & (F.col("n_null_keys") == 0)
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk")
+
+
+def RI_SQL() -> str:
+    """DuckDB oracle: the same per-relationship audit unioned."""
+    selects = []
+    for parent, pkey, child, ckey in RI_RELATIONSHIPS:
+        selects.append(
+            f"""SELECT '{child}.{ckey}' AS fk,
+       '{parent}.{pkey}' AS "references",
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_keys,
+       CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       (SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.{pkey} IS NULL
+                 THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) = 0) AS ok
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p ON c.{ckey} = p.{pkey}"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"SELECT * FROM ({union}) ORDER BY fk"

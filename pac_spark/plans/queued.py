@@ -134,6 +134,11 @@ def _specs() -> list[QuerySpec]:
             QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
             QuerySpec("rolling_1h_user_stats", R.rolling_1h_user_stats, _ROLLING),
             QuerySpec(
+                "referential_integrity_report",
+                P.referential_integrity_report,
+                P.RI_SQL(),
+            ),
+            QuerySpec(
                 "event_transition_matrix", R.event_transition_matrix, _TRANSITIONS
             ),
             QuerySpec(

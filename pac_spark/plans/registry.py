@@ -60,13 +60,13 @@ def all_specs() -> list[QuerySpec]:
     # replays the CORRECTNESS_r*.json history against the tail.
     #
     # R5 ROTATION PLAN (for whoever opens the next round): promote
-    # plans/queued.py::SPECS_QUEUED (11 specs, all hash-green locally AND at the driver's sf0.01)
+    # plans/queued.py::SPECS_QUEUED (12 specs, all hash-green locally AND at the driver's sf0.01)
     # into their home modules' SPECS + this hoist list; keep every
     # r4-new spec (TPC-H completion, scrub/repetition, streaming
     # admission, salted/bucketed, LSH-ER) in the cap for its SECOND
     # consecutive green; fill remaining slots by demoting specs that
     # will then hold r3+r4 consecutive greens. ~35 second-green +
-    # 11 promotions fits the 50 cap.
+    # 12 promotions fits the 50 cap.
     hoist = [
         # single driver-green (r2 only) — VERDICT r3 #1
         "q4_late_shipments",
