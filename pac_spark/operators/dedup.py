@@ -103,20 +103,38 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_shared_counts(sh: DataFrame) -> DataFrame:
-    """Inverted-index self-join: (doc_a, doc_b, n_a, n_b, shared_rare)
-    for every pair sharing >= 1 indexed shingle — the single-shuffle
-    candidate generator. ``sh`` columns: doc_id, n_shingles, shingle."""
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    """Inverted-index candidate generator: (doc_a, doc_b, n_a, n_b,
+    shared_rare) for every pair sharing >= 1 indexed shingle.
+
+    Shape: groupBy(shingle) collects each posting list, pairs are
+    generated in place with a combination transform (i < j, ordered so
+    doc_a < doc_b), then one pair-keyed aggregation counts shared
+    shingles. One shuffle of the shingle rows plus the pair shuffle —
+    the r1-r4 self-join shuffled the shingle rows TWICE (both join
+    sides) for the same candidate set.
+
+    PRECONDITION: every posting list is bounded by ``MAX_SHINGLE_DF``
+    — callers either verified no shingle exceeds the cap (the
+    ``has_hot`` probe) or pass the rare-only index, so no collect_list
+    here can go hot. ``sh`` columns: doc_id, n_shingles, shingle."""
+    grouped = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc_id", "n_shingles")).alias("ds")
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle"
-    )
-    return (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("shared_rare"))
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+                "if(x.doc_id < y.doc_id, "
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.n_shingles AS n_a, y.n_shingles AS n_b), "
+                "struct(y.doc_id AS doc_a, x.doc_id AS doc_b, "
+                "y.n_shingles AS n_a, x.n_shingles AS n_b)))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+    return pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count("*").alias("shared_rare")
     )
 
 
@@ -262,16 +280,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature: for seed s, min(md5(s || shingle)).
 
     md5 as the hash family keeps the signature reproducible in any
-    engine; mins aggregate in the shingle-explode shuffle (one pass,
-    all 8 hashes)."""
-    sh = _doc_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
-            f"mh{s}"
-        )
-        for s in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    engine. Computed ROW-LOCALLY over each doc's distinct-shingle
+    array (:func:`_rowlocal_signatures`) — zero shuffle; the drift-lock
+    test pins this byte-identical to the grouped aggregation."""
+    return _rowlocal_signatures(_shingle_sets(spark, sf_dir)).orderBy("doc_id")
 
 
 def _band_struct_array() -> Column:
@@ -328,6 +340,18 @@ def _signatures_from_shingle_rows(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _rowlocal_signatures(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhN) computed row-locally from a (doc_id, sh)
+    set frame — ZERO shuffle, vs the grouped path's explode + groupBy.
+    Docs with no shingles (< 3 tokens) are dropped to match the
+    grouped path, which never materialized a row for them (an empty
+    array would otherwise yield all-null mins → identical band keys →
+    a spurious quadratic bucket of short docs)."""
+    return doc_sets.filter(F.size("sh") > 0).select(
+        "doc_id", *_rowlocal_signature_cols("sh")
+    )
+
+
 def _rowlocal_signature_cols(sh_col: str) -> list[Column]:
     """The same minhash signature computed ROW-LOCALLY from a distinct-
     shingle array column — no groupBy, so it is legal mid-stream
@@ -346,13 +370,28 @@ def _rowlocal_signature_cols(sh_col: str) -> list[Column]:
 
 def _lsh_candidates(bands: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band — the
-    raw, pre-rescoring candidate set shared by minhash and simhash."""
-    a = bands.alias("a")
-    b = bands.alias("b")
+    raw, pre-rescoring candidate set shared by minhash and simhash.
+
+    Single-pass bucket grouping: collect each band bucket's posting
+    list, generate the i < j combinations in place, dedup. The r1-r4
+    self-join read (and with zero-shuffle row-local signatures, would
+    RECOMPUTE) the band frame twice; this reads it once and shuffles
+    only (band, doc) rows. Bucket lists are bounded by near-dup
+    cluster size — the quantity LSH banding exists to keep small."""
+    grouped = bands.groupBy("band_idx", "band_key").agg(
+        F.collect_list("doc_id").alias("ds")
+    )
     return (
-        a.join(b, on=["band_idx", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -366,13 +405,13 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingled frame is computed once and persisted, then reused for
     both the signature pass and the rescoring pass — without this the
-    corpus would be tokenized and shingled twice.
+    corpus would be tokenized and shingled twice. Signatures come from
+    the row-local path (:func:`_rowlocal_signatures`) straight off the
+    persisted set arrays, so the only shuffles left are the band
+    bucket join and the candidate rescoring joins.
     """
     doc_sets = _shingle_sets(spark, sf_dir)
-    sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
-        F.col("shingle").isNotNull()
-    )
-    candidates = _lsh_candidates(_band_rows(_signatures_from_shingle_rows(sh)))
+    candidates = _lsh_candidates(_band_rows(_rowlocal_signatures(doc_sets)))
     paired = (
         candidates.join(doc_sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sh", "sh_a")
@@ -401,8 +440,16 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent near-dup tier: the hamming filter decides, not a prior
     Jaccard threshold. Near-dup = hamming <= 3. Oracle-checked (the
     hex→int fingerprint arithmetic is reproduced in DuckDB).
+
+    The bit-sum aggregation keeps the explode + groupBy shape (each
+    shingle's md5 is computed once and tested 16 times — row-local
+    would pay 16 md5s per shingle); the band candidates ride the
+    zero-shuffle row-local signature path off the same pinned sets.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    doc_sets = _shingle_sets(spark, sf_dir)
+    sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
     h16 = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 4), 16, 10).cast(
         "long"
     )
@@ -423,9 +470,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("simhash"),
     )
-    cands = _lsh_candidates(
-        _band_rows(_signatures_from_shingle_rows(sh))
-    )
+    cands = _lsh_candidates(_band_rows(_rowlocal_signatures(doc_sets)))
     paired = (
         cands.join(simhash.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("simhash", "sim_a")
@@ -471,10 +516,7 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     new side and never reshuffles the index.
     """
     doc_sets = _shingle_sets(spark, sf_dir)
-    sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
-        F.col("shingle").isNotNull()
-    )
-    bands = _band_rows(_signatures_from_shingle_rows(sh))
+    bands = _band_rows(_rowlocal_signatures(doc_sets))
     is_new = (F.col("doc_id") % 10) >= NEW_BATCH_MOD
     new_bands = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_key"

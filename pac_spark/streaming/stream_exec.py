@@ -253,8 +253,8 @@ def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_rows,
         _band_struct_array,
         _rowlocal_signature_cols,
+        _rowlocal_signatures,
         _shingle_sets,
-        _signatures_from_shingle_rows,
     )
     from pac_spark.operators.text_core import shingles_of_tokens, tokens
 
@@ -264,13 +264,8 @@ def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_sets = doc_sets.filter(is_hist).select(
         F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_hist")
     )
-    hist_rows = (
-        doc_sets.filter(is_hist)
-        .select("doc_id", F.explode_outer("sh").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
-    )
     hist_bands = pin(
-        _band_rows(_signatures_from_shingle_rows(hist_rows)).select(
+        _band_rows(_rowlocal_signatures(doc_sets.filter(is_hist))).select(
             F.col("doc_id").alias("hist_id"), "band_idx", "band_key"
         )
     )
