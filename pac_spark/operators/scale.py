@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pac_spark import catalog
 from pac_spark.functions.exact import money_sum
 from pac_spark.functions.salting import salted_join
-from pac_spark.sources.bucketing import read_table, write_bucketed
+from pac_spark.sources.bucketing import ensure_bucketed, read_table
 
 __all__ = ["salted_events_join", "bucketed_orders_join", "key_skew_report"]
 
@@ -57,7 +57,10 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the plain join + aggregate SQL, so the hash check
     proves the layout is invisible to results; the plan test asserts
-    the exchange-free join shape.
+    the exchange-free join shape. The bucketed tables are written
+    ONCE per (table, sf) — repeat invocations only read (VERDICT r4
+    wrong-#2: the r4 version re-shuffled and re-saved both facts on
+    every call, charging ingest cost to a read query).
     """
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_orders, t_lineitem = f"pac_b_orders_{tag}", f"pac_b_lineitem_{tag}"
@@ -69,9 +72,11 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    write_bucketed(orders, t_orders, os.path.join(warehouse, t_orders), "o_orderkey")
-    write_bucketed(
-        lineitem, t_lineitem, os.path.join(warehouse, t_lineitem), "l_orderkey"
+    ensure_bucketed(
+        spark, orders, t_orders, os.path.join(warehouse, t_orders), "o_orderkey"
+    )
+    ensure_bucketed(
+        spark, lineitem, t_lineitem, os.path.join(warehouse, t_lineitem), "l_orderkey"
     )
 
     bo = read_table(spark, t_orders)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from pac_spark.sources.bucketing import read_table, write_bucketed
+from pac_spark.sources.bucketing import ensure_bucketed, read_table, write_bucketed
 
 
 @pytest.fixture()
@@ -48,3 +48,34 @@ def test_cobucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_ensure_bucketed_writes_once(spark, sf_dir, tmp_path):
+    """ensure_bucketed pays the ingest shuffle once: a second call with
+    DIFFERENT data must be a no-op (the layout is already on disk), so
+    the read still sees the first write's rows."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    try:
+        ensure_bucketed(
+            spark, nation, "t_ensure_b", str(tmp_path / "nat"), "n_nationkey"
+        )
+        first_files = sorted(p.name for p in (tmp_path / "nat").glob("*.parquet"))
+        n_first = spark.table("t_ensure_b").count()
+        assert n_first == nation.count()
+
+        ensure_bucketed(
+            spark,
+            nation.limit(1),
+            "t_ensure_b",
+            str(tmp_path / "nat"),
+            "n_nationkey",
+        )
+        assert (
+            sorted(p.name for p in (tmp_path / "nat").glob("*.parquet"))
+            == first_files
+        ), "second ensure_bucketed rewrote the layout"
+        assert spark.table("t_ensure_b").count() == n_first
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ensure_b")
