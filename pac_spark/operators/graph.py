@@ -72,9 +72,20 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     rank₀ = RANK_SCALE div N for every node;
     rankᵢ₊₁(v) = (15·RANK_SCALE) div (100·N)
                + (85 · Σ_{u→v} rankᵢ(u) div deg(u)) div 100
+
+    The node set is src ∪ dst, so a non-symmetric edge set ranks its
+    sink-only nodes too (ADVICE r4: src-only derivation silently
+    dropped mass sent to dst-only nodes). Dangling nodes (no
+    out-edges) receive teleport + incoming mass but distribute
+    nothing — their mass leaks, the standard simplification; exact
+    redistribution would add a per-round scalar.
     """
     edges = pin(edges)
-    nodes = pin(edges.select(F.col("src").alias("node")).distinct())
+    nodes = pin(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     n_nodes = nodes.count()  # one small scalar; fixes N for the formula
     if n_nodes == 0:
         raise ValueError("pagerank needs a non-empty edge set")
@@ -136,7 +147,7 @@ edges AS (
     UNION ALL
     SELECT supp AS src, cust AS dst FROM pairs
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
 deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 edged AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),

@@ -277,6 +277,16 @@ def funnel(
         # duplicate names would alias colliding t_<stage> columns and
         # surface as an opaque AMBIGUOUS_REFERENCE deep in analysis
         raise ValueError("funnel stages must be unique")
+    for stage in stages:
+        # stage names are interpolated into generated column names
+        # (t_<stage>, reached_<stage>); a dot/space/backtick would
+        # mis-resolve or fail deep in analysis (ADVICE r4) — reject
+        # non-identifier names here with a plain error instead
+        if not stage.isidentifier():
+            raise ValueError(
+                f"funnel stage {stage!r} is not identifier-safe; stage "
+                "names become generated column names"
+            )
     ev = events.select(user_col, type_col, ts_col)
     frames = []
     prev_t = None

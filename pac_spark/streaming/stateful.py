@@ -280,6 +280,20 @@ def _lifetime_fold(
     else:
         n = cents = n_anom = 0
         first_us = last_us = 0
+    # the anomaly rule is order-sensitive, and only WITHIN-batch order
+    # is restored by the sort above; across batches we rely on the
+    # source delivering event time monotonically per key. Assert that
+    # assumption instead of silently diverging from the window oracle
+    # when a multi-file split delivers an earlier-timestamped file
+    # late (ADVICE r4). Equal-timestamp runs split across batches can
+    # still reorder event_id ties undetected — the totals stay exact
+    # either way, only n_anomalies could shift.
+    if n > 0 and len(batch) and int(batch["_us"].iloc[0]) < last_us:
+        raise RuntimeError(
+            f"user {user_id}: cross-batch event-time regression "
+            f"({int(batch['_us'].iloc[0])} < {last_us}); the order-"
+            "sensitive anomaly rule cannot fold this batch correctly"
+        )
     for _us, value in zip(batch["_us"], batch["value"]):
         c = _cents(value)
         if n > 0 and c * n > 3 * cents:

@@ -765,3 +765,31 @@ def test_funnel_rejects_duplicate_stages(spark, sf_dir):
         funnel(ev, ["view", "click", "view"])
     with pytest.raises(ValueError, match="two stages"):
         funnel(ev, ["view"])
+
+
+def test_funnel_rejects_non_identifier_stage_names(spark, sf_dir):
+    import pytest
+
+    from pac_spark import catalog
+    from pac_spark.operators.temporal import funnel
+
+    ev = catalog.load(spark, sf_dir, "events")
+    for bad in ("a.b", "a b", "a`b", "1st"):
+        with pytest.raises(ValueError, match="identifier-safe"):
+            funnel(ev, ["view", bad])
+
+
+def test_pagerank_ranks_dst_only_nodes(spark):
+    """A non-symmetric edge set must rank sink-only nodes instead of
+    silently dropping the mass sent to them (ADVICE r4): node 3 below
+    never appears as src, yet receives 1's and 2's contributions."""
+    from pac_spark.operators.graph import RANK_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, None)], "src long, dst long"
+    ).filter("dst IS NOT NULL")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert ranks[3] > ranks[1] == ranks[2]
+    # dangling sink leaks its mass by design; total stays <= initial
+    assert sum(ranks.values()) <= RANK_SCALE
