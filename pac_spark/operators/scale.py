@@ -20,7 +20,12 @@ from pac_spark.functions.exact import money_sum
 from pac_spark.functions.salting import salted_join
 from pac_spark.sources.bucketing import ensure_bucketed, read_table
 
-__all__ = ["salted_events_join", "bucketed_orders_join", "key_skew_report"]
+__all__ = [
+    "salted_events_join",
+    "bucketed_orders_join",
+    "key_skew_report",
+    "compaction_roundtrip",
+]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -133,4 +138,50 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), "user_id")
         .limit(SKEW_TOP_N)
+    )
+
+
+# deliberately shatter the events fact into this many tiny files to
+# simulate a streaming sink's small-files debris before compacting
+_FRAG_FILES = 64
+
+
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 compaction, driver-verified end-to-end: shatter the events
+    fact into ``_FRAG_FILES`` tiny files (the small-files debris a
+    per-batch streaming sink leaves), compact the fragmented copy with
+    the AQE-REBALANCE pass (``sources.compaction.compact``), and
+    aggregate the COMPACTED copy. The oracle states the same aggregate
+    over the original table, so the hash check proves the rewrite is
+    invisible to content — no row lost, duplicated, or mutated.
+
+    Fragment + compact run ONCE per (table, sf) — create-if-absent on
+    the compacted copy's _SUCCESS marker, same write-once discipline
+    as ``bucketed_orders_join``; repeat invocations only read. The
+    file-count / layout assertions live in ``tests/test_compaction.py``
+    (pytest), this row verifies content.
+    """
+    from pac_spark.sources.compaction import compact
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    warehouse = os.path.join(_REPO_ROOT, "spark-warehouse")
+    frag_dir = os.path.join(warehouse, f"pac_frag_events_{tag}")
+    comp_dir = os.path.join(warehouse, f"pac_compact_events_{tag}")
+
+    if not os.path.exists(os.path.join(comp_dir, "_SUCCESS")):
+        events = catalog.load(spark, sf_dir, "events")
+        events.repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag_dir)
+        compact(spark.read.parquet(frag_dir), comp_dir, advisory_partition_mb=64)
+
+    comp = spark.read.parquet(comp_dir)
+    return (
+        comp.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+            money_sum(F.col("value")).alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
     )

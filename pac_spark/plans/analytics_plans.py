@@ -1,0 +1,40 @@
+"""Registry entries for the table-analytics operators: one-scan
+profiling, referential-integrity audit, exact-integer PageRank, and
+the SCD2 snapshot diff. Promoted from ``plans/queued.py`` in the r5
+rotation (VERDICT r4 next-#1) after riding the local oracle gate since
+their r4 landing; their oracles live next to the operators they state
+(``PROFILE_SQL`` / ``RI_SQL`` / ``PAGERANK_SQL`` / ``SCD2_SQL``).
+"""
+
+from __future__ import annotations
+
+from pac_spark.operators import graph as G
+from pac_spark.operators import profile as P
+from pac_spark.operators import scd as SD
+from pac_spark.plans.spec import QuerySpec
+
+__all__ = ["SPECS"]
+
+_ORDERS_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+SPECS = [
+    QuerySpec(
+        "profile_orders",
+        P.profile_orders,
+        P.PROFILE_SQL("orders", _ORDERS_COLS),
+    ),
+    QuerySpec(
+        "referential_integrity_report",
+        P.referential_integrity_report,
+        P.RI_SQL(),
+    ),
+    QuerySpec("pagerank_trade_graph", G.pagerank_trade_graph, G.PAGERANK_SQL()),
+    QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
+]

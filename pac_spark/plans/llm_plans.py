@@ -959,12 +959,6 @@ SPECS = [
     QuerySpec("incremental_neardup_filter", D.incremental_neardup_filter, _INCREMENTAL),
     QuerySpec("pii_scrub_docs", SC.pii_scrub_docs, SC.SCRUB_SQL()),
     QuerySpec("doc_repetition_signals", TX.doc_repetition_signals, _REPETITION),
-]
-
-# Queued for the next driver rotation (see temporal_plans.SPECS_QUEUED
-# for the policy rationale); the local oracle gate covers them now.
-SPECS_QUEUED = [
-    QuerySpec(
-        "corr_quality_tokens_by_lang", TX.corr_quality_tokens_by_lang, _CORR
-    ),
+    # promoted from the r4 queue in the r5 rotation (VERDICT r4 next-#1)
+    QuerySpec("corr_quality_tokens_by_lang", TX.corr_quality_tokens_by_lang, _CORR),
 ]

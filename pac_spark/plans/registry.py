@@ -31,6 +31,7 @@ def all_specs() -> list[QuerySpec]:
     head and the longest-stable relational queries at the tail.
     """
     from pac_spark.plans import (
+        analytics_plans,
         er_plans,
         issues_plans,
         llm_plans,
@@ -45,6 +46,7 @@ def all_specs() -> list[QuerySpec]:
     specs += tpch_plans.SPECS
     specs += llm_plans.SPECS
     specs += scale_plans.SPECS
+    specs += analytics_plans.SPECS
     specs += issues_plans.SPECS
     specs += er_plans.SPECS
     specs += temporal_plans.SPECS
@@ -52,83 +54,91 @@ def all_specs() -> list[QuerySpec]:
     specs += relational_plans.SPECS
 
     # cross-module priority overrides, revised per round: HOIST names
-    # are new/changed this round (or short of two consecutive driver
-    # greens) but live in a module whose slot falls past the cap;
-    # DEMOTE names are unchanged this round + driver-green in two
-    # consecutive prior rounds, freeing their slots. The demotion
-    # policy is now ENFORCED by tests/test_registry_policy.py, which
-    # replays the CORRECTNESS_r*.json history against the tail.
+    # claim the driver cap. R5 executes the rotation the r4 registry
+    # scheduled (VERDICT r4 next-#1): the hoist list below IS the
+    # 50-row cap — 30 specs holding a single driver green (r4) that
+    # need their second consecutive one, the 12 promotions from the
+    # retired plans/queued.py, the new compaction row, the 5 dedup/IVF
+    # specs whose implementations changed this round, and 2 stale
+    # refreshes (last green r2). Everything else rides the tail, which
+    # tests/test_registry_policy.py proves holds only specs with two
+    # consecutive driver greens.
     #
-    # R5 ROTATION PLAN (for whoever opens the next round): promote
-    # plans/queued.py::SPECS_QUEUED (12 specs, all hash-green locally AND at the driver's sf0.01)
-    # into their home modules' SPECS + this hoist list; keep every
-    # r4-new spec (TPC-H completion, scrub/repetition, streaming
-    # admission, salted/bucketed, LSH-ER) in the cap for its SECOND
-    # consecutive green; fill remaining slots by demoting specs that
-    # will then hold r3+r4 consecutive greens. ~35 second-green +
-    # 12 promotions fits the 50 cap.
+    # R6 ROTATION PLAN (for whoever opens the next round): the 50
+    # below all gain a green in r5 if CORRECTNESS_r05 is clean; keep
+    # any that then still lack two CONSECUTIVE greens (the r4-new 30
+    # will have r4+r5 → tail-legal; promotions/new/changed will have
+    # r5 only → keep in cap), and fill freed slots with the next
+    # oldest-verified tail specs (events_sliding_1h_30m,
+    # events_sessions_10m, and the r2-green er/issues family are the
+    # stalest).
     hoist = [
-        # single driver-green (r2 only) — VERDICT r3 #1
+        # --- 16 TPC-H rows with a single driver green (r4) ---
+        "q2_top_balance_supplier",
         "q4_late_shipments",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_ship_delay_priority",
         "q13_order_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
-        # single driver-green (r3 only) — must not ride the tail yet
-        "streaming_enriched_by_segment",
-        # new this round
+        "q19_discounted_revenue",
+        "q20_heavy_promo_suppliers",
+        "q21_last_to_ship",
+        # --- 14 more single-green (r4) specs ---
+        "bucketed_orders_join",
+        "salted_events_join",
+        "er_candidate_pairs_lsh",
+        "incremental_neardup_filter",
         "streaming_neardup_admission",
-    ]
-    demote = [
-        # three-round green (r1+r2+r3), code untouched in r4
-        "dedup_exact_docs",
-        "asof_join_purchase_click",
-        "range_band_join_quantity",
-        "q6_forecast_revenue",
-        # r1+r2 green, unchanged since
-        "er_records",
-        "events_tumbling_1h",
-        "events_sliding_1h_30m",
-        "events_sessions_10m",
-        # two+ consecutive greens (r2+r3), unchanged in r4 — demoted to
-        # make driver slots for the TPC-H completion suite (tpch_plans)
-        "minhash_signatures",
+        "streaming_sliding_1h_30m",
+        "knn_rerank",
+        "label_centroids",
+        "pii_scrub_docs",
+        "doc_repetition_signals",
+        "doc_top_terms",
+        "unigram_prob_score",
+        "vocab_top_terms",
+        "training_shards",
+        # --- the 12 promotions from the retired r4 queue ---
+        "funnel_view_click_purchase",
+        "corr_quality_tokens_by_lang",
+        "profile_orders",
+        "referential_integrity_report",
+        "pagerank_trade_graph",
+        "scd2_customer_diff",
+        "cohort_retention",
+        "key_skew_report",
+        "rolling_1h_user_stats",
+        "event_transition_matrix",
+        "streaming_user_lifetime_stats",
+        "basket_part_pairs",
+        # --- new this round ---
+        "compaction_roundtrip",
+        # --- implementation changed this round (dedup rewiring; IVF
+        #     gained its deterministic quantizer + first real oracle) ---
+        "ann_ivf_topk",
+        "ngram_jaccard_pairs",
         "minhash_lsh_dedup",
         "simhash_neardup",
-        "issues_count_validation",
-        "company_issue_summary",
-        "flagship_roles_resolved",
-        "export_envelope",
-        "er_consolidated",
-        "er_approved",
-        "er_links",
-        "er_records_stringified",
-        "interval_overlap_join",
-        "q18_large_orders",
-        # three-round green, unchanged in r4 — slots for doc_top_terms /
-        # unigram_prob_score / training_shards / streaming_sliding_1h_30m
-        "ngram_jaccard_pairs",
-        "pivot_daily_event_counts",
-        "grouping_sets_revenue",
-        "streaming_sessions_10m",
-        # slot for incremental_neardup_filter
-        "flagship_company_positions",
-        # three-round green (r1+r2+r3) — slots for pii_scrub_docs /
-        # doc_repetition_signals; their code paths stay cap-covered via
-        # er_candidate_pairs_lsh (same rescorer) and
-        # streaming_sliding_1h_30m (same stream executor)
-        "er_candidate_pairs",
-        "streaming_tumbling_1h",
-        # three-round green; the connected-components engine it runs
-        # stays cap-covered via semantic_dedup (same clustering core)
-        "er_clusters",
+        "minhash_signatures",
+        # --- stale refresh: last driver green was r2 ---
+        "er_records",
+        "events_tumbling_1h",
     ]
-    by_priority = (
-        [s for s in specs if s.name in hoist]
-        + [s for s in specs if s.name not in hoist and s.name not in demote]
-        + [s for s in specs if s.name in demote]
-    )
+    by_priority = [s for s in specs if s.name in hoist] + [
+        s for s in specs if s.name not in hoist
+    ]
     names = [s.name for s in by_priority]
     assert len(names) == len(set(names)), "duplicate query names"
     assert len(names) == len(specs)
+    assert len(hoist) == DRIVER_CAP and len(set(hoist)) == DRIVER_CAP
+    assert all(any(s.name == h for s in specs) for h in hoist), "hoist typo"
     return by_priority
 
 

@@ -239,6 +239,72 @@ WHERE c_acctbal > avg_bal
 GROUP BY 1 ORDER BY 1
 """
 
+# promoted from plans/queued.py in the r5 rotation (VERDICT r4 next-#1)
+_COHORT = """
+WITH e AS (
+    SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w FROM events
+),
+f AS (SELECT user_id, MIN(w) AS w0 FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, w FROM e)
+SELECT strftime(f.w0, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.w0, a.w) // 7 AS INT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_TRANSITIONS = """
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+    FROM events
+),
+lagged AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM e
+),
+pairs AS (
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM lagged WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+rt AS (SELECT from_type, SUM(n_transitions) AS row_total FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type,
+       CAST(p.n_transitions AS BIGINT) AS n_transitions,
+       CAST((p.n_transitions * 1000) // rt.row_total AS BIGINT) AS permille
+FROM pairs p JOIN rt ON p.from_type = rt.from_type
+ORDER BY p.from_type, p.to_type
+"""
+
+_BASKET = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders_together
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {R.BASKET_MIN_COUNT}
+ORDER BY n_orders_together DESC, part_a, part_b
+"""
+
+_ROLLING_1H = """
+WITH e AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+       CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS sum_value_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
 # Ordered by driver-verification priority (see registry.all_specs):
 # this module sits last in the registry, so only its head fits inside
 # the driver's 50-spec CORRECTNESS cap. Queries changed this round
@@ -246,6 +312,10 @@ GROUP BY 1 ORDER BY 1
 # tail holds only queries that are unchanged and were driver-green in
 # both previous rounds (still locally oracle-checked every pytest run).
 SPECS = [
+    QuerySpec("cohort_retention", R.cohort_retention, _COHORT),
+    QuerySpec("event_transition_matrix", R.event_transition_matrix, _TRANSITIONS),
+    QuerySpec("basket_part_pairs", R.basket_part_pairs, _BASKET),
+    QuerySpec("rolling_1h_user_stats", R.rolling_1h_user_stats, _ROLLING_1H),
     QuerySpec("q22_idle_customers", R.q22_idle_customers, _Q22),
     QuerySpec("approx_distinct_parts", R.approx_distinct_parts, _APPROX_DISTINCT),
     QuerySpec("q4_late_shipments", R.q4_late_shipments, _Q4),

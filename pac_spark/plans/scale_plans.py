@@ -30,7 +30,36 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# plain aggregate over the ORIGINAL table: hash equality proves the
+# fragment -> compact rewrite changed layout only, never content
+_COMPACTION_ROUNDTRIP = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_events,
+       {money_sum_sql('value')} AS total_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# promoted from plans/queued.py in the r5 rotation (VERDICT r4 next-#1)
+_SKEW = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+SELECT user_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 1000) // total AS BIGINT) AS share_permille,
+       CAST((n_rows * 100) // (total // n_keys) AS BIGINT) AS uniform_ratio_pct
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+"""
+
 SPECS = [
     QuerySpec("salted_events_join", SC.salted_events_join, _SALTED_EVENTS),
     QuerySpec("bucketed_orders_join", SC.bucketed_orders_join, _BUCKETED_ORDERS),
+    QuerySpec("compaction_roundtrip", SC.compaction_roundtrip, _COMPACTION_ROUNDTRIP),
+    QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
 ]

@@ -174,4 +174,10 @@ SPECS = [
         stream_exec.streaming_neardup_admission,
         _streaming_admission_sql(),
     ),
+    # promoted from plans/queued.py in the r5 rotation (VERDICT r4 next-#1)
+    QuerySpec(
+        "streaming_user_lifetime_stats",
+        stateful.streaming_user_lifetime_stats,
+        stateful.LIFETIME_ORACLE,
+    ),
 ]

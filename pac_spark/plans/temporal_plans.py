@@ -151,16 +151,6 @@ SPECS = [
     QuerySpec("grouping_sets_revenue", R.grouping_sets_revenue, _GROUPING_SETS),
     QuerySpec("asof_join_purchase_click", T.asof_join_purchase_click, T.ASOF_ORACLE),
     QuerySpec("range_band_join_quantity", T.range_band_join_quantity, _RANGE_BAND),
-]
-
-# Queued for the NEXT driver rotation: the registry's enforced policy
-# (tests/test_registry_policy.py) forbids a zero-green spec riding the
-# tail, and this round's 50 cap slots are fully claimed by new/under-
-# verified specs. Queued specs run the IDENTICAL local oracle gate
-# (tests/test_oracle_parity.py picks them up) and move into SPECS +
-# the hoist list when a rotation slot frees up.
-SPECS_QUEUED = [
-    QuerySpec(
-        "funnel_view_click_purchase", T.funnel_view_click_purchase, _FUNNEL
-    ),
+    # promoted from the r4 queue in the r5 rotation (VERDICT r4 next-#1)
+    QuerySpec("funnel_view_click_purchase", T.funnel_view_click_purchase, _FUNNEL),
 ]

@@ -8,10 +8,9 @@ import pytest
 from pac_spark.plans.registry import all_specs
 from tests.conftest import assert_oracle_match
 
-from pac_spark.plans.queued import SPECS_QUEUED
-
-# queued specs (awaiting a driver-rotation slot) run the identical gate
-SPECS = all_specs() + SPECS_QUEUED
+# the r5 rotation promoted the last queued specs into the registry, so
+# the registry IS the complete spec universe again
+SPECS = all_specs()
 ORACLE_SPECS = [s for s in SPECS if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in SPECS if s.oracle is None]
 
