@@ -18,20 +18,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: one representative per operator family (relational
-# core, windows, streaming, ER, dedup, similarity, text, multimodal)
+# core, windows, streaming, ER, dedup, similarity, text, multimodal),
+# plus the r4-new heavy hitters (VERDICT r4 next-#5: regressions in
+# new code were invisible round-over-round without them)
 BENCH_QUERIES = [
     "flagship_company_positions",
     "company_issue_summary",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q9_product_profit",
+    "q21_last_to_ship",
     "window_rank_orders",
     "events_sessions_10m",
     "streaming_tumbling_1h",
+    "streaming_neardup_admission",
     "er_candidate_pairs",
+    "er_candidate_pairs_lsh",
     "er_clusters",
     "minhash_lsh_dedup",
     "ngram_jaccard_pairs",
+    "incremental_neardup_filter",
     "knn_bruteforce",
     "text_stats",
     "multimodal_byte_features",

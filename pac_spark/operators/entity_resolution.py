@@ -257,19 +257,21 @@ def candidate_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.operators.dedup import (
         _band_rows,
         _lsh_candidates,
-        _signatures_from_shingle_rows,
+        _rowlocal_signatures,
     )
 
     records = executive_records(spark, sf_dir)
-    # no distinct: duplicate (record, run) rows cannot change a MIN
-    # aggregate, so deduping here would only add a shuffle
-    shingles = records.select(
+    # signatures row-locally over each record's digit-run array — zero
+    # shuffle (duplicate runs cannot change an array_min, so no
+    # distinct needed; records without digit runs drop out exactly as
+    # they produced no rows on the r4 explode+groupBy path)
+    shingle_arrays = records.select(
         F.col("record_id").alias("doc_id"),
-        F.explode(F.regexp_extract_all("name", F.lit("[0-9]+"), 0)).alias("shingle"),
+        F.regexp_extract_all("name", F.lit("[0-9]+"), 0).alias("sh"),
     )
-    cands = _lsh_candidates(
-        _band_rows(_signatures_from_shingle_rows(shingles))
-    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    cands = _lsh_candidates(_band_rows(_rowlocal_signatures(shingle_arrays))).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
     a = records.alias("a")
     b = records.alias("b")
     pairs = (
