@@ -222,7 +222,9 @@ import pytest as _pytest
 
 
 @_pytest.mark.parametrize(
-    "emb_dir", [None, "/root/testdata/sf0.1"], ids=["sf_small", "sf0.1"]
+    "emb_dir",
+    [None, "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ids=["sf_small", "sf0.01", "sf0.1"],
 )
 def test_banding_recall_at_production_threshold(spark, sf_dir, emb_dir):
     """The (4-bit x 16-band) production dial must lose no pair at

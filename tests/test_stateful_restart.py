@@ -1,0 +1,109 @@
+"""Restart-mid-stream chaos test for the custom-state lifetime
+operator (VERDICT r4 optional-#8): the per-user GroupState must
+survive a query restart from its checkpoint, and the folded totals
+after the second run must equal the single-pass DuckDB window oracle
+over the full table.
+
+Shape: the events fixture is split at its global median timestamp into
+two files; run 1 (``availableNow``) folds the early half and stops,
+run 2 restarts from the same checkpoint and folds ONLY the late half
+(exactly-once file tracking) on top of the recovered state. The
+per-key event-time monotonicity the fold now asserts (ADVICE r4)
+holds by construction — every run-1 timestamp < every run-2 one — so
+a divergence here would be real state loss, not delivery order.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+
+def _run_once(spark, src: str, ckpt: str, schema, sink_rows: list) -> None:
+    from pac_spark.streaming.stateful import (
+        _LIFETIME_STATE,
+        LIFETIME_SCHEMA,
+        _lifetime_fold,
+    )
+
+    out = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _lifetime_fold,
+            outputStructType=LIFETIME_SCHEMA,
+            stateStructType=_LIFETIME_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def _collect(batch_df, _batch_id):
+        sink_rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_lifetime_state_survives_restart(spark, sf_dir, duck, tmp_path):
+    from pac_spark.streaming.stateful import LIFETIME_ORACLE
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    ts_sorted = [r["ts"] for r in ev.select("ts").orderBy("ts").collect()]
+    mid = ts_sorted[len(ts_sorted) // 2]
+    early = ev.filter(F.col("ts") < F.lit(mid))
+    late = ev.filter(F.col("ts") >= F.lit(mid))
+    assert early.count() > 0 and late.count() > 0, "split is vacuous"
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows: list = []
+
+    early.coalesce(1).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, ev.schema, rows)
+    n_after_run1 = len(rows)
+    assert n_after_run1 > 0, "run 1 emitted nothing"
+
+    late.coalesce(1).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, ev.schema, rows)
+    assert len(rows) > n_after_run1, "run 2 emitted nothing (no restart fold)"
+
+    # finalize exactly as the operator does: totals are monotone in
+    # n_events, keep each user's highest-count row
+    best: dict[int, object] = {}
+    for r in rows:
+        cur = best.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            best[r["user_id"]] = r
+
+    oracle = {
+        r[0]: r[1:]
+        for r in duck.sql(LIFETIME_ORACLE).fetchall()
+    }
+    got = {
+        u: (
+            r["n_events"],
+            r["total_value"],
+            r["n_anomalies"],
+            r["first_ts"],
+            r["last_ts"],
+        )
+        for u, r in best.items()
+    }
+    assert set(got) == set(oracle)
+    mismatches = {u: (got[u], oracle[u]) for u in oracle if got[u] != oracle[u]}
+    assert not mismatches, f"restart fold diverged: {list(mismatches.items())[:3]}"
+
+    shutil.rmtree(ckpt, ignore_errors=True)
