@@ -278,3 +278,34 @@ def test_queued_operators_plan_shapes(spark, sf_dir):
     assert "FullOuter" in scd_plan, scd_plan
 
     assert "collect_list" not in plans["cohort_retention"]
+
+
+def test_rowlocal_signature_paths_zero_exchange_before_banding(spark, sf_dir):
+    """The r5 dedup rewiring's contract: MinHash signatures + band keys
+    are row-local projections over the pinned set arrays, so the ONLY
+    exchanges in minhash_lsh_dedup are the band-bucket groupBy, the
+    candidate distinct, the rescoring joins, and the output sort — the
+    explode+groupBy signature shuffle must never reappear. Counted
+    coarsely: the full plan stays under 6 exchanges (it was 7+ with the
+    grouped signature path) and contains no aggregate keyed on doc_id
+    before banding (the signature groupBy's fingerprint)."""
+    from pac_spark.operators.dedup import minhash_lsh_dedup, minhash_signatures
+
+    sig_plan = _exec_plan(minhash_signatures(spark, sf_dir))
+    # the signatures query itself is groupBy-free: scan -> project -> sort
+    assert "HashAggregate" not in sig_plan and "ObjectHashAggregate" not in sig_plan
+
+    lsh_plan = _exec_plan(minhash_lsh_dedup(spark, sf_dir))
+    assert lsh_plan.count("Exchange") <= 6, lsh_plan.count("Exchange")
+
+
+def test_ivf_assignment_is_rowlocal_broadcast(spark, sf_dir):
+    """ann_ivf_topk's full-corpus list assignment must be a fold over
+    the broadcast centroid array — a BroadcastNestedLoopJoin of the
+    1-row array frame, never an exchange of the corpus keyed for a
+    join, and never a CartesianProduct."""
+    from pac_spark.operators.similarity import ann_ivf_topk
+
+    plan = _exec_plan(ann_ivf_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
