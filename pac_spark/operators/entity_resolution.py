@@ -260,7 +260,12 @@ def candidate_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rowlocal_signatures,
     )
 
-    records = executive_records(spark, sf_dir)
+    from pac_spark.cache import pin
+
+    # pinned: consumed three times below (shingle arrays + both sides
+    # of the candidate rescoring join) — unpinned, the five-projection
+    # union over customer×nation would replay per consumer
+    records = pin(executive_records(spark, sf_dir))
     # signatures row-locally over each record's digit-run array — zero
     # shuffle (duplicate runs cannot change an array_min, so no
     # distinct needed; records without digit runs drop out exactly as
