@@ -37,6 +37,7 @@ __all__ = [
     "top_customers_by_revenue",
     "window_rank_orders",
     "window_running_events",
+    "window_distribution_stats",
     "rollup_region_nation",
     "cube_flag_status",
     "set_ops_customers",
@@ -209,6 +210,41 @@ def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("next_value"),
         F.round(F.sum("value").over(run), 2).alias("running_value"),
         F.row_number().over(w).alias("event_seq"),
+    )
+
+
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution / positional window breadth (§2.5 completion):
+    ntile quartiles, percent_rank, cume_dist, nth_value, and
+    first/last_value over an explicit sliding ROWS frame — the window
+    families the rank/lag showcases don't touch.
+
+    One shuffle on the partition key; every function shares the same
+    fully-specified ordering (price desc, key asc — unique), so all
+    results including the IEEE divisions behind percent_rank/cume_dist
+    are deterministic and engine-portable. Output bounded to the top
+    20 rows per priority class by the shared row_number.
+    """
+    orders = catalog.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    near = w.rowsBetween(-1, 1)
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 8).alias("cume"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_key_so_far"),
+            F.first_value("o_orderkey").over(near).alias("prev_or_self_key"),
+            F.last_value("o_orderkey").over(near).alias("next_or_self_key"),
+        )
+        .filter(F.col("rn") <= 20)
+        .orderBy("o_orderpriority", "rn")
     )
 
 

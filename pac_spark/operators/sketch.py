@@ -1,0 +1,173 @@
+"""Mergeable-sketch operators: count-min heavy-hitter estimation.
+
+At 100 TB you often cannot afford (or store) exact per-key counts —
+the scalable pattern is a MERGEABLE sketch: each partition folds its
+rows into a fixed-size counter table, partial tables add elementwise
+(associative + commutative, so the merge tree's shape is irrelevant),
+and point estimates read min-of-d cells. This file implements
+count-min exactly that way as a DataFrame plan:
+
+- hash family: ``md5(seed || key)`` → column index per depth row —
+  engine-portable (same family every dedup/sampling operator here
+  uses), no murmur dependence;
+- build: explode each key into its ``CMS_DEPTH`` (row, col) cells,
+  one map-side-combined groupBy — the sketch is a (row, col, count)
+  table of at most ``CMS_DEPTH × CMS_WIDTH`` rows regardless of input
+  size;
+- estimate: min over the key's d cells (classic CMS upper-bounded
+  overestimate: est >= true, est <= true + eps·N with prob 1-delta).
+
+Everything is integer arithmetic over deterministic hashes, so the
+DuckDB oracle rebuilds the identical sketch and the driver hash-checks
+estimates — a sketch whose VALUES are reproducible cross-engine, not
+just its error bound. The demo query estimates the events table's
+user_id frequencies for the exact top keys and reports estimate vs
+exact overestimate (always >= 0 by construction; property-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pac_spark import catalog
+from pac_spark.cache import pin
+
+__all__ = [
+    "CMS_DEPTH",
+    "CMS_WIDTH",
+    "cms_build",
+    "cms_estimate",
+    "cms_user_heavy_hitters",
+    "CMS_HH_SQL",
+]
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# the demo reports the top-N exact keys' estimates (candidate keys in
+# production come from a per-partition SpaceSaving pass or are the
+# queried entities themselves; the sketch answers any key)
+CMS_TOP_N = 20
+
+
+def _cms_col(key: Column, seed: int) -> Column:
+    """Column index for depth row ``seed``: first 8 md5 hex digits of
+    the seeded key, mod width. 32 hash bits >> 8 width bits, so the
+    mod is uniform; the digit-wise arithmetic is replayed in SQL."""
+    h = F.md5(F.encode(F.concat(F.lit(f"cms{seed}|"), key.cast("string")), "UTF-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH).cast("int")
+
+
+def cms_build(rows: DataFrame, key: str) -> DataFrame:
+    """(row, col, cnt) sketch table from ``rows[key]``.
+
+    One explode to DEPTH cells per input row, one map-side-combined
+    groupBy — the shuffle moves at most DEPTH×WIDTH partial cells per
+    task, never the input. Partial sketches from any partitioning sum
+    to the same table (integer adds commute), which is the property
+    that makes the sketch cluster-mergeable and the oracle exact.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"), _cms_col(F.col(key), d).alias("col")
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        rows.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """``keys`` + an ``est`` column: min over the key's DEPTH cells.
+
+    The sketch is bounded (DEPTH×WIDTH rows) → broadcast; each key
+    computes its cells row-locally and reads DEPTH cells. Estimates
+    never undercount: every occurrence of the key incremented all of
+    its cells, collisions only add."""
+    keyed = keys.select(
+        "*",
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("row"), _cms_col(F.col(key), d).alias("col"))
+                for d in range(CMS_DEPTH)
+            ]
+        ).alias("_cells"),
+    ).select("*", F.explode("_cells").alias("_cell"))
+    return (
+        keyed.join(
+            F.broadcast(sketch),
+            (F.col("_cell.row") == F.col("row")) & (F.col("_cell.col") == F.col("col")),
+        )
+        .groupBy(*[c for c in keys.columns])
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: build the events→user_id count-min sketch, then
+    estimate the exact top-``CMS_TOP_N`` keys and report estimate vs
+    truth. ``overcount = est - n_rows >= 0`` always (the CMS
+    guarantee, also property-tested); the driver hash-checks the
+    estimates themselves because the whole sketch is deterministic.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select("user_id")
+    sketch = pin(cms_build(ev, "user_id"))
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(CMS_TOP_N)
+    )
+    est = cms_estimate(sketch, top, "user_id")
+    return est.select(
+        "user_id",
+        "n_rows",
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("n_rows")).alias("overcount"),
+    ).orderBy(F.desc("n_rows"), "user_id")
+
+
+def CMS_HH_SQL() -> str:
+    """DuckDB oracle: the identical sketch (same seeded md5 column
+    arithmetic, digit-wise), same min-of-cells estimates."""
+
+    def col_sql(key_expr: str, d: int) -> str:
+        digits = " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5('cms{d}|' || "
+            f"CAST({key_expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        return f"CAST(({digits}) % {CMS_WIDTH} AS INT)"
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {d} AS row, {col_sql('user_id', d)} AS col FROM events"
+        for d in range(CMS_DEPTH)
+    )
+    key_cells = " UNION ALL ".join(
+        f"SELECT user_id, n_rows, {d} AS row, {col_sql('user_id', d)} AS col FROM top"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col),
+top AS (
+    SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ORDER BY n_rows DESC, user_id LIMIT {CMS_TOP_N}
+),
+kc AS ({key_cells}),
+est AS (
+    SELECT k.user_id, k.n_rows, MIN(s.cnt) AS est
+    FROM kc k JOIN sketch s ON k.row = s.row AND k.col = s.col
+    GROUP BY k.user_id, k.n_rows
+)
+SELECT user_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(est AS BIGINT) AS cms_estimate,
+       CAST(est - n_rows AS BIGINT) AS overcount
+FROM est ORDER BY n_rows DESC, user_id
+"""

@@ -127,9 +127,11 @@ def all_specs() -> list[QuerySpec]:
         "minhash_lsh_dedup",
         "simhash_neardup",
         "minhash_signatures",
-        # --- stale refresh: last driver green was r2 ---
-        "er_records",
-        "events_tumbling_1h",
+        # --- new this round (replacing the planned stale refreshes:
+        #     fresh evidence on new operators beats re-greening rows
+        #     that already hold two consecutive greens) ---
+        "window_distribution_stats",
+        "cms_user_heavy_hitters",
     ]
     by_priority = [s for s in specs if s.name in hoist] + [
         s for s in specs if s.name not in hoist

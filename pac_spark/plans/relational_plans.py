@@ -311,7 +311,28 @@ ORDER BY event_id
 # (q22 recency cutoff, approx_distinct hybrid oracle) come first; the
 # tail holds only queries that are unchanged and were driver-green in
 # both previous rounds (still locally oracle-checked every pytest run).
+_WINDOW_DIST = """
+WITH w AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER win AS INT) AS rn,
+           CAST(NTILE(4) OVER win AS INT) AS price_quartile,
+           ROUND(PERCENT_RANK() OVER win, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER win, 8) AS cume,
+           NTH_VALUE(o_orderkey, 3) OVER win AS third_key_so_far,
+           FIRST_VALUE(o_orderkey) OVER near AS prev_or_self_key,
+           LAST_VALUE(o_orderkey) OVER near AS next_or_self_key
+    FROM orders
+    WINDOW win AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC),
+           near AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+)
+SELECT * FROM w WHERE rn <= 20 ORDER BY o_orderpriority, rn
+"""
+
 SPECS = [
+    QuerySpec("window_distribution_stats", R.window_distribution_stats, _WINDOW_DIST),
     QuerySpec("cohort_retention", R.cohort_retention, _COHORT),
     QuerySpec("event_transition_matrix", R.event_transition_matrix, _TRANSITIONS),
     QuerySpec("basket_part_pairs", R.basket_part_pairs, _BASKET),

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.operators import scale as SC
+from pac_spark.operators import sketch as SK
 from pac_spark.plans.spec import QuerySpec
 
 __all__ = ["SPECS"]
@@ -62,4 +63,5 @@ SPECS = [
     QuerySpec("bucketed_orders_join", SC.bucketed_orders_join, _BUCKETED_ORDERS),
     QuerySpec("compaction_roundtrip", SC.compaction_roundtrip, _COMPACTION_ROUNDTRIP),
     QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
+    QuerySpec("cms_user_heavy_hitters", SK.cms_user_heavy_hitters, SK.CMS_HH_SQL()),
 ]

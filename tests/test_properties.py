@@ -795,3 +795,26 @@ def test_pagerank_ranks_dst_only_nodes(spark):
     assert ranks[3] > ranks[1] == ranks[2]
     # dangling sink leaks its mass by design; total stays <= initial
     assert sum(ranks.values()) <= RANK_SCALE
+
+
+def test_cms_never_undercounts_and_is_partition_invariant(spark, sf_dir):
+    """The count-min guarantee, for EVERY key (the registered query
+    only reports the top-N): est >= exact. And the sketch table must
+    be identical under different partitionings — elementwise integer
+    adds commute, which is what makes it cluster-mergeable."""
+    from pac_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    sketch3 = cms_build(ev.repartition(3), "user_id")
+    sketch7 = cms_build(ev.repartition(7), "user_id")
+    t3 = {(r["row"], r["col"]): r["cnt"] for r in sketch3.collect()}
+    t7 = {(r["row"], r["col"]): r["cnt"] for r in sketch7.collect()}
+    assert t3 == t7, "sketch differs across partitionings"
+
+    from pyspark.sql import functions as F
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    est = cms_estimate(sketch3, exact, "user_id").collect()
+    assert est, "no keys estimated"
+    under = [r for r in est if r["est"] < r["n_rows"]]
+    assert not under, f"CMS undercounted: {under[:3]}"
