@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["compact", "compact_clustered"]
+__all__ = ["compact", "compact_clustered", "compact_zordered"]
 
 
 def _write(df: DataFrame, dest: str, max_records_per_file: int | None) -> None:
@@ -82,3 +82,54 @@ def compact_clustered(
         *cluster_by
     )
     _write(clustered, dest, max_records_per_file)
+
+
+def compact_zordered(
+    df: DataFrame,
+    dest: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 4,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Rewrite ``df`` as ``n_files`` Z-order-clustered parquet files:
+    rows are ordered along a Morton curve over (``col_a``, ``col_b``),
+    so parquet footer min/max statistics prune files for predicates on
+    EITHER column or a 2-D box — the multi-column locality a
+    single-axis range clustering (:func:`compact_clustered`) cannot
+    give (its secondary column spans every file).
+
+    Buckets are EQUI-DEPTH (approx-quantile boundaries per column, one
+    boundary pass — the rank-based bucketing production Z-order uses):
+    range-linear scaling collapses under skew, packing most of the
+    mass into a few Morton cells and destroying pruning exactly on the
+    skewed column. Each row folds its value through the tiny boundary
+    array (broadcast literal), bits interleave into the Z value, and
+    the write is ``repartitionByRange + sortWithinPartitions`` on it.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    qs = [j / float(n_buckets) for j in range(1, n_buckets)]
+
+    def bucket(col: str):
+        bounds = df.approxQuantile(col, qs, 0.001)
+        arr = "array(" + ", ".join(repr(float(b)) for b in bounds) + ")"
+        # bucket = number of boundaries <= x, a fold over the literal
+        # boundary array (15 comparisons at the default 4 bits)
+        return F.expr(
+            f"aggregate({arr}, 0L, (acc, b) -> "
+            f"acc + if(cast({col} as double) >= b, 1L, 0L))"
+        )
+
+    ba = bucket(col_a)
+    bb = bucket(col_b)
+    z = None
+    for i in range(bits):
+        bit_a = F.shiftleft(F.shiftright(ba, i).bitwiseAND(1), 2 * i)
+        bit_b = F.shiftleft(F.shiftright(bb, i).bitwiseAND(1), 2 * i + 1)
+        z = bit_a + bit_b if z is None else z + bit_a + bit_b
+    zdf = df.withColumn("__z", z)
+    clustered = zdf.repartitionByRange(n_files, "__z").sortWithinPartitions("__z")
+    _write(clustered.drop("__z"), dest, max_records_per_file)

@@ -78,3 +78,62 @@ def test_max_records_per_file_caps_skew(spark, sf_dir, tmp_path):
     for f in out_files:
         (cnt,) = con.execute(f"SELECT COUNT(*) FROM '{f}'").fetchone()
         assert cnt <= cap
+
+
+def test_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
+    """Z-order's pruning claim, measured on the actual footers: for a
+    predicate on the SECONDARY column alone (bottom quarter of value),
+    range-clustering by user_id prunes nothing — every file spans the
+    full value range — while the Morton layout bounds value per file,
+    so a strict minority of its files can intersect. Content identity
+    under the rewrite is also asserted."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from pac_spark.sources.compaction import compact_clustered, compact_zordered
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    n_files = 16
+    z_dir, r_dir = str(tmp_path / "z"), str(tmp_path / "r")
+    compact_zordered(ev, z_dir, "user_id", "value", n_files)
+    compact_clustered(ev, r_dir, ["user_id"], n_files)
+
+    # content identity under the rewrite
+    assert spark.read.parquet(z_dir).count() == ev.count()
+    assert (
+        spark.read.parquet(z_dir)
+        .select("event_id")
+        .exceptAll(ev.select("event_id"))
+        .count()
+        == 0
+    )
+
+    # predicate: value <= its 25th percentile (mass-based — the events
+    # value column is skewed, so a range-based cut would cover most of
+    # the data and prove nothing); user_id unconstrained
+    [v_cut] = ev.approxQuantile("value", [0.25], 0.001)
+
+    def files_hit(d: str) -> tuple[int, int]:
+        paths = sorted(_glob.glob(f"{d}/*.parquet"))
+        hit = 0
+        for p in paths:
+            md = pq.read_metadata(p)
+            idx = md.schema.names.index("value")
+            v_min = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            if v_min <= v_cut:
+                hit += 1
+        return hit, len(paths)
+
+    z_hit, z_total = files_hit(z_dir)
+    r_hit, r_total = files_hit(r_dir)
+    assert z_total >= 8 and r_total >= 8, "layouts produced too few files"
+    # range layout: every file spans the full value range -> no pruning
+    assert r_hit == r_total, (r_hit, r_total)
+    # Morton layout: a strict minority of files can contain low values
+    assert z_hit <= z_total // 2, f"z-order pruned nothing: {z_hit}/{z_total}"
