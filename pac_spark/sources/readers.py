@@ -148,6 +148,10 @@ def read_jdbc(
         spark.read.format("jdbc").option("url", url).option("dbtable", table)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            lo, hi = jdbc_partition_bounds(spark, url, table, partition_column, **options)
+            lower_bound = lo if lower_bound is None else lower_bound
+            upper_bound = hi if upper_bound is None else upper_bound
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -157,3 +161,38 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def jdbc_partition_bounds(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    **options: str,
+) -> tuple[int, int]:
+    """(min, max) of ``partition_column``, fetched by ONE remote
+    aggregate pushed to the database — the bounds discovery every
+    partitioned ingest needs before it can split range queries, run as
+    a dbtable subquery so only two values cross the wire (never rows).
+    Bounds that are stale by the time the ranged read runs only skew
+    partition sizes, never correctness: Spark's first and last ranges
+    are unbounded (``< lower`` / ``>= upper`` rows still land there).
+    """
+    probe = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "dbtable",
+            # ANSI-quoted: Spark's JDBC writer creates case-preserved
+            # (quoted) column names, which unquoted identifiers would
+            # case-fold past in Derby/Postgres/Snowflake alike
+            f'(SELECT MIN("{partition_column}") AS lo, '
+            f'MAX("{partition_column}") AS hi FROM {table}) AS bounds_probe',
+        )
+    )
+    for k, v in options.items():
+        probe = probe.option(k, v)
+    row = probe.load().collect()[0]
+    if row[0] is None:
+        raise ValueError(f"{table}.{partition_column} has no non-null values")
+    return int(row[0]), int(row[1])

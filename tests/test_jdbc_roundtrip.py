@@ -50,3 +50,41 @@ def test_jdbc_partitioned_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan(c_custkey,100)" in plan
     assert filtered.count() == cust.filter(F.col("c_custkey") < 100).count()
+
+
+def test_jdbc_bounds_discovered_remotely(spark, sf_dir, tmp_path):
+    """Omitting lower/upper bounds must trigger the one-aggregate
+    remote bounds probe (two values cross the wire, never rows) and
+    still produce the partitioned, complete read."""
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.write.mode("overwrite").jdbc(
+        _URL.replace("pacjdbc", "pacjdbc2"),
+        "ORDERS_B",
+        properties={"driver": _DRIVER},
+    )
+    url2 = _URL.replace("pacjdbc", "pacjdbc2")
+
+    from pac_spark.sources.readers import jdbc_partition_bounds
+
+    lo, hi = jdbc_partition_bounds(
+        spark, url2, "ORDERS_B", "o_orderkey", driver=_DRIVER
+    )
+    want_lo, want_hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    assert (lo, hi) == (int(want_lo), int(want_hi))
+
+    back = read_jdbc(
+        spark,
+        url2,
+        "ORDERS_B",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        driver=_DRIVER,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == orders.count()
