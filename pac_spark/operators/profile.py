@@ -103,7 +103,12 @@ def profile(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
 
 
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: profile the ``orders`` table."""
+    """Registry entry: profile the ``orders`` table.
+
+    Uses the ``exact_distinct=True`` default because this row is
+    value-hash-checked against the oracle; a 100 TB ANALYZE run passes
+    ``exact_distinct=False`` to swap each COUNT(DISTINCT) for the
+    fixed-memory ``approx_count_distinct`` sketch (VERDICT r4 #4)."""
     return profile(catalog.load(spark, sf_dir, "orders"))
 
 
