@@ -552,38 +552,30 @@ def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality at its 8-decimal scale), associative at any partition
     count, and the one double formula runs identically on both engines
     — bit-identical correlation, hash-checkable like any other query.
-    Bounds: the scaled second moment Σx² ≤ n·(10⁸)² needs BIGINT
-    headroom, which runs out at n ≈ 922 rows per group of all-1.0
-    quality (2⁶³/10¹⁶). Spark's non-ANSI sum WRAPS on overflow rather
-    than erroring, so the plan carries an explicit assert_true guard
-    on the group count — past the bound the query fails loudly
-    instead of returning a wrapped correlation (the 100 TB variant
-    swaps the sums to decimal(38,0) and drops the guard).
+    Moment sums accumulate in decimal(38,0): per-row products fit
+    BIGINT (x² ≤ 10¹⁶), but Σx² outgrows 2⁶³ at ~922 rows/group of
+    top quality — the r4 BIGINT version guarded that bound with an
+    assert and refused larger groups (it fired at sf0.1). 38-digit
+    exact sums push the bound to ~10²² rows per group, far past any
+    real corpus, with the identical value semantics: DuckDB's
+    SUM(BIGINT) already runs in HUGEINT (int128), and both engines'
+    exact-integer → double casts round to the same IEEE nearest.
     """
     stats = stats_frame(catalog.load(spark, sf_dir, "documents"))
     x = F.round(F.col("quality_score") * QUALITY_SCALE).cast("long")
     y = F.col("n_tokens").cast("long")
+    dec = "decimal(38,0)"
     agg = (
         stats.select("lang", x.alias("x"), y.alias("y"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
         )
-    )
-    # BIGINT headroom guard: n·10¹⁶ must stay under 2⁶³. assert_true
-    # inside a filter cannot be pruned by Catalyst and raises at
-    # runtime the moment a group outgrows the exact-integer bound.
-    max_n = (2**63 - 1) // QUALITY_SCALE**2
-    agg = agg.filter(
-        F.assert_true(
-            F.col("n") <= F.lit(max_n),
-            F.lit(f"corr moment sums need decimal(38,0) past {max_n} rows/group"),
-        ).isNull()
     )
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
