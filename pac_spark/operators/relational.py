@@ -213,39 +213,93 @@ def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution / positional window breadth (§2.5 completion):
-    ntile quartiles, percent_rank, cume_dist, nth_value, and
-    first/last_value over an explicit sliding ROWS frame — the window
-    families the rank/lag showcases don't touch.
+WINDOW_DIST_TOP = 20
 
-    One shuffle on the partition key; every function shares the same
-    fully-specified ordering (price desc, key asc — unique), so all
-    results including the IEEE divisions behind percent_rank/cume_dist
-    are deterministic and engine-portable. Output bounded to the top
-    20 rows per priority class by the shared row_number.
+
+def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution / positional window stats (§2.5 completion) —
+    ntile quartile, percent_rank, cume_dist, nth_value, and the ±1-row
+    neighbor keys for each priority class's top rows — WITHOUT a
+    whole-class window.
+
+    The group key has cardinality ~5, so the naive window (the
+    oracle's spec) puts a fifth of the table in one task — exactly the
+    single-task-per-group shape this engine rejects at 100 TB (same
+    move as ``lang_quality_quantiles``). Instead:
+
+    - two-phase top-k: a window over (class, input partition) keeps
+      each task's local top-(k+1) — thousands of small partitions, no
+      hot task — then the global window ranks only the bounded
+      survivors (≤ (k+1)·n_input_partitions rows per class). The
+      global top-k is a subset of the local top-ks; the (k+1)th
+      survivor exists only to supply the kth row's trailing neighbor.
+    - group sizes from one map-side-combined aggregate (5 rows,
+      broadcast), and the distribution stats derived arithmetically
+      from (rank, n): percent_rank = (r-1)/(n-1), cume_dist = r/n
+      (ordering is unique), ntile via the exact remainder-first bucket
+      formula. Hash equality against the plain-window oracle proves
+      the arithmetic IS the window semantics.
     """
-    orders = catalog.load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
+    k = WINDOW_DIST_TOP
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    local_w = W.partitionBy("o_orderpriority", "_pid").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    near = w.rowsBetween(-1, 1)
-    return (
-        orders.select(
-            "o_orderpriority",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-            F.ntile(4).over(w).alias("price_quartile"),
-            F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 8).alias("cume"),
-            F.nth_value("o_orderkey", 3).over(w).alias("third_key_so_far"),
-            F.first_value("o_orderkey").over(near).alias("prev_or_self_key"),
-            F.last_value("o_orderkey").over(near).alias("next_or_self_key"),
-        )
-        .filter(F.col("rn") <= 20)
-        .orderBy("o_orderpriority", "rn")
+    survivors = (
+        # pid materialized in a Project (windows reject non-deterministic
+        # expressions inline); ANY pid assignment preserves correctness —
+        # the global top-k is a subset of every per-pid top-k union
+        orders.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= k + 1)
+        .drop("_lrn", "_pid")
     )
+    sizes = orders.groupBy("o_orderpriority").agg(F.count("*").alias("_n"))
+    gw = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = (
+        survivors.withColumn("rn", F.row_number().over(gw))
+        .withColumn("_next_key", F.lead("o_orderkey").over(gw))
+        .withColumn("_prev_key", F.lag("o_orderkey").over(gw))
+        .withColumn(
+            "_third_key",
+            F.nth_value("o_orderkey", 3).over(
+                gw.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .join(F.broadcast(sizes), "o_orderpriority")
+    )
+    r, n = F.col("rn").cast("long"), F.col("_n")
+    # exact NTILE(4): the first (n % 4) buckets hold (n div 4 + 1) rows
+    rem = n % 4
+    base = F.expr("_n div 4")
+    big_span = (base + 1) * rem
+    ntile4 = F.when(base == 0, r).otherwise(
+        F.when(r <= big_span, F.expr("(rn - 1) div (_n div 4 + 1)") + 1).otherwise(
+            rem + F.floor((r - big_span - 1) / base) + 1
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rn").cast("int").alias("rn"),
+        ntile4.cast("int").alias("price_quartile"),
+        F.round(
+            F.when(n == 1, F.lit(0.0)).otherwise(
+                (r - 1).cast("double") / (n - 1).cast("double")
+            ),
+            8,
+        ).alias("pct_rank"),
+        F.round(r.cast("double") / n.cast("double"), 8).alias("cume"),
+        F.col("_third_key").alias("third_key_so_far"),
+        F.coalesce("_prev_key", "o_orderkey").alias("prev_or_self_key"),
+        F.coalesce("_next_key", "o_orderkey").alias("next_or_self_key"),
+    ).orderBy("o_orderpriority", "rn")
 
 
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

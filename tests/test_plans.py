@@ -309,3 +309,16 @@ def test_ivf_assignment_is_rowlocal_broadcast(spark, sf_dir):
     plan = _exec_plan(ann_ivf_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_window_distribution_two_phase(spark, sf_dir):
+    """The low-cardinality-group positional stats must run the
+    two-phase shape: a local top-k window keyed on (class, input
+    partition id) before any whole-class window, so no task ever holds
+    a fifth of the table (the single-task-per-group shape this engine
+    rejects — same discipline as lang_quality_quantiles)."""
+    from pac_spark.operators.relational import window_distribution_stats
+
+    plan = _exec_plan(window_distribution_stats(spark, sf_dir))
+    assert "_pid" in plan, "local pre-ranking phase missing from plan"
+    assert plan.index("_pid") < plan.rindex("Window"), plan
