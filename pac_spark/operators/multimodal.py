@@ -32,6 +32,8 @@ __all__ = [
     "frame_sample",
     "resize_fixed",
     "decode_image_batch",
+    "pcm_audio_features",
+    "PCM_AUDIO_SQL",
 ]
 
 
@@ -210,3 +212,135 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         "image decode requires a codec library not present in this "
         "container; see byte_features for the verified plumbing"
     )
+
+
+_PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("sum_amplitude", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Interpret each payload as little-endian signed 16-bit PCM and
+    reduce per row with numpy (one C pass per feature over the
+    concatenated samples, same vectorized shape as byte_features):
+    energy Σs², amplitude Σs, peak max|s|, and sign-change count —
+    the audio triage features (silence / clipping / activity) that
+    need no codec, all exact integers."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = [b[: len(b) - (len(b) % 2)] for b in pdf["payload"]]
+        lengths = np.fromiter(
+            (len(b) // 2 for b in payloads), dtype=np.int64, count=len(payloads)
+        )
+        flat = np.frombuffer(b"".join(payloads), dtype="<i2").astype(np.int64)
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        nonempty = lengths > 0
+        energy = np.zeros(len(lengths), dtype=np.int64)
+        amp = np.zeros(len(lengths), dtype=np.int64)
+        peak = np.zeros(len(lengths), dtype=np.int64)
+        zc = np.zeros(len(lengths), dtype=np.int64)
+        if flat.size:
+            energy[nonempty] = np.add.reduceat(flat * flat, offsets[nonempty])
+            amp[nonempty] = np.add.reduceat(flat, offsets[nonempty])
+            peak[nonempty] = np.maximum.reduceat(np.abs(flat), offsets[nonempty])
+            # sign-change indicator between consecutive samples, with
+            # row-boundary pairs masked out before the per-row reduce
+            if flat.size > 1:
+                neg = flat < 0
+                ind = (neg[:-1] != neg[1:]).astype(np.int64)
+                ends = offsets[nonempty] + lengths[nonempty] - 1
+                ind[ends[ends < ind.size]] = 0
+                # rows with < 2 samples contribute nothing: their flat
+                # territory holds only (masked) boundary pairs, so the
+                # start-to-next-start reduceat segments stay correct
+                multi = lengths > 1
+                if multi.any():
+                    zc[multi] = np.add.reduceat(np.append(ind, 0), offsets[multi])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": lengths.astype("int32"),
+                "energy": energy,
+                "sum_amplitude": amp,
+                "peak": peak.astype("int32"),
+                "zero_crossings": zc.astype("int32"),
+            }
+        )
+
+
+def pcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality features over the binary corpus, codec-free:
+    payload → little-endian int16 PCM → exact-integer energy /
+    amplitude / peak / zero-crossing features via Arrow-batched numpy,
+    plus an RMS derived in the PLAN (not the UDF) so the rounding
+    engine matches the oracle. Everything integer until the one final
+    division+sqrt, so the DuckDB oracle (hex-dump byte list → sample
+    list → the same sums) hash-matches exactly.
+
+    Staged for the r6 rotation (r5's driver cap is fully claimed);
+    until then `tests/test_multimodal_multibyte.py::test_pcm_audio_oracle`
+    runs the identical oracle gate locally.
+    """
+    corpus = binary_corpus(spark, sf_dir).select("doc_id", "payload")
+    feats = corpus.mapInPandas(_pcm_batches, schema=_PCM_SCHEMA)
+    rms = F.when(
+        F.col("n_samples") > 0,
+        F.round(
+            F.sqrt(
+                F.col("energy").cast("double") / F.col("n_samples").cast("double")
+            ),
+            8,
+        ),
+    )
+    return feats.withColumn("rms", rms).orderBy("doc_id")
+
+
+PCM_AUDIO_SQL = """
+WITH hb AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS INT) AS n
+    FROM documents
+),
+by AS (
+    SELECT doc_id, n,
+           list_transform(generate_series(1, n),
+               i -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1)
+                  + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
+    FROM hb
+),
+pcm AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, n // 2),
+               i -> CASE WHEN bytes[2*i - 1] + 256 * bytes[2*i] >= 32768
+                         THEN bytes[2*i - 1] + 256 * bytes[2*i] - 65536
+                         ELSE bytes[2*i - 1] + 256 * bytes[2*i] END) AS s
+    FROM by
+),
+f AS (
+    SELECT doc_id,
+           CAST(len(s) AS INT) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0) AS BIGINT)
+               AS energy,
+           CAST(COALESCE(list_sum(s), 0) AS BIGINT) AS sum_amplitude,
+           CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0) AS INT)
+               AS peak,
+           CAST(COALESCE(list_sum(list_transform(
+                   generate_series(1, len(s) - 1),
+                   i -> CASE WHEN (s[i] < 0) != (s[i+1] < 0) THEN 1 ELSE 0 END)), 0)
+               AS INT) AS zero_crossings
+    FROM pcm
+)
+SELECT *,
+       CASE WHEN n_samples > 0
+            THEN ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples), 8) END AS rms
+FROM f ORDER BY doc_id
+"""

@@ -66,3 +66,55 @@ def test_fixture_is_genuinely_multibyte(spark, mb_dir):
         F.length(F.encode("text", "UTF-8")) != F.length("text")
     ).count()
     assert n_mb >= 3
+
+
+def test_pcm_audio_oracle(spark, duck, sf_dir):
+    """pcm_audio_features staged for the r6 rotation: run the identical
+    value-hash oracle gate locally until it gets a driver slot."""
+    from pac_spark.operators.multimodal import PCM_AUDIO_SQL, pcm_audio_features
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(pcm_audio_features(spark, sf_dir), duck.sql(PCM_AUDIO_SQL))
+
+
+def test_pcm_audio_crafted_edges(spark, duck):
+    """Edge shapes the corpus can't guarantee: empty payload, single
+    sample, odd trailing byte, negative samples, sign changes."""
+    import pandas as pd
+
+    from pac_spark.operators.multimodal import PCM_AUDIO_SQL, pcm_audio_features
+    from tests.conftest import assert_oracle_match
+
+    rows = [
+        (1, ""),                      # empty
+        (2, "a"),                     # one byte -> zero samples
+        (3, "ab"),                    # one sample
+        (4, "abé"),              # multibyte char -> odd byte count
+        (5, "hello world ÿÿ"),  # high bytes -> negative samples
+        (6, "a0Z9a0Z9"),              # alternating values
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("pcm_docs")
+    con = duck
+    con.register("pcm_docs_pd", pdf)
+    # run both sides against the crafted frame by name substitution
+    from pac_spark.operators import multimodal as MM
+
+    corpus = spark.table("pcm_docs").select(
+        "doc_id",
+        MM.F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = corpus.mapInPandas(MM._pcm_batches, schema=MM._PCM_SCHEMA)
+    rms = MM.F.when(
+        MM.F.col("n_samples") > 0,
+        MM.F.round(
+            MM.F.sqrt(
+                MM.F.col("energy").cast("double")
+                / MM.F.col("n_samples").cast("double")
+            ),
+            8,
+        ),
+    )
+    sdf = feats.withColumn("rms", rms).orderBy("doc_id")
+    oracle_sql = PCM_AUDIO_SQL.replace("FROM documents", "FROM pcm_docs_pd")
+    assert_oracle_match(sdf, con.sql(oracle_sql))
