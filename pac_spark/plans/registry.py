@@ -59,8 +59,9 @@ def all_specs() -> list[QuerySpec]:
     # 50-row cap — 30 specs holding a single driver green (r4) that
     # need their second consecutive one, the 12 promotions from the
     # retired plans/queued.py, the new compaction row, the 5 dedup/IVF
-    # specs whose implementations changed this round, and 2 stale
-    # refreshes (last green r2). Everything else rides the tail, which
+    # specs whose implementations changed this round, and 2 brand-new
+    # operators (CMS, distribution windows). Everything else rides the
+    # tail, which
     # tests/test_registry_policy.py proves holds only specs with two
     # consecutive driver greens.
     #
