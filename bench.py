@@ -17,6 +17,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the r1-r4 headline set — kept as a named subtotal so the
+# round-over-round trend stays comparable after additions
+CORE15 = [
+    "flagship_company_positions",
+    "company_issue_summary",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank_orders",
+    "events_sessions_10m",
+    "streaming_tumbling_1h",
+    "er_candidate_pairs",
+    "er_clusters",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+    "text_stats",
+    "multimodal_byte_features",
+]
+
 # headline set: one representative per operator family (relational
 # core, windows, streaming, ER, dedup, similarity, text, multimodal),
 # plus the r4-new heavy hitters (VERDICT r4 next-#5: regressions in
@@ -105,6 +125,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # the r1-r4 15-query subtotal: compare THIS against the
+                # 26.48 s r1 baseline / 18.3-21.7 s r3-r4 totals — the
+                # grand total covers 5 more queries since r5
+                "core15_sec": round(
+                    sum(t for q, t in timings.items() if q in CORE15), 3
+                ),
                 "sf": float(sf) if sf else None,
             }
         )
