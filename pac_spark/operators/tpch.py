@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
-from pac_spark.functions.exact import exact_avg, money_sum
+from pac_spark.functions.exact import money_sum
 
 __all__ = [
     "q2_top_balance_supplier",

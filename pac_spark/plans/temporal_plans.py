@@ -3,7 +3,7 @@ second relational wave (Q6/Q18-style, pivot, grouping sets)."""
 
 from __future__ import annotations
 
-from pac_spark.functions.exact import exact_avg_sql, money_sum_sql
+from pac_spark.functions.exact import money_sum_sql
 from pac_spark.operators import relational as R
 from pac_spark.operators import temporal as T
 from pac_spark.plans.spec import QuerySpec
