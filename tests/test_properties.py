@@ -75,14 +75,22 @@ def test_custom_sessions_cap_invariant(spark, sf_dir):
 
 def test_simhash_flags_minhash_dups(spark, sf_dir):
     """SimHash is an independent tier over the same raw LSH candidate
-    buckets: every minhash-confirmed dup (jaccard >= 0.8) must also sit
-    at hamming <= 3, i.e. appear in the simhash output."""
+    buckets: minhash-confirmed dups (jaccard >= 0.8) should almost all
+    sit at hamming <= 3. The alignment is PROBABILISTIC — a 16-bit
+    fingerprint of a pair at jaccard ~0.8 has expected hamming ~2-3
+    with real tail mass at 4+ — so the bound is a small miss fraction,
+    not set inclusion (the sf0.01 sweep produced a legitimate
+    hamming-4 pair at jaccard 0.8; same tolerance shape as the LSH
+    recall test below)."""
     from pac_spark.operators.dedup import minhash_lsh_dedup, simhash_neardup
 
     mh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(spark, sf_dir).collect()}
     sh = {(r["doc_a"], r["doc_b"]) for r in simhash_neardup(spark, sf_dir).collect()}
     assert sh, "simhash should flag the planted near-dups"
-    assert mh <= sh, f"minhash dups missing from simhash tier: {mh - sh}"
+    missed = mh - sh
+    assert len(missed) <= max(1, len(mh) // 10), (
+        f"simhash missed too many minhash dups: {missed}"
+    )
 
 
 def test_ngram_df_cap_loses_no_pairs(spark, sf_dir):
