@@ -826,3 +826,26 @@ def test_cms_never_undercounts_and_is_partition_invariant(spark, sf_dir):
     assert est, "no keys estimated"
     under = [r for r in est if r["est"] < r["n_rows"]]
     assert not under, f"CMS undercounted: {under[:3]}"
+
+
+def test_ivf_centroids_partition_invariant(spark, sf_dir):
+    """The deterministic quantizer's whole claim: centroids are built
+    from exact BIGINT sums, so ANY partitioning of the fit sample
+    yields byte-identical centroids (and hence an identical index +
+    identical search results)."""
+    from pac_spark.operators.similarity import _dvec, _ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    c3 = {
+        r["centroid_id"]: tuple(r["c"])
+        for r in _ivf_centroids(emb.repartition(3)).collect()
+    }
+    c11 = {
+        r["centroid_id"]: tuple(r["c"])
+        for r in _ivf_centroids(emb.repartition(11)).collect()
+    }
+    assert c3.keys() == c11.keys() and len(c3) > 0
+    for k in c3:
+        assert c3[k] == c11[k], f"centroid {k} differs across partitionings"
