@@ -430,7 +430,12 @@ def _fit_sample(with_vec: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_centroids(sample: DataFrame) -> DataFrame:
+def _ivf_centroids(
+    sample: DataFrame,
+    n_centroids: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+    init_salt: str = _IVF_INIT_SALT,
+) -> DataFrame:
     """Deterministic DataFrame-native Lloyd's loop → (centroid_id, c).
 
     - init: the ``IVF_NLIST`` sample vectors first in salted-md5 order
@@ -460,17 +465,17 @@ def _ivf_centroids(sample: DataFrame) -> DataFrame:
 
     h = F.md5(
         F.encode(
-            F.concat(F.col("vec_id").cast("string"), F.lit(":" + _IVF_INIT_SALT)),
+            F.concat(F.col("vec_id").cast("string"), F.lit(":" + init_salt)),
             "UTF-8",
         )
     )
     cents = (
         sample.withColumn("rn", F.row_number().over(W.orderBy(h.asc())))
-        .filter(F.col("rn") <= IVF_NLIST)
+        .filter(F.col("rn") <= n_centroids)
         .select((F.col("rn") - 1).cast("int").alias("centroid_id"), F.col("v").alias("c"))
     )
     wa = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
-    for _ in range(IVF_ITERS):
+    for _ in range(iters):
         assigned = (
             sample.crossJoin(F.broadcast(cents))
             .withColumn("dist", _sqdist("v", "c"))
@@ -598,5 +603,140 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---- Product quantization (PQ) + asymmetric-distance (ADC) search ----
+# The 4th ANN tier (brute / sign-LSH / IVF / PQ): vectors compress to
+# PQ_M sub-space code ids (here 4 x 3 bits = 12 bits per vector vs 64
+# doubles), and search scans CODES against a per-query distance table,
+# never raw vectors — the memory-bound regime FAISS-style engines run
+# at billions of vectors. Same determinism contract as the IVF: every
+# codebook comes from the shared Lloyd loop, so the whole index is
+# engine-reproducible.
+PQ_M = 4
+PQ_SUB_DIM = 16  # 64 dims / 4 subspaces
+PQ_K = 8
+PQ_ITERS = 2
+_PQ_INIT_SALT = "pq_init_v1"
+
+
+def _pq_subv(vec_col: str, m: int) -> str:
+    return f"slice({vec_col}, {m * PQ_SUB_DIM + 1}, {PQ_SUB_DIM})"
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization with ADC lookup.
+
+    Build: per subspace m, a ``PQ_K``-code codebook from the shared
+    deterministic Lloyd loop (:func:`_ivf_centroids`, per-subspace
+    init salt) over the bounded fit sample; every vector encodes to M
+    code ids with a ROW-LOCAL argmin fold over the broadcast codebook
+    — zero shuffle, and at scale the stored index is the code table,
+    not the vectors. Search: each query precomputes an M×K distance
+    table (M·K tiny rows → nested array, broadcast); a vector's
+    approximate distance is M array lookups summed — no vector
+    arithmetic in the scan. The bounded top-k then rescores EXACT
+    cosine against the raw vectors (the standard ADC + rescore
+    pipeline). Deterministic end-to-end → full value-hash oracle that
+    unrolls the M Lloyd loops (staged for the r6 rotation; local gate
+    in ``tests/test_oracle_parity_staged.py``).
+    """
+    from pac_spark.cache import pin
+
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v"), "label"
+    )
+    sample = pin(_fit_sample(emb))
+    books = []
+    for m in range(PQ_M):
+        sub = sample.select("vec_id", F.expr(_pq_subv("v", m)).alias("v"))
+        books.append(
+            pin(
+                _ivf_centroids(
+                    sub,
+                    n_centroids=PQ_K,
+                    iters=PQ_ITERS,
+                    init_salt=f"{_PQ_INIT_SALT}_m{m}",
+                )
+            )
+        )
+
+    enc = emb.withColumn("nv", F.sqrt(_dot("v", "v")))
+    for m, book in enumerate(books):
+        arr = F.broadcast(
+            book.agg(
+                F.expr("array_sort(collect_list(struct(centroid_id, c)))").alias(
+                    f"cents_{m}"
+                )
+            )
+        )
+        sq = (
+            f"aggregate(zip_with({_pq_subv('v', m)}, ct.c, "
+            "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, d) -> acc + d)"
+        )
+        argmin = F.expr(
+            f"aggregate(cents_{m}, named_struct('d', cast('Infinity' as double), "
+            f"'id', -1), (acc, ct) -> if({sq} < acc.d, "
+            f"named_struct('d', {sq}, 'id', ct.centroid_id), acc)).id"
+        )
+        enc = enc.crossJoin(arr).withColumn(f"code_{m}", argmin).drop(f"cents_{m}")
+
+    queries = enc.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    dt_parts = []
+    for m, book in enumerate(books):
+        qsq = (
+            f"aggregate(zip_with({_pq_subv('qv', m)}, c, "
+            "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, d) -> acc + d)"
+        )
+        dt_parts.append(
+            queries.crossJoin(F.broadcast(book)).select(
+                "query_id",
+                F.lit(m).alias("m"),
+                "centroid_id",
+                F.expr(qsq).alias("d"),
+            )
+        )
+    dt_rows = dt_parts[0]
+    for part in dt_parts[1:]:
+        dt_rows = dt_rows.unionByName(part)
+    per_m = dt_rows.groupBy("query_id", "m").agg(
+        F.expr("transform(array_sort(collect_list(struct(centroid_id, d))), x -> x.d)").alias(
+            "arr"
+        )
+    )
+    qdt = per_m.groupBy("query_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, arr))), x -> x.arr)").alias(
+            "dt"
+        )
+    )
+
+    adc = F.expr(
+        " + ".join(f"element_at(element_at(dt, {m + 1}), code_{m} + 1)" for m in range(PQ_M))
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qdt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("approx_dist", adc)
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    cos = _dot("v", "qv") / (F.col("nv") * F.col("nq"))
+    return (
+        topk.join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round("approx_dist", 8).alias("approx_dist"),
+            F.round(cos, 8).alias("score"),
+            "rank",
+        )
         .orderBy("query_id", "rank")
     )

@@ -315,6 +315,130 @@ FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank"""
     return "".join(parts)
 
 
+def _pq_topk_sql() -> str:
+    """Full oracle for PQ/ADC search (staged for r6): replays the fit
+    sample, the M per-subspace Lloyd loops (same unroll pattern as
+    ``_ann_ivf_sql``, per-subspace init salts), window-argmin encoding,
+    the M×K distance tables, the ADC sum over code lookups, and the
+    exact-cosine rescore of the bounded top-k."""
+    from pac_spark.operators import similarity as S
+
+    bucket_digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR) "
+        f"|| ':{S._IVF_FIT_SALT}'), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    scale = "10000000.0"
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT LEAST(1000, GREATEST(1,
+          CAST(({S.IVF_FIT_TARGET} * 1000 + COUNT(*) - 1) // COUNT(*) AS INT)
+      )) AS permille FROM e),
+samp AS (SELECT e.vec_id, e.v FROM e, p
+         WHERE (({bucket_digits}) % 1000) < p.permille)"""
+    ]
+    T = S.PQ_ITERS
+    for m in range(S.PQ_M):
+        lo = m * S.PQ_SUB_DIM + 1
+        hi = (m + 1) * S.PQ_SUB_DIM
+        init_h = (
+            f"md5(CAST(vec_id AS VARCHAR) || ':{S._PQ_INIT_SALT}_m{m}')"
+        )
+        parts.append(
+            f""",
+smp{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp),
+c{m}_0 AS (
+    SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY {init_h}) AS rn FROM smp{m}
+    ) WHERE rn <= {S.PQ_K})"""
+        )
+        for t in range(T):
+            parts.append(
+                f""",
+a{m}_{t} AS (
+    SELECT vec_id, v, centroid_id, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
+    FROM smp{m}, c{m}_{t}),
+s{m}_{t} AS (SELECT centroid_id AS list_id, v FROM a{m}_{t} WHERE rn = 1),
+x{m}_{t} AS (SELECT list_id, UNNEST(generate_series(1, len(v))) AS i, v
+             FROM s{m}_{t}),
+m{m}_{t} AS (
+    SELECT list_id, i,
+           CAST(SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS DOUBLE) AS sm,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM x{m}_{t} GROUP BY list_id, i),
+n{m}_{t} AS (SELECT list_id AS centroid_id,
+                    list(sm / ({scale} * n) ORDER BY i) AS c
+             FROM m{m}_{t} GROUP BY list_id),
+c{m}_{t + 1} AS (
+    SELECT c0.centroid_id, COALESCE(n0.c, c0.c) AS c
+    FROM c{m}_{t} c0 LEFT JOIN n{m}_{t} n0 USING (centroid_id))"""
+            )
+    enc_joins = []
+    for m in range(S.PQ_M):
+        lo = m * S.PQ_SUB_DIM + 1
+        hi = (m + 1) * S.PQ_SUB_DIM
+        parts.append(
+            f""",
+ea{m} AS (
+    SELECT vec_id, centroid_id, ROW_NUMBER() OVER (
+        PARTITION BY vec_id
+        ORDER BY {_sqdist_sql(f'nv.v[{lo}:{hi}]', 'c')}, centroid_id) AS rn
+    FROM nv, c{m}_{T}),
+ec{m} AS (SELECT vec_id, centroid_id AS code FROM ea{m} WHERE rn = 1)"""
+        )
+        enc_joins.append(f"JOIN ec{m} ON ec{m}.vec_id = nv.vec_id")
+    # nv must precede the ea/ec CTEs that reference it — splice it in
+    parts.insert(
+        1 + S.PQ_M * (1 + T),
+        f""",
+nv AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nvv FROM e)""",
+    )
+    dt_joins = []
+    for m in range(S.PQ_M):
+        lo = m * S.PQ_SUB_DIM + 1
+        hi = (m + 1) * S.PQ_SUB_DIM
+        parts.append(
+            f""",
+dt{m} AS (
+    SELECT query_id, centroid_id,
+           {_sqdist_sql(f'qv[{lo}:{hi}]', 'c')} AS d
+    FROM qr, c{m}_{T})"""
+        )
+        dt_joins.append(
+            f"JOIN dt{m} ON dt{m}.query_id = qr2.query_id "
+            f"AND dt{m}.centroid_id = enc.code_{m}"
+        )
+    enc_cols = ", ".join(f"ec{m}.code AS code_{m}" for m in range(S.PQ_M))
+    adc = " + ".join(f"dt{m}.d" for m in range(S.PQ_M))
+    parts.append(
+        f""",
+qr AS (SELECT vec_id AS query_id, v AS qv, nvv AS nq FROM nv
+       WHERE vec_id IN {S.QUERY_IDS}),
+enc AS (SELECT nv.vec_id, nv.label, nv.v, nv.nvv, {enc_cols}
+        FROM nv {' '.join(enc_joins)}),
+qr2 AS (SELECT query_id FROM qr),
+scored AS (
+    SELECT qr2.query_id, enc.vec_id, enc.label, enc.v, enc.nvv,
+           {adc} AS approx_dist
+    FROM enc CROSS JOIN qr2 {' '.join(dt_joins)}
+    WHERE enc.vec_id != qr2.query_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS INT)
+        AS rank
+      FROM scored),
+topk AS (SELECT * FROM r WHERE rank <= {S.TOP_K})
+SELECT t.query_id, t.vec_id, t.label,
+       ROUND(t.approx_dist, 8) AS approx_dist,
+       ROUND({_dot_sql('t.v', 'q.qv')} / (t.nvv * q.nq), 8) AS score,
+       t.rank
+FROM topk t JOIN qr q ON t.query_id = q.query_id
+ORDER BY t.query_id, t.rank"""
+    )
+    return "".join(parts)
+
+
 def _ann_lsh_sql() -> str:
     """Full oracle for sign-LSH ANN: the hyperplanes are deterministic
     python-side constants, so the bucket assignment (sign of the same
