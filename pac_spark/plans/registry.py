@@ -72,9 +72,10 @@ def all_specs() -> list[QuerySpec]:
     # r5 only → keep in cap), and fill freed slots with the next
     # oldest-verified tail specs (events_sliding_1h_30m,
     # events_sessions_10m, and the r2-green er/issues family are the
-    # stalest). Two locally-oracle-green operators are STAGED for r6
-    # registration: pcm_audio_features (multimodal.py, gate in
-    # test_multimodal_multibyte.py) and a compact_zordered roundtrip
+    # stalest). Three locally-oracle-green operators are STAGED for r6
+    # registration: pq_topk (similarity.py, gate in
+    # test_staged_specs.py), pcm_audio_features (multimodal.py, gate in
+    # test_multimodal_multibyte.py), and a compact_zordered roundtrip
     # row (compaction.py, layout proof in test_compaction.py).
     hoist = [
         # --- 16 TPC-H rows with a single driver green (r4) ---
