@@ -10,13 +10,22 @@ vectors).
   IVF idea: only compare within a coarse partition) with cosine >= τ.
 - **ANN via random-hyperplane LSH** — seeded deterministic hyperplanes
   built JVM-side; bucket join + exact rescoring inside buckets only.
-  Approximate by design → rows-only check + recall property test.
+- **ANN via IVF** — a deterministic DataFrame-native Lloyd's coarse
+  quantizer (seeded md5-order init, exact floor-scaled BIGINT means,
+  fixed rounds) + multi-probe; the oracle unrolls the identical loop.
+- **ANN via PQ/ADC** — per-subspace codebooks from the same Lloyd
+  loop, 12-bit codes, per-query distance tables, exact rescore of the
+  bounded top-k (staged for the r6 driver rotation).
+
+All four tiers carry full value-hash DuckDB oracles (since r5): every
+arithmetic step — fold order, quantization, argmin ties — is the same
+IEEE expression in both engines.
 
 At 100 TB: the brute-force path stays usable for small query sets
 (it's a broadcast of queries, linear scan — embarrassingly parallel);
-the LSH path bounds candidate counts per bucket; labels stand in for
-IVF centroids (k-means iterations are out of scope for the oracle but
-the bucket-probe plan shape is identical).
+the LSH path bounds candidate counts per bucket; IVF probes read only
+~nprobe/nlist of the collection; PQ scans 12-bit codes, never raw
+vectors.
 """
 
 from __future__ import annotations
@@ -35,6 +44,7 @@ __all__ = [
     "similar_pairs_banded",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "pq_topk",
     "label_centroids",
 ]
 
