@@ -236,6 +236,46 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
+def _lloyd_ctes(prefix: str, src: str, k: int, iters: int, init_salt: str) -> str:
+    """CTE chain for one deterministic Lloyd loop over ``src``
+    (vec_id, v): seeded md5-order init, window-argmin assignment,
+    exact floor-scaled BIGINT means, empty-cluster carry. Produces
+    ``{prefix}_{iters}`` (centroid_id, c). Shared by the IVF and PQ
+    oracles — the SQL twin of ``similarity._ivf_centroids``."""
+    scale = "10000000.0"
+    init_h = f"md5(CAST(vec_id AS VARCHAR) || ':{init_salt}')"
+    out = [
+        f""",
+{prefix}_0 AS (
+    SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY {init_h}) AS rn FROM {src}
+    ) WHERE rn <= {k})"""
+    ]
+    for t in range(iters):
+        out.append(
+            f""",
+{prefix}a{t} AS (
+    SELECT vec_id, v, centroid_id, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
+    FROM {src}, {prefix}_{t}),
+{prefix}s{t} AS (SELECT centroid_id AS list_id, v FROM {prefix}a{t} WHERE rn = 1),
+{prefix}x{t} AS (SELECT list_id, UNNEST(generate_series(1, len(v))) AS i, v
+                 FROM {prefix}s{t}),
+{prefix}m{t} AS (
+    SELECT list_id, i,
+           CAST(SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS DOUBLE) AS sm,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM {prefix}x{t} GROUP BY list_id, i),
+{prefix}n{t} AS (SELECT list_id AS centroid_id,
+                        list(sm / ({scale} * n) ORDER BY i) AS c
+                 FROM {prefix}m{t} GROUP BY list_id),
+{prefix}_{t + 1} AS (
+    SELECT c0.centroid_id, COALESCE(n0.c, c0.c) AS c
+    FROM {prefix}_{t} c0 LEFT JOIN {prefix}n{t} n0 USING (centroid_id))"""
+        )
+    return "".join(out)
+
+
 def _ann_ivf_sql() -> str:
     """Full oracle for the deterministic IVF: replays the hash-bucket
     fit sample, the salted-md5-order init, ``IVF_ITERS`` unrolled Lloyd
@@ -245,13 +285,11 @@ def _ann_ivf_sql() -> str:
     runs, so the hash check covers the whole index build."""
     from pac_spark.operators import similarity as S
 
-    init_h = f"md5(CAST(vec_id AS VARCHAR) || ':{S._IVF_INIT_SALT}')"
     bucket_digits = " + ".join(
         f"(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR) "
         f"|| ':{S._IVF_FIT_SALT}'), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
         for i in range(4)
     )
-    scale = "10000000.0"
     parts = [
         f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -259,33 +297,11 @@ p AS (SELECT LEAST(1000, GREATEST(1,
           CAST(({S.IVF_FIT_TARGET} * 1000 + COUNT(*) - 1) // COUNT(*) AS INT)
       )) AS permille FROM e),
 samp AS (SELECT e.vec_id, e.v FROM e, p
-         WHERE (({bucket_digits}) % 1000) < p.permille),
-cent0 AS (
-    SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS c FROM (
-        SELECT v, ROW_NUMBER() OVER (ORDER BY {init_h}) AS rn FROM samp
-    ) WHERE rn <= {S.IVF_NLIST})"""
+         WHERE (({bucket_digits}) % 1000) < p.permille)"""
     ]
-    for t in range(S.IVF_ITERS):
-        parts.append(
-            f""",
-a{t} AS (
-    SELECT vec_id, v, centroid_id, ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
-    FROM samp, cent{t}),
-s{t} AS (SELECT centroid_id AS list_id, v FROM a{t} WHERE rn = 1),
-x{t} AS (SELECT list_id, UNNEST(generate_series(1, len(v))) AS i, v FROM s{t}),
-m{t} AS (
-    SELECT list_id, i,
-           CAST(SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS DOUBLE) AS sm,
-           CAST(COUNT(*) AS DOUBLE) AS n
-    FROM x{t} GROUP BY list_id, i),
-nc{t} AS (SELECT list_id AS centroid_id,
-                 list(sm / ({scale} * n) ORDER BY i) AS c
-          FROM m{t} GROUP BY list_id),
-cent{t + 1} AS (
-    SELECT c0.centroid_id, COALESCE(n0.c, c0.c) AS c
-    FROM cent{t} c0 LEFT JOIN nc{t} n0 USING (centroid_id))"""
-        )
+    parts.append(
+        _lloyd_ctes("cent", "samp", S.IVF_NLIST, S.IVF_ITERS, S._IVF_INIT_SALT)
+    )
     T = S.IVF_ITERS
     parts.append(
         f""",
@@ -293,14 +309,14 @@ nv AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nvv FROM e),
 asg AS (
     SELECT vec_id, label, v, nvv, centroid_id AS list_id, ROW_NUMBER() OVER (
         PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
-    FROM nv, cent{T}),
+    FROM nv, cent_{T}),
 inv AS (SELECT vec_id, label, v, nvv, list_id FROM asg WHERE rn = 1),
 qr AS (SELECT vec_id AS query_id, v AS qv, nvv AS nq FROM nv
        WHERE vec_id IN {S.QUERY_IDS}),
 pr AS (
     SELECT query_id, qv, nq, centroid_id AS list_id, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY {_sqdist_sql('qv', 'c')}, centroid_id) AS rn
-    FROM qr, cent{T}),
+    FROM qr, cent_{T}),
 probes AS (SELECT query_id, qv, nq, list_id FROM pr WHERE rn <= {S.IVF_NPROBE}),
 scored AS (
     SELECT p.query_id, i.vec_id, i.label,
@@ -328,7 +344,6 @@ def _pq_topk_sql() -> str:
         f"|| ':{S._IVF_FIT_SALT}'), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
         for i in range(4)
     )
-    scale = "10000000.0"
     parts = [
         f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -342,39 +357,15 @@ samp AS (SELECT e.vec_id, e.v FROM e, p
     for m in range(S.PQ_M):
         lo = m * S.PQ_SUB_DIM + 1
         hi = (m + 1) * S.PQ_SUB_DIM
-        init_h = (
-            f"md5(CAST(vec_id AS VARCHAR) || ':{S._PQ_INIT_SALT}_m{m}')"
-        )
         parts.append(
             f""",
-smp{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp),
-c{m}_0 AS (
-    SELECT CAST(rn - 1 AS INT) AS centroid_id, v AS c FROM (
-        SELECT v, ROW_NUMBER() OVER (ORDER BY {init_h}) AS rn FROM smp{m}
-    ) WHERE rn <= {S.PQ_K})"""
+smp{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp)"""
         )
-        for t in range(T):
-            parts.append(
-                f""",
-a{m}_{t} AS (
-    SELECT vec_id, v, centroid_id, ROW_NUMBER() OVER (
-        PARTITION BY vec_id ORDER BY {_sqdist_sql('v', 'c')}, centroid_id) AS rn
-    FROM smp{m}, c{m}_{t}),
-s{m}_{t} AS (SELECT centroid_id AS list_id, v FROM a{m}_{t} WHERE rn = 1),
-x{m}_{t} AS (SELECT list_id, UNNEST(generate_series(1, len(v))) AS i, v
-             FROM s{m}_{t}),
-m{m}_{t} AS (
-    SELECT list_id, i,
-           CAST(SUM(CAST(FLOOR(v[i] * {scale}) AS BIGINT)) AS DOUBLE) AS sm,
-           CAST(COUNT(*) AS DOUBLE) AS n
-    FROM x{m}_{t} GROUP BY list_id, i),
-n{m}_{t} AS (SELECT list_id AS centroid_id,
-                    list(sm / ({scale} * n) ORDER BY i) AS c
-             FROM m{m}_{t} GROUP BY list_id),
-c{m}_{t + 1} AS (
-    SELECT c0.centroid_id, COALESCE(n0.c, c0.c) AS c
-    FROM c{m}_{t} c0 LEFT JOIN n{m}_{t} n0 USING (centroid_id))"""
+        parts.append(
+            _lloyd_ctes(
+                f"c{m}", f"smp{m}", S.PQ_K, T, f"{S._PQ_INIT_SALT}_m{m}"
             )
+        )
     enc_joins = []
     for m in range(S.PQ_M):
         lo = m * S.PQ_SUB_DIM + 1
