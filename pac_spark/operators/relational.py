@@ -216,6 +216,24 @@ def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_DIST_TOP = 20
 
 
+def _ntile4(r, n):
+    """Exact NTILE(4) of rank ``r`` in a group of ``n`` (both Column):
+    the first (n % 4) buckets hold (n div 4 + 1) rows, the rest
+    (n div 4) — the remainder-first distribution every SQL engine
+    implements. Kept as pure integer/column arithmetic so the
+    two-phase window plan can reproduce the whole-window semantics
+    from (rank, group size) alone; exhaustively unit-tested against a
+    reference NTILE over all group sizes (test_function_properties)."""
+    rem = n % 4
+    base = (n - rem) / F.lit(4)  # exactly integral-valued
+    big_span = (base + 1) * rem
+    in_big = F.floor((r - 1) / (base + 1)) + 1
+    in_small = rem + F.floor((r - big_span - 1) / base) + 1
+    return F.when(base == F.lit(0), r).otherwise(
+        F.when(r <= big_span, in_big).otherwise(in_small)
+    )
+
+
 def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution / positional window stats (§2.5 completion) —
     ntile quartile, percent_rank, cume_dist, nth_value, and the ±1-row
@@ -274,15 +292,7 @@ def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "o_orderpriority")
     )
     r, n = F.col("rn").cast("long"), F.col("_n")
-    # exact NTILE(4): the first (n % 4) buckets hold (n div 4 + 1) rows
-    rem = n % 4
-    base = F.expr("_n div 4")
-    big_span = (base + 1) * rem
-    ntile4 = F.when(base == 0, r).otherwise(
-        F.when(r <= big_span, F.expr("(rn - 1) div (_n div 4 + 1)") + 1).otherwise(
-            rem + F.floor((r - big_span - 1) / base) + 1
-        )
-    )
+    ntile4 = _ntile4(r, n)
     return ranked.select(
         "o_orderpriority",
         "o_orderkey",

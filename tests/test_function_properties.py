@@ -170,3 +170,48 @@ def test_max_run_matches_python_counter(spark):
         best_cnt = max(counts.values())
         best_val = min(v for v, c in counts.items() if c == best_cnt)
         assert out[i] == (best_val, best_cnt), f"array {i}: {arr}"
+
+
+def test_ntile4_formula_exhaustive(spark):
+    """The two-phase window's NTILE(4) arithmetic must equal the
+    engine's NTILE for EVERY (group size, rank) — the oracle parity
+    runs only hit the fixture group sizes, so remainder edge cases
+    (n % 4 in {0,1,2,3}, n < 4, rank at bucket boundaries) are proven
+    here over all n in 1..80."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.relational import _ntile4
+
+    def ref_ntile(r: int, n: int, k: int = 4) -> int:
+        base, rem = divmod(n, k)
+        if base == 0:
+            return r
+        big_span = (base + 1) * rem
+        if r <= big_span:
+            return (r - 1) // (base + 1) + 1
+        return rem + (r - big_span - 1) // base + 1
+
+    rows = [(n, r) for n in range(1, 81) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, r long")
+    got = {
+        (x["n"], x["r"]): x["t"]
+        for x in df.select(
+            "n", "r", _ntile4(F.col("r"), F.col("n")).cast("int").alias("t")
+        ).collect()
+    }
+    # cross-check the reference against Spark's own ntile for one size
+    n_check = 10
+    w_rows = spark.createDataFrame([(i,) for i in range(1, n_check + 1)], "r long")
+    from pyspark.sql.window import Window as W
+
+    spark_ntile = {
+        x["r"]: x["t"]
+        for x in w_rows.select(
+            "r", F.ntile(4).over(W.orderBy("r")).alias("t")
+        ).collect()
+    }
+    for r in range(1, n_check + 1):
+        assert spark_ntile[r] == ref_ntile(r, n_check), "reference impl is wrong"
+
+    for (n, r), t in got.items():
+        assert t == ref_ntile(r, n), (n, r, t, ref_ntile(r, n))
