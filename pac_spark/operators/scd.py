@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from pac_spark import catalog
 
-__all__ = ["snapshot_diff", "scd2_customer_diff", "SCD2_SQL"]
+__all__ = ["snapshot_diff", "merge_changeset", "scd2_customer_diff", "SCD2_SQL"]
 
 MOD_UPDATE = 7
 MOD_INSERT = 11
@@ -143,3 +143,48 @@ d AS (
 )
 SELECT * FROM d WHERE change_type <> 'unchanged' ORDER BY c_custkey
 """
+
+
+def merge_changeset(
+    base: DataFrame, changes: DataFrame, key: str, op_col: str = "change_type"
+) -> DataFrame:
+    """Apply a changeset (the other half of CDC — :func:`snapshot_diff`
+    produces one, this consumes one): MERGE semantics without a lake
+    format. ``changes`` carries ``key``, ``op_col`` ∈ insert | update
+    | delete, and the new payload columns; the result is ``base`` with
+    deletes removed, updates replaced, inserts appended.
+
+    One full-outer join on the key — the same single-shuffle plan as
+    the diff, which is what makes nightly upsert-into-a-billion-row
+    dimension viable without rewriting unmatched rows' values (they
+    pass through untouched; at 100 TB pair this with the bucketed
+    layout so the join plans exchange-free).
+
+    Contract: at most one change row per key (the shape a keyed diff
+    emits); a delete wins over the payload, an insert/update takes the
+    change payload wholesale. Raises on duplicate change keys rather
+    than resolving them silently.
+    """
+    from pyspark.sql import functions as F
+
+    dup = changes.groupBy(key).count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(f"merge_changeset: duplicate change rows for {key}")
+    cols = [c for c in base.columns if c != key]
+    b = base.alias("b")
+    c = changes.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    keep = ~F.col(f"c.{op_col}").eqNullSafe(F.lit("delete"))
+    take_change = F.col(f"c.{op_col}").isin("insert", "update")
+    return (
+        joined.filter(keep)
+        .select(
+            F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key),
+            *[
+                F.when(take_change, F.col(f"c.{col}"))
+                .otherwise(F.col(f"b.{col}"))
+                .alias(col)
+                for col in cols
+            ],
+        )
+    )

@@ -849,3 +849,39 @@ def test_ivf_centroids_partition_invariant(spark, sf_dir):
     assert c3.keys() == c11.keys() and len(c3) > 0
     for k in c3:
         assert c3[k] == c11[k], f"centroid {k} differs across partitionings"
+
+
+def test_diff_then_merge_is_identity(spark, sf_dir):
+    """The CDC loop closes exactly: applying snapshot_diff(old, new)
+    to old must reproduce new row-for-row — diff ∘ merge = identity,
+    the strongest possible oracle for both operators at once. Also
+    asserts the duplicate-change guard raises."""
+    import pytest as _pt
+
+    from pac_spark.operators.scd import (
+        _old_snapshot,
+        merge_changeset,
+        snapshot_diff,
+    )
+
+    new = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    old = _old_snapshot(new)
+    diff = snapshot_diff(old, new, "c_custkey")
+    changes = diff.select(
+        "c_custkey",
+        "change_type",
+        *[
+            F.col(f"new_{c}").alias(c)
+            for c in ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        ],
+    )
+    merged = merge_changeset(old, changes, "c_custkey")
+    assert merged.count() == new.count()
+    assert merged.exceptAll(new).count() == 0
+    assert new.exceptAll(merged).count() == 0
+
+    dup = changes.limit(1).unionByName(changes.limit(1))
+    with _pt.raises(ValueError, match="duplicate change rows"):
+        merge_changeset(old, dup, "c_custkey")
