@@ -322,3 +322,25 @@ def test_window_distribution_two_phase(spark, sf_dir):
     plan = _exec_plan(window_distribution_stats(spark, sf_dir))
     assert "_pid" in plan, "local pre-ranking phase missing from plan"
     assert plan.index("_pid") < plan.rindex("Window"), plan
+
+
+def test_cms_sketch_broadcasts_and_never_cartesian(spark, sf_dir):
+    """The sketch is bounded (depth x width rows) so the estimate join
+    must broadcast it; nothing in the plan may fall back to a
+    cartesian product."""
+    from pac_spark.operators.sketch import cms_user_heavy_hitters
+
+    plan = _exec_plan(cms_user_heavy_hitters(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encoding_is_rowlocal_broadcast(spark, sf_dir):
+    """PQ encoding folds each vector against the broadcast codebook
+    arrays (BroadcastNestedLoopJoin of 1-row frames) — never an
+    exchange of the corpus keyed for the codebooks, never cartesian."""
+    from pac_spark.operators.similarity import pq_topk
+
+    plan = _exec_plan(pq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
