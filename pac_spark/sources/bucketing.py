@@ -62,10 +62,17 @@ def ensure_bucketed(
     Bucketing's whole bargain is paying the shuffle ONCE at ingest —
     a read query that re-writes its layout on every call (the r4
     ``bucketed_orders_join`` shape, VERDICT r4 wrong-#2) re-charges
-    ingest to every read. Existence check = catalog entry; a session
+    ingest to every read. Existence check = catalog entry AND the
+    path's _SUCCESS marker (a stale metastore row over a deleted
+    directory must re-ingest, not fail the read downstream); a session
     restart re-registers the already-written files via the external
     path, which ``saveAsTable`` reuses."""
-    if not spark.catalog.tableExists(table):
+    import os
+
+    intact = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if not (spark.catalog.tableExists(table) and intact):
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DROP TABLE `{table}`")
         write_bucketed(df, table, path, key, n_buckets)
 
 

@@ -79,3 +79,24 @@ def test_ensure_bucketed_writes_once(spark, sf_dir, tmp_path):
         assert spark.table("t_ensure_b").count() == n_first
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ensure_b")
+
+
+def test_ensure_bucketed_recovers_from_deleted_path(spark, sf_dir, tmp_path):
+    """A stale catalog entry over a deleted directory must re-ingest
+    (not fail the downstream read)."""
+    import shutil
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    try:
+        ensure_bucketed(
+            spark, nation, "t_stale_b", str(tmp_path / "st"), "n_nationkey"
+        )
+        shutil.rmtree(tmp_path / "st")
+        ensure_bucketed(
+            spark, nation, "t_stale_b", str(tmp_path / "st"), "n_nationkey"
+        )
+        assert spark.table("t_stale_b").count() == nation.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stale_b")
