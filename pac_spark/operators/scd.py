@@ -161,15 +161,21 @@ def merge_changeset(
     layout so the join plans exchange-free).
 
     Contract: at most one change row per key (the shape a keyed diff
-    emits); a delete wins over the payload, an insert/update takes the
-    change payload wholesale. Raises on duplicate change keys rather
-    than resolving them silently.
+    emits) and ``op_col`` drawn from exactly {insert, update, delete};
+    a delete wins over the payload, an insert/update takes the change
+    payload wholesale. Duplicate change keys and unknown ops raise
+    rather than resolving silently (an unmatched key with a bad op
+    would otherwise emit a null-payload row).
     """
     from pyspark.sql import functions as F
 
     dup = changes.groupBy(key).count().filter(F.col("count") > 1)
     if dup.limit(1).count():
         raise ValueError(f"merge_changeset: duplicate change rows for {key}")
+    bad = changes.filter(~F.col(op_col).isin("insert", "update", "delete"))
+    if bad.limit(1).count():
+        ops = [r[0] for r in bad.select(op_col).distinct().limit(5).collect()]
+        raise ValueError(f"merge_changeset: unknown {op_col} values {ops}")
     cols = [c for c in base.columns if c != key]
     b = base.alias("b")
     c = changes.alias("c")

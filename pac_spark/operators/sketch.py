@@ -88,7 +88,11 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
     The sketch is bounded (DEPTH×WIDTH rows) → broadcast; each key
     computes its cells row-locally and reads DEPTH cells. Estimates
     never undercount: every occurrence of the key incremented all of
-    its cells, collisions only add."""
+    its cells, collisions only add. LEFT join + zero-fill: the sketch
+    table materializes only touched cells, so a never-seen key's
+    untouched cells must count as 0 (making its estimate 0 when any
+    cell is clean) — an inner join would silently drop those cells and
+    overestimate, or lose the key entirely."""
     keyed = keys.select(
         "*",
         F.array(
@@ -102,9 +106,10 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
         keyed.join(
             F.broadcast(sketch),
             (F.col("_cell.row") == F.col("row")) & (F.col("_cell.col") == F.col("col")),
+            "left",
         )
         .groupBy(*[c for c in keys.columns])
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
 
 

@@ -885,3 +885,28 @@ def test_diff_then_merge_is_identity(spark, sf_dir):
     dup = changes.limit(1).unionByName(changes.limit(1))
     with _pt.raises(ValueError, match="duplicate change rows"):
         merge_changeset(old, dup, "c_custkey")
+
+
+def test_cms_unseen_keys_estimate_zero_or_low(spark, sf_dir):
+    """Generic-contract check: keys never inserted must still come back
+    (left join + zero-filled cells), with est >= 0 and est = 0 whenever
+    any of their cells was untouched — not silently dropped."""
+    from pac_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    sketch = cms_build(ev, "user_id")
+    unseen = spark.range(10**9, 10**9 + 20).withColumnRenamed("id", "user_id")
+    est = cms_estimate(sketch, unseen, "user_id").collect()
+    assert len(est) == 20, "unseen keys must not vanish from estimates"
+    assert all(r["est"] >= 0 for r in est)
+
+
+def test_merge_changeset_rejects_unknown_ops(spark, sf_dir):
+    import pytest as _pt
+
+    from pac_spark.operators.scd import merge_changeset
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    bad = spark.createDataFrame([(3, "upsert", "c")], "k long, change_type string, v string")
+    with _pt.raises(ValueError, match="unknown change_type"):
+        merge_changeset(base, bad, "k")
