@@ -102,6 +102,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _combinations_expr(pair_body: str) -> Column:
+    """All i < j element combinations of an array column ``ds``, each
+    mapped through ``pair_body`` (a SQL expression over lambda vars
+    ``x`` and ``y``). The slice bounds (i is transform's 0-based index,
+    slice positions are 1-based) live HERE once — both posting-list
+    pair generators share them."""
+    return F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        f"transform(slice(ds, i + 2, size(ds) - i - 1), y -> {pair_body})))"
+    )
+
+
 def _pair_shared_counts(sh: DataFrame) -> DataFrame:
     """Inverted-index candidate generator: (doc_a, doc_b, n_a, n_b,
     shared_rare) for every pair sharing >= 1 indexed shingle.
@@ -122,14 +134,12 @@ def _pair_shared_counts(sh: DataFrame) -> DataFrame:
     )
     pairs = grouped.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+            _combinations_expr(
                 "if(x.doc_id < y.doc_id, "
                 "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
                 "x.n_shingles AS n_a, y.n_shingles AS n_b), "
                 "struct(y.doc_id AS doc_a, x.doc_id AS doc_b, "
-                "y.n_shingles AS n_a, x.n_shingles AS n_b)))))"
+                "y.n_shingles AS n_a, x.n_shingles AS n_b))"
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
@@ -384,10 +394,8 @@ def _lsh_candidates(bands: DataFrame) -> DataFrame:
     return (
         grouped.select(
             F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
-                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                _combinations_expr(
+                    "struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b)"
                 )
             ).alias("p")
         )

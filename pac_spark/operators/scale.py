@@ -169,9 +169,14 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp_dir = os.path.join(warehouse, f"pac_compact_events_{tag}")
 
     if not os.path.exists(os.path.join(comp_dir, "_SUCCESS")):
+        import shutil
+
         events = catalog.load(spark, sf_dir, "events")
         events.repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag_dir)
         compact(spark.read.parquet(frag_dir), comp_dir, advisory_partition_mb=64)
+        # the fragmented copy is a build intermediate — never read once
+        # the compacted copy exists, so don't let it double the footprint
+        shutil.rmtree(frag_dir, ignore_errors=True)
 
     comp = spark.read.parquet(comp_dir)
     return (

@@ -169,12 +169,30 @@ def merge_changeset(
     """
     from pyspark.sql import functions as F
 
-    dup = changes.groupBy(key).count().filter(F.col("count") > 1)
-    if dup.limit(1).count():
+    from pac_spark.cache import pin
+
+    # pin: the changeset is often itself a join (snapshot_diff output)
+    # and is consumed by the validation pass AND the merge join —
+    # unpinned it would recompute per consumer. Both contract checks
+    # ride ONE aggregation job over the per-key counts.
+    changes = pin(changes)
+    bad_op = ~F.col(op_col).isin("insert", "update", "delete")
+    chk = (
+        changes.groupBy(key)
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(bad_op.cast("int")).alias("_nbad"),
+        )
+        .agg(F.max("_n").alias("max_per_key"), F.sum("_nbad").alias("n_bad_ops"))
+        .collect()[0]
+    )
+    if (chk["max_per_key"] or 0) > 1:
         raise ValueError(f"merge_changeset: duplicate change rows for {key}")
-    bad = changes.filter(~F.col(op_col).isin("insert", "update", "delete"))
-    if bad.limit(1).count():
-        ops = [r[0] for r in bad.select(op_col).distinct().limit(5).collect()]
+    if (chk["n_bad_ops"] or 0) > 0:
+        ops = [
+            r[0]
+            for r in changes.filter(bad_op).select(op_col).distinct().limit(5).collect()
+        ]
         raise ValueError(f"merge_changeset: unknown {op_col} values {ops}")
     cols = [c for c in base.columns if c != key]
     b = base.alias("b")

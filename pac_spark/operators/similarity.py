@@ -440,6 +440,25 @@ def _fit_sample(with_vec: DataFrame) -> DataFrame:
     )
 
 
+def _argmin_code(cents_col: str, vec_expr: str) -> Column:
+    """Row-local argmin over a broadcast (centroid_id, c) struct-array
+    column: strict < keeps the FIRST minimal element of the
+    ascending-id array, i.e. ties go to the lower id — the same
+    decision the oracles' (dist, centroid_id) windows make. One
+    definition shared by the IVF assignment and PQ encoding so the
+    tie-break semantics cannot drift between them."""
+    sq = (
+        f"aggregate(zip_with({vec_expr}, ct.c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, d) -> acc + d)"
+    )
+    return F.expr(
+        f"aggregate({cents_col}, "
+        "named_struct('d', cast('Infinity' as double), 'id', -1), "
+        f"(acc, ct) -> if({sq} < acc.d, "
+        f"named_struct('d', {sq}, 'id', ct.centroid_id), acc)).id"
+    )
+
+
 def _ivf_centroids(
     sample: DataFrame,
     n_centroids: int = IVF_NLIST,
@@ -557,25 +576,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("array_sort(collect_list(struct(centroid_id, c)))").alias("cents")
         )
     )
-    # row-local argmin over the (ascending-id) centroid array: strict <
-    # keeps the first minimal element, i.e. ties go to the lower id —
-    # the same decision the oracle's (dist, centroid_id) window makes
-    sq_ct = (
-        "aggregate(zip_with(v, ct.c, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (acc, d) -> acc + d)"
-    )
-    argmin = F.expr(
-        "aggregate(cents, named_struct('d', cast('Infinity' as double), 'id', -1), "
-        f"(acc, ct) -> if({sq_ct} < acc.d, "
-        f"named_struct('d', {sq_ct}, 'id', ct.centroid_id), acc)).id"
-    )
     assigned = (
         emb.crossJoin(cent_arr)
         .select(
             "vec_id",
             "v",
             "label",
-            argmin.alias("list_id"),
+            _argmin_code("cents", "v").alias("list_id"),
             F.sqrt(_dot("v", "v")).alias("nv"),
         )
     )
@@ -682,16 +689,11 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        sq = (
-            f"aggregate(zip_with({_pq_subv('v', m)}, ct.c, "
-            "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, d) -> acc + d)"
+        enc = (
+            enc.crossJoin(arr)
+            .withColumn(f"code_{m}", _argmin_code(f"cents_{m}", _pq_subv("v", m)))
+            .drop(f"cents_{m}")
         )
-        argmin = F.expr(
-            f"aggregate(cents_{m}, named_struct('d', cast('Infinity' as double), "
-            f"'id', -1), (acc, ct) -> if({sq} < acc.d, "
-            f"named_struct('d', {sq}, 'id', ct.centroid_id), acc)).id"
-        )
-        enc = enc.crossJoin(arr).withColumn(f"code_{m}", argmin).drop(f"cents_{m}")
 
     queries = enc.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")

@@ -281,11 +281,15 @@ def funnel(
         # stage names are interpolated into generated column names
         # (t_<stage>, reached_<stage>); a dot/space/backtick would
         # mis-resolve or fail deep in analysis (ADVICE r4) — reject
-        # non-identifier names here with a plain error instead
-        if not stage.isidentifier():
+        # them here with a plain error instead. Word characters only,
+        # NOT isidentifier(): the generated names are always prefixed,
+        # so digit-leading stages ('404_error', '2fa_prompt') are safe
+        # and were valid before the guard existed.
+        if not stage or not all(c.isalnum() or c == "_" for c in stage):
             raise ValueError(
                 f"funnel stage {stage!r} is not identifier-safe; stage "
-                "names become generated column names"
+                "names become generated column names (letters, digits, "
+                "and underscores only)"
             )
     ev = events.select(user_col, type_col, ts_col)
     frames = []

@@ -366,6 +366,14 @@ smp{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp)"""
                 f"c{m}", f"smp{m}", S.PQ_K, T, f"{S._PQ_INIT_SALT}_m{m}"
             )
         )
+    # nv precedes every CTE that references it (ea/ec below); emitted
+    # here, not spliced by index — the r5 first cut computed the splice
+    # position wrong and only worked because DuckDB tolerates forward
+    # CTE references
+    parts.append(
+        f""",
+nv AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nvv FROM e)"""
+    )
     enc_joins = []
     for m in range(S.PQ_M):
         lo = m * S.PQ_SUB_DIM + 1
@@ -380,11 +388,10 @@ ea{m} AS (
 ec{m} AS (SELECT vec_id, centroid_id AS code FROM ea{m} WHERE rn = 1)"""
         )
         enc_joins.append(f"JOIN ec{m} ON ec{m}.vec_id = nv.vec_id")
-    # nv must precede the ea/ec CTEs that reference it — splice it in
-    parts.insert(
-        1 + S.PQ_M * (1 + T),
+    parts.append(
         f""",
-nv AS (SELECT vec_id, label, v, sqrt({_dot_sql('v', 'v')}) AS nvv FROM e)""",
+qr AS (SELECT vec_id AS query_id, v AS qv, nvv AS nq FROM nv
+       WHERE vec_id IN {S.QUERY_IDS})"""
     )
     dt_joins = []
     for m in range(S.PQ_M):
@@ -405,8 +412,6 @@ dt{m} AS (
     adc = " + ".join(f"dt{m}.d" for m in range(S.PQ_M))
     parts.append(
         f""",
-qr AS (SELECT vec_id AS query_id, v AS qv, nvv AS nq FROM nv
-       WHERE vec_id IN {S.QUERY_IDS}),
 enc AS (SELECT nv.vec_id, nv.label, nv.v, nv.nvv, {enc_cols}
         FROM nv {' '.join(enc_joins)}),
 qr2 AS (SELECT query_id FROM qr),

@@ -62,18 +62,35 @@ def ensure_bucketed(
     Bucketing's whole bargain is paying the shuffle ONCE at ingest —
     a read query that re-writes its layout on every call (the r4
     ``bucketed_orders_join`` shape, VERDICT r4 wrong-#2) re-charges
-    ingest to every read. Existence check = catalog entry AND the
-    path's _SUCCESS marker (a stale metastore row over a deleted
-    directory must re-ingest, not fail the read downstream); a session
-    restart re-registers the already-written files via the external
-    path, which ``saveAsTable`` reuses."""
+    ingest to every read. Three states:
+
+    - catalog entry + intact files (_SUCCESS): nothing to do;
+    - intact files but no catalog entry (a NEW session — the default
+      in-memory catalog forgets tables): REGISTER the existing layout
+      with bucketed-table DDL over the location — no data rewrite, so
+      write-once holds across sessions, not just within one;
+    - files missing (including a stale catalog row over a deleted
+      directory): ingest.
+    """
     import os
 
     intact = os.path.exists(os.path.join(path, "_SUCCESS"))
-    if not (spark.catalog.tableExists(table) and intact):
-        if spark.catalog.tableExists(table):
-            spark.sql(f"DROP TABLE `{table}`")
-        write_bucketed(df, table, path, key, n_buckets)
+    exists = spark.catalog.tableExists(table)
+    if exists and intact:
+        return
+    if exists:
+        spark.sql(f"DROP TABLE `{table}`")
+    if intact:
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING parquet "
+            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+        return
+    write_bucketed(df, table, path, key, n_buckets)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -112,9 +112,11 @@ def compact_zordered(
 
     n_buckets = 1 << bits
     qs = [j / float(n_buckets) for j in range(1, n_buckets)]
+    # ONE boundary pass for both columns (the list overload) — two
+    # separate approxQuantile calls would scan the table twice
+    bounds_a, bounds_b = df.approxQuantile([col_a, col_b], qs, 0.001)
 
-    def bucket(col: str):
-        bounds = df.approxQuantile(col, qs, 0.001)
+    def bucket(col: str, bounds: list) -> object:
         arr = "array(" + ", ".join(repr(float(b)) for b in bounds) + ")"
         # bucket = number of boundaries <= x, a fold over the literal
         # boundary array (15 comparisons at the default 4 bits)
@@ -123,8 +125,8 @@ def compact_zordered(
             f"acc + if(cast({col} as double) >= b, 1L, 0L))"
         )
 
-    ba = bucket(col_a)
-    bb = bucket(col_b)
+    ba = bucket(col_a, bounds_a)
+    bb = bucket(col_b, bounds_b)
     z = None
     for i in range(bits):
         bit_a = F.shiftleft(F.shiftright(ba, i).bitwiseAND(1), 2 * i)

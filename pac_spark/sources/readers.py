@@ -195,4 +195,15 @@ def jdbc_partition_bounds(
     row = probe.load().collect()[0]
     if row[0] is None:
         raise ValueError(f"{table}.{partition_column} has no non-null values")
-    return int(row[0]), int(row[1])
+    try:
+        return int(row[0]), int(row[1])
+    except (TypeError, ValueError) as exc:
+        # Spark's JDBC partitioning also accepts date/timestamp bounds,
+        # but those must be passed explicitly as strings — this probe
+        # derives integer bounds only, so fail with the actual reason
+        # instead of a bare int() TypeError
+        raise ValueError(
+            f"{table}.{partition_column} is not integer-typed "
+            f"({type(row[0]).__name__}); pass lower_bound/upper_bound "
+            "explicitly for date/timestamp partition columns"
+        ) from exc

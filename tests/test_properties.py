@@ -784,9 +784,12 @@ def test_funnel_rejects_non_identifier_stage_names(spark, sf_dir):
     from pac_spark.operators.temporal import funnel
 
     ev = catalog.load(spark, sf_dir, "events")
-    for bad in ("a.b", "a b", "a`b", "1st"):
+    for bad in ("a.b", "a b", "a`b", ""):
         with pytest.raises(ValueError, match="identifier-safe"):
             funnel(ev, ["view", bad])
+    # digit-leading stages are safe (generated names are prefixed) and
+    # must stay accepted — the review found the first guard rejected them
+    assert funnel(ev, ["view", "404_click"]).columns[0] == "user_id"
 
 
 def test_pagerank_ranks_dst_only_nodes(spark):
