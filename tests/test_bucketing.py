@@ -100,3 +100,36 @@ def test_ensure_bucketed_recovers_from_deleted_path(spark, sf_dir, tmp_path):
         assert spark.table("t_stale_b").count() == nation.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stale_b")
+
+
+def test_ensure_bucketed_registers_existing_files_without_rewrite(spark, sf_dir, tmp_path, no_broadcast):
+    """The cross-session branch: intact files + no catalog entry (a new
+    session's in-memory catalog) must REGISTER the layout via DDL —
+    file list unchanged — and the registered table must still plan
+    bucket-aware joins."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    try:
+        ensure_bucketed(
+            spark, orders, "t_reg_b", str(tmp_path / "reg"), "o_custkey"
+        )
+        files_before = sorted(p.name for p in (tmp_path / "reg").glob("*.parquet"))
+        spark.sql("DROP TABLE t_reg_b")  # catalog forgets; files remain
+
+        ensure_bucketed(
+            spark, orders.limit(1), "t_reg_b", str(tmp_path / "reg"), "o_custkey"
+        )
+        files_after = sorted(p.name for p in (tmp_path / "reg").glob("*.parquet"))
+        assert files_before == files_after, "registration rewrote the layout"
+        back = spark.table("t_reg_b")
+        assert back.count() == orders.count()
+
+        # bucket metadata survived the re-registration: self-join on the
+        # bucket key plans without exchanges on the bucketed side
+        other = read_table(spark, "t_reg_b")
+        joined = back.join(other, back.o_custkey == other.o_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_reg_b")
