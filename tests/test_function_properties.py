@@ -215,3 +215,29 @@ def test_ntile4_formula_exhaustive(spark):
 
     for (n, r), t in got.items():
         assert t == ref_ntile(r, n), (n, r, t, ref_ntile(r, n))
+
+
+def test_combinations_expr_matches_itertools(spark):
+    """The shared i<j combination generator (both posting-list pair
+    generators ride it) must produce exactly itertools.combinations
+    for every array length 0..8 — the slice bounds are the review's
+    flagged drift risk, pinned here against the reference."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.dedup import _combinations_expr
+
+    rows = [(n, list(range(100, 100 + n))) for n in range(0, 9)]
+    df = spark.createDataFrame(rows, "n int, ds array<int>")
+    got = (
+        df.select(
+            "n",
+            _combinations_expr("struct(x AS a, y AS b)").alias("pairs"),
+        )
+        .collect()
+    )
+    for r in got:
+        want = list(combinations(range(100, 100 + r["n"]), 2))
+        have = [(p["a"], p["b"]) for p in r["pairs"]]
+        assert have == want, (r["n"], have, want)
