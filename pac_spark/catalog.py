@@ -18,7 +18,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "load", "load_all", "register_views", "resolve_table"]
+__all__ = [
+    "TABLES",
+    "load",
+    "load_all",
+    "register_views",
+    "resolve_table",
+    "table_path",
+]
 
 TABLES = (
     "region",
@@ -34,6 +41,12 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Filesystem path of one table's parquet data — the unit the
+    derived-layout caches fingerprint for staleness."""
+    return os.path.join(sf_dir, f"{name}.parquet")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -19,12 +19,18 @@ from pac_spark import catalog
 from pac_spark.functions.exact import money_sum
 from pac_spark.functions.salting import salted_join
 from pac_spark.sources.bucketing import ensure_bucketed, read_table
+from pac_spark.sources.layout_cache import (
+    layout_intact,
+    source_fingerprint,
+    write_sidecar,
+)
 
 __all__ = [
     "salted_events_join",
     "bucketed_orders_join",
     "key_skew_report",
     "compaction_roundtrip",
+    "zorder_roundtrip",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -78,10 +84,20 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     ensure_bucketed(
-        spark, orders, t_orders, os.path.join(warehouse, t_orders), "o_orderkey"
+        spark,
+        orders,
+        t_orders,
+        os.path.join(warehouse, t_orders),
+        "o_orderkey",
+        fingerprint=source_fingerprint(catalog.table_path(sf_dir, "orders")),
     )
     ensure_bucketed(
-        spark, lineitem, t_lineitem, os.path.join(warehouse, t_lineitem), "l_orderkey"
+        spark,
+        lineitem,
+        t_lineitem,
+        os.path.join(warehouse, t_lineitem),
+        "l_orderkey",
+        fingerprint=source_fingerprint(catalog.table_path(sf_dir, "lineitem")),
     )
 
     bo = read_table(spark, t_orders)
@@ -156,10 +172,14 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible to content — no row lost, duplicated, or mutated.
 
     Fragment + compact run ONCE per (table, sf) — create-if-absent on
-    the compacted copy's _SUCCESS marker, same write-once discipline
-    as ``bucketed_orders_join``; repeat invocations only read. The
-    file-count / layout assertions live in ``tests/test_compaction.py``
-    (pytest), this row verifies content.
+    the compacted copy's sidecar + _SUCCESS, same write-once
+    discipline as ``bucketed_orders_join``; repeat invocations only
+    read. The sidecar carries a fingerprint of the SOURCE events
+    files, so regenerating the testdata in place (or pointing a
+    same-basename directory here) rebuilds instead of silently
+    aggregating the stale copy (ADVICE r5 #3). The file-count / layout
+    assertions live in ``tests/test_compaction.py`` (pytest), this row
+    verifies content.
     """
     from pac_spark.sources.compaction import compact
 
@@ -167,8 +187,12 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = os.path.join(_REPO_ROOT, "spark-warehouse")
     frag_dir = os.path.join(warehouse, f"pac_frag_events_{tag}")
     comp_dir = os.path.join(warehouse, f"pac_compact_events_{tag}")
+    spec = {
+        "kind": "compacted",
+        "source": source_fingerprint(catalog.table_path(sf_dir, "events")),
+    }
 
-    if not os.path.exists(os.path.join(comp_dir, "_SUCCESS")):
+    if not layout_intact(comp_dir, spec):
         import shutil
 
         events = catalog.load(spark, sf_dir, "events")
@@ -177,6 +201,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fragmented copy is a build intermediate — never read once
         # the compacted copy exists, so don't let it double the footprint
         shutil.rmtree(frag_dir, ignore_errors=True)
+        write_sidecar(comp_dir, spec)
 
     comp = spark.read.parquet(comp_dir)
     return (
@@ -185,6 +210,70 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.countDistinct("event_id").alias("n_distinct_events"),
             money_sum(F.col("value")).alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# the 2-D selection box the z-ordered row queries: chosen inside the
+# data range at every SF so the result is non-trivial, and on BOTH
+# layout axes so the Morton clustering (not a single-axis sort) is
+# what makes the file-level min/max stats selective
+_ZBOX_USER_LO, _ZBOX_USER_HI = 20, 70
+_ZBOX_VALUE_LO, _ZBOX_VALUE_HI = 50.0, 200.0
+_Z_FILES = 16
+
+
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14b Z-order clustering, driver-verified end-to-end: rewrite
+    the events fact as a Morton-curve-clustered layout over
+    (``user_id``, ``value``) via
+    :func:`pac_spark.sources.compaction.compact_zordered`, then run a
+    2-D box-selective aggregate against the CLUSTERED copy. The
+    oracle states the same box aggregate over the original table, so
+    the hash check proves the curve rewrite is content-invisible; the
+    file-level pruning proof (row-group min/max selectivity vs an
+    unclustered control) lives in ``tests/test_compaction.py``.
+
+    Same write-once + sidecar-fingerprint discipline as
+    ``compaction_roundtrip``: the curve layout is ingest work, paid
+    once per (table, source generation), never by reads. At 100 TB
+    this is the maintenance pass behind every "needle in a 2-D box"
+    workload (user × amount, lat × lon, time × key): either column
+    alone prunes ~sqrt(selectivity) of the files, the box prunes
+    both ways.
+    """
+    from pac_spark.sources.compaction import compact_zordered
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    z_dir = os.path.join(_REPO_ROOT, "spark-warehouse", f"pac_zorder_events_{tag}")
+    spec = {
+        "kind": "zordered",
+        "cols": ["user_id", "value"],
+        "n_files": _Z_FILES,
+        "source": source_fingerprint(catalog.table_path(sf_dir, "events")),
+    }
+    if not layout_intact(z_dir, spec):
+        events = catalog.load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        compact_zordered(events, z_dir, "user_id", "value", _Z_FILES)
+        write_sidecar(z_dir, spec)
+
+    z = spark.read.parquet(z_dir)
+    box = (
+        F.col("user_id").between(_ZBOX_USER_LO, _ZBOX_USER_HI)
+        & F.col("value").between(_ZBOX_VALUE_LO, _ZBOX_VALUE_HI)
+    )
+    return (
+        z.filter(box)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(F.col("value")).alias("box_value"),
             F.min("event_id").alias("min_event_id"),
             F.max("event_id").alias("max_event_id"),
         )

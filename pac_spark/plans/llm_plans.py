@@ -1081,4 +1081,8 @@ SPECS = [
     QuerySpec("doc_repetition_signals", TX.doc_repetition_signals, _REPETITION),
     # promoted from the r4 queue in the r5 rotation (VERDICT r4 next-#1)
     QuerySpec("corr_quality_tokens_by_lang", TX.corr_quality_tokens_by_lang, _CORR),
+    # registered in the r6 rotation after a round staged behind local
+    # gates (test_staged_specs.py / test_multimodal_multibyte.py)
+    QuerySpec("pq_topk", S.pq_topk, _pq_topk_sql()),
+    QuerySpec("pcm_audio_features", MM.pcm_audio_features, MM.PCM_AUDIO_SQL),
 ]

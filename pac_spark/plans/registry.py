@@ -54,63 +54,30 @@ def all_specs() -> list[QuerySpec]:
     specs += relational_plans.SPECS
 
     # cross-module priority overrides, revised per round: HOIST names
-    # claim the driver cap. R5 executes the rotation the r4 registry
-    # scheduled (VERDICT r4 next-#1): the hoist list below IS the
-    # 50-row cap — 30 specs holding a single driver green (r4) that
-    # need their second consecutive one, the 12 promotions from the
-    # retired plans/queued.py, the new compaction row, the 5 dedup/IVF
-    # specs whose implementations changed this round, and 2 brand-new
-    # operators (CMS, distribution windows). Everything else rides the
-    # tail, which
-    # tests/test_registry_policy.py proves holds only specs with two
-    # consecutive driver greens.
+    # claim the driver cap. R6 executes the rotation r5 scheduled
+    # (VERDICT r5 next-#1..#4): the hoist list below IS the 50-row cap
+    # — the 16 specs whose ONLY career hash-green is r5 stay for their
+    # second consecutive green; the three r5-staged operators
+    # (pq_topk, pcm_audio_features, zorder_roundtrip) gain their first
+    # driver rows; approx_distinct_parts returns to the cap because
+    # tightening the tail policy to hash-greens-only (VERDICT r5
+    # wrong-#1) exposes its single career hash-green (r3); and every
+    # remaining slot refreshes the stalest tail (the r2- and r3-last-
+    # green families). The r4-new 30 now hold r4+r5 consecutive greens
+    # and ride the tail, which tests/test_registry_policy.py proves
+    # holds only specs with two consecutive driver HASH-greens.
     #
-    # R6 ROTATION PLAN (for whoever opens the next round): the 50
-    # below all gain a green in r5 if CORRECTNESS_r05 is clean; keep
-    # any that then still lack two CONSECUTIVE greens (the r4-new 30
-    # will have r4+r5 → tail-legal; promotions/new/changed will have
-    # r5 only → keep in cap), and fill freed slots with the next
-    # oldest-verified tail specs (events_sliding_1h_30m,
-    # events_sessions_10m, and the r2-green er/issues family are the
-    # stalest). Three locally-oracle-green operators are STAGED for r6
-    # registration: pq_topk (similarity.py, gate in
-    # test_staged_specs.py), pcm_audio_features (multimodal.py, gate in
-    # test_multimodal_multibyte.py), and a compact_zordered roundtrip
-    # row (compaction.py, layout proof in test_compaction.py).
+    # R7 ROTATION PLAN (for whoever opens the next round): the 50
+    # below all gain a green in r6 if CORRECTNESS_r06 is clean; keep
+    # whichever then still lack two CONSECUTIVE hash-greens (the
+    # r6-first-green specs: the three registrations plus any brand-new
+    # r6 operators), and fill freed slots with the then-stalest tail
+    # (after this rotation that is the r3-last-green remainder:
+    # dedup_exact_docs, flagship_company_positions,
+    # issues_count_validation, er_candidate_pairs, q6/q18, pivot,
+    # range_band_join_quantity, the streaming_* r3 family).
     hoist = [
-        # --- 16 TPC-H rows with a single driver green (r4) ---
-        "q2_top_balance_supplier",
-        "q4_late_shipments",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_ship_delay_priority",
-        "q13_order_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_part_counts",
-        "q17_small_quantity_revenue",
-        "q19_discounted_revenue",
-        "q20_heavy_promo_suppliers",
-        "q21_last_to_ship",
-        # --- 14 more single-green (r4) specs ---
-        "bucketed_orders_join",
-        "salted_events_join",
-        "er_candidate_pairs_lsh",
-        "incremental_neardup_filter",
-        "streaming_neardup_admission",
-        "streaming_sliding_1h_30m",
-        "knn_rerank",
-        "label_centroids",
-        "pii_scrub_docs",
-        "doc_repetition_signals",
-        "doc_top_terms",
-        "unigram_prob_score",
-        "vocab_top_terms",
-        "training_shards",
-        # --- the 12 promotions from the retired r4 queue ---
+        # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",
         "corr_quality_tokens_by_lang",
         "profile_orders",
@@ -123,20 +90,49 @@ def all_specs() -> list[QuerySpec]:
         "event_transition_matrix",
         "streaming_user_lifetime_stats",
         "basket_part_pairs",
-        # --- new this round ---
         "compaction_roundtrip",
-        # --- implementation changed this round (dedup rewiring; IVF
-        #     gained its deterministic quantizer + first real oracle) ---
-        "ann_ivf_topk",
-        "ngram_jaccard_pairs",
-        "minhash_lsh_dedup",
-        "simhash_neardup",
-        "minhash_signatures",
-        # --- new this round (replacing the planned stale refreshes:
-        #     fresh evidence on new operators beats re-greening rows
-        #     that already hold two consecutive greens) ---
-        "window_distribution_stats",
         "cms_user_heavy_hitters",
+        "window_distribution_stats",
+        "ann_ivf_topk",
+        # --- 3 registrations: staged through r5's local gates ---
+        "pq_topk",
+        "pcm_audio_features",
+        "zorder_roundtrip",
+        # --- policy refresh: one career hash-green (r3), previously
+        #     tail-legal only via the no_oracle loophole ---
+        "approx_distinct_parts",
+        # --- 17 stalest tail specs: last driver green r2 ---
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "top_customers_by_revenue",
+        "window_rank_orders",
+        "window_running_events",
+        "rollup_region_nation",
+        "cube_flag_status",
+        "set_ops_customers",
+        "semi_anti_customers",
+        "distinct_counts_by_segment",
+        "json_events_extract",
+        "scalar_functions_showcase",
+        "er_records",
+        "events_tumbling_1h",
+        "events_sliding_1h_30m",
+        "events_sessions_10m",
+        # --- 13 next-stalest: last driver green r3 ---
+        "flagship_roles_resolved",
+        "export_envelope",
+        "er_approved",
+        "er_records_stringified",
+        "interval_overlap_join",
+        "streaming_purchase_click_join",
+        "q22_idle_customers",
+        "company_issue_summary",
+        "er_clusters",
+        "er_consolidated",
+        "er_links",
+        "asof_join_purchase_click",
+        "grouping_sets_revenue",
     ]
     by_priority = [s for s in specs if s.name in hoist] + [
         s for s in specs if s.name not in hoist

@@ -58,10 +58,28 @@ ORDER BY n_rows DESC, user_id
 LIMIT 10
 """
 
+# same proof shape as _COMPACTION_ROUNDTRIP, but selective on the 2-D
+# box the Morton layout clusters for: the oracle reads the ORIGINAL
+# table, so hash equality proves the curve rewrite is content-invisible
+_ZORDER_ROUNDTRIP = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {money_sum_sql('value')} AS box_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+WHERE user_id BETWEEN {SC._ZBOX_USER_LO} AND {SC._ZBOX_USER_HI}
+  AND value BETWEEN {SC._ZBOX_VALUE_LO} AND {SC._ZBOX_VALUE_HI}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 SPECS = [
     QuerySpec("salted_events_join", SC.salted_events_join, _SALTED_EVENTS),
     QuerySpec("bucketed_orders_join", SC.bucketed_orders_join, _BUCKETED_ORDERS),
     QuerySpec("compaction_roundtrip", SC.compaction_roundtrip, _COMPACTION_ROUNDTRIP),
+    QuerySpec("zorder_roundtrip", SC.zorder_roundtrip, _ZORDER_ROUNDTRIP),
     QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
     QuerySpec("cms_user_heavy_hitters", SK.cms_user_heavy_hitters, SK.CMS_HH_SQL()),
 ]

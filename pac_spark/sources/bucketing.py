@@ -56,6 +56,7 @@ def ensure_bucketed(
     path: str,
     key: str,
     n_buckets: int = 8,
+    fingerprint: str | None = None,
 ) -> None:
     """Create the bucketed table if absent; otherwise leave it alone.
 
@@ -64,17 +65,35 @@ def ensure_bucketed(
     ``bucketed_orders_join`` shape, VERDICT r4 wrong-#2) re-charges
     ingest to every read. Three states:
 
-    - catalog entry + intact files (_SUCCESS): nothing to do;
+    - catalog entry + intact files: nothing to do;
     - intact files but no catalog entry (a NEW session — the default
       in-memory catalog forgets tables): REGISTER the existing layout
       with bucketed-table DDL over the location — no data rewrite, so
       write-once holds across sessions, not just within one;
-    - files missing (including a stale catalog row over a deleted
-      directory): ingest.
-    """
-    import os
+    - files missing OR a layout that doesn't match what's being
+      requested: (re-)ingest.
 
-    intact = os.path.exists(os.path.join(path, "_SUCCESS"))
+    "Intact" means ``_SUCCESS`` plus a ``_pac_layout.json`` sidecar
+    that matches the requested (key, bucket count, schema, source
+    fingerprint) exactly — registering existing files under a
+    DIFFERENT bucket count or schema would make Spark mis-plan bucket
+    pruning against file names hashed with the old count and return
+    wrong rows (ADVICE r5 #2), and a regenerated source under the
+    same path would silently serve stale rows (ADVICE r5 #3). Pass
+    ``fingerprint`` (:func:`~pac_spark.sources.layout_cache.source_fingerprint`
+    of the source files) to get the staleness check; ``None`` skips it
+    but still validates layout shape.
+    """
+    from pac_spark.sources.layout_cache import layout_intact, write_sidecar
+
+    spec = {
+        "kind": "bucketed",
+        "key": key,
+        "n_buckets": n_buckets,
+        "schema": df.schema.simpleString(),
+        "source": fingerprint,
+    }
+    intact = layout_intact(path, spec)
     exists = spark.catalog.tableExists(table)
     if exists and intact:
         return
@@ -91,6 +110,7 @@ def ensure_bucketed(
         )
         return
     write_bucketed(df, table, path, key, n_buckets)
+    write_sidecar(path, spec)
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -20,14 +20,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _green(path: str) -> set[str]:
+    """Driver hash-greens ONLY. Early rounds also recorded
+    ``err=no_oracle`` rows-only passes; counting those let a spec with
+    a single career hash-green ride the tail (VERDICT r5 wrong-#1:
+    approx_distinct_parts). Every registered spec now carries a full
+    value-hash oracle, so the weaker evidence no longer counts."""
     with open(path) as f:
         rows = json.load(f)
-    return {
-        name
-        for name, r in rows.items()
-        if r.get("hash_match")
-        or (r.get("err") == "no_oracle" and r.get("spark_rows"))
-    }
+    return {name for name, r in rows.items() if r.get("hash_match")}
 
 
 def test_tail_specs_have_two_consecutive_driver_greens():
