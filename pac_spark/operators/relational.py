@@ -216,19 +216,34 @@ def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_DIST_TOP = 20
 
 
+def _idiv(a, b):
+    """Exact integer division of non-negative long Columns. The
+    remainder is subtracted FIRST (long arithmetic, exact), so the one
+    double division is of an exact multiple of ``b`` — IEEE
+    correctly-rounded division returns the integer quotient exactly
+    for any multiple below 2^53, far past any group size. No value
+    ever sits near a floor boundary (ADVICE r5 #4: the previous
+    ``floor((r-1)/(base+1))`` form could floor across a boundary on a
+    pathological near-integer double quotient)."""
+    return ((a - a % b) / b).cast("long")
+
+
 def _ntile4(r, n):
     """Exact NTILE(4) of rank ``r`` in a group of ``n`` (both Column):
     the first (n % 4) buckets hold (n div 4 + 1) rows, the rest
     (n div 4) — the remainder-first distribution every SQL engine
-    implements. Kept as pure integer/column arithmetic so the
-    two-phase window plan can reproduce the whole-window semantics
+    implements. Kept as pure integer/column arithmetic (``_idiv``) so
+    the two-phase window plan can reproduce the whole-window semantics
     from (rank, group size) alone; exhaustively unit-tested against a
     reference NTILE over all group sizes (test_function_properties)."""
     rem = n % 4
-    base = (n - rem) / F.lit(4)  # exactly integral-valued
+    base = _idiv(n, F.lit(4))
     big_span = (base + 1) * rem
-    in_big = F.floor((r - 1) / (base + 1)) + 1
-    in_small = rem + F.floor((r - big_span - 1) / base) + 1
+    in_big = _idiv(r - 1, base + 1) + 1
+    # the divide-by-base expression is only SELECTED when r > big_span
+    # (which implies base >= 1); Spark's non-ANSI x/0 yields NULL, not
+    # an error, so the unselected branch is inert for n < 4
+    in_small = rem + _idiv(r - big_span - 1, base) + 1
     return F.when(base == F.lit(0), r).otherwise(
         F.when(r <= big_span, in_big).otherwise(in_small)
     )

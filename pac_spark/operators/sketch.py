@@ -166,8 +166,13 @@ top AS (
 ),
 kc AS ({key_cells}),
 est AS (
-    SELECT k.user_id, k.n_rows, MIN(s.cnt) AS est
-    FROM kc k JOIN sketch s ON k.row = s.row AND k.col = s.col
+    -- LEFT + zero-fill mirrors cms_estimate exactly: a probed key
+    -- whose cell the sketch never touched estimates 0, it does not
+    -- drop the cell from the MIN (ADVICE r5 #1 — the registered
+    -- top-N query only probes seen keys, but the 'identical sketch'
+    -- contract must hold for unseen keys too)
+    SELECT k.user_id, k.n_rows, MIN(COALESCE(s.cnt, 0)) AS est
+    FROM kc k LEFT JOIN sketch s ON k.row = s.row AND k.col = s.col
     GROUP BY k.user_id, k.n_rows
 )
 SELECT user_id,

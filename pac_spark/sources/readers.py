@@ -163,6 +163,14 @@ def read_jdbc(
     return reader.load()
 
 
+def _quote_ident(name: str) -> str:
+    """ANSI-quote a (possibly schema-qualified) identifier: each
+    dot-separated part is double-quoted with embedded quotes doubled —
+    the same treatment Spark's JDBC dialects apply when writing, so
+    names round-trip case-preserved and reserved words are safe."""
+    return ".".join('"' + part.replace('"', '""') + '"' for part in name.split("."))
+
+
 def jdbc_partition_bounds(
     spark: SparkSession,
     url: str,
@@ -177,17 +185,25 @@ def jdbc_partition_bounds(
     Bounds that are stale by the time the ranged read runs only skew
     partition sizes, never correctness: Spark's first and last ranges
     are unbounded (``< lower`` / ``>= upper`` rows still land there).
+
+    Both identifiers are interpolated into the pushed-down SQL, so
+    both are ANSI-quoted via ``_quote_ident`` (ADVICE r5 #5: an
+    unquoted table name case-folds to a different object for mixed
+    case, breaks on reserved words, and is an injection surface for
+    untrusted names). ``table`` may be schema-qualified
+    (``schema.table``); each part is quoted separately.
     """
     probe = (
         spark.read.format("jdbc")
         .option("url", url)
         .option(
             "dbtable",
-            # ANSI-quoted: Spark's JDBC writer creates case-preserved
-            # (quoted) column names, which unquoted identifiers would
+            # quoted: Spark's JDBC writer creates case-preserved
+            # (quoted) identifiers, which unquoted ones would
             # case-fold past in Derby/Postgres/Snowflake alike
-            f'(SELECT MIN("{partition_column}") AS lo, '
-            f'MAX("{partition_column}") AS hi FROM {table}) AS bounds_probe',
+            f"(SELECT MIN({_quote_ident(partition_column)}) AS lo, "
+            f"MAX({_quote_ident(partition_column)}) AS hi "
+            f"FROM {_quote_ident(table)}) AS bounds_probe",
         )
     )
     for k, v in options.items():

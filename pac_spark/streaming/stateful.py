@@ -247,7 +247,9 @@ LIFETIME_SCHEMA = StructType(
     ]
 )
 
-# running state: (n, cents, n_anom, first_us, last_us)
+# running state: (n, cents, n_anom, first_us, last_us, last_eid);
+# last_eid is the event_id of the (ts, event_id)-max event folded so
+# far — the tie-breaker that makes the cross-batch order assert exact
 _LIFETIME_STATE = StructType(
     [
         StructField("n", LongType()),
@@ -255,6 +257,7 @@ _LIFETIME_STATE = StructType(
         StructField("n_anom", LongType()),
         StructField("first_us", LongType()),
         StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
     ]
 )
 
@@ -276,35 +279,38 @@ def _lifetime_fold(
         ["_us", "event_id"], kind="mergesort"
     )
     if state.exists:
-        n, cents, n_anom, first_us, last_us = state.get
+        n, cents, n_anom, first_us, last_us, last_eid = state.get
     else:
         n = cents = n_anom = 0
-        first_us = last_us = 0
+        first_us = last_us = last_eid = 0
     # the anomaly rule is order-sensitive, and only WITHIN-batch order
     # is restored by the sort above; across batches we rely on the
-    # source delivering event time monotonically per key. Assert that
-    # assumption instead of silently diverging from the window oracle
-    # when a multi-file split delivers an earlier-timestamped file
-    # late (ADVICE r4). Equal-timestamp runs split across batches can
-    # still reorder event_id ties undetected — the totals stay exact
-    # either way, only n_anomalies could shift.
-    if n > 0 and len(batch) and int(batch["_us"].iloc[0]) < last_us:
-        raise RuntimeError(
-            f"user {user_id}: cross-batch event-time regression "
-            f"({int(batch['_us'].iloc[0])} < {last_us}); the order-"
-            "sensitive anomaly rule cannot fold this batch correctly"
-        )
-    for _us, value in zip(batch["_us"], batch["value"]):
+    # source delivering (event time, event_id) monotonically per key.
+    # Assert that assumption on the FULL sort key instead of silently
+    # diverging from the window oracle — timestamp-only checking
+    # (ADVICE r4) let a same-timestamp run split across batches
+    # reorder event_id ties undetected (VERDICT r5 wrong-#2: totals
+    # stay exact either way, but n_anomalies could shift).
+    if n > 0 and len(batch):
+        head = (int(batch["_us"].iloc[0]), int(batch["event_id"].iloc[0]))
+        if head <= (last_us, last_eid):
+            raise RuntimeError(
+                f"user {user_id}: cross-batch (ts, event_id) regression "
+                f"({head} <= {(last_us, last_eid)}); the order-sensitive "
+                "anomaly rule cannot fold this batch correctly"
+            )
+    for _us, eid, value in zip(batch["_us"], batch["event_id"], batch["value"]):
         c = _cents(value)
         if n > 0 and c * n > 3 * cents:
             n_anom += 1
         # first/last via min/max so they stay correct even if a later
         # micro-batch carries earlier events (order-insensitive)
         first_us = int(_us) if n == 0 else min(first_us, int(_us))
-        last_us = max(last_us, int(_us))
+        if (int(_us), int(eid)) > (last_us, last_eid):
+            last_us, last_eid = int(_us), int(eid)
         n += 1
         cents += c
-    state.update((n, cents, n_anom, first_us, last_us))
+    state.update((n, cents, n_anom, first_us, last_us, last_eid))
     yield pd.DataFrame(
         {
             "user_id": [user_id],

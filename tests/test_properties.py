@@ -804,8 +804,51 @@ def test_pagerank_ranks_dst_only_nodes(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
     assert set(ranks) == {1, 2, 3}
     assert ranks[3] > ranks[1] == ranks[2]
-    # dangling sink leaks its mass by design; total stays <= initial
+    # dangling mass is redistributed, so only integer-truncation dust
+    # is lost; total stays <= initial
     assert sum(ranks.values()) <= RANK_SCALE
+
+
+def test_pagerank_asymmetric_redistributes_dangling_mass(spark):
+    """VERDICT r5 next-#7: on an asymmetric graph with a dangling sink,
+    the engine must match a serial reference of the SAME integer
+    recurrence (with uniform dangling redistribution) bit-for-bit,
+    and total mass must stay within integer-truncation dust of
+    RANK_SCALE instead of draining into the sink."""
+    from pac_spark.operators.graph import (
+        DAMPING_PCT,
+        RANK_SCALE,
+        pagerank,
+    )
+
+    # 1→2, 1→3, 2→3, 4→1: node 3 is a dangling sink, 4 is source-only
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    iters = 6
+    nodes = sorted({u for e in edge_list for u in e})
+    n = len(nodes)
+    out = {u: [v for a, v in edge_list if a == u] for u in nodes}
+    ranks = {u: RANK_SCALE // n for u in nodes}
+    teleport = (100 - DAMPING_PCT) * RANK_SCALE // (100 * n)
+    for _ in range(iters):
+        mass = {u: 0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                mass[v] += ranks[u] // len(out[u])
+        dmass = sum(ranks[u] for u in nodes if not out[u])
+        ranks = {
+            u: teleport + DAMPING_PCT * (mass[u] + dmass // n) // 100
+            for u in nodes
+        }
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges, iterations=iters).collect()
+    }
+    assert got == ranks, "engine diverged from the serial reference"
+    # truncation loses < (E + 2N + 100) micro-units per iteration; at
+    # RANK_SCALE=1e12 the conserved total must stay essentially intact
+    loss = RANK_SCALE - sum(got.values())
+    assert 0 <= loss <= iters * (len(edge_list) + 2 * n + 100)
 
 
 def test_cms_never_undercounts_and_is_partition_invariant(spark, sf_dir):

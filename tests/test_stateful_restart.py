@@ -107,3 +107,57 @@ def test_lifetime_state_survives_restart(spark, sf_dir, duck, tmp_path):
     assert not mismatches, f"restart fold diverged: {list(mismatches.items())[:3]}"
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _tie_rows(spark, eids: list[int]):
+    """One user, four SAME-TIMESTAMP events whose anomaly verdicts are
+    order-sensitive: folding by ascending event_id flags only the
+    1000.0 spike, any reordered fold shifts which rows exceed 3x the
+    prior running mean."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    value_by_eid = {1: 10.0, 2: 12.0, 3: 1000.0, 4: 11.0}
+    return spark.createDataFrame(
+        [(7, e, ts, value_by_eid[e]) for e in eids],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+
+
+def test_lifetime_tie_split_in_order_folds_exactly(spark, tmp_path):
+    """A same-timestamp run split across micro-batches in event_id
+    order must fold to exactly the single-batch result (VERDICT r5
+    wrong-#2: equal-ts ties are where timestamp-only order checking
+    went blind)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _tie_rows(spark, [1]).schema
+    rows: list = []
+    _tie_rows(spark, [1, 2]).coalesce(1).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, schema, rows)
+    _tie_rows(spark, [3, 4]).coalesce(1).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, schema, rows)
+    final = max(rows, key=lambda r: r["n_events"])
+    assert final["n_events"] == 4
+    assert final["total_value"] == 1033.0
+    # ascending-eid fold: only eid=3 (1000.0 vs prior mean 11.0) spikes
+    assert final["n_anomalies"] == 1
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_lifetime_tie_split_out_of_order_is_refused(spark, tmp_path):
+    """Delivering the LATER event_ids of a same-timestamp run first
+    must trip the (ts, event_id) regression assert — not silently
+    fold a different anomaly count than the window oracle."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _tie_rows(spark, [1]).schema
+    rows: list = []
+    _tie_rows(spark, [3, 4]).coalesce(1).write.mode("append").parquet(src)
+    _run_once(spark, src, ckpt, schema, rows)
+    _tie_rows(spark, [1, 2]).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="regression"):
+        _run_once(spark, src, ckpt, schema, rows)
+    shutil.rmtree(ckpt, ignore_errors=True)
