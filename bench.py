@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "text_stats",
     "multimodal_byte_features",
+    # r6 additions (VERDICT r5 next-#5): the r5-promoted analytics
+    # family had zero bench visibility — the exact blind spot that hid
+    # the r4 dedup regression
+    "pagerank_trade_graph",
+    "scd2_customer_diff",
+    "window_distribution_stats",
+    "cms_user_heavy_hitters",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "key_skew_report",
     "compaction_roundtrip",
     "zorder_roundtrip",
+    "bloom_pruned_orders_join",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -278,4 +279,55 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
         .orderBy("event_type")
+    )
+
+
+# the selective dim predicate the bloom-pruned join demonstrates:
+# urgent orders above a quarter-million — ~1-2% of orders, so ~98% of
+# lineitem rows can drop map-side before the join shuffle
+_BLOOM_PRIORITY = "1-URGENT"
+_BLOOM_MIN_TOTAL = 250000.0
+
+
+def bloom_pruned_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (``functions.bloom``): lineitem rows
+    are pre-filtered MAP-SIDE by a bloom filter built from the
+    selective orders dim, then joined for real. The bloom admits every
+    true match (false negatives impossible) and the join removes any
+    false positives, so the result is row-for-row the plain join — the
+    oracle states the plain SQL and the driver hash-verifies it.
+
+    This is Spark's own runtime-filter shape made deliberate: at
+    100 TB a ~1%-selective dim means ~99% of the fact never gets
+    hashed, serialized, or shuffled. (On THIS query Spark would
+    broadcast the dim anyway at sf0.1; the technique's target is the
+    fact-to-fact regime where both sides exceed the broadcast
+    threshold — asserted shuffle-volume reduction lives in
+    ``tests/test_bloom.py``.)
+    """
+    from pac_spark.functions.bloom import bloom_might_contain, build_bloom
+
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = orders.filter(
+        (F.col("o_orderpriority") == _BLOOM_PRIORITY)
+        & (F.col("o_totalprice") > _BLOOM_MIN_TOTAL)
+    )
+    bf = build_bloom(dim.select("o_orderkey"), "o_orderkey")
+
+    lineitem = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    pruned = lineitem.filter(bloom_might_contain(bf, F.col("l_orderkey")))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            money_sum(disc_price, scale=4).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
     )

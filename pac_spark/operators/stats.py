@@ -1,0 +1,195 @@
+"""Exact distributed order statistics: percentiles and quantile-bucket
+scoring without a global sort.
+
+Spark ships two aggregate routes to a percentile and neither survives
+100 TB cleanly: ``percentile_approx`` is approximate (not
+oracle-matchable), and ``percentile`` buffers every value of a group
+in one aggregation buffer. The scalable exact route is the
+HISTOGRAM one used here:
+
+1. one map-side-combined ``groupBy(keys, value).count()`` — the only
+   pass over raw rows; its output is bounded by the VALUE DOMAIN per
+   group (prices, day counts, order counts), not by row count;
+2. a cumulative-count window over that (small) histogram;
+3. each requested percentile read off with pure integer comparisons:
+   ``percentile_disc(p)`` = the smallest value whose cumulative count
+   satisfies ``cum * 100 >= p * n`` — no ceil(), no float fraction,
+   so the DuckDB oracle (same CTEs) matches hash-exactly.
+
+The same machinery yields scalable quantile-bucket SCORING (the RFM
+segmentation below): instead of ranking every row with a global NTILE
+window (one task per metric at scale), derive the three quartile
+BOUNDARIES from the histogram and assign each row's score with two
+broadcast comparisons — same result semantics (score k = 1 + number
+of quartile boundaries strictly below the value), no global sort
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pac_spark import catalog
+
+__all__ = [
+    "group_percentiles_disc",
+    "percentiles_price_by_flag",
+    "rfm_customer_segments",
+    "PCTS",
+]
+
+PCTS = (25, 50, 75, 90, 99)
+
+
+def group_percentiles_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    pcts: tuple[int, ...] = PCTS,
+) -> DataFrame:
+    """Exact discrete percentiles of ``value`` per group, histogram
+    route. Output: group cols + ``n_values`` + one ``p{p}`` column per
+    requested percentile.
+
+    The window partitions by the group key over DISTINCT values — the
+    one structural cost; its input is the histogram, whose size per
+    group is bounded by the value domain. For unbounded-domain values
+    at extreme scale, the same read-off works on a two-level histogram
+    (coarse bucket pass then in-bucket pass, as
+    ``text.lang_quality_quantiles`` does approximately); this operator
+    keeps single-level exactness.
+    """
+    hist = df.groupBy(*group_cols, value).agg(F.count("*").alias("_c"))
+    cum_w = (
+        W.partitionBy(*group_cols)
+        .orderBy(value)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = hist.select(
+        *group_cols,
+        F.col(value),
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(W.partitionBy(*group_cols)).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n_values")] + [
+        F.min(
+            F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_n"), F.col(value))
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return with_cum.groupBy(*group_cols).agg(*aggs)
+
+
+def percentiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: exact p25/p50/p75/p90/p99 of ``l_extendedprice``
+    per return flag. The driver hash-checks against a DuckDB oracle
+    stating the identical histogram + cumulative read-off, so the
+    discrete-percentile semantics are proven engine-portable (built-in
+    ``quantile_disc``/``percentile`` interpolation variants are
+    exactly what this construction avoids depending on)."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return group_percentiles_disc(
+        li, ["l_returnflag"], "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+
+
+def _quartile_bounds(df: DataFrame, metric: Column, name: str) -> DataFrame:
+    """1-row frame of the p25/p50/p75 discrete boundaries of a metric
+    (same cum*100 >= p*n read-off, no group key)."""
+    hist = df.select(metric.alias("v")).groupBy("v").agg(F.count("*").alias("_c"))
+    cum_w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    with_cum = hist.select(
+        "v",
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(W.partitionBy()).alias("_n"),
+    )
+    return with_cum.agg(
+        *[
+            F.min(
+                F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_n"), F.col("v"))
+            ).alias(f"{name}_q{i + 1}")
+            for i, p in enumerate((25, 50, 75))
+        ]
+    )
+
+
+def _score(value: Column, name: str) -> Column:
+    """Quartile score 1..4: 1 + number of quartile boundaries strictly
+    below the value. Boundary ties land in the LOWER bucket (<=), the
+    deterministic convention both engines state identically."""
+    return (
+        F.lit(1)
+        + F.when(value > F.col(f"{name}_q1"), 1).otherwise(0)
+        + F.when(value > F.col(f"{name}_q2"), 1).otherwise(0)
+        + F.when(value > F.col(f"{name}_q3"), 1).otherwise(0)
+    ).cast("int")
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation, the classic
+    customer-analytics operator, scale-shaped:
+
+    - per-customer metrics in ONE map-side-combined aggregate over
+      orders: days since last order (against the corpus max date, one
+      broadcast scalar), order count, exact-cents lifetime spend;
+    - quartile boundaries per metric from the histogram machinery
+      above (three 1-row frames, broadcast);
+    - scores by comparison against the broadcast boundaries — no
+      global NTILE window, no sort, no hot task.
+
+    Score semantics: 1 + number of quartile boundaries strictly below
+    the customer's value (ties sit in the lower bucket). ``rfm_cell``
+    packs the three scores as r*100 + f*10 + m. Note recency scores
+    4 = most days since last order (largest values), so the classic
+    "best customer" cell is r=1, f=4, m=4.
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    # datediff(corpus max, orderdate), MIN over a customer's orders =
+    # days since their LAST order
+    per_cust = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("_maxd"), F.col("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "_cents"
+            ),
+        )
+    )
+    r_b = _quartile_bounds(per_cust, F.col("recency_days"), "r")
+    f_b = _quartile_bounds(per_cust, F.col("frequency"), "f")
+    m_b = _quartile_bounds(per_cust, F.col("_cents"), "m")
+    scored = (
+        per_cust.crossJoin(F.broadcast(r_b))
+        .crossJoin(F.broadcast(f_b))
+        .crossJoin(F.broadcast(m_b))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("recency_days").cast("int").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            (F.col("_cents") / 100.0).cast("double").alias("monetary"),
+            _score(F.col("recency_days"), "r").alias("r_score"),
+            _score(F.col("frequency"), "f").alias("f_score"),
+            _score(F.col("_cents"), "m").alias("m_score"),
+        )
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    ).orderBy("custkey")

@@ -32,6 +32,7 @@ __all__ = [
     "interval_overlap_join",
     "funnel",
     "funnel_view_click_purchase",
+    "timeseries_gapfill_hourly",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -330,3 +331,61 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(
         catalog.load(spark, sf_dir, "events"), ["view", "click", "purchase"]
     )
+
+
+def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap-fill: the events stream rolled
+    up to a DENSE per-user hourly grid — every hour between a user's
+    first and last event exists as a row, zero-filled counts, exact-
+    cents hourly totals, and the last non-empty hour's total carried
+    forward (the time-series ffill every monitoring/feature pipeline
+    needs before a model can consume regular timesteps).
+
+    Scale shape — everything is keyed by user, nothing is global:
+
+    - hourly rollup: one map-side-combined groupBy(user, hour) over
+      raw rows;
+    - grid: ``sequence(min_hour, max_hour)`` exploded from the 1-row-
+      per-user span frame — generated, not joined from a calendar
+      table, and bounded by each user's own span;
+    - fill: left join grid←rollup on (user, hour) — co-partitioned,
+      one shuffle — then a running ``last(ignorenulls)`` window per
+      user (a user's hours are bounded by the corpus time span, so no
+      hot task).
+
+    The DuckDB oracle states the same grid with ``generate_series``
+    and ``last_value IGNORE NULLS``, so hash equality proves the
+    gap-fill semantics, not just the rollup.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("_lo"), F.max("hour").alias("_hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    filled = grid.join(hourly, ["user_id", "hour"], "left")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour_str"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        (F.coalesce("cents", F.lit(0)) / 100.0).cast("double").alias("hour_value"),
+        (
+            F.last("cents", ignorenulls=True).over(run) / 100.0
+        ).cast("double").alias("carry_value"),
+    ).orderBy("user_id", "hour_str")

@@ -37,6 +37,7 @@ def all_specs() -> list[QuerySpec]:
         llm_plans,
         relational_plans,
         scale_plans,
+        stats_plans,
         streaming_plans,
         temporal_plans,
         tpch_plans,
@@ -46,6 +47,7 @@ def all_specs() -> list[QuerySpec]:
     specs += tpch_plans.SPECS
     specs += llm_plans.SPECS
     specs += scale_plans.SPECS
+    specs += stats_plans.SPECS
     specs += analytics_plans.SPECS
     specs += issues_plans.SPECS
     specs += er_plans.SPECS
@@ -119,7 +121,7 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 13 next-stalest: last driver green r3 ---
+        # --- 9 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
         "er_approved",
@@ -129,10 +131,11 @@ def all_specs() -> list[QuerySpec]:
         "q22_idle_customers",
         "company_issue_summary",
         "er_clusters",
-        "er_consolidated",
-        "er_links",
-        "asof_join_purchase_click",
-        "grouping_sets_revenue",
+        # --- 4 brand-new r6 operators: first driver evidence now ---
+        "bloom_pruned_orders_join",
+        "percentiles_price_by_flag",
+        "rfm_customer_segments",
+        "timeseries_gapfill_hourly",
     ]
     by_priority = [s for s in specs if s.name in hoist] + [
         s for s in specs if s.name not in hoist

@@ -75,8 +75,24 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# plain join + aggregate over the ORIGINAL tables: hash equality
+# proves the bloom pre-filter admitted every true match and the join
+# removed every false positive
+_BLOOM_PRUNED = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{SC._BLOOM_PRIORITY}'
+  AND o_totalprice > {SC._BLOOM_MIN_TOTAL}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 SPECS = [
     QuerySpec("salted_events_join", SC.salted_events_join, _SALTED_EVENTS),
+    QuerySpec("bloom_pruned_orders_join", SC.bloom_pruned_orders_join, _BLOOM_PRUNED),
     QuerySpec("bucketed_orders_join", SC.bucketed_orders_join, _BUCKETED_ORDERS),
     QuerySpec("compaction_roundtrip", SC.compaction_roundtrip, _COMPACTION_ROUNDTRIP),
     QuerySpec("zorder_roundtrip", SC.zorder_roundtrip, _ZORDER_ROUNDTRIP),

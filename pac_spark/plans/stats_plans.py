@@ -1,0 +1,94 @@
+"""Registry entries + DuckDB oracles for the exact order-statistics
+operators (``operators.stats``). Both oracles state the IDENTICAL
+histogram + cumulative read-off construction the Spark side runs —
+``cum * 100 >= p * n`` in pure integers — so hash equality proves the
+discrete-percentile semantics engine-portably (no reliance on either
+engine's built-in quantile interpolation flavor).
+"""
+
+from __future__ import annotations
+
+from pac_spark.operators import stats as ST
+from pac_spark.plans.spec import QuerySpec
+
+__all__ = ["SPECS"]
+
+_PCT_COLS = ",\n       ".join(
+    f"MIN(CASE WHEN cum * 100 >= {p} * n THEN v END) AS p{p}" for p in ST.PCTS
+)
+
+_PERCENTILES = f"""
+WITH h AS (
+    SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+w AS (
+    SELECT l_returnflag, v,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM h
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       {_PCT_COLS}
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _bounds_ctes(tag: str, metric: str) -> str:
+    """The three-quartile-boundary CTE chain for one RFM metric."""
+    return f"""
+{tag}h AS (SELECT {metric} AS v, COUNT(*) AS c FROM pc GROUP BY 1),
+{tag}w AS (
+    SELECT v,
+           SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS n
+    FROM {tag}h
+),
+{tag}b AS (
+    SELECT MIN(CASE WHEN cum * 100 >= 25 * n THEN v END) AS q1,
+           MIN(CASE WHEN cum * 100 >= 50 * n THEN v END) AS q2,
+           MIN(CASE WHEN cum * 100 >= 75 * n THEN v END) AS q3
+    FROM {tag}w
+)"""
+
+
+def _score_sql(value: str, tag: str) -> str:
+    return (
+        f"CAST(1 + CASE WHEN {value} > {tag}b.q1 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {value} > {tag}b.q2 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {value} > {tag}b.q3 THEN 1 ELSE 0 END AS INT)"
+    )
+
+
+_RFM = f"""
+WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+pc AS (
+    SELECT o_custkey,
+           MIN(date_diff('day', o_orderdate, maxd)) AS recency_days,
+           COUNT(*) AS frequency,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders, mx GROUP BY o_custkey
+),{_bounds_ctes('r', 'recency_days')},{_bounds_ctes('f', 'frequency')},{_bounds_ctes('m', 'cents')}
+SELECT o_custkey AS custkey,
+       CAST(recency_days AS INT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(cents / 100.0 AS DOUBLE) AS monetary,
+       {_score_sql('recency_days', 'r')} AS r_score,
+       {_score_sql('frequency', 'f')} AS f_score,
+       {_score_sql('cents', 'm')} AS m_score,
+       CAST(({_score_sql('recency_days', 'r')}) * 100
+            + ({_score_sql('frequency', 'f')}) * 10
+            + ({_score_sql('cents', 'm')}) AS INT) AS rfm_cell
+FROM pc, rb, fb, mb
+ORDER BY custkey
+"""
+
+SPECS = [
+    QuerySpec(
+        "percentiles_price_by_flag", ST.percentiles_price_by_flag, _PERCENTILES
+    ),
+    QuerySpec("rfm_customer_segments", ST.rfm_customer_segments, _RFM),
+]

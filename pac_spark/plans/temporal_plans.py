@@ -143,7 +143,37 @@ LEFT JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id
 """
 
+# the same dense grid (generate_series) + zero-fill + IGNORE NULLS
+# forward-fill the Spark side builds with sequence/explode + last()
+_GAPFILL = """
+WITH h AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+),
+s AS (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM h GROUP BY 1),
+g AS (
+    SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+    FROM s
+),
+j AS (
+    SELECT g.user_id, g.hour, h.n, h.cents
+    FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id,
+       strftime(hour, '%Y-%m-%d %H:00') AS hour_str,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(cents, 0) / 100.0 AS DOUBLE) AS hour_value,
+       CAST(last_value(cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) / 100.0 AS DOUBLE) AS carry_value
+FROM j
+ORDER BY user_id, hour_str
+"""
+
 SPECS = [
+    QuerySpec("timeseries_gapfill_hourly", T.timeseries_gapfill_hourly, _GAPFILL),
     QuerySpec("interval_overlap_join", T.interval_overlap_join, _INTERVAL_OVERLAP),
     QuerySpec("q6_forecast_revenue", R.q6_forecast_revenue, _Q6),
     QuerySpec("q18_large_orders", R.q18_large_orders, _Q18),

@@ -956,3 +956,83 @@ def test_merge_changeset_rejects_unknown_ops(spark, sf_dir):
     bad = spark.createDataFrame([(3, "upsert", "c")], "k long, change_type string, v string")
     with _pt.raises(ValueError, match="unknown change_type"):
         merge_changeset(base, bad, "k")
+
+
+def test_group_percentiles_disc_matches_serial_reference(spark):
+    """percentile_disc semantics on a crafted frame WITH ties: for each
+    p, the smallest value whose cumulative count reaches p% — checked
+    against a serial computation, including the all-equal group."""
+    from pac_spark.operators.stats import group_percentiles_disc
+
+    data = [("a", v) for v in [1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 9.0]] + [
+        ("b", 5.0)
+    ] * 4
+    df = spark.createDataFrame(data, "g string, v double")
+    got = {
+        r["g"]: r
+        for r in group_percentiles_disc(df, ["g"], "v", (25, 50, 75, 99)).collect()
+    }
+
+    def ref(vals, p):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if i * 100 >= p * n:
+                return v
+
+    a_vals = [v for g, v in data if g == "a"]
+    for p in (25, 50, 75, 99):
+        assert got["a"][f"p{p}"] == ref(a_vals, p)
+        assert got["b"][f"p{p}"] == 5.0
+    assert got["a"]["n_values"] == 7 and got["b"]["n_values"] == 4
+
+
+def test_gapfill_fills_gaps_and_carries_forward(spark, tmp_path):
+    """One user with events at hours 0 and 3: the grid must contain all
+    four hours, zero-fill 1 and 2, and carry hour 0's total forward."""
+    import datetime as dt
+
+    from pac_spark.operators.temporal import timeseries_gapfill_hourly
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1, 0, 15), 2.0),
+        (1, 11, dt.datetime(2024, 1, 1, 0, 45), 3.0),
+        (1, 12, dt.datetime(2024, 1, 1, 3, 5), 7.0),
+    ]
+    src = str(tmp_path / "sf_mini")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).write.parquet(src + "/events.parquet")
+    out = {
+        r["hour_str"]: r for r in timeseries_gapfill_hourly(spark, src).collect()
+    }
+    assert sorted(out) == [
+        "2024-01-01 00:00",
+        "2024-01-01 01:00",
+        "2024-01-01 02:00",
+        "2024-01-01 03:00",
+    ]
+    assert out["2024-01-01 00:00"]["hour_value"] == 5.0
+    assert out["2024-01-01 01:00"]["n_events"] == 0
+    assert out["2024-01-01 01:00"]["hour_value"] == 0.0
+    assert out["2024-01-01 01:00"]["carry_value"] == 5.0
+    assert out["2024-01-01 02:00"]["carry_value"] == 5.0
+    assert out["2024-01-01 03:00"]["carry_value"] == 7.0
+
+
+def test_rfm_scores_partition_the_customers(spark, sf_dir):
+    """Every score lands in 1..4, the lowest-metric customers score 1,
+    and monotonicity holds: a customer with strictly higher monetary
+    than another never has a lower m_score."""
+    from pac_spark.operators.stats import rfm_customer_segments
+
+    rows = rfm_customer_segments(spark, sf_dir).collect()
+    assert rows, "no customers scored"
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["rfm_cell"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    by_monetary = sorted(rows, key=lambda r: r["monetary"])
+    scores = [r["m_score"] for r in by_monetary]
+    assert scores == sorted(scores), "m_score not monotone in monetary"
