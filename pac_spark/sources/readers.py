@@ -28,6 +28,8 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_jdbc",
+    "snowflake_profile",
+    "mysql_profile",
 ]
 
 
@@ -223,3 +225,79 @@ def jdbc_partition_bounds(
             f"({type(row[0]).__name__}); pass lower_bound/upper_bound "
             "explicitly for date/timestamp partition columns"
         ) from exc
+
+
+def snowflake_profile(
+    account: str,
+    user: str,
+    database: str,
+    schema: str = "PUBLIC",
+    warehouse: str | None = None,
+    role: str | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """JDBC option profile for a Snowflake deployment of
+    :func:`read_jdbc` (the reference's primary warehouse — its
+    ``ENVIRONMENT_TEMPLATE.txt:10-16`` carries exactly these account /
+    database / schema / warehouse knobs).
+
+    Returns the ``**options`` dict: pass as
+    ``read_jdbc(spark, **{**snowflake_profile(...), "table": ...})``
+    — or splat everything except ``url`` which ``read_jdbc`` takes
+    positionally. Credentials (password / private key / OAuth token)
+    are deliberately NOT parameters here: provide them via ``extra``
+    from a secret store at the call site, never hardcoded.
+
+    Pushdown notes baked into the profile: Snowflake's JDBC driver
+    accepts session parameters as URL options; partitioned reads work
+    unchanged (the bounds probe in :func:`jdbc_partition_bounds`
+    ANSI-quotes identifiers, which matches Snowflake's case-preserving
+    quoted-identifier rules). The connector jar
+    (``net.snowflake:snowflake-jdbc``) ships with the cluster image —
+    this container has no network, so the profile is exercised only
+    for option-merging mechanics in ``tests/test_jdbc_roundtrip.py``.
+    """
+    url = f"jdbc:snowflake://{account}.snowflakecomputing.com/"
+    opts = {
+        "url": url,
+        "driver": "net.snowflake.client.jdbc.SnowflakeDriver",
+        "user": user,
+        "db": database,
+        "schema": schema,
+    }
+    if warehouse is not None:
+        opts["warehouse"] = warehouse
+    if role is not None:
+        opts["role"] = role
+    opts.update(extra)
+    return opts
+
+
+def mysql_profile(
+    host: str,
+    database: str,
+    user: str,
+    port: int = 3306,
+    **extra: str,
+) -> dict[str, str]:
+    """JDBC option profile for a MySQL deployment (the reference
+    reaches MySQL through an SSH tunnel — ``index_align_to_firebase.py
+    :53-113``; in Spark the tunnel is infrastructure outside the
+    engine per SURVEY §2.1, so the profile points at whatever
+    host:port the tunnel or direct route exposes).
+
+    ``rewriteBatchedStatements`` speeds any write-back path;
+    ``zeroDateTimeBehavior=convertToNull`` keeps MySQL's zero-dates
+    from poisoning timestamp columns. Credentials via ``extra``.
+    """
+    url = (
+        f"jdbc:mysql://{host}:{port}/{database}"
+        "?rewriteBatchedStatements=true&zeroDateTimeBehavior=convertToNull"
+    )
+    opts = {
+        "url": url,
+        "driver": "com.mysql.cj.jdbc.Driver",
+        "user": user,
+    }
+    opts.update(extra)
+    return opts

@@ -88,3 +88,37 @@ def test_jdbc_bounds_discovered_remotely(spark, sf_dir, tmp_path):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == orders.count()
+
+
+def test_connection_profiles_compose_with_read_jdbc(spark, sf_dir, tmp_path):
+    """The Snowflake/MySQL profiles are option dicts that splat into
+    read_jdbc; url shape and driver class are pinned here, and the
+    merge mechanics (profile options flowing through **options) are
+    exercised for real by routing a Derby read through a profile dict
+    with the url/driver overridden."""
+    from pac_spark.sources.readers import mysql_profile, snowflake_profile
+
+    sf = snowflake_profile(
+        "acct", "svc_user", "ANALYTICS", warehouse="WH_XL", role="REPORTER"
+    )
+    assert sf["url"] == "jdbc:snowflake://acct.snowflakecomputing.com/"
+    assert sf["driver"] == "net.snowflake.client.jdbc.SnowflakeDriver"
+    assert (sf["db"], sf["schema"], sf["warehouse"], sf["role"]) == (
+        "ANALYTICS", "PUBLIC", "WH_XL", "REPORTER",
+    )
+    my = mysql_profile("db.internal", "crm", "svc_user")
+    assert my["url"].startswith("jdbc:mysql://db.internal:3306/crm?")
+    assert "rewriteBatchedStatements=true" in my["url"]
+    assert my["driver"] == "com.mysql.cj.jdbc.Driver"
+
+    # splat mechanics against the real (Derby) database: everything in
+    # the dict except url is **options
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url3 = _URL.replace("pacjdbc", "pacjdbc3")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat.write.mode("overwrite").jdbc(url3, "NATIONS", properties={"driver": _DRIVER})
+    profile = {**my, "url": url3, "driver": _DRIVER}
+    del profile["user"]  # Derby embedded needs no auth
+    url = profile.pop("url")
+    back = read_jdbc(spark, url, "NATIONS", **profile)
+    assert back.count() == nat.count()
