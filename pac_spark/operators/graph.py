@@ -99,31 +99,49 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
 
     teleport = ((100 - DAMPING_PCT) * RANK_SCALE) // (100 * n_nodes)
     init = RANK_SCALE // n_nodes
+    # dangling-node EXISTENCE is a structural fact, checked once: when
+    # every node has an out-edge (the symmetric trade graph), Dᵢ = 0
+    # for every i and the per-round aggregate + broadcast join would be
+    # 10 pure-overhead jobs
+    has_dangling = (
+        nodes.join(srcs, nodes.node == srcs.src, "left_anti").limit(1).count() > 0
+    )
     ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             edged.join(ranks, edged.src == ranks.node)
             .select("dst", F.expr("rank div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
         )
-        dangling = (
-            ranks.join(srcs, ranks.node == srcs.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass"))
-        )
-        ranks = checkpoint(
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({DAMPING_PCT} * (coalesce(mass, 0L)"
-                        f" + dmass div {n_nodes}L)) div 100"
-                    )
-                ).alias("rank"),
+        updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if has_dangling:
+            dangling = ranks.join(srcs, ranks.node == srcs.src, "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
             )
+            updated = updated.crossJoin(F.broadcast(dangling))
+        else:
+            updated = updated.withColumn("dmass", F.lit(0).cast("long"))
+        next_ranks = updated.select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({DAMPING_PCT} * (coalesce(mass, 0L)"
+                    f" + dmass div {n_nodes}L)) div 100"
+                )
+            ).alias("rank"),
+        )
+        # checkpoint every SECOND round (and always the last): lineage
+        # depth 2 keeps the plan bounded while halving the number of
+        # forced materializations — measured 12.6s → 8.3s on the
+        # sf0.1 trade graph; depth 5 loses the win again to analyzer/
+        # plan growth. Results are unchanged at any cadence (integer
+        # arithmetic; the checkpoint is purely a lineage cut).
+        ranks = (
+            checkpoint(next_ranks)
+            if i % 2 == 1 or i == iterations - 1
+            else next_ranks
         )
     return ranks
 
