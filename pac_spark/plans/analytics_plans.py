@@ -8,6 +8,7 @@ their r4 landing; their oracles live next to the operators they state
 
 from __future__ import annotations
 
+from pac_spark.functions.exact import money_sum_sql
 from pac_spark.operators import graph as G
 from pac_spark.operators import profile as P
 from pac_spark.operators import scd as SD
@@ -37,4 +38,17 @@ SPECS = [
     ),
     QuerySpec("pagerank_trade_graph", G.pagerank_trade_graph, G.PAGERANK_SQL()),
     QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
+    # the IVM proof is deliberately NOT a replay of the incremental
+    # path: the oracle aggregates the new table directly, so hash
+    # equality shows delta maintenance == full recompute
+    QuerySpec(
+        "ivm_nation_balance",
+        SD.ivm_nation_balance,
+        f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {money_sum_sql('c_acctbal')} AS total_acctbal
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    ),
 ]

@@ -121,7 +121,7 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 9 next-stalest: last driver green r3 ---
+        # --- 8 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
         "er_approved",
@@ -129,9 +129,9 @@ def all_specs() -> list[QuerySpec]:
         "interval_overlap_join",
         "streaming_purchase_click_join",
         "q22_idle_customers",
-        "company_issue_summary",
         "er_clusters",
-        # --- 4 brand-new r6 operators: first driver evidence now ---
+        # --- 5 brand-new r6 operators: first driver evidence now ---
+        "ivm_nation_balance",
         "bloom_pruned_orders_join",
         "percentiles_price_by_flag",
         "rfm_customer_segments",

@@ -1036,3 +1036,50 @@ def test_rfm_scores_partition_the_customers(spark, sf_dir):
     by_monetary = sorted(rows, key=lambda r: r["monetary"])
     scores = [r["m_score"] for r in by_monetary]
     assert scores == sorted(scores), "m_score not monotone in monetary"
+
+
+def test_maintain_sum_count_handles_group_moves(spark):
+    """The IVM delta algebra on a crafted changeset covering all four
+    shapes at once: insert into a NEW group, delete emptying a group,
+    update moving a row ACROSS groups, and an in-place value update —
+    maintained view must equal a full recompute of the new table."""
+    from pac_spark.operators.scd import maintain_sum_count, snapshot_diff
+
+    old_rows = [
+        (1, "a", 100),
+        (2, "a", 200),
+        (3, "b", 50),
+        (4, "c", 70),  # group c has exactly one row; deleting empties it
+    ]
+    new_rows = [
+        (1, "a", 100),  # unchanged
+        (2, "b", 200),  # moved a -> b
+        (3, "b", 75),   # value updated in place
+        (5, "d", 30),   # inserted into brand-new group d
+    ]
+    old = spark.createDataFrame(old_rows, "id long, g string, cents long")
+    new = spark.createDataFrame(new_rows, "id long, g string, cents long")
+    from pyspark.sql import functions as F
+
+    base_agg = old.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    changes = snapshot_diff(old, new, "id").select(
+        "change_type",
+        "old_g",
+        "new_g",
+        F.coalesce("old_cents", F.lit(0)).alias("_oc"),
+        F.coalesce("new_cents", F.lit(0)).alias("_nc"),
+    )
+    got = {
+        r["g"]: (r["n"], r["cents"])
+        for r in maintain_sum_count(base_agg, changes, "g", "_oc", "_nc").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["cents"])
+        for r in new.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    assert got == want
+    assert "c" not in got, "emptied group must drop out of the view"
