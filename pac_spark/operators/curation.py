@@ -39,6 +39,7 @@ __all__ = [
     "token_budget_mix",
     "decontaminate",
     "training_shards",
+    "sequence_packing",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -296,3 +297,61 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "shard_id", "position")
         .orderBy("shard_id", "position")
     )
+
+
+SEQ_LEN = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: the layout step between
+    a curated corpus and a training run. Documents are laid head-to-
+    tail along each shard's deterministic order and cut into fixed
+    ``SEQ_LEN``-token training sequences; every document gets the
+    (sequence, offset) where its tokens BEGIN — the index map a data
+    loader needs to reassemble batches (documents may span sequence
+    boundaries, the GPT-style packing that wastes zero pad tokens).
+
+    Deterministic by construction: shard and order are the salted-md5
+    layout of :func:`training_shards` (no rand(), partition-count
+    invariant), and the pack arithmetic is one per-shard running-sum
+    window — ``start = cum - n_tokens``, ``seq = start div SEQ_LEN``,
+    ``offset = start % SEQ_LEN`` — exact BIGINT everywhere, so the
+    DuckDB oracle replays it bit-for-bit. Scale: one shuffle on
+    shard_id (the same one the shard writer pays), spillable
+    per-shard window; shard count scales with the cluster.
+    """
+    from pac_spark.operators.text_core import tokens
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    h = F.md5(
+        F.encode(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHARD_SALT)),
+            "UTF-8",
+        )
+    )
+    with_hash = (
+        docs.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            h.alias("_h"),
+        )
+        .withColumn(
+            "shard_id",
+            (F.conv(F.substring("_h", 1, 4), 16, 10).cast("int") % N_TRAINING_SHARDS),
+        )
+    )
+    run = (
+        W.partitionBy("shard_id")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = with_hash.withColumn(
+        "_start", F.sum("n_tokens").over(run) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "shard_id",
+        "n_tokens",
+        F.expr(f"_start div {SEQ_LEN}").cast("int").alias("seq_in_shard"),
+        (F.col("_start") % SEQ_LEN).cast("int").alias("seq_offset"),
+    ).orderBy("shard_id", "seq_in_shard", "seq_offset", "doc_id")

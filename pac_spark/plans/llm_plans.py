@@ -915,6 +915,35 @@ FROM h ORDER BY shard_id, position
 """
 
 
+def _packing_sql() -> str:
+    from pac_spark.operators import curation as C
+
+    digits = " + ".join(
+        f"({_SAMPLE_HEXD.format(salt=C.SHARD_SALT, i=i + 1)}) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH h AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR) || ':{C.SHARD_SALT}') AS _h,
+           CAST(({digits}) % {C.N_TRAINING_SHARDS} AS INT) AS shard_id
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY _h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start
+    FROM h
+)
+SELECT doc_id, shard_id, n_tokens,
+       CAST(start // {C.SEQ_LEN} AS INT) AS seq_in_shard,
+       CAST(start % {C.SEQ_LEN} AS INT) AS seq_offset
+FROM c ORDER BY shard_id, seq_in_shard, seq_offset, doc_id
+"""
+
+
 _INCREMENTAL = f"""
 {_DOCS_PRELUDE},
 sigs AS (SELECT doc_id, {_MH_COLS} FROM shingle_rows GROUP BY doc_id),
@@ -1076,6 +1105,7 @@ SPECS = [
     QuerySpec("doc_top_terms", TX.doc_top_terms, _TOP_TERMS),
     QuerySpec("unigram_prob_score", TX.unigram_prob_score, _UNIGRAM_PROB),
     QuerySpec("training_shards", CU.training_shards, _shards_sql()),
+    QuerySpec("sequence_packing", CU.sequence_packing, _packing_sql()),
     QuerySpec("incremental_neardup_filter", D.incremental_neardup_filter, _INCREMENTAL),
     QuerySpec("pii_scrub_docs", SC.pii_scrub_docs, SC.SCRUB_SQL()),
     QuerySpec("doc_repetition_signals", TX.doc_repetition_signals, _REPETITION),

@@ -121,16 +121,16 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 8 next-stalest: last driver green r3 ---
+        # --- 7 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
         "er_approved",
         "er_records_stringified",
         "interval_overlap_join",
         "streaming_purchase_click_join",
-        "q22_idle_customers",
         "er_clusters",
-        # --- 5 brand-new r6 operators: first driver evidence now ---
+        # --- 6 brand-new r6 operators: first driver evidence now ---
+        "sequence_packing",
         "ivm_nation_balance",
         "bloom_pruned_orders_join",
         "percentiles_price_by_flag",

@@ -1083,3 +1083,29 @@ def test_maintain_sum_count_handles_group_moves(spark):
     }
     assert got == want
     assert "c" not in got, "emptied group must drop out of the view"
+
+
+def test_sequence_packing_is_gapless_and_bounded(spark, sf_dir):
+    """Within every shard the packed layout must be gapless: documents
+    tile the token stream head-to-tail (each start = previous start +
+    previous n_tokens), every offset < SEQ_LEN, and sequence ids are
+    non-decreasing along the shard order."""
+    from pac_spark.operators.curation import SEQ_LEN, sequence_packing
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < SEQ_LEN
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, docs in by_shard.items():
+        # rows come back ordered by (seq_in_shard, seq_offset, doc_id),
+        # which equals the packing order within a shard
+        expected_start = 0
+        for r in docs:
+            start = r["seq_in_shard"] * SEQ_LEN + r["seq_offset"]
+            assert start == expected_start, (
+                f"shard {shard}: doc {r['doc_id']} starts at {start}, "
+                f"expected {expected_start} (gap or overlap)"
+            )
+            expected_start += r["n_tokens"]
