@@ -69,6 +69,14 @@ BENCH_QUERIES = [
     "scd2_customer_diff",
     "window_distribution_stats",
     "cms_user_heavy_hitters",
+    # r6-new operators, benched from birth so no future round inherits
+    # an invisible regression
+    "bloom_pruned_orders_join",
+    "percentiles_price_by_flag",
+    "rfm_customer_segments",
+    "timeseries_gapfill_hourly",
+    "ivm_nation_balance",
+    "sequence_packing",
 ]
 
 

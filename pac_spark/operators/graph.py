@@ -93,19 +93,18 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     n_nodes = nodes.count()  # one small scalar; fixes N for the formula
     if n_nodes == 0:
         raise ValueError("pagerank needs a non-empty edge set")
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
     edged = pin(edges.join(deg, "src"))
-    srcs = pin(edges.select("src").distinct())
+    srcs = deg.select("src")  # deg keys ARE the distinct out-edge sources
 
     teleport = ((100 - DAMPING_PCT) * RANK_SCALE) // (100 * n_nodes)
     init = RANK_SCALE // n_nodes
     # dangling-node EXISTENCE is a structural fact, checked once: when
     # every node has an out-edge (the symmetric trade graph), Dᵢ = 0
     # for every i and the per-round aggregate + broadcast join would be
-    # 10 pure-overhead jobs
-    has_dangling = (
-        nodes.join(srcs, nodes.node == srcs.src, "left_anti").limit(1).count() > 0
-    )
+    # 10 pure-overhead jobs. |src set| vs |node set| — one count on the
+    # (pinned, tiny) degree frame the loop needs anyway, no extra join.
+    has_dangling = deg.count() < n_nodes
     ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
     for i in range(iterations):
         contrib = (
