@@ -37,6 +37,11 @@ SPECS = [
         P.RI_SQL(),
     ),
     QuerySpec("pagerank_trade_graph", G.pagerank_trade_graph, G.PAGERANK_SQL()),
+    QuerySpec(
+        "butterfly_supplier_pairs",
+        G.butterfly_supplier_pairs,
+        G.BUTTERFLY_SQL(),
+    ),
     QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
     # the IVM proof is deliberately NOT a replay of the incremental
     # path: the oracle aggregates the new table directly, so hash

@@ -121,15 +121,15 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 7 next-stalest: last driver green r3 ---
+        # --- 6 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
         "er_approved",
         "er_records_stringified",
         "interval_overlap_join",
-        "streaming_purchase_click_join",
         "er_clusters",
-        # --- 6 brand-new r6 operators: first driver evidence now ---
+        # --- 7 brand-new r6 operators: first driver evidence now ---
+        "butterfly_supplier_pairs",
         "sequence_packing",
         "ivm_nation_balance",
         "bloom_pruned_orders_join",

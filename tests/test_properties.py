@@ -1109,3 +1109,32 @@ def test_sequence_packing_is_gapless_and_bounded(spark, sf_dir):
                 f"expected {expected_start} (gap or overlap)"
             )
             expected_start += r["n_tokens"]
+
+
+def test_butterfly_counts_on_crafted_bipartite_graphs(spark, tmp_path):
+    """K_{2,2} holds exactly one butterfly; K_{3,3} holds C(3,2)=3 per
+    supplier pair across 3 pairs. Checked end-to-end through a crafted
+    lineitem table (with duplicate rows to prove the distinct)."""
+    from pac_spark.operators.graph import butterfly_supplier_pairs
+
+    rows = []
+    # K_{2,2}: parts 1,2 x suppliers 1,2 (each pair duplicated)
+    for p in (1, 2):
+        for s in (1, 2):
+            rows += [(p, s), (p, s)]
+    # K_{3,3} on disjoint ids: parts 10,11,12 x suppliers 10,11,12
+    for p in (10, 11, 12):
+        for s in (10, 11, 12):
+            rows.append((p, s))
+    src = str(tmp_path / "mini")
+    spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long"
+    ).write.parquet(src + "/lineitem.parquet")
+    got = {
+        (r["s1"], r["s2"]): (r["shared_parts"], r["butterflies"])
+        for r in butterfly_supplier_pairs(spark, src).collect()
+    }
+    assert got[(1, 2)] == (2, 1)
+    for pair in [(10, 11), (10, 12), (11, 12)]:
+        assert got[pair] == (3, 3)
+    assert len(got) == 4
