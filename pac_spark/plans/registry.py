@@ -121,14 +121,14 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 6 next-stalest: last driver green r3 ---
+        # --- 5 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
         "er_approved",
-        "er_records_stringified",
         "interval_overlap_join",
         "er_clusters",
-        # --- 7 brand-new r6 operators: first driver evidence now ---
+        # --- 8 brand-new r6 operators: first driver evidence now ---
+        "streaming_cms_heavy_hitters",
         "butterfly_supplier_pairs",
         "sequence_packing",
         "ivm_nation_balance",

@@ -7,6 +7,12 @@ from pac_spark.functions.exact import money_sum_sql
 from pac_spark.plans.spec import QuerySpec
 from pac_spark.streaming import stateful, stream_exec, windows
 
+
+def _cms_hh_sql() -> str:
+    from pac_spark.operators.sketch import CMS_HH_SQL
+
+    return CMS_HH_SQL()
+
 __all__ = ["SPECS"]
 
 _FMT = "%Y-%m-%d %H:%M:%S"
@@ -179,5 +185,13 @@ SPECS = [
         "streaming_user_lifetime_stats",
         stateful.streaming_user_lifetime_stats,
         stateful.LIFETIME_ORACLE,
+    ),
+    # the oracle is deliberately the BATCH sketch oracle: hash equality
+    # proves the micro-batch-merged sketch is bit-identical to the
+    # single-pass build
+    QuerySpec(
+        "streaming_cms_heavy_hitters",
+        stream_exec.streaming_cms_heavy_hitters,
+        _cms_hh_sql(),
     ),
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_enriched_by_segment",
     "streaming_purchase_click_join",
     "streaming_neardup_admission",
+    "streaming_cms_heavy_hitters",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -331,3 +332,47 @@ def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, out, "stream_neardup_admission", "complete").orderBy(
         "doc_id"
     )
+
+
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained BY Structured Streaming: the
+    cell table (`sketch.cms_build`) is itself a streaming aggregate —
+    explode-to-cells then groupBy(row, col) — so every micro-batch
+    merges its partial sketch into the state store exactly the way
+    cluster partials merge in batch mode. That mergeability is the
+    sketch's whole contract; here it runs against the real incremental
+    engine rather than being assumed.
+
+    The drained sketch then answers the identical heavy-hitters
+    question as the batch row, and the ORACLE IS THE BATCH ORACLE
+    (``CMS_HH_SQL``): hash equality proves a sketch grown one
+    micro-batch at a time is bit-identical to one built in a single
+    pass — no estimate drifts, no cell differs. Exact top-N truth
+    comes from a second streaming aggregate over the same source.
+
+    At scale this is the streaming-ingest shape: the sketch state is
+    bounded (DEPTH×WIDTH cells) no matter how many events flow
+    through, which is why a sketch — and not an exact per-key count —
+    is what a 100 TB/day firehose can afford to keep hot.
+    """
+    from pac_spark.cache import pin
+    from pac_spark.operators.sketch import CMS_TOP_N, cms_build, cms_estimate
+
+    ev = stream_events(spark, sf_dir).select("user_id")
+    sketch = pin(
+        run_to_memory(spark, cms_build(ev, "user_id"), "stream_cms_sketch", "complete")
+    )
+    counts = run_to_memory(
+        spark,
+        ev.groupBy("user_id").agg(F.count("*").alias("n_rows")),
+        "stream_cms_counts",
+        "complete",
+    )
+    top = counts.orderBy(F.desc("n_rows"), "user_id").limit(CMS_TOP_N)
+    est = cms_estimate(sketch, top, "user_id")
+    return est.select(
+        "user_id",
+        "n_rows",
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("n_rows")).alias("overcount"),
+    ).orderBy(F.desc("n_rows"), "user_id")
