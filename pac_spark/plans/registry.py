@@ -63,21 +63,33 @@ def all_specs() -> list[QuerySpec]:
     # (pq_topk, pcm_audio_features, zorder_roundtrip) gain their first
     # driver rows; approx_distinct_parts returns to the cap because
     # tightening the tail policy to hash-greens-only (VERDICT r5
-    # wrong-#1) exposes its single career hash-green (r3); and every
-    # remaining slot refreshes the stalest tail (the r2- and r3-last-
-    # green families). The r4-new 30 now hold r4+r5 consecutive greens
-    # and ride the tail, which tests/test_registry_policy.py proves
-    # holds only specs with two consecutive driver HASH-greens.
+    # wrong-#1) exposes its single career hash-green (r3); 8 slots go
+    # to the brand-new r6 operators (fresh evidence on new code beats
+    # re-greening rows that already hold two consecutive greens); and
+    # every remaining slot refreshes the stalest tail (all 17 r2-last-
+    # green specs + 5 of the r3-last-green family). The r4-new 30 now
+    # hold r4+r5 consecutive greens and ride the tail, which
+    # tests/test_registry_policy.py proves holds only specs with two
+    # consecutive driver HASH-greens.
     #
     # R7 ROTATION PLAN (for whoever opens the next round): the 50
     # below all gain a green in r6 if CORRECTNESS_r06 is clean; keep
-    # whichever then still lack two CONSECUTIVE hash-greens (the
-    # r6-first-green specs: the three registrations plus any brand-new
-    # r6 operators), and fill freed slots with the then-stalest tail
-    # (after this rotation that is the r3-last-green remainder:
-    # dedup_exact_docs, flagship_company_positions,
-    # issues_count_validation, er_candidate_pairs, q6/q18, pivot,
-    # range_band_join_quantity, the streaming_* r3 family).
+    # whichever then still lack two CONSECUTIVE hash-greens — that is
+    # the 12 r6-first-green specs (pq_topk, pcm_audio_features,
+    # zorder_roundtrip, approx_distinct_parts rejoins with r3+r6
+    # non-consecutive so KEEP it, plus the 8 r6-new:
+    # streaming_cms_heavy_hitters, butterfly_supplier_pairs,
+    # sequence_packing, ivm_nation_balance, bloom_pruned_orders_join,
+    # percentiles_price_by_flag, rfm_customer_segments,
+    # timeseries_gapfill_hourly) — and fill the ~38 freed slots with
+    # the then-stalest tail (after this rotation: the r3-last-green
+    # remainder — dedup_exact_docs, flagship_company_positions,
+    # issues_count_validation, er_candidate_pairs/_consolidated/_links,
+    # er_records_stringified, q6/q18, pivot, grouping_sets,
+    # range_band_join_quantity, asof_join_purchase_click,
+    # streaming_purchase_click_join, q22_idle_customers,
+    # company_issue_summary, the streaming_* r3 family — then the
+    # r4-green llm family).
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

@@ -344,3 +344,41 @@ def test_pq_encoding_is_rowlocal_broadcast(spark, sf_dir):
     plan = _exec_plan(pq_topk(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bloom_probe_filters_before_the_join_shuffle(spark, sf_dir):
+    """The bloom predicate must evaluate at the fact scan stage —
+    BELOW the join's exchange in the physical tree — so non-joining
+    rows are dropped before they are hashed/serialized. In the printed
+    plan (root first, scans last) the xxhash64 probe filter therefore
+    appears AFTER the last Exchange above it."""
+    from pac_spark.operators.scale import bloom_pruned_orders_join
+
+    plan = _exec_plan(bloom_pruned_orders_join(spark, sf_dir))
+    assert "xxhash64" in plan, "bloom probe missing from plan"
+    probe_at = plan.index("xxhash64")
+    assert "Exchange" in plan[:probe_at], (
+        "no exchange above the probe — the filter should sit on the "
+        "scan side of the join shuffle\n" + plan
+    )
+
+
+def test_gapfill_grid_is_generated_not_joined(spark, sf_dir):
+    """The hourly grid comes from sequence()+explode of the per-user
+    span frame — the plan must contain a Generate (explode) and no
+    cartesian product against any calendar table."""
+    from pac_spark.operators.temporal import timeseries_gapfill_hourly
+
+    plan = _exec_plan(timeseries_gapfill_hourly(spark, sf_dir))
+    assert "Generate" in plan and "sequence" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_boundaries_broadcast(spark, sf_dir):
+    """Quartile-boundary frames are 1-row — the scoring joins must be
+    broadcast nested loops, never a shuffle keyed on a constant."""
+    from pac_spark.operators.stats import rfm_customer_segments
+
+    plan = _exec_plan(rfm_customer_segments(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
