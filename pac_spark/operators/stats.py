@@ -35,6 +35,7 @@ from pac_spark import catalog
 
 __all__ = [
     "group_percentiles_disc",
+    "mad_outliers_by_flag",
     "percentiles_price_by_flag",
     "rfm_customer_segments",
     "PCTS",
@@ -193,3 +194,94 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     ).orderBy("custkey")
+
+
+MAD_K = 3  # the classic |x - median| > K * MAD outlier rule
+
+
+def mad_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median, MAD (median absolute
+    deviation), and the count of rows beyond ``MAD_K`` MADs — the
+    rule that, unlike mean/stddev z-scores, is not dragged by the
+    outliers it is trying to find.
+
+    ONE scan of the table; every subsequent step runs on the
+    (value-domain-bounded) histogram:
+
+    - histogram = groupBy(flag, cents).count — the only pass over rows;
+    - median per flag by the integer cumulative read-off;
+    - the DEVIATION histogram is derived FROM the value histogram
+      (|cents − median| keyed re-aggregation of counts), not from a
+      second table scan;
+    - MAD = median of the deviation histogram, same read-off;
+    - outlier counts = conditional sums over the deviation histogram.
+
+    All arithmetic integer cents, so the DuckDB oracle (same CTE
+    chain) is hash-exact.
+    """
+    from pac_spark.cache import pin
+
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    hist = pin(
+        li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("c"))
+    )
+
+    def p50(frame: DataFrame, value: str) -> DataFrame:
+        cum_w = (
+            W.partitionBy("l_returnflag")
+            .orderBy(value)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        with_cum = frame.select(
+            "l_returnflag",
+            F.col(value),
+            F.sum("c").over(cum_w).alias("_cum"),
+            F.sum("c").over(W.partitionBy("l_returnflag")).alias("_n"),
+        )
+        return with_cum.groupBy("l_returnflag").agg(
+            F.min(
+                F.when(F.col("_cum") * 100 >= 50 * F.col("_n"), F.col(value))
+            ).alias(f"med_{value}"),
+            F.max("_n").alias("_n"),
+        )
+
+    med = p50(hist, "cents")
+    dev_hist = pin(
+        hist.join(F.broadcast(med.select("l_returnflag", "med_cents")), "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        )
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = p50(dev_hist, "dev")
+    outliers = (
+        dev_hist.join(
+            F.broadcast(mad.select("l_returnflag", "med_dev")), "l_returnflag"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("c").alias("n_items"),
+            F.sum(
+                F.when(F.col("dev") > MAD_K * F.col("med_dev"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_outliers"),
+        )
+    )
+    return (
+        outliers.join(F.broadcast(med.select("l_returnflag", "med_cents")), "l_returnflag")
+        .join(F.broadcast(mad.select("l_returnflag", "med_dev")), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_items",
+            (F.col("med_cents") / 100.0).cast("double").alias("median_price"),
+            (F.col("med_dev") / 100.0).cast("double").alias("mad_price"),
+            "n_outliers",
+            F.expr("(n_outliers * 1000) div n_items").alias("outlier_permille"),
+        )
+        .orderBy("l_returnflag")
+    )

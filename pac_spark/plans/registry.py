@@ -133,13 +133,13 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 5 next-stalest: last driver green r3 ---
+        # --- 4 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
         "er_approved",
-        "interval_overlap_join",
         "er_clusters",
-        # --- 8 brand-new r6 operators: first driver evidence now ---
+        # --- 9 brand-new r6 operators: first driver evidence now ---
+        "mad_outliers_by_flag",
         "streaming_cms_heavy_hitters",
         "butterfly_supplier_pairs",
         "sequence_packing",

@@ -86,9 +86,62 @@ FROM pc, rb, fb, mb
 ORDER BY custkey
 """
 
+_MAD = f"""
+WITH hist AS (
+    SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+           COUNT(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+hc AS (
+    SELECT l_returnflag, cents,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM hist
+),
+med AS (
+    SELECT l_returnflag,
+           MIN(CASE WHEN cum * 100 >= 50 * n THEN cents END) AS med_cents
+    FROM hc GROUP BY l_returnflag
+),
+dev_hist AS (
+    SELECT h.l_returnflag, ABS(h.cents - m.med_cents) AS dev, SUM(h.c) AS c
+    FROM hist h JOIN med m USING (l_returnflag)
+    GROUP BY 1, 2
+),
+dc AS (
+    SELECT l_returnflag, dev,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY dev
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM dev_hist
+),
+mad AS (
+    SELECT l_returnflag,
+           MIN(CASE WHEN cum * 100 >= 50 * n THEN dev END) AS med_dev
+    FROM dc GROUP BY l_returnflag
+),
+agg AS (
+    SELECT d.l_returnflag,
+           CAST(SUM(d.c) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN d.dev > {ST.MAD_K} * a.med_dev THEN d.c
+                         ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev_hist d JOIN mad a USING (l_returnflag)
+    GROUP BY d.l_returnflag
+)
+SELECT g.l_returnflag, g.n_items,
+       CAST(m.med_cents / 100.0 AS DOUBLE) AS median_price,
+       CAST(a.med_dev / 100.0 AS DOUBLE) AS mad_price,
+       g.n_outliers,
+       CAST(g.n_outliers * 1000 // g.n_items AS BIGINT) AS outlier_permille
+FROM agg g JOIN med m USING (l_returnflag) JOIN mad a USING (l_returnflag)
+ORDER BY g.l_returnflag
+"""
+
 SPECS = [
     QuerySpec(
         "percentiles_price_by_flag", ST.percentiles_price_by_flag, _PERCENTILES
     ),
     QuerySpec("rfm_customer_segments", ST.rfm_customer_segments, _RFM),
+    QuerySpec("mad_outliers_by_flag", ST.mad_outliers_by_flag, _MAD),
 ]

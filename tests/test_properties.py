@@ -1138,3 +1138,23 @@ def test_butterfly_counts_on_crafted_bipartite_graphs(spark, tmp_path):
     for pair in [(10, 11), (10, 12), (11, 12)]:
         assert got[pair] == (3, 3)
     assert len(got) == 4
+
+
+def test_mad_outliers_on_crafted_distribution(spark, tmp_path):
+    """MAD robustness end-to-end on a crafted table: a tight cluster at
+    10.00 +- 0.02 with two extreme points. The median and MAD must
+    ignore the extremes (which mean/stddev would not), and exactly the
+    two extremes must be flagged."""
+    from pac_spark.operators.stats import mad_outliers_by_flag
+
+    vals = [10.00, 10.01, 9.99, 10.02, 9.98, 10.00, 10.01, 500.0, -40.0]
+    rows = [("A", v) for v in vals]
+    src = str(tmp_path / "mini")
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    ).write.parquet(src + "/lineitem.parquet")
+    r = mad_outliers_by_flag(spark, src).collect()[0]
+    assert r["n_items"] == 9
+    assert r["median_price"] == 10.00
+    assert r["mad_price"] == 0.01
+    assert r["n_outliers"] == 2
