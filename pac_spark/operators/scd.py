@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 
@@ -33,6 +34,9 @@ __all__ = [
     "SCD2_SQL",
     "maintain_sum_count",
     "ivm_nation_balance",
+    "build_scd2_history",
+    "scd2_history_customer",
+    "SCD2_HISTORY_SQL",
 ]
 
 MOD_UPDATE = 7
@@ -327,3 +331,257 @@ def ivm_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_customers"),
         (F.col("cents") / 100.0).cast("double").alias("total_acctbal"),
     ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 HISTORY construction: the diff detects changes between two
+# snapshots; this builds the versioned dimension (valid_from/valid_to
+# chains + is_current) from a whole SERIES of snapshots — the table a
+# warehouse actually serves point-in-time joins from.
+
+
+def build_scd2_history(
+    snapshots: list[tuple[int, DataFrame]], key: str
+) -> DataFrame:
+    """Collapse ``[(generation, snapshot), ...]`` into an SCD2 history:
+    one row per (key, version), carrying the payload, ``valid_from``
+    (the generation the version appeared), ``valid_to`` (the
+    generation it was replaced or deleted, NULL while current) and
+    ``is_current``.
+
+    Construction (one shuffle on the key, two window passes + one
+    aggregate over the unioned snapshots — at scale each generation is
+    one day's partition scan):
+
+    - a row OPENS a version when it is the key's first presence, its
+      payload differs null-safely from the previous presence, or the
+      previous presence is non-contiguous in the generation series
+      (delete + reinsert must open a new version even with an equal
+      payload);
+    - a row BREAKS after itself when the series has a successor
+      generation and the key is absent there (deleted), or present
+      with a different payload (replaced). Within a version only the
+      last row can break, so the version's ``valid_to`` is its
+      max-generation row's successor when that row breaks, else NULL
+      (current).
+    """
+    cols = [c for c in snapshots[0][1].columns if c != key]
+    gens = sorted(g for g, _ in snapshots)
+    succ_of = {g: gens[i + 1] for i, g in enumerate(gens[:-1])}
+    tagged = None
+    for g, df in snapshots:
+        t = df.select(F.lit(g).alias("_gen"), key, *cols)
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    w = W.partitionBy(key).orderBy("_gen")
+    prev_gen = F.lag("_gen").over(w)
+    next_gen = F.lead("_gen").over(w)
+    differs_prev = None
+    differs_next = None
+    for c in cols:
+        dp = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        dn = ~F.col(c).eqNullSafe(F.lead(c).over(w))
+        differs_prev = dp if differs_prev is None else (differs_prev | dp)
+        differs_next = dn if differs_next is None else (differs_next | dn)
+
+    succ = F.create_map(
+        *[F.lit(x) for kv in succ_of.items() for x in kv]
+    )[F.col("_gen")]
+    contiguous_prev = prev_gen.isNotNull() & (
+        F.lag(succ).over(w) == F.col("_gen")
+    )
+    opens = prev_gen.isNull() | ~contiguous_prev | differs_prev
+    breaks_after = succ.isNotNull() & (
+        next_gen.isNull() | (next_gen != succ) | differs_next
+    )
+
+    rows = tagged.select(
+        key,
+        *cols,
+        "_gen",
+        opens.alias("_opens"),
+        F.when(breaks_after, succ).alias("_closes_at"),
+    ).withColumn(
+        "_version",
+        F.sum(F.col("_opens").cast("int")).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        rows.groupBy(key, "_version")
+        .agg(
+            F.min("_gen").alias("valid_from"),
+            F.max_by("_closes_at", "_gen").alias("valid_to"),
+            *[F.max_by(c, "_gen").alias(c) for c in cols],
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_version")
+        .select(key, *cols, "valid_from", "valid_to", "is_current")
+    )
+
+
+MOD_UPD0 = 3  # extra balance shift present only in generation 0
+MOD_INS1 = 5  # keys absent from gen 0 (insert at gen 1)
+MOD_DEL1 = 17  # ghost keys present only in gen 0 (deleted at gen 1)
+_UPD0_SHIFT = 50.0
+
+
+def _hist_snapshots(new: DataFrame) -> list[tuple[int, DataFrame]]:
+    """Three deterministic snapshot generations derived from the
+    current table, with UNIQUE keys per generation (ghost ranges are
+    disjoint per motif — composing ``_old_snapshot`` instead produces
+    ghost-of-ghost key collisions, and duplicate (key, gen) rows make
+    the window tie-order engine-dependent). Motifs by key class:
+
+    - stable keys: one current version from gen 0;
+    - ``% MOD_UPD0``: balance differs at gen 0 → update 0→1;
+    - ``% MOD_UPDATE``: balance shifted in gens 0 AND 1 → update 1→2;
+    - ``% MOD_INS1``: absent from gen 0 → insert at gen 1;
+    - ``% MOD_INSERT``: absent from gens 0,1 → insert at gen 2;
+    - ghosts ``% MOD_DELETE`` (+GHOST_OFFSET): live gens 0-1, deleted
+      at gen 2; ghosts ``% MOD_DEL1`` (+2·GHOST_OFFSET): live gen 0
+      only, deleted at gen 1.
+    """
+    key = F.col("c_custkey")
+    upd1 = F.when(
+        key % MOD_UPDATE == 0, F.col("c_acctbal") + 100.0
+    ).otherwise(F.col("c_acctbal"))
+
+    def ghosts(mod: int, offset: int) -> DataFrame:
+        return new.filter(key % mod == 0).select(
+            (key + offset).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+
+    g1 = (
+        new.filter(key % MOD_INSERT != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            upd1.alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(ghosts(MOD_DELETE, GHOST_OFFSET))
+    )
+    g0 = (
+        new.filter((key % MOD_INSERT != 0) & (key % MOD_INS1 != 0))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.when(key % MOD_UPD0 == 0, upd1 + _UPD0_SHIFT)
+            .otherwise(upd1)
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(ghosts(MOD_DELETE, GHOST_OFFSET))
+        .unionByName(ghosts(MOD_DEL1, 2 * GHOST_OFFSET))
+    )
+    return [(0, g0), (1, g1), (2, new)]
+
+
+def scd2_history_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the SCD2 history built from three derived
+    customer snapshot generations (see :func:`_hist_snapshots` for the
+    motif coverage). Delete+reinsert gap handling is covered by the
+    crafted pytest (`test_scd2_history_motifs`)."""
+    from pac_spark.cache import pin
+
+    new = pin(catalog.load(spark, sf_dir, "customer").select(*_COLS))
+    return build_scd2_history(_hist_snapshots(new), "c_custkey").orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+def SCD2_HISTORY_SQL() -> str:
+    """DuckDB oracle for :func:`scd2_history_customer`: derives the
+    same three collision-free snapshot generations, then replays the
+    identical opens/breaks window construction. The generation series
+    is the concrete 0,1,2 here, so contiguity is ``prev_gen = _gen-1``
+    and the successor ``_gen + 1`` (the Spark side stays generic over
+    arbitrary generation labels)."""
+    cols = [c for c in _COLS if c != "c_custkey"]
+    dprev = " OR ".join(
+        f"({c} IS DISTINCT FROM LAG({c}) OVER w)" for c in cols
+    )
+    dnext = " OR ".join(
+        f"({c} IS DISTINCT FROM LEAD({c}) OVER w)" for c in cols
+    )
+    nl = "\n       "
+    payload = ("," + nl).join(f"arg_max({c}, _gen) AS {c}" for c in cols)
+    collist = ", ".join(_COLS)
+    return f"""
+WITH newc AS (SELECT {collist} FROM customer),
+u1 AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % {MOD_UPDATE} = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM newc
+),
+g1 AS (
+    SELECT * FROM u1 WHERE c_custkey % {MOD_INSERT} <> 0
+    UNION ALL
+    SELECT c_custkey + {GHOST_OFFSET}, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM newc WHERE c_custkey % {MOD_DELETE} = 0
+),
+g0 AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % {MOD_UPD0} = 0
+                THEN c_acctbal + {_UPD0_SHIFT} ELSE c_acctbal
+           END AS c_acctbal,
+           c_mktsegment
+    FROM u1
+    WHERE c_custkey % {MOD_INSERT} <> 0 AND c_custkey % {MOD_INS1} <> 0
+    UNION ALL
+    SELECT c_custkey + {GHOST_OFFSET}, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM newc WHERE c_custkey % {MOD_DELETE} = 0
+    UNION ALL
+    SELECT c_custkey + {2 * GHOST_OFFSET}, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM newc WHERE c_custkey % {MOD_DEL1} = 0
+),
+tagged AS (
+    SELECT 0 AS _gen, {collist} FROM g0
+    UNION ALL SELECT 1, {collist} FROM g1
+    UNION ALL SELECT 2, {collist} FROM newc
+),
+x AS (
+    SELECT *,
+           LAG(_gen) OVER w AS prev_gen,
+           LEAD(_gen) OVER w AS next_gen,
+           ({dprev}) AS dprev,
+           ({dnext}) AS dnext,
+           CASE WHEN _gen < 2 THEN _gen + 1 END AS succ
+    FROM tagged
+    WINDOW w AS (PARTITION BY c_custkey ORDER BY _gen)
+),
+y AS (
+    SELECT *,
+           (prev_gen IS NULL OR prev_gen <> _gen - 1
+                OR COALESCE(dprev, FALSE)) AS opens,
+           CASE WHEN succ IS NOT NULL AND (next_gen IS NULL
+                     OR next_gen <> succ OR COALESCE(dnext, FALSE))
+                THEN succ END AS closes_at
+    FROM x
+),
+z AS (
+    SELECT *, SUM(CASE WHEN opens THEN 1 ELSE 0 END) OVER (
+        PARTITION BY c_custkey ORDER BY _gen
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _version
+    FROM y
+)
+SELECT c_custkey,
+       {payload},
+       CAST(MIN(_gen) AS INT) AS valid_from,
+       CAST(arg_max(closes_at, _gen) AS INT) AS valid_to,
+       arg_max(closes_at, _gen) IS NULL AS is_current
+FROM z GROUP BY c_custkey, _version
+ORDER BY c_custkey, valid_from
+"""

@@ -43,6 +43,11 @@ SPECS = [
         G.BUTTERFLY_SQL(),
     ),
     QuerySpec("scd2_customer_diff", SD.scd2_customer_diff, SD.SCD2_SQL()),
+    QuerySpec(
+        "scd2_history_customer",
+        SD.scd2_history_customer,
+        SD.SCD2_HISTORY_SQL(),
+    ),
     # the IVM proof is deliberately NOT a replay of the incremental
     # path: the oracle aggregates the new table directly, so hash
     # equality shows delta maintenance == full recompute

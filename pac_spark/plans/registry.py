@@ -133,12 +133,12 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 4 next-stalest: last driver green r3 ---
+        # --- 3 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
         "export_envelope",
-        "er_approved",
         "er_clusters",
-        # --- 9 brand-new r6 operators: first driver evidence now ---
+        # --- 10 brand-new r6 operators: first driver evidence now ---
+        "scd2_history_customer",
         "mad_outliers_by_flag",
         "streaming_cms_heavy_hitters",
         "butterfly_supplier_pairs",

@@ -1158,3 +1158,30 @@ def test_mad_outliers_on_crafted_distribution(spark, tmp_path):
     assert r["median_price"] == 10.00
     assert r["mad_price"] == 0.01
     assert r["n_outliers"] == 2
+
+
+def test_scd2_history_motifs(spark):
+    """build_scd2_history on a crafted series covering every motif:
+    stable, update, delete, late insert, and delete+reinsert with an
+    IDENTICAL payload (the gap must still split versions)."""
+    from pac_spark.operators.scd import build_scd2_history
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    g0 = mk([(1, "a"), (2, "x"), (3, "d"), (5, "s")])
+    g1 = mk([(1, "a"), (2, "y")])
+    g2 = mk([(1, "a"), (2, "y"), (4, "n"), (5, "s")])
+    out = [
+        tuple(r)
+        for r in build_scd2_history([(0, g0), (1, g1), (2, g2)], "k")
+        .orderBy("k", "valid_from")
+        .collect()
+    ]
+    assert out == [
+        (1, "a", 0, None, True),      # stable: one current version
+        (2, "x", 0, 1, False),        # updated at gen 1
+        (2, "y", 1, None, True),
+        (3, "d", 0, 1, False),        # deleted after gen 0
+        (4, "n", 2, None, True),      # inserted at gen 2
+        (5, "s", 0, 1, False),        # delete+reinsert, equal payload:
+        (5, "s", 2, None, True),      # the gap still splits versions
+    ]
