@@ -37,6 +37,9 @@ __all__ = [
     "build_scd2_history",
     "scd2_history_customer",
     "SCD2_HISTORY_SQL",
+    "scd2_snapshot_at",
+    "scd2_pointintime_customer",
+    "SCD2_PIT_SQL",
 ]
 
 MOD_UPDATE = 7
@@ -584,4 +587,56 @@ SELECT c_custkey,
        arg_max(closes_at, _gen) IS NULL AS is_current
 FROM z GROUP BY c_custkey, _version
 ORDER BY c_custkey, valid_from
+"""
+
+
+PIT_GEN = 1  # the generation the registered point-in-time row rebuilds
+
+
+def scd2_snapshot_at(history: DataFrame, gen: int, key: str) -> DataFrame:
+    """Time travel over an SCD2 history: the table AS OF ``gen`` is
+    every version whose validity interval covers it —
+    ``valid_from <= gen < coalesce(valid_to, ∞)``. One filter, no
+    join; at scale this is a partition-prunable predicate when the
+    history is range-partitioned on ``valid_from``."""
+    return history.filter(
+        (F.col("valid_from") <= gen)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > gen))
+    ).drop("valid_from", "valid_to", "is_current")
+
+
+def scd2_pointintime_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: rebuild generation ``PIT_GEN`` from the SCD2
+    history and return it. The oracle is the GENERATION DEFINITION
+    itself (the ``g1`` derivation), so hash equality closes the loop:
+    snapshots → history → point-in-time filter reproduces the original
+    snapshot row-for-row — the property that makes an SCD2 dimension
+    trustworthy for as-of joins."""
+    from pac_spark.cache import pin
+
+    new = pin(catalog.load(spark, sf_dir, "customer").select(*_COLS))
+    history = build_scd2_history(_hist_snapshots(new), "c_custkey")
+    return scd2_snapshot_at(history, PIT_GEN, "c_custkey").orderBy("c_custkey")
+
+
+def SCD2_PIT_SQL() -> str:
+    """Oracle: the g1 generation stated directly."""
+    collist = ", ".join(_COLS)
+    return f"""
+WITH newc AS (SELECT {collist} FROM customer),
+u1 AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           CASE WHEN c_custkey % {MOD_UPDATE} = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM newc
+),
+g1 AS (
+    SELECT * FROM u1 WHERE c_custkey % {MOD_INSERT} <> 0
+    UNION ALL
+    SELECT c_custkey + {GHOST_OFFSET}, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM newc WHERE c_custkey % {MOD_DELETE} = 0
+)
+SELECT {collist} FROM g1 ORDER BY c_custkey
 """

@@ -48,6 +48,11 @@ SPECS = [
         SD.scd2_history_customer,
         SD.SCD2_HISTORY_SQL(),
     ),
+    QuerySpec(
+        "scd2_pointintime_customer",
+        SD.scd2_pointintime_customer,
+        SD.SCD2_PIT_SQL(),
+    ),
     # the IVM proof is deliberately NOT a replay of the incremental
     # path: the oracle aggregates the new table directly, so hash
     # equality shows delta maintenance == full recompute

@@ -133,11 +133,11 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 3 next-stalest: last driver green r3 ---
+        # --- 2 next-stalest: last driver green r3 ---
         "flagship_roles_resolved",
-        "export_envelope",
         "er_clusters",
-        # --- 10 brand-new r6 operators: first driver evidence now ---
+        # --- 11 brand-new r6 operators: first driver evidence now ---
+        "scd2_pointintime_customer",
         "scd2_history_customer",
         "mad_outliers_by_flag",
         "streaming_cms_heavy_hitters",
