@@ -88,8 +88,12 @@ def all_specs() -> list[QuerySpec]:
     # er_records_stringified, q6/q18, pivot, grouping_sets,
     # range_band_join_quantity, asof_join_purchase_click,
     # streaming_purchase_click_join, q22_idle_customers,
-    # company_issue_summary, the streaming_* r3 family — then the
-    # r4-green llm family).
+    # company_issue_summary, export_envelope, er_approved, the
+    # streaming_* r3 family — then the r4-green llm family). ONE
+    # operator is STAGED for r7 registration:
+    # streaming_ivm_user_value (streaming/stateful.py, per-micro-batch
+    # IVM folding == batch aggregate; local gate in
+    # tests/test_staged_specs.py).
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

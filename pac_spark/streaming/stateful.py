@@ -56,6 +56,8 @@ __all__ = [
     "CUSTOM_SESSIONS_ORACLE",
     "streaming_user_lifetime_stats",
     "LIFETIME_ORACLE",
+    "streaming_ivm_user_value",
+    "STREAMING_IVM_ORACLE",
 ]
 
 GAP_SECONDS = 600
@@ -378,4 +380,77 @@ SELECT user_id,
        strftime(MIN(ts), '{_TS6}') AS first_ts,
        strftime(MAX(ts), '{_TS6}') AS last_ts
 FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental view maintenance (STAGED for the r7 rotation;
+# local oracle gate in tests/test_staged_specs.py): the batch IVM
+# operator (operators/scd.maintain_sum_count) applied per micro-batch
+# through foreachBatch — the nightly-changeset pattern compressed to
+# stream cadence.
+
+
+def streaming_ivm_user_value(spark, sf_dir: str):
+    """Maintain a per-user (event count, exact-cents value sum) view
+    incrementally: each micro-batch's rows are folded into the running
+    view as pure INSERT deltas via the IVM delta algebra — the view is
+    never recomputed from the table, only from the batch. foreachBatch
+    is the documented home for custom incremental sinks; the running
+    view lives in a driver-held DataFrame checkpointed per batch
+    (bounded: one row per user).
+
+    The oracle is the plain batch aggregate over the full table, so
+    hash equality proves batch-at-a-time maintenance == full
+    recompute, the same proof shape as ``ivm_nation_balance`` but
+    against the real micro-batch engine.
+    """
+    from pyspark.sql import functions as F
+
+    from pac_spark.cache import checkpoint
+    from pac_spark.streaming.stream_exec import stream_events
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    state = {"view": None}
+
+    def fold(batch_df, _batch_id):
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        view = state["view"]
+        merged = (
+            delta
+            if view is None
+            else view.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+        # checkpoint: the view must not chain lineage across batches
+        # (and the incoming batch_df is only valid inside this call)
+        state["view"] = checkpoint(merged)
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    view = state["view"]
+    if view is None:
+        raise RuntimeError("stream delivered no batches")
+    return view.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        (F.col("cents") / 100.0).cast("double").alias("total_value"),
+    ).orderBy("user_id")
+
+
+STREAMING_IVM_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+            AS DOUBLE) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
 """

@@ -1185,3 +1185,25 @@ def test_scd2_history_motifs(spark):
         (5, "s", 0, 1, False),        # delete+reinsert, equal payload:
         (5, "s", 2, None, True),      # the gap still splits versions
     ]
+
+
+def test_scd2_pointintime_reconstructs_every_generation(spark, sf_dir):
+    """The full closed loop: snapshots -> history -> as-of filter must
+    reproduce EVERY generation exactly (the registered row checks only
+    gen 1 against its oracle)."""
+    from pac_spark.cache import pin
+    from pac_spark.operators.scd import (
+        _COLS,
+        _hist_snapshots,
+        build_scd2_history,
+        scd2_snapshot_at,
+    )
+    from pac_spark import catalog
+
+    new = pin(catalog.load(spark, sf_dir, "customer").select(*_COLS))
+    snaps = _hist_snapshots(new)
+    history = pin(build_scd2_history(snaps, "c_custkey"))
+    for gen, snap in snaps:
+        got = {tuple(r) for r in scd2_snapshot_at(history, gen, "c_custkey").collect()}
+        want = {tuple(r) for r in snap.select(*_COLS).collect()}
+        assert got == want, f"generation {gen} not reconstructed"

@@ -32,3 +32,17 @@ def test_pq_rescore_matches_bruteforce(spark, sf_dir):
         assert r["approx_dist"] is not None and r["approx_dist"] >= 0
         if (r["query_id"], r["vec_id"]) in exact:
             assert abs(exact[(r["query_id"], r["vec_id"])] - r["score"]) < 1e-9
+
+
+def test_streaming_ivm_matches_batch_aggregate(spark, duck, sf_dir):
+    """Staged for r7: per-micro-batch IVM folding must equal the full
+    batch aggregate (same identical-oracle gate the driver will run)."""
+    from pac_spark.streaming.stateful import (
+        STREAMING_IVM_ORACLE,
+        streaming_ivm_user_value,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_ivm_user_value(spark, sf_dir), duck.sql(STREAMING_IVM_ORACLE)
+    )
