@@ -81,12 +81,17 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    global BENCH_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # diagnostic scoping: BENCH_ONLY="a,b" times just those queries —
     # for isolating whether a row's cost is the query or JVM context
     only = {q for q in os.environ.get("BENCH_ONLY", "").split(",") if q}
     if only:
-        global BENCH_QUERIES
+        unknown = only - set(BENCH_QUERIES)
+        if unknown:
+            raise SystemExit(
+                f"BENCH_ONLY names not in the bench set: {sorted(unknown)}"
+            )
         BENCH_QUERIES = [q for q in BENCH_QUERIES if q in only]
     from pac_spark.plans.registry import queries
     from pac_spark.session import get_spark

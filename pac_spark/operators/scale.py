@@ -222,7 +222,10 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data range at every SF so the result is non-trivial, and on BOTH
 # layout axes so the Morton clustering (not a single-axis sort) is
 # what makes the file-level min/max stats selective
-_ZBOX_USER_LO, _ZBOX_USER_HI = 20, 70
+# user_id spans ~0-14 at sf0.001 and grows with SF; the box must hold
+# rows at EVERY SF or the local sf0.001 oracle gate is vacuous
+# (code-review r6: the 20-70 box matched zero rows at the test SF)
+_ZBOX_USER_LO, _ZBOX_USER_HI = 2, 10
 _ZBOX_VALUE_LO, _ZBOX_VALUE_HI = 50.0, 200.0
 _Z_FILES = 16
 

@@ -50,6 +50,30 @@ GHOST_OFFSET = 10**7  # synthetic delete keys live far above real keys
 _COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 
+def _guard_ghost_range(new: DataFrame, n_offsets: int = 1) -> DataFrame:
+    """Enforce (not trust) the ghost-key assumption: real keys must
+    stay below GHOST_OFFSET so derived ghost ranges (up to
+    ``n_offsets`` · GHOST_OFFSET above) cannot collide with them. A
+    collision would silently misclassify deletes (diff), corrupt
+    version chains (history), or shift group sums (IVM) — this turns
+    it into a clear runtime error instead (code-review r6 #5: only
+    scd2_customer_diff carried the assert)."""
+    bound = new.agg(F.max("c_custkey").alias("_max_key"))
+    return (
+        new.join(F.broadcast(bound))
+        .filter(
+            F.assert_true(
+                F.col("_max_key") < GHOST_OFFSET,
+                F.lit(
+                    f"c_custkey reached GHOST_OFFSET={GHOST_OFFSET} "
+                    f"(x{n_offsets} ghost ranges); raise it"
+                ),
+            ).isNull()
+        )
+        .drop("_max_key")
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     """Rows that changed between two snapshots sharing ``key``:
     (key, change_type ∈ insert|delete|update, per-side payloads)."""
@@ -109,17 +133,8 @@ def scd2_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision would silently misclassify deletes as updates, so the
     assumption is enforced with a runtime assert_true on the real key
     maximum rather than trusted."""
-    new = catalog.load(spark, sf_dir, "customer").select(*_COLS)
-    bound = new.agg(F.max("c_custkey").alias("_max_key"))
-    new = (
-        new.join(F.broadcast(bound))
-        .filter(
-            F.assert_true(
-                F.col("_max_key") < GHOST_OFFSET,
-                F.lit(f"c_custkey reached GHOST_OFFSET={GHOST_OFFSET}; raise it"),
-            ).isNull()
-        )
-        .drop("_max_key")
+    new = _guard_ghost_range(
+        catalog.load(spark, sf_dir, "customer").select(*_COLS)
     )
     return snapshot_diff(_old_snapshot(new), new, "c_custkey")
 
@@ -308,8 +323,7 @@ def ivm_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts)."""
     from pac_spark.cache import pin
 
-    new = catalog.load(spark, sf_dir, "customer").select(*_COLS)
-    new = pin(new)
+    new = pin(_guard_ghost_range(catalog.load(spark, sf_dir, "customer").select(*_COLS)))
     old = _old_snapshot(new)
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     base_agg = old.groupBy("c_nationkey").agg(
@@ -494,7 +508,11 @@ def scd2_history_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     crafted pytest (`test_scd2_history_motifs`)."""
     from pac_spark.cache import pin
 
-    new = pin(catalog.load(spark, sf_dir, "customer").select(*_COLS))
+    new = pin(
+        _guard_ghost_range(
+            catalog.load(spark, sf_dir, "customer").select(*_COLS), n_offsets=2
+        )
+    )
     return build_scd2_history(_hist_snapshots(new), "c_custkey").orderBy(
         "c_custkey", "valid_from"
     )
@@ -593,7 +611,7 @@ ORDER BY c_custkey, valid_from
 PIT_GEN = 1  # the generation the registered point-in-time row rebuilds
 
 
-def scd2_snapshot_at(history: DataFrame, gen: int, key: str) -> DataFrame:
+def scd2_snapshot_at(history: DataFrame, gen: int) -> DataFrame:
     """Time travel over an SCD2 history: the table AS OF ``gen`` is
     every version whose validity interval covers it —
     ``valid_from <= gen < coalesce(valid_to, ∞)``. One filter, no
@@ -614,9 +632,13 @@ def scd2_pointintime_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     trustworthy for as-of joins."""
     from pac_spark.cache import pin
 
-    new = pin(catalog.load(spark, sf_dir, "customer").select(*_COLS))
+    new = pin(
+        _guard_ghost_range(
+            catalog.load(spark, sf_dir, "customer").select(*_COLS), n_offsets=2
+        )
+    )
     history = build_scd2_history(_hist_snapshots(new), "c_custkey")
-    return scd2_snapshot_at(history, PIT_GEN, "c_custkey").orderBy("c_custkey")
+    return scd2_snapshot_at(history, PIT_GEN).orderBy("c_custkey")
 
 
 def SCD2_PIT_SQL() -> str:

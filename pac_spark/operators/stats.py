@@ -103,21 +103,18 @@ def percentiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quartile_bounds(df: DataFrame, metric: Column, name: str) -> DataFrame:
-    """1-row frame of the p25/p50/p75 discrete boundaries of a metric
-    (same cum*100 >= p*n read-off, no group key)."""
-    hist = df.select(metric.alias("v")).groupBy("v").agg(F.count("*").alias("_c"))
-    cum_w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    with_cum = hist.select(
-        "v",
-        F.sum("_c").over(cum_w).alias("_cum"),
-        F.sum("_c").over(W.partitionBy()).alias("_n"),
+    """1-row frame of the p25/p50/p75 discrete boundaries of a metric —
+    :func:`group_percentiles_disc` with an empty group key (ONE
+    implementation of the cum*100 >= p*n read-off, not a parallel
+    copy; code-review r6 #6), outputs renamed to ``{name}_q1..q3``."""
+    pcts = (25, 50, 75)
+    bounds = group_percentiles_disc(
+        df.select(metric.alias("_v")), [], "_v", pcts
     )
-    return with_cum.agg(
+    return bounds.select(
         *[
-            F.min(
-                F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_n"), F.col("v"))
-            ).alias(f"{name}_q{i + 1}")
-            for i, p in enumerate((25, 50, 75))
+            F.col(f"p{p}").alias(f"{name}_q{i + 1}")
+            for i, p in enumerate(pcts)
         ]
     )
 
@@ -152,6 +149,8 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 = most days since last order (largest values), so the classic
     "best customer" cell is r=1, f=4, m=4.
     """
+    from pac_spark.cache import pin
+
     orders = catalog.load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -171,6 +170,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # pinned: the scan+aggregate feeds FOUR consumers (three boundary
+    # frames + the scoring join) — without the persist each branch
+    # re-executes the aggregation (code-review r6 #4)
+    per_cust = pin(per_cust)
     r_b = _quartile_bounds(per_cust, F.col("recency_days"), "r")
     f_b = _quartile_bounds(per_cust, F.col("frequency"), "f")
     m_b = _quartile_bounds(per_cust, F.col("_cents"), "m")

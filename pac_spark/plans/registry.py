@@ -137,9 +137,12 @@ def all_specs() -> list[QuerySpec]:
         "events_tumbling_1h",
         "events_sliding_1h_30m",
         "events_sessions_10m",
-        # --- 2 next-stalest: last driver green r3 ---
-        "flagship_roles_resolved",
+        # --- 1 stale refresh: last driver green r3 ---
         "er_clusters",
+        # --- implementation changed this round (ensure_bucketed grew
+        #     the sidecar validation/re-ingest path) — changed code
+        #     never rides the tail ---
+        "bucketed_orders_join",
         # --- 11 brand-new r6 operators: first driver evidence now ---
         "scd2_pointintime_customer",
         "scd2_history_customer",

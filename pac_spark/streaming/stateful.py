@@ -407,11 +407,11 @@ def streaming_ivm_user_value(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    from pac_spark.cache import checkpoint
+    from pac_spark import cache
     from pac_spark.streaming.stream_exec import stream_events
 
     ev = stream_events(spark, sf_dir).select("user_id", "value")
-    state = {"view": None}
+    state = {"view": None, "handles": []}
 
     def fold(batch_df, _batch_id):
         delta = batch_df.groupBy("user_id").agg(
@@ -427,8 +427,21 @@ def streaming_ivm_user_value(spark, sf_dir: str):
             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
         )
         # checkpoint: the view must not chain lineage across batches
-        # (and the incoming batch_df is only valid inside this call)
-        state["view"] = checkpoint(merged)
+        # (and the incoming batch_df is only valid inside this call).
+        # Track the created RDD handles so the SUPERSEDED view's
+        # blocks are freed as soon as the new one is materialized —
+        # without this, resident copies grow linearly with batch count
+        # (code-review r6 #3), which is exactly wrong at stream
+        # cadence. The final view's handles are parked in the cache
+        # registry so the normal between-query sweep frees them.
+        sc = batch_df.sparkSession.sparkContext
+        before = set(sc._jsc.getPersistentRDDs().keys())
+        state["view"] = merged.localCheckpoint(eager=True)
+        jmap = sc._jsc.getPersistentRDDs()
+        fresh = [jmap[r] for r in jmap.keys() if r not in before]
+        for h in state["handles"]:
+            h.unpersist()
+        state["handles"] = fresh
 
     q = (
         ev.writeStream.foreachBatch(fold)
@@ -440,6 +453,7 @@ def streaming_ivm_user_value(spark, sf_dir: str):
     view = state["view"]
     if view is None:
         raise RuntimeError("stream delivered no batches")
+    cache._CKPT_CUR.extend(state["handles"])
     return view.select(
         "user_id",
         F.col("n").alias("n_events"),

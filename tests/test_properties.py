@@ -1204,6 +1204,6 @@ def test_scd2_pointintime_reconstructs_every_generation(spark, sf_dir):
     snaps = _hist_snapshots(new)
     history = pin(build_scd2_history(snaps, "c_custkey"))
     for gen, snap in snaps:
-        got = {tuple(r) for r in scd2_snapshot_at(history, gen, "c_custkey").collect()}
+        got = {tuple(r) for r in scd2_snapshot_at(history, gen).collect()}
         want = {tuple(r) for r in snap.select(*_COLS).collect()}
         assert got == want, f"generation {gen} not reconstructed"
