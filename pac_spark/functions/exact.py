@@ -18,7 +18,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["money_sum", "money_sum_sql", "exact_avg", "exact_avg_sql"]
+__all__ = ["money_sum", "money_sum_sql", "exact_avg", "exact_avg_sql", "int_div"]
+
+
+def int_div(a: Column, b: Column) -> Column:
+    """Exact integer division of non-negative long Columns. The
+    remainder is subtracted FIRST (long arithmetic, exact), so the one
+    double division is of an exact multiple of ``b`` — IEEE
+    correctly-rounded division returns the integer quotient exactly
+    for any multiple below 2^53, far past any group size. No value
+    ever sits near a floor boundary (ADVICE r5 #4: a plain
+    ``floor(a / b)`` form could floor across a boundary on a
+    pathological near-integer double quotient). DuckDB mirror: the
+    ``//`` integer-division operator on BIGINT operands."""
+    return ((a - a % b) / b).cast("long")
 
 
 def money_sum(col: Column, scale: int = 2) -> Column:

@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from pac_spark import catalog
 from pac_spark.cache import pin
-from pac_spark.operators.text_core import distinct_shingled
+from pac_spark.functions.exact import int_div
+from pac_spark.operators.text_core import (
+    distinct_shingled,
+    shingles_of_tokens,
+    tokens,
+)
 
 __all__ = [
     "dedup_exact",
@@ -40,6 +45,7 @@ __all__ = [
     "minhash_lsh_dedup",
     "simhash_neardup",
     "incremental_neardup_filter",
+    "dup_span_coverage",
 ]
 
 N_HASHES = 8
@@ -573,3 +579,68 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (substring-level dedup signal)
+
+DUP_SPAN_N = 5  # word n-gram length marking a duplicated span
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN coverage: the fraction of word
+    ``DUP_SPAN_N``-gram positions whose n-gram also occurs in at least
+    one OTHER document — the substring-level dedup diagnostic from the
+    "Deduplicating Training Data Makes Language Models Better" recipe
+    (exact-substring tier), as opposed to the whole-document Jaccard
+    tiers above. A document can be a near-dup of nothing yet still be
+    30% boilerplate; this is the operator that sees it.
+
+    Plan shape (scale posture):
+
+    1. positioned n-grams via the shared ``shingles_of_tokens``
+       transform — row-local, O(tokens) per doc, no join;
+    2. each gram keyed by ``md5(gram)`` so every shuffle moves a
+       fixed-width key, never the raw text;
+    3. one map-side-combined ``groupBy(k)`` counting DISTINCT docs per
+       gram (repeats inside one doc do not make it "duplicated");
+    4. join the gram rows back on ``k`` — co-partitioned with the
+       groupBy output, so AQE plans it shuffle-free on the stats side;
+    5. per-doc aggregate: total positions, duplicated positions, and
+       exact basis points via the shared integer-division idiom.
+
+    Docs shorter than ``DUP_SPAN_N`` tokens produce no gram rows and
+    are absent from the output (stated identically in the oracle).
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    # pinned: consumed twice (gram-frequency side + join-back side) —
+    # without it the tokenize+explode scan, the plan's dominant cost,
+    # runs twice
+    grams = pin(
+        toked.select(
+            "doc_id",
+            F.explode(shingles_of_tokens("__toks", DUP_SPAN_N)).alias("gram"),
+        ).select("doc_id", F.md5("gram").alias("k"))
+    )
+    gram_docs = grams.groupBy("k").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        grams.join(gram_docs, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        int_div(F.col("n_dup_grams") * F.lit(10000), F.col("n_grams")).alias(
+            "dup_bp"
+        ),
+    ).orderBy("doc_id")

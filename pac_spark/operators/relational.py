@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
-from pac_spark.functions.exact import exact_avg, money_sum
+from pac_spark.functions.exact import exact_avg, int_div, money_sum
 
 __all__ = [
     "q1_pricing_summary",
@@ -216,16 +216,9 @@ def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_DIST_TOP = 20
 
 
-def _idiv(a, b):
-    """Exact integer division of non-negative long Columns. The
-    remainder is subtracted FIRST (long arithmetic, exact), so the one
-    double division is of an exact multiple of ``b`` — IEEE
-    correctly-rounded division returns the integer quotient exactly
-    for any multiple below 2^53, far past any group size. No value
-    ever sits near a floor boundary (ADVICE r5 #4: the previous
-    ``floor((r-1)/(base+1))`` form could floor across a boundary on a
-    pathological near-integer double quotient)."""
-    return ((a - a % b) / b).cast("long")
+# promoted to functions/exact.py (r6) so other operator families can
+# share the exact-integer-division idiom; see int_div's docstring
+_idiv = int_div
 
 
 def _ntile4(r, n):

@@ -59,8 +59,11 @@ def distinct_shingled(df, text_col: str = "text", out_col: str = "sh", n: int = 
 TOKENS_SQL = "string_split(text, ' ')"
 
 
-def SHINGLES_SQL(n: int = 3) -> str:
-    """CTE fragment producing distinct (doc_id, shingle) rows."""
+def SHINGLES_SQL(n: int = 3, distinct: bool = True) -> str:
+    """CTE fragment producing (doc_id, shingle) rows — distinct sets
+    by default (the Jaccard/minhash tiers), or one row per POSITION
+    with ``distinct=False`` (the span-coverage tier, where repeats of
+    a gram inside one document each count as a covered position)."""
     joins = []
     concat = ["t0.tok"]
     for k in range(1, n):
@@ -75,7 +78,7 @@ toks AS (
     FROM docs
 ),
 shingle_rows AS (
-    SELECT DISTINCT t0.doc_id, {" || ' ' || ".join(concat)} AS shingle
+    SELECT {"DISTINCT " if distinct else ""}t0.doc_id, {" || ' ' || ".join(concat)} AS shingle
     FROM toks t0 {" ".join(joins)}
 )
 """

@@ -1074,6 +1074,28 @@ ORDER BY s.doc_id
 )
 
 
+
+def _dup_span_sql() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py —
+    see the R7 plan in plans/registry.py): duplicated-span coverage,
+    positioned (non-distinct) 5-gram rows keyed by md5 exactly as the
+    Spark side, dup = gram present in >= 2 distinct docs, basis points
+    by BIGINT integer division (// mirrors functions.exact.int_div)."""
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{SHINGLES_SQL(D.DUP_SPAN_N, distinct=False).strip()},
+gram_rows AS (SELECT doc_id, md5(shingle) AS k FROM shingle_rows),
+gs AS (SELECT k, COUNT(DISTINCT doc_id) AS nd FROM gram_rows GROUP BY k)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN gs.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST((CAST(SUM(CASE WHEN gs.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS dup_bp
+FROM gram_rows g JOIN gs USING (k)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),

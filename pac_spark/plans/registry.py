@@ -89,11 +89,13 @@ def all_specs() -> list[QuerySpec]:
     # range_band_join_quantity, asof_join_purchase_click,
     # streaming_purchase_click_join, q22_idle_customers,
     # company_issue_summary, export_envelope, er_approved, the
-    # streaming_* r3 family — then the r4-green llm family). ONE
-    # operator is STAGED for r7 registration:
-    # streaming_ivm_user_value (streaming/stateful.py, per-micro-batch
-    # IVM folding == batch aggregate; local gate in
-    # tests/test_staged_specs.py).
+    # streaming_* r3 family — then the r4-green llm family). Operators
+    # STAGED for r7 registration (local gates in
+    # tests/test_staged_specs.py):
+    # - streaming_ivm_user_value (streaming/stateful.py,
+    #   per-micro-batch IVM folding == batch aggregate)
+    # - dup_span_coverage (operators/dedup.py, substring-tier dedup
+    #   signal; oracle llm_plans._dup_span_sql, green at 3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

@@ -46,3 +46,46 @@ def test_streaming_ivm_matches_batch_aggregate(spark, duck, sf_dir):
     assert_oracle_match(
         streaming_ivm_user_value(spark, sf_dir), duck.sql(STREAMING_IVM_ORACLE)
     )
+
+
+def test_dup_span_coverage_oracle(spark, duck, sf_dir):
+    """Staged for r7: duplicated-span coverage vs the identical
+    positioned-gram oracle."""
+    from pac_spark.operators.dedup import dup_span_coverage
+    from pac_spark.plans.llm_plans import _dup_span_sql
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(dup_span_coverage(spark, sf_dir), duck.sql(_dup_span_sql()))
+
+
+def test_dup_span_coverage_crafted(spark, tmp_path):
+    """Crafted corpus pins the semantics: (a) a gram repeated inside
+    ONE doc is not duplicated; (b) a shared 5-gram marks exactly the
+    positions it covers; (c) docs shorter than N tokens are absent."""
+    import pandas as pd
+
+    boiler = "the quick brown fox jumps"  # exactly 5 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                boiler + " over the lazy dog",  # 9 toks -> 5 grams, 1 dup
+                boiler + " under a red moon",  # 9 toks -> 5 grams, 1 dup
+                "alpha beta gamma alpha beta gamma alpha beta gamma",
+                "too short",  # < 5 tokens -> absent
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.dedup import dup_span_coverage
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_bp"])
+        for r in dup_span_coverage(spark, str(tmp_path)).collect()
+    }
+    # doc 1/2: 5 gram positions each; only the shared leading gram dup
+    assert got[1] == (5, 1, 2000)
+    assert got[2] == (5, 1, 2000)
+    # doc 3: internal repeats only -> zero duplicated positions
+    assert got[3] == (5, 0, 0)
+    assert 4 not in got
