@@ -41,6 +41,8 @@ __all__ = [
     "PAGERANK_SQL",
     "butterfly_supplier_pairs",
     "BUTTERFLY_SQL",
+    "triangle_top_parts",
+    "TRIANGLE_SQL",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -306,4 +308,107 @@ SELECT s1, s2, shared_parts,
 FROM pairs
 ORDER BY butterflies DESC, shared_parts DESC, s1, s2
 LIMIT {BUTTERFLY_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (unipartite motif analysis)
+
+TRIANGLE_TOP_EDGES = 5000  # strongest co-purchase edges kept in the motif graph
+TRIANGLE_TOP_N = 100  # reported parts
+
+
+def triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the TOP-K co-purchase graph:
+    parts are nodes, the K strongest "ordered together" edges (by
+    order co-count, full deterministic tie-break) form the graph, and
+    each part is scored by the number of triangles it sits in — the
+    unipartite cohesion motif completing the family (butterflies cover
+    the bipartite side).
+
+    The top-K edge cut is part of the operator's SEMANTICS, not a
+    silent cap: motif analysis over the full co-purchase graph is
+    Σ deg² wedge work dominated by noise edges seen once; cutting to
+    the K strongest edges is the standard densification step, and it
+    is what makes the plan scale-invariant —
+
+    - the pair generator is the bounded basket self-join (fan-out ≤
+      order size², one shuffle on orderkey, one map-side-combined
+      groupBy on the pair);
+    - the top-K lands as TakeOrderedAndProject (no global sort);
+    - the K-row edge frame is pinned and broadcast into both closing
+      joins, so the triangle enumeration never shuffles regardless of
+      corpus size: wedge work is bounded by K·max_deg(K-graph) and
+      the close is a broadcast hash probe.
+
+    Triangles are enumerated once each via the a<b<c orientation
+    (edges already satisfy pa<pb, so e1(a,b)⋈e2(b,c)⋈e3(a,c) with the
+    join keys enforcing a<b<c), then unpivoted to per-node counts.
+    """
+    op = pin(
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = pin(
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pa", "pb")
+        .limit(TRIANGLE_TOP_EDGES)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = F.broadcast(edges.alias("e2"))
+    e3 = F.broadcast(edges.alias("e3"))
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("na"),
+            F.col("e1.pb").alias("nb"),
+            F.col("e2.pb").alias("nc"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("na", "nb", "nc")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part_id")
+        .limit(TRIANGLE_TOP_N)
+    )
+
+
+def TRIANGLE_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+),
+e AS (SELECT pa, pb FROM pairs ORDER BY cnt DESC, pa, pb LIMIT {TRIANGLE_TOP_EDGES}),
+tri AS (
+    SELECT e1.pa AS na, e1.pb AS nb, e2.pb AS nc
+    FROM e e1
+    JOIN e e2 ON e2.pa = e1.pb
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+    SELECT na AS part_id FROM tri
+    UNION ALL SELECT nb FROM tri
+    UNION ALL SELECT nc FROM tri
+)
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY part_id
+ORDER BY n_triangles DESC, part_id
+LIMIT {TRIANGLE_TOP_N}
 """

@@ -89,3 +89,41 @@ def test_dup_span_coverage_crafted(spark, tmp_path):
     # doc 3: internal repeats only -> zero duplicated positions
     assert got[3] == (5, 0, 0)
     assert 4 not in got
+
+
+def test_triangle_top_parts_oracle(spark, duck, sf_dir):
+    """Staged for r7: triangle motif counts vs the identical top-K
+    edge-cut oracle."""
+    from pac_spark.operators.graph import TRIANGLE_SQL, triangle_top_parts
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(triangle_top_parts(spark, sf_dir), duck.sql(TRIANGLE_SQL()))
+
+
+def test_triangle_counts_crafted(spark, tmp_path):
+    """K4 on parts {1,2,3,4} = 4 triangles, each node in 3; one
+    pendant edge (5-6) adds no triangle. Orders are the baskets."""
+    import pandas as pd
+
+    baskets = {
+        10: [1, 2, 3],
+        11: [1, 2, 4],
+        12: [1, 3, 4],
+        13: [2, 3, 4],
+        14: [5, 6],
+    }
+    rows = [
+        (o, p, i + 1)
+        for o, parts in baskets.items()
+        for i, p in enumerate(parts)
+    ]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_linenumber"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pac_spark.operators.graph import triangle_top_parts
+
+    got = {
+        r["part_id"]: r["n_triangles"]
+        for r in triangle_top_parts(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
