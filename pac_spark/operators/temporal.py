@@ -33,6 +33,8 @@ __all__ = [
     "funnel",
     "funnel_view_click_purchase",
     "timeseries_gapfill_hourly",
+    "ohlc_bars_hourly",
+    "OHLC_SQL",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -389,3 +391,102 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("cents", ignorenulls=True).over(run) / 100.0
         ).cast("double").alias("carry_value"),
     ).orderBy("user_id", "hour_str")
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick bars
+
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, hour), the opening /
+    highest / lowest / closing event value plus count and exact value
+    sum — the canonical time-series downsample every monitoring and
+    market stack reads.
+
+    Open/close are ORDER-SENSITIVE aggregates Spark has no portable
+    one-shuffle built-in for (``first``/``last`` in a groupBy are
+    partition-order-dependent), so they come off one full-frame window
+    over the total sort key ``(ts, event_id)`` — event_id is unique,
+    so ties cannot make the answer engine-dependent (the window
+    tie-order lesson in the SCD2 history operator). Plan: ONE shuffle
+    + sort on (event_type, hour); the collapsing groupBy keys equal
+    the window partition keys, so the aggregate reuses the exchange
+    (no second shuffle). Values live in integer cents through every
+    aggregate — min/max/sum are order-independent there, and the
+    window makes open/close deterministic.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = (
+        W.partitionBy("event_type", "hour_ts")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    bars = (
+        ev.select(
+            "event_type",
+            F.date_format(hour, "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .select(
+            "event_type",
+            "hour_ts",
+            "cents",
+            F.first("cents").over(w).alias("open_cents"),
+            F.last("cents").over(w).alias("close_cents"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.max("open_cents").alias("o"),
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+            F.max("close_cents").alias("c"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("s"),
+        )
+    )
+    dollars = lambda col: (F.col(col).cast("double") / 100.0)  # noqa: E731
+    return bars.select(
+        "event_type",
+        "hour_ts",
+        dollars("o").alias("open_value"),
+        dollars("h").alias("high_value"),
+        dollars("l").alias("low_value"),
+        dollars("c").alias("close_value"),
+        "n_events",
+        dollars("s").alias("sum_value"),
+    ).orderBy("event_type", "hour_ts")
+
+
+def OHLC_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH e AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+fl AS (
+    SELECT event_type, hour_ts, cents,
+           FIRST_VALUE(cents) OVER w AS open_cents,
+           LAST_VALUE(cents) OVER w AS close_cents
+    FROM e
+    WINDOW w AS (PARTITION BY event_type, hour_ts ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_ts,
+       CAST(CAST(MAX(open_cents) AS DOUBLE) / 100.0 AS DOUBLE) AS open_value,
+       CAST(CAST(MAX(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS high_value,
+       CAST(CAST(MIN(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS low_value,
+       CAST(CAST(MAX(close_cents) AS DOUBLE) / 100.0 AS DOUBLE) AS close_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS sum_value
+FROM fl
+GROUP BY event_type, hour_ts
+ORDER BY event_type, hour_ts
+"""

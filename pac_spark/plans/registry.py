@@ -98,6 +98,8 @@ def all_specs() -> list[QuerySpec]:
     #   signal; oracle llm_plans._dup_span_sql, green at 3 SFs)
     # - triangle_top_parts (operators/graph.py, top-K co-purchase
     #   motif counts; oracle graph.TRIANGLE_SQL, green at 3 SFs)
+    # - ohlc_bars_hourly (operators/temporal.py, order-sensitive
+    #   candlestick bars; oracle temporal.OHLC_SQL, green at 3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

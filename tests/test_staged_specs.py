@@ -127,3 +127,40 @@ def test_triangle_counts_crafted(spark, tmp_path):
         for r in triangle_top_parts(spark, str(tmp_path)).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_ohlc_bars_oracle(spark, duck, sf_dir):
+    """Staged for r7: OHLC hourly bars vs the identical full-frame
+    window oracle."""
+    from pac_spark.operators.temporal import OHLC_SQL, ohlc_bars_hourly
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(ohlc_bars_hourly(spark, sf_dir), duck.sql(OHLC_SQL()))
+
+
+def test_ohlc_bars_crafted(spark, tmp_path):
+    """Open/close follow (ts, event_id) order — including an
+    equal-timestamp tie decided by event_id — and high/low/sum are
+    order-free."""
+    import pandas as pd
+
+    ts = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        # one hour, one type; events deliberately out of id order
+        (3, ts + pd.Timedelta(minutes=30), 7, "click", 5.00),
+        (1, ts + pd.Timedelta(minutes=10), 7, "click", 2.00),
+        (2, ts + pd.Timedelta(minutes=50), 7, "click", 9.00),
+        # equal-ts tie: event_id 4 < 5 decides close
+        (5, ts + pd.Timedelta(minutes=55), 7, "click", 1.00),
+        (4, ts + pd.Timedelta(minutes=55), 7, "click", 3.00),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import ohlc_bars_hourly
+
+    [bar] = ohlc_bars_hourly(spark, str(tmp_path)).collect()
+    assert bar["open_value"] == 2.00  # earliest ts
+    assert bar["close_value"] == 1.00  # latest ts, higher event_id wins tie
+    assert bar["high_value"] == 9.00 and bar["low_value"] == 1.00
+    assert bar["n_events"] == 5 and bar["sum_value"] == 20.00
