@@ -38,6 +38,8 @@ __all__ = [
     "mad_outliers_by_flag",
     "percentiles_price_by_flag",
     "rfm_customer_segments",
+    "welch_ab_value_by_hour",
+    "WELCH_AB_SQL",
     "PCTS",
 ]
 
@@ -288,3 +290,119 @@ def mad_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample significance testing (A/B experiment readout)
+
+AB_GROUP_A = "purchase"
+AB_GROUP_B = "click"
+
+
+def welch_ab_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic per hour-of-day comparing
+    ``purchase`` vs ``click`` event values — the experiment-readout
+    aggregate (unequal variances, unequal sample sizes) every A/B
+    platform computes, with the Welch–Satterthwaite degrees of
+    freedom alongside.
+
+    Like the Pearson operator (``text.corr_quality_tokens_by_lang``),
+    native ``stddev``/``var`` are not engine-portable: their streaming
+    accumulation order differs between Spark's aggregation tree and a
+    serial oracle. Both arms' moments (n, Σcents, Σcents²) are exact
+    integer sums accumulated in decimal(38,0) — associative at any
+    partition count, bounded far past any real group size — gathered
+    by CONDITIONAL aggregation in ONE map-side-combined groupBy (no
+    per-arm join, one shuffle total); the t/df formulas then run as
+    one identical double expression on both engines, so the statistic
+    is bit-exact. Groups need n ≥ 2 in both arms (stated in the
+    oracle's HAVING).
+    """
+    ev = catalog.load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_a = F.col("event_type") == AB_GROUP_A
+    dec = "decimal(38,0)"
+
+    def arm(flag: Column, expr: Column) -> Column:
+        return F.sum(F.when(flag, expr).otherwise(F.lit(0)).cast(dec))
+
+    agg = (
+        ev.select(F.hour("ts").alias("hour_of_day"), is_a.alias("is_a"), cents.alias("c"))
+        .groupBy("hour_of_day")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+            arm(F.col("is_a"), F.col("c")).alias("sa"),
+            arm(~F.col("is_a"), F.col("c")).alias("sb"),
+            arm(F.col("is_a"), F.col("c") * F.col("c")).alias("ssa"),
+            arm(~F.col("is_a"), F.col("c") * F.col("c")).alias("ssb"),
+        )
+        .filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    ssa, ssb = F.col("ssa").cast("double"), F.col("ssb").cast("double")
+    va = (ssa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (ssb - sb * sb / nb) / (nb - F.lit(1.0))
+    sq = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(sq)
+    df = (sq * sq) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        "hour_of_day",
+        "n_a",
+        "n_b",
+        (sa / na / F.lit(100.0)).alias("mean_a"),
+        (sb / nb / F.lit(100.0)).alias("mean_b"),
+        t.alias("welch_t"),
+        df.alias("welch_df"),
+    ).orderBy("hour_of_day")
+
+
+def WELCH_AB_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH e AS (
+    SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+           event_type = '{AB_GROUP_A}' AS is_a,
+           CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events
+    WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+),
+m AS (
+    SELECT hour_of_day,
+           CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           SUM(CASE WHEN is_a THEN c ELSE 0 END) AS sa,
+           SUM(CASE WHEN NOT is_a THEN c ELSE 0 END) AS sb,
+           SUM(CASE WHEN is_a THEN c * c ELSE 0 END) AS ssa,
+           SUM(CASE WHEN NOT is_a THEN c * c ELSE 0 END) AS ssb
+    FROM e GROUP BY hour_of_day
+    HAVING n_a >= 2 AND n_b >= 2
+),
+d AS (
+    SELECT hour_of_day, n_a, n_b,
+           CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+           CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+           CAST(ssa AS DOUBLE) AS ssa, CAST(ssb AS DOUBLE) AS ssb
+    FROM m
+),
+v AS (
+    SELECT *,
+           (ssa - sa * sa / na) / (na - 1.0) AS va,
+           (ssb - sb * sb / nb) / (nb - 1.0) AS vb
+    FROM d
+),
+s AS (SELECT *, va / na + vb / nb AS sq FROM v)
+SELECT hour_of_day, n_a, n_b,
+       sa / na / 100.0 AS mean_a,
+       sb / nb / 100.0 AS mean_b,
+       (sa / na - sb / nb) / sqrt(sq) AS welch_t,
+       (sq * sq) / ((va / na) * (va / na) / (na - 1.0)
+                    + (vb / nb) * (vb / nb) / (nb - 1.0)) AS welch_df
+FROM s ORDER BY hour_of_day
+"""

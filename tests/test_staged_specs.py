@@ -164,3 +164,58 @@ def test_ohlc_bars_crafted(spark, tmp_path):
     assert bar["close_value"] == 1.00  # latest ts, higher event_id wins tie
     assert bar["high_value"] == 9.00 and bar["low_value"] == 1.00
     assert bar["n_events"] == 5 and bar["sum_value"] == 20.00
+
+
+def test_welch_ab_oracle(spark, duck, sf_dir):
+    """Staged for r7: Welch t per hour-of-day vs the identical
+    exact-moments oracle."""
+    from pac_spark.operators.stats import WELCH_AB_SQL, welch_ab_value_by_hour
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        welch_ab_value_by_hour(spark, sf_dir), duck.sql(WELCH_AB_SQL())
+    )
+
+
+def test_welch_ab_crafted(spark, tmp_path):
+    """The statistic equals the textbook Welch formula computed
+    independently (statistics module), and an arm with n < 2 drops
+    its hour."""
+    import statistics
+
+    import pandas as pd
+
+    ts = pd.Timestamp("2024-03-01 09:00:00")
+    a_vals = [1.00, 2.00, 3.00, 4.00]
+    b_vals = [2.00, 4.00]
+    rows = [
+        (i, ts + pd.Timedelta(seconds=i), 1, "purchase", v)
+        for i, v in enumerate(a_vals)
+    ] + [
+        (10 + i, ts + pd.Timedelta(seconds=30 + i), 2, "click", v)
+        for i, v in enumerate(b_vals)
+    ]
+    # hour 11: only one purchase and one click -> filtered out
+    rows += [
+        (20, pd.Timestamp("2024-03-01 11:00:00"), 3, "purchase", 5.00),
+        (21, pd.Timestamp("2024-03-01 11:00:01"), 3, "click", 6.00),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import welch_ab_value_by_hour
+
+    out = welch_ab_value_by_hour(spark, str(tmp_path)).collect()
+    assert [r["hour_of_day"] for r in out] == [9]
+    [r] = out
+    a_c = [v * 100 for v in a_vals]
+    b_c = [v * 100 for v in b_vals]
+    va, vb = statistics.variance(a_c), statistics.variance(b_c)
+    na, nb = len(a_c), len(b_c)
+    sq = va / na + vb / nb
+    t = (statistics.mean(a_c) - statistics.mean(b_c)) / sq**0.5
+    df = sq * sq / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["mean_a"] - 2.50) < 1e-12 and abs(r["mean_b"] - 3.00) < 1e-12
+    assert abs(r["welch_t"] - t) < 1e-9
+    assert abs(r["welch_df"] - df) < 1e-9
