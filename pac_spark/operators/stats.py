@@ -40,6 +40,8 @@ __all__ = [
     "rfm_customer_segments",
     "welch_ab_value_by_hour",
     "WELCH_AB_SQL",
+    "cusum_user_value_shift",
+    "CUSUM_SQL",
     "PCTS",
 ]
 
@@ -405,4 +407,133 @@ SELECT hour_of_day, n_a, n_b,
        (sq * sq) / ((va / na) * (va / na) / (na - 1.0)
                     + (vb / nb) * (vb / nb) / (nb - 1.0)) AS welch_df
 FROM s ORDER BY hour_of_day
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection
+
+CUSUM_ALARM_DOLLARS = 100.0
+
+
+def cusum_user_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM level-shift statistics over the event-value
+    series: the largest sustained upward and downward drift of the
+    user's values away from their own mean — the classical
+    change-detection statistic (Page's CUSUM, zero slack), plus an
+    alarm flag at ``CUSUM_ALARM_DOLLARS``.
+
+    The textbook recursion ``C_i = max(0, C_{i-1} + d_i)`` looks
+    inherently sequential, but with zero slack it has a closed
+    window form: ``C_i = P_i - min_{j<=i} P_j`` for prefix sums P —
+    a running sum and a running min, so the whole operator is TWO
+    stacked windows over ONE shuffle on user_id (the downward side
+    reuses the same frames with max). Deviations are exact integers
+    scaled by the user's own count (``d_i = c_i*n_u - S_u`` =
+    ``n_u*(c_i - mean_u)`` with no division), accumulated in
+    decimal(38,0); the only doubles are the final unit conversion,
+    written identically in the oracle. The total sort key
+    (ts, event_id) keeps window order engine-independent.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    dec = "decimal(38,0)"
+    per_user = W.partitionBy("user_id")
+    full = per_user.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    running = per_user.orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "c",
+        F.count(F.lit(1)).over(full).alias("n_u"),
+        F.sum("c").over(full).alias("s_u"),
+    )
+    p = t.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "n_u",
+        F.sum(
+            (F.col("c").cast(dec) * F.col("n_u") - F.col("s_u")).cast(dec)
+        )
+        .over(running)
+        .alias("pp"),
+    )
+    zero = F.lit(0).cast(dec)
+    q = p.select(
+        "user_id",
+        "n_u",
+        # the virtual empty prefix P_0 = 0 joins the running extrema:
+        # that is the C_0 = 0 boundary of the textbook recursion
+        # (without it, a series that only falls — or only rises —
+        # understates the opposite-direction drift)
+        (F.col("pp") - F.least(zero, F.min("pp").over(running))).alias("up"),
+        (F.greatest(zero, F.max("pp").over(running)) - F.col("pp")).alias("down"),
+    )
+    agg = q.groupBy("user_id").agg(
+        F.max("n_u").alias("n_events"),
+        F.max("up").alias("max_up"),
+        F.max("down").alias("max_down"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        (F.col("max_up").cast("double") / F.col("n_events").cast("double") / F.lit(100.0)).alias("up_shift"),
+        (F.col("max_down").cast("double") / F.col("n_events").cast("double") / F.lit(100.0)).alias("down_shift"),
+        (
+            (F.col("max_up").cast("double") / F.col("n_events").cast("double") / F.lit(100.0))
+            > F.lit(CUSUM_ALARM_DOLLARS)
+        ).alias("alarm"),
+    ).orderBy("user_id")
+
+
+def CUSUM_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events
+),
+t AS (
+    SELECT user_id, ts, event_id, c,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_u,
+           SUM(c) OVER (PARTITION BY user_id) AS s_u
+    FROM e
+),
+p AS (
+    SELECT user_id, ts, event_id, n_u,
+           SUM(CAST(c AS HUGEINT) * n_u - s_u) OVER w AS pp
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+q AS (
+    SELECT user_id, n_u,
+           pp - LEAST(0, MIN(pp) OVER w) AS up,
+           GREATEST(0, MAX(pp) OVER w) - pp AS down
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+a AS (
+    SELECT user_id,
+           CAST(MAX(n_u) AS BIGINT) AS n_events,
+           MAX(up) AS max_up,
+           MAX(down) AS max_down
+    FROM q GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(max_up AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0 AS up_shift,
+       CAST(max_down AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0 AS down_shift,
+       CAST(max_up AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0
+           > {CUSUM_ALARM_DOLLARS} AS alarm
+FROM a ORDER BY user_id
 """

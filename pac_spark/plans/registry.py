@@ -102,6 +102,8 @@ def all_specs() -> list[QuerySpec]:
     #   candlestick bars; oracle temporal.OHLC_SQL, green at 3 SFs)
     # - welch_ab_value_by_hour (operators/stats.py, two-sample A/B
     #   readout; oracle stats.WELCH_AB_SQL, green at 3 SFs)
+    # - cusum_user_value_shift (operators/stats.py, CUSUM level-shift
+    #   detection; oracle stats.CUSUM_SQL, green at 3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

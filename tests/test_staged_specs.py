@@ -219,3 +219,48 @@ def test_welch_ab_crafted(spark, tmp_path):
     assert abs(r["mean_a"] - 2.50) < 1e-12 and abs(r["mean_b"] - 3.00) < 1e-12
     assert abs(r["welch_t"] - t) < 1e-9
     assert abs(r["welch_df"] - df) < 1e-9
+
+
+def test_cusum_oracle(spark, duck, sf_dir):
+    """Staged for r7: CUSUM level-shift stats vs the identical
+    prefix-sum window oracle."""
+    from pac_spark.operators.stats import CUSUM_SQL, cusum_user_value_shift
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        cusum_user_value_shift(spark, str(sf_dir)), duck.sql(CUSUM_SQL())
+    )
+
+
+def test_cusum_crafted(spark, tmp_path):
+    """The window form equals the textbook recursion
+    C_i = max(0, C_{i-1} + d_i) replayed in plain Python on a series
+    with a deliberate mid-stream level shift."""
+    import pandas as pd
+
+    vals = [1.00, 1.00, 1.00, 1.00, 9.00, 9.00, 9.00, 9.00]
+    ts0 = pd.Timestamp("2024-05-01 00:00:00")
+    pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [ts0 + pd.Timedelta(minutes=i) for i in range(len(vals))],
+            "user_id": 1,
+            "event_type": "view",
+            "value": vals,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import cusum_user_value_shift
+
+    [r] = cusum_user_value_shift(spark, str(tmp_path)).collect()
+    cents = [v * 100 for v in vals]
+    n, s = len(cents), sum(cents)
+    up = dn = cu = cd = 0.0
+    for c in cents:
+        d = c * n - s
+        cu = max(0.0, cu + d)
+        cd = max(0.0, cd - d)
+        up, dn = max(up, cu), max(dn, cd)
+    assert r["n_events"] == n
+    assert abs(r["up_shift"] - up / n / 100.0) < 1e-9
+    assert abs(r["down_shift"] - dn / n / 100.0) < 1e-9
+    assert r["alarm"] == (up / n / 100.0 > 100.0)
