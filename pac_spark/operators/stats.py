@@ -42,6 +42,8 @@ __all__ = [
     "WELCH_AB_SQL",
     "cusum_user_value_shift",
     "CUSUM_SQL",
+    "winsorized_price_stats_by_flag",
+    "WINSOR_SQL",
     "PCTS",
 ]
 
@@ -536,4 +538,129 @@ SELECT user_id, n_events,
        CAST(max_up AS DOUBLE) / CAST(n_events AS DOUBLE) / 100.0
            > {CUSUM_ALARM_DOLLARS} AS alarm
 FROM a ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (percentile-clipped) aggregates
+
+WINSOR_LO = 1
+WINSOR_HI = 99
+
+
+def winsorized_price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: ``l_extendedprice`` clipped to
+    its group's [p1, p99] discrete percentiles before averaging — the
+    standard tail-robust aggregate (outliers are capped, not dropped),
+    reported next to the raw mean with the clip counts.
+
+    Everything after the FIRST scan is histogram-sized: the one
+    ``groupBy(flag, cents)`` histogram feeds (a) the cumulative-count
+    percentile read-off for the clip bounds and (b) the winsorized
+    aggregate itself — Σ count·clip(value) over distinct values —
+    so the raw rows are never scanned a second time and no join back
+    to the fact table exists. The bounds frame is one row per group
+    and broadcasts onto the pinned histogram. All sums are integer
+    cents; the only doubles are the final unit conversions, written
+    identically in the oracle.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    from pac_spark.cache import pin
+
+    hist = pin(li.groupBy("l_returnflag", "v").agg(F.count(F.lit(1)).alias("c")))
+    cum_w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = hist.select(
+        "l_returnflag",
+        "v",
+        "c",
+        F.sum("c").over(cum_w).alias("_cum"),
+        F.sum("c").over(W.partitionBy("l_returnflag")).alias("_n"),
+    )
+    bound = lambda p: F.min(  # noqa: E731
+        F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_n"), F.col("v"))
+    )
+    bounds = with_cum.groupBy("l_returnflag").agg(
+        bound(WINSOR_LO).alias("lo"), bound(WINSOR_HI).alias("hi")
+    )
+    h = hist.join(F.broadcast(bounds), "l_returnflag")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v")))
+    agg = h.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n_values"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.sum(F.when(F.col("v") < F.col("lo"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("v") > F.col("hi"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.sum(F.col("c") * F.col("v")).alias("raw_sum"),
+        F.sum(F.col("c") * clipped).alias("win_sum"),
+    )
+    n = F.col("n_values").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n_values",
+        (F.col("lo").cast("double") / F.lit(100.0)).alias("p_low"),
+        (F.col("hi").cast("double") / F.lit(100.0)).alias("p_high"),
+        "n_clipped_low",
+        "n_clipped_high",
+        (F.col("raw_sum").cast("double") / n / F.lit(100.0)).alias("mean_raw"),
+        (F.col("win_sum").cast("double") / n / F.lit(100.0)).alias("mean_winsorized"),
+    ).orderBy("l_returnflag")
+
+
+def WINSOR_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+    FROM lineitem
+),
+hist AS (
+    SELECT l_returnflag, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM li GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, v, c,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS _n
+    FROM hist
+),
+bounds AS (
+    SELECT l_returnflag,
+           MIN(CASE WHEN _cum * 100 >= {WINSOR_LO} * _n THEN v END) AS lo,
+           MIN(CASE WHEN _cum * 100 >= {WINSOR_HI} * _n THEN v END) AS hi
+    FROM cum GROUP BY l_returnflag
+),
+agg AS (
+    SELECT h.l_returnflag,
+           SUM(c) AS n_values,
+           MAX(lo) AS lo,
+           MAX(hi) AS hi,
+           CAST(SUM(CASE WHEN v < lo THEN c ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN v > hi THEN c ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           SUM(c * v) AS raw_sum,
+           SUM(c * GREATEST(lo, LEAST(hi, v))) AS win_sum
+    FROM hist h JOIN bounds USING (l_returnflag)
+    GROUP BY h.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n_values AS BIGINT) AS n_values,
+       CAST(lo AS DOUBLE) / 100.0 AS p_low,
+       CAST(hi AS DOUBLE) / 100.0 AS p_high,
+       n_clipped_low,
+       n_clipped_high,
+       CAST(raw_sum AS DOUBLE) / CAST(n_values AS DOUBLE) / 100.0 AS mean_raw,
+       CAST(win_sum AS DOUBLE) / CAST(n_values AS DOUBLE) / 100.0 AS mean_winsorized
+FROM agg ORDER BY l_returnflag
 """

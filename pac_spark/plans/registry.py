@@ -104,6 +104,9 @@ def all_specs() -> list[QuerySpec]:
     #   readout; oracle stats.WELCH_AB_SQL, green at 3 SFs)
     # - cusum_user_value_shift (operators/stats.py, CUSUM level-shift
     #   detection; oracle stats.CUSUM_SQL, green at 3 SFs)
+    # - winsorized_price_stats_by_flag (operators/stats.py,
+    #   percentile-clipped means; oracle stats.WINSOR_SQL, green at
+    #   3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

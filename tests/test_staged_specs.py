@@ -264,3 +264,38 @@ def test_cusum_crafted(spark, tmp_path):
     assert abs(r["up_shift"] - up / n / 100.0) < 1e-9
     assert abs(r["down_shift"] - dn / n / 100.0) < 1e-9
     assert r["alarm"] == (up / n / 100.0 > 100.0)
+
+
+def test_winsorized_oracle(spark, duck, sf_dir):
+    """Staged for r7: winsorized means vs the identical
+    histogram-clipping oracle."""
+    from pac_spark.operators.stats import WINSOR_SQL, winsorized_price_stats_by_flag
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        winsorized_price_stats_by_flag(spark, sf_dir), duck.sql(WINSOR_SQL())
+    )
+
+
+def test_winsorized_crafted(spark, tmp_path):
+    """A group with one extreme outlier: the winsorized mean caps it
+    at p99 (percentile_disc read-off replayed in plain Python)."""
+    import pandas as pd
+
+    vals = [10.00] * 98 + [11.00, 9999.00]  # p1=10.00, p99=11.00
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(vals)),
+            "l_returnflag": "A",
+            "l_extendedprice": vals,
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.stats import winsorized_price_stats_by_flag
+
+    [r] = winsorized_price_stats_by_flag(spark, str(tmp_path)).collect()
+    # percentile_disc: smallest v with cum*100 >= p*n over the
+    # 3-bucket histogram {10.00:98, 11.00:1, 9999.00:1}, n=100
+    assert r["p_low"] == 10.00 and r["p_high"] == 11.00
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
+    assert abs(r["mean_raw"] - (98 * 10 + 11 + 9999) / 100) < 1e-9
+    assert abs(r["mean_winsorized"] - (98 * 10 + 11 + 11) / 100) < 1e-9
