@@ -107,6 +107,9 @@ def all_specs() -> list[QuerySpec]:
     # - winsorized_price_stats_by_flag (operators/stats.py,
     #   percentile-clipped means; oracle stats.WINSOR_SQL, green at
     #   3 SFs)
+    # - streaming_ohlc_bars (streaming/stateful.py, monoid-merged
+    #   candlestick maintenance; oracle temporal.OHLC_SQL, green at
+    #   3 SFs + out-of-order multi-batch chaos test)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

@@ -58,6 +58,7 @@ __all__ = [
     "LIFETIME_ORACLE",
     "streaming_ivm_user_value",
     "STREAMING_IVM_ORACLE",
+    "streaming_ohlc_bars",
 ]
 
 GAP_SECONDS = 600
@@ -428,20 +429,13 @@ def streaming_ivm_user_value(spark, sf_dir: str):
         )
         # checkpoint: the view must not chain lineage across batches
         # (and the incoming batch_df is only valid inside this call).
-        # Track the created RDD handles so the SUPERSEDED view's
-        # blocks are freed as soon as the new one is materialized —
-        # without this, resident copies grow linearly with batch count
-        # (code-review r6 #3), which is exactly wrong at stream
-        # cadence. The final view's handles are parked in the cache
-        # registry so the normal between-query sweep frees them.
-        sc = batch_df.sparkSession.sparkContext
-        before = set(sc._jsc.getPersistentRDDs().keys())
-        state["view"] = merged.localCheckpoint(eager=True)
-        jmap = sc._jsc.getPersistentRDDs()
-        fresh = [jmap[r] for r in jmap.keys() if r not in before]
-        for h in state["handles"]:
-            h.unpersist()
-        state["handles"] = fresh
+        # _rotate_view frees the SUPERSEDED view's blocks as soon as
+        # the new one is materialized — without this, resident copies
+        # grow linearly with batch count (code-review r6 #3), which is
+        # exactly wrong at stream cadence. The final view's handles
+        # are parked in the cache registry so the normal between-query
+        # sweep frees them.
+        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
 
     q = (
         ev.writeStream.foreachBatch(fold)
@@ -468,3 +462,118 @@ SELECT user_id,
             AS DOUBLE) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def _rotate_view(state: dict, merged, spark_context) -> None:
+    """Checkpoint ``merged`` as the new running view and free the
+    superseded view's blocks immediately (shared by the foreachBatch
+    IVM folds; see the lineage/residency notes in
+    ``streaming_ivm_user_value``)."""
+    before = set(spark_context._jsc.getPersistentRDDs().keys())
+    state["view"] = merged.localCheckpoint(eager=True)
+    jmap = spark_context._jsc.getPersistentRDDs()
+    fresh = [jmap[r] for r in jmap.keys() if r not in before]
+    for h in state["handles"]:
+        h.unpersist()
+    state["handles"] = fresh
+
+
+def _ohlc_partial(batch_df):
+    """Per-batch OHLC partial: open/close travel as (ts, event_id,
+    cents) structs, so merging partials is pure min/max — the bar
+    aggregate is a commutative monoid and the fold is ORDER-FREE
+    (unlike the lifetime fold, no delivery-order assumption exists:
+    late or out-of-order batches merge correctly by construction)."""
+    from pyspark.sql import functions as F
+
+    key = F.struct(
+        F.col("ts"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        batch_df.select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.min("k").alias("o"),
+            F.max("k").alias("cl"),
+            F.max("k.cents").alias("h"),
+            F.min("k.cents").alias("l"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k.cents").alias("s"),
+        )
+    )
+
+
+def _ohlc_merge(view, delta):
+    from pyspark.sql import functions as F
+
+    return (
+        view.unionByName(delta)
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.min("o").alias("o"),
+            F.max("cl").alias("cl"),
+            F.max("h").alias("h"),
+            F.min("l").alias("l"),
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+        )
+    )
+
+
+def streaming_ohlc_bars(spark, sf_dir: str):
+    """OHLC candlestick bars maintained under Structured Streaming:
+    each micro-batch's partial bars (open/close carried as
+    (ts, event_id, cents) structs) merge into the running per-
+    (event_type, hour) view via pure min/max/sum — a commutative
+    monoid, so the result is independent of how the stream is split
+    into batches or ordered across them (proven by the adversarial
+    out-of-order multi-batch test). State is bounded by one row per
+    bar. The oracle is the BATCH operator's oracle
+    (``temporal.OHLC_SQL``), so hash equality proves streaming
+    maintenance == the one-shot window computation.
+    """
+    from pyspark.sql import functions as F
+
+    from pac_spark import cache
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    state = {"view": None, "handles": []}
+
+    def fold(batch_df, _batch_id):
+        delta = _ohlc_partial(batch_df)
+        view = state["view"]
+        merged = delta if view is None else _ohlc_merge(view, delta)
+        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+
+    q = (
+        ev.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    view = state["view"]
+    if view is None:
+        raise RuntimeError("stream delivered no batches")
+    cache._CKPT_CUR.extend(state["handles"])
+    dollars = lambda c: (c.cast("double") / 100.0)  # noqa: E731
+    return view.select(
+        "event_type",
+        "hour_ts",
+        dollars(F.col("o.cents")).alias("open_value"),
+        dollars(F.col("h")).alias("high_value"),
+        dollars(F.col("l")).alias("low_value"),
+        dollars(F.col("cl.cents")).alias("close_value"),
+        F.col("n").alias("n_events"),
+        dollars(F.col("s")).alias("sum_value"),
+    ).orderBy("event_type", "hour_ts")

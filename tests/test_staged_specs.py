@@ -299,3 +299,95 @@ def test_winsorized_crafted(spark, tmp_path):
     assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 1
     assert abs(r["mean_raw"] - (98 * 10 + 11 + 9999) / 100) < 1e-9
     assert abs(r["mean_winsorized"] - (98 * 10 + 11 + 11) / 100) < 1e-9
+
+
+def test_streaming_ohlc_matches_batch_oracle(spark, duck, sf_dir):
+    """Staged for r7: streaming-maintained OHLC bars equal the batch
+    window oracle (streaming maintenance == one-shot computation)."""
+    from pac_spark.operators.temporal import OHLC_SQL
+    from pac_spark.streaming.stateful import streaming_ohlc_bars
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(streaming_ohlc_bars(spark, sf_dir), duck.sql(OHLC_SQL()))
+
+
+def test_streaming_ohlc_merge_is_order_free(spark, tmp_path):
+    """Adversarial batch split: one hour's rows scattered across three
+    files delivered LATEST-FIRST (mtimes force the file-stream order).
+    The merged view must equal the single-shot partial over the whole
+    table — the commutative-monoid claim, tested against the grain."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pac_spark.streaming.stateful import (
+        _ohlc_merge,
+        _ohlc_partial,
+        _rotate_view,
+    )
+
+    ts0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = [
+        # (event_id, minute, value) — one type, two hours, interleaved
+        (1, 5, 3.00), (2, 10, 1.00), (3, 55, 7.00),      # file A (earliest data)
+        (4, 62, 2.00), (5, 70, 9.00),                     # file B (hour 2 opens)
+        (6, 2, 8.00), (7, 119, 4.00),                     # file C (true open of hour 1 + true close of hour 2)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    files = [rows[0:3], rows[3:5], rows[5:7]]
+    for i, chunk in enumerate(files):
+        frame = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in chunk],
+                "ts": [ts0 + pd.Timedelta(minutes=r[1]) for r in chunk],
+                "user_id": 1,
+                "event_type": "view",
+                "value": [r[2] for r in chunk],
+            }
+        )
+        # micros, not pandas-default nanos: the raw file stream here
+        # bypasses stream_events' NANOS normalization
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame.to_parquet(src / f"part-{i}.parquet")
+    # deliver newest-data file FIRST: ascending mtimes in reverse order
+    now = time.time()
+    for i, name in enumerate(["part-2.parquet", "part-1.parquet", "part-0.parquet"]):
+        os.utime(src / name, (now + i, now + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    state = {"view": None, "handles": []}
+    batches = []
+
+    def fold(batch_df, _bid):
+        batches.append(batch_df.count())
+        delta = _ohlc_partial(batch_df)
+        view = state["view"]
+        merged = delta if view is None else _ohlc_merge(view, delta)
+        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 3, f"expected 3 micro-batches, got {batches}"
+
+    def canon(df):
+        return sorted(
+            (r["event_type"], r["hour_ts"], r["o"], r["cl"], r["h"], r["l"], r["n"], r["s"])
+            for r in df.collect()
+        )
+
+    single_shot = _ohlc_partial(spark.read.parquet(str(src)))
+    assert canon(state["view"]) == canon(single_shot)
+    # and the semantics are right: hour-1 open is the event at :02
+    bars = {r["hour_ts"]: r for r in state["view"].collect()}
+    assert bars["2024-06-01 08:00:00"]["o"]["cents"] == 800
+    assert bars["2024-06-01 09:00:00"]["cl"]["cents"] == 400
