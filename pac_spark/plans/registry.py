@@ -110,6 +110,9 @@ def all_specs() -> list[QuerySpec]:
     # - streaming_ohlc_bars (streaming/stateful.py, monoid-merged
     #   candlestick maintenance; oracle temporal.OHLC_SQL, green at
     #   3 SFs + out-of-order multi-batch chaos test)
+    # - contrastive_negatives (operators/curation.py, deterministic
+    #   negative sampling; oracle curation.NEGATIVES_SQL, green at
+    #   3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

@@ -391,3 +391,40 @@ def test_streaming_ohlc_merge_is_order_free(spark, tmp_path):
     bars = {r["hour_ts"]: r for r in state["view"].collect()}
     assert bars["2024-06-01 08:00:00"]["o"]["cents"] == 800
     assert bars["2024-06-01 09:00:00"]["cl"]["cents"] == 400
+
+
+def test_contrastive_negatives_oracle(spark, duck, sf_dir):
+    """Staged for r7: deterministic negative sampling vs the identical
+    double-salted md5 bucket/rank oracle."""
+    from pac_spark.operators.curation import NEGATIVES_SQL, contrastive_negatives
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        contrastive_negatives(spark, sf_dir), duck.sql(NEGATIVES_SQL())
+    )
+
+
+def test_contrastive_negatives_semantics(spark, sf_dir):
+    """Negatives never share the anchor's label or id, at most NEG_K
+    per anchor, and the draw is reproducible run to run."""
+    from pac_spark.operators.curation import NEG_K, contrastive_negatives
+
+    from pac_spark import catalog
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in catalog.load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = contrastive_negatives(spark, sf_dir).collect()
+    assert rows, "no negatives drawn"
+    per_anchor = {}
+    for r in rows:
+        assert labels[r["neg_id"]] == r["neg_label"]
+        assert r["neg_label"] != labels[r["anchor_id"]]
+        assert r["neg_id"] != r["anchor_id"]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["neg_slot"])
+    assert all(len(slots) <= NEG_K for slots in per_anchor.values())
+    again = contrastive_negatives(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
