@@ -1,0 +1,38 @@
+"""Deterministic md5-prefix bucketing, shared across engines.
+
+The engine's only randomness substitute is a salted md5 prefix read as
+an integer: reproducible on any cluster layout, no RNG state, and
+replayable digit-by-digit in the DuckDB oracle. The Spark Column form
+and the SQL text emitter live TOGETHER here so the two can never drift
+apart and silently break cross-engine equivalence (the same reason
+``relational._idiv`` was promoted to ``functions.exact.int_div``).
+Legacy 4-digit call sites (``curation._sample_bucket``, the
+training-shard layout) predate this module and keep their local
+spelling; new bucketing goes through here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["md5_bucket", "md5_bucket_sql"]
+
+
+def md5_bucket(expr: Column, modulus: int) -> Column:
+    """First 8 md5 hex digits of (already-salted) string ``expr`` as
+    an integer mod ``modulus``. 32 hash bits dwarf any realistic
+    modulus, so the mod is uniform."""
+    h = F.md5(F.encode(expr, "UTF-8"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % modulus).cast("int")
+
+
+def md5_bucket_sql(expr: str, modulus: int) -> str:
+    """DuckDB text computing exactly what :func:`md5_bucket` computes,
+    digit-wise (DuckDB has no base-16 ``conv``)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST(({digits}) % {modulus} AS INT)"

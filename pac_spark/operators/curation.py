@@ -362,63 +362,70 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deterministic negative sampling (contrastive training pairs)
 
-NEG_K = 4  # negative slots per anchor
-NEG_BUCKETS = 16  # candidate hash buckets (scale with corpus size)
-
-
-def _hex8_mod(expr, modulus: int):
-    """First 8 md5 hex digits of ``expr`` as an integer mod
-    ``modulus`` — the shared deterministic-bucket idiom (same digit
-    arithmetic the CMS sketch replays in SQL)."""
-    h = F.md5(F.encode(expr, "UTF-8"))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % modulus).cast("int")
+NEG_K = 4  # negatives per anchor
+# candidate hash buckets: a tuning knob, NOT adaptive — per-anchor join
+# work is K * |D| / NEG_BUCKETS, so a 100 TB deployment raises it in
+# proportion to the corpus (keeping each bucket at a target row count),
+# exactly like shuffle-partition sizing; 16 matches the test corpus
+NEG_BUCKETS = 16
 
 
 def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K deterministic negative examples per anchor vector for
-    contrastive training: each anchor draws ``NEG_K`` pseudo-random
-    candidates with a DIFFERENT label — reproducible on any cluster
-    layout, no RNG, no all-pairs join.
+    """K deterministic, DISTINCT negative examples per anchor vector
+    for contrastive training: each anchor draws up to ``NEG_K``
+    pseudo-random candidates with a DIFFERENT label — reproducible on
+    any cluster layout, no RNG, no all-pairs join.
 
-    The trick is the same salted-md5 bucket idiom the stratified
-    sampler and training-shard layout use, applied twice:
+    The salted-md5 bucket idiom (``functions.hashing``) is applied
+    twice:
 
-    - every candidate lands in one of ``NEG_BUCKETS`` hash buckets
-      (a zero-shuffle projection);
-    - each (anchor, slot j) pair hashes to a TARGET bucket, joins
-      only that bucket's candidates (one shuffle of |A|·K slot rows
-      against |D|/B-sized buckets — never anchors × corpus), and
-      keeps the candidate with the smallest slot-salted rank hash
-      via one bounded window. At scale B grows with the corpus, so
-      per-slot work is constant.
+    - every candidate lands in exactly ONE of ``NEG_BUCKETS`` hash
+      buckets (a zero-shuffle projection);
+    - each anchor hashes ``NEG_K`` slot salts to target buckets,
+      collapsed to the DISTINCT bucket set before the join (one
+      shuffle of at most |A|·K bucket-probe rows against |D|/B-sized
+      buckets — never anchors × corpus). The pooled candidates are
+      ranked by ONE anchor-salted hash and the first K kept by a
+      bounded window — so the K negatives are distinct rows of the
+      pool BY CONSTRUCTION (a slot-wise argmin could hand two slots
+      the same winner when their buckets coincide).
 
-    A slot whose bucket holds no different-label candidate drops —
-    stated semantics (buckets are dense at any realistic corpus
-    size; the crafted test pins the behavior).
+    An anchor whose pooled buckets hold fewer than K different-label
+    candidates yields fewer rows — stated semantics, pinned by the
+    crafted test.
     """
+    from pac_spark.functions.hashing import md5_bucket
+
     emb = catalog.load(spark, sf_dir, "embeddings").select("vec_id", "label")
     cands = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("cand_label"),
-        _hex8_mod(F.concat(F.lit("neg|"), F.col("vec_id").cast("string")), NEG_BUCKETS).alias("bucket"),
+        md5_bucket(
+            F.concat(F.lit("neg|"), F.col("vec_id").cast("string")), NEG_BUCKETS
+        ).alias("bucket"),
     )
-    slots = emb.select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.explode(F.array(*[F.lit(j) for j in range(NEG_K)])).alias("neg_slot"),
-    ).withColumn(
-        "bucket",
-        _hex8_mod(
-            F.concat(
-                F.lit("slot|"),
-                F.col("anchor_id").cast("string"),
-                F.lit("|"),
-                F.col("neg_slot").cast("string"),
-            ),
-            NEG_BUCKETS,
-        ),
+    probes = (
+        emb.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.explode(F.array(*[F.lit(j) for j in range(NEG_K)])).alias("j"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            md5_bucket(
+                F.concat(
+                    F.lit("slot|"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                ),
+                NEG_BUCKETS,
+            ).alias("bucket"),
+        )
+        .distinct()
     )
-    joined = slots.join(cands, "bucket").filter(
+    joined = probes.join(cands, "bucket").filter(
         (F.col("cand_label") != F.col("anchor_label"))
         & (F.col("cand_id") != F.col("anchor_id"))
     )
@@ -428,21 +435,19 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("rank|"),
                 F.col("anchor_id").cast("string"),
                 F.lit("|"),
-                F.col("neg_slot").cast("string"),
-                F.lit("|"),
                 F.col("cand_id").cast("string"),
             ),
             "UTF-8",
         )
     )
-    w = W.partitionBy("anchor_id", "neg_slot").orderBy("rh", "cand_id")
+    w = W.partitionBy("anchor_id").orderBy("rh", "cand_id")
     return (
         joined.withColumn("rh", rh)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= NEG_K)
         .select(
             "anchor_id",
-            "neg_slot",
+            (F.col("rn") - 1).alias("neg_slot"),
             F.col("cand_id").alias("neg_id"),
             F.col("cand_label").alias("neg_label"),
         )
@@ -452,19 +457,14 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def NEGATIVES_SQL() -> str:
     """STAGED for the r7 rotation (gate: tests/test_staged_specs.py):
-    identical double-salted bucket/rank md5 arithmetic, digit-wise."""
+    identical double-salted bucket/rank md5 arithmetic, digit-wise
+    (emitted by the same ``functions.hashing`` module the Spark side
+    uses, so the two forms cannot drift)."""
+    from pac_spark.functions.hashing import md5_bucket_sql
 
-    def hex8_mod(expr: str, modulus: int) -> str:
-        digits = " + ".join(
-            f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
-            f" * {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        return f"CAST(({digits}) % {modulus} AS INT)"
-
-    cand_b = hex8_mod("'neg|' || CAST(vec_id AS VARCHAR)", NEG_BUCKETS)
-    slot_b = hex8_mod(
-        "'slot|' || CAST(anchor_id AS VARCHAR) || '|' || CAST(neg_slot AS VARCHAR)",
+    cand_b = md5_bucket_sql("'neg|' || CAST(vec_id AS VARCHAR)", NEG_BUCKETS)
+    slot_b = md5_bucket_sql(
+        "'slot|' || CAST(anchor_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)",
         NEG_BUCKETS,
     )
     return f"""
@@ -473,27 +473,27 @@ WITH cands AS (
     FROM embeddings
 ),
 slots AS (
-    SELECT e.vec_id AS anchor_id, e.label AS anchor_label, j.neg_slot
+    SELECT e.vec_id AS anchor_id, e.label AS anchor_label, j.j
     FROM embeddings e
-    CROSS JOIN (SELECT UNNEST(RANGE({NEG_K})) AS neg_slot) j
+    CROSS JOIN (SELECT UNNEST(RANGE({NEG_K})) AS j) j
 ),
-keyed AS (SELECT *, {slot_b} AS bucket FROM slots),
+probes AS (
+    SELECT DISTINCT anchor_id, anchor_label, {slot_b} AS bucket FROM slots
+),
 joined AS (
-    SELECT k.anchor_id, k.neg_slot, c.cand_id, c.cand_label,
-           md5('rank|' || CAST(k.anchor_id AS VARCHAR) || '|'
-               || CAST(k.neg_slot AS VARCHAR) || '|'
+    SELECT p.anchor_id, c.cand_id, c.cand_label,
+           md5('rank|' || CAST(p.anchor_id AS VARCHAR) || '|'
                || CAST(c.cand_id AS VARCHAR)) AS rh
-    FROM keyed k JOIN cands c USING (bucket)
-    WHERE c.cand_label <> k.anchor_label AND c.cand_id <> k.anchor_id
+    FROM probes p JOIN cands c USING (bucket)
+    WHERE c.cand_label <> p.anchor_label AND c.cand_id <> p.anchor_id
 ),
 ranked AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, neg_slot
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
                                  ORDER BY rh, cand_id) AS rn
     FROM joined
 )
-SELECT anchor_id, CAST(neg_slot AS INT) AS neg_slot,
-       cand_id AS neg_id, neg_label
-FROM (SELECT anchor_id, neg_slot, cand_id, cand_label AS neg_label
-      FROM ranked WHERE rn = 1)
+SELECT anchor_id, CAST(rn - 1 AS INT) AS neg_slot,
+       cand_id AS neg_id, cand_label AS neg_label
+FROM ranked WHERE rn <= {NEG_K}
 ORDER BY anchor_id, neg_slot
 """

@@ -51,11 +51,11 @@ CMS_TOP_N = 20
 
 
 def _cms_col(key: Column, seed: int) -> Column:
-    """Column index for depth row ``seed``: first 8 md5 hex digits of
-    the seeded key, mod width. 32 hash bits >> 8 width bits, so the
-    mod is uniform; the digit-wise arithmetic is replayed in SQL."""
-    h = F.md5(F.encode(F.concat(F.lit(f"cms{seed}|"), key.cast("string")), "UTF-8"))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_WIDTH).cast("int")
+    """Column index for depth row ``seed``: the shared md5-prefix
+    bucket (``functions.hashing``) of the seeded key, mod width."""
+    from pac_spark.functions.hashing import md5_bucket
+
+    return md5_bucket(F.concat(F.lit(f"cms{seed}|"), key.cast("string")), CMS_WIDTH)
 
 
 def cms_build(rows: DataFrame, key: str) -> DataFrame:
@@ -141,13 +141,12 @@ def CMS_HH_SQL() -> str:
     """DuckDB oracle: the identical sketch (same seeded md5 column
     arithmetic, digit-wise), same min-of-cells estimates."""
 
+    from pac_spark.functions.hashing import md5_bucket_sql
+
     def col_sql(key_expr: str, d: int) -> str:
-        digits = " + ".join(
-            f"(strpos('0123456789abcdef', substring(md5('cms{d}|' || "
-            f"CAST({key_expr} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-            for i in range(8)
+        return md5_bucket_sql(
+            f"'cms{d}|' || CAST({key_expr} AS VARCHAR)", CMS_WIDTH
         )
-        return f"CAST(({digits}) % {CMS_WIDTH} AS INT)"
 
     cell_rows = " UNION ALL ".join(
         f"SELECT {d} AS row, {col_sql('user_id', d)} AS col FROM events"

@@ -340,8 +340,11 @@ def welch_ab_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_b"),
             arm(F.col("is_a"), F.col("c")).alias("sa"),
             arm(~F.col("is_a"), F.col("c")).alias("sb"),
-            arm(F.col("is_a"), F.col("c") * F.col("c")).alias("ssa"),
-            arm(~F.col("is_a"), F.col("c") * F.col("c")).alias("ssb"),
+            # cast BEFORE squaring: c*c in long overflows at a single
+            # ~$30M value; decimal(38,0) squares never do (the CUSUM
+            # fold below uses the same order)
+            arm(F.col("is_a"), F.col("c").cast(dec) * F.col("c")).alias("ssa"),
+            arm(~F.col("is_a"), F.col("c").cast(dec) * F.col("c")).alias("ssb"),
         )
         .filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     )
@@ -356,14 +359,17 @@ def welch_ab_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         (va / na) * (va / na) / (na - F.lit(1.0))
         + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
     )
+    # sq == 0 (both arms constant) would divide by zero: Spark 4 ANSI
+    # mode THROWS on double /0 while DuckDB yields NULL — gate both
+    # statistics on sq > 0 and state the same CASE in the oracle
     return agg.select(
         "hour_of_day",
         "n_a",
         "n_b",
         (sa / na / F.lit(100.0)).alias("mean_a"),
         (sb / nb / F.lit(100.0)).alias("mean_b"),
-        t.alias("welch_t"),
-        df.alias("welch_df"),
+        F.when(sq > 0, t).alias("welch_t"),
+        F.when(sq > 0, df).alias("welch_df"),
     ).orderBy("hour_of_day")
 
 
@@ -383,8 +389,8 @@ m AS (
            CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
            SUM(CASE WHEN is_a THEN c ELSE 0 END) AS sa,
            SUM(CASE WHEN NOT is_a THEN c ELSE 0 END) AS sb,
-           SUM(CASE WHEN is_a THEN c * c ELSE 0 END) AS ssa,
-           SUM(CASE WHEN NOT is_a THEN c * c ELSE 0 END) AS ssb
+           SUM(CASE WHEN is_a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ssa,
+           SUM(CASE WHEN NOT is_a THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ssb
     FROM e GROUP BY hour_of_day
     HAVING n_a >= 2 AND n_b >= 2
 ),
@@ -405,9 +411,12 @@ s AS (SELECT *, va / na + vb / nb AS sq FROM v)
 SELECT hour_of_day, n_a, n_b,
        sa / na / 100.0 AS mean_a,
        sb / nb / 100.0 AS mean_b,
-       (sa / na - sb / nb) / sqrt(sq) AS welch_t,
-       (sq * sq) / ((va / na) * (va / na) / (na - 1.0)
-                    + (vb / nb) * (vb / nb) / (nb - 1.0)) AS welch_df
+       CASE WHEN sq > 0
+            THEN (sa / na - sb / nb) / sqrt(sq) END AS welch_t,
+       CASE WHEN sq > 0
+            THEN (sq * sq) / ((va / na) * (va / na) / (na - 1.0)
+                              + (vb / nb) * (vb / nb) / (nb - 1.0))
+            END AS welch_df
 FROM s ORDER BY hour_of_day
 """
 

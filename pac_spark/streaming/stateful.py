@@ -408,46 +408,22 @@ def streaming_ivm_user_value(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    from pac_spark import cache
-    from pac_spark.streaming.stream_exec import stream_events
-
     ev = stream_events(spark, sf_dir).select("user_id", "value")
-    state = {"view": None, "handles": []}
 
-    def fold(batch_df, _batch_id):
-        delta = batch_df.groupBy("user_id").agg(
+    def partial(batch_df):
+        return batch_df.groupBy("user_id").agg(
             F.count("*").alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
         )
-        view = state["view"]
-        merged = (
-            delta
-            if view is None
-            else view.unionByName(delta)
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
             .groupBy("user_id")
             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
         )
-        # checkpoint: the view must not chain lineage across batches
-        # (and the incoming batch_df is only valid inside this call).
-        # _rotate_view frees the SUPERSEDED view's blocks as soon as
-        # the new one is materialized — without this, resident copies
-        # grow linearly with batch count (code-review r6 #3), which is
-        # exactly wrong at stream cadence. The final view's handles
-        # are parked in the cache registry so the normal between-query
-        # sweep frees them.
-        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
 
-    q = (
-        ev.writeStream.foreachBatch(fold)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    view = state["view"]
-    if view is None:
-        raise RuntimeError("stream delivered no batches")
-    cache._CKPT_CUR.extend(state["handles"])
+    view = _run_ivm_fold(ev, partial, merge)
     return view.select(
         "user_id",
         F.col("n").alias("n_events"),
@@ -476,6 +452,39 @@ def _rotate_view(state: dict, merged, spark_context) -> None:
     for h in state["handles"]:
         h.unpersist()
     state["handles"] = fresh
+
+
+def _run_ivm_fold(ev_stream, partial_fn, merge_fn):
+    """Drain ``ev_stream`` (availableNow) through foreachBatch,
+    folding each micro-batch's partial aggregate into a running
+    checkpointed view: ``merge_fn(view, partial_fn(batch))``. The
+    incoming batch_df is only valid inside the callback and the view
+    must not chain lineage across batches, so every fold rotates
+    through ``_rotate_view``. The final view's checkpoint handles are
+    parked in the cache registry so the normal between-query sweep
+    frees them. Shared by every foreachBatch IVM operator — the
+    drain/guard/parking logic exists ONCE."""
+    from pac_spark import cache
+
+    state = {"view": None, "handles": []}
+
+    def fold(batch_df, _batch_id):
+        delta = partial_fn(batch_df)
+        view = state["view"]
+        merged = delta if view is None else merge_fn(view, delta)
+        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+
+    q = (
+        ev_stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["view"] is None:
+        raise RuntimeError("stream delivered no batches")
+    cache._CKPT_CUR.extend(state["handles"])
+    return state["view"]
 
 
 def _ohlc_partial(batch_df):
@@ -542,30 +551,10 @@ def streaming_ohlc_bars(spark, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    from pac_spark import cache
-
     ev = stream_events(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value"
     )
-    state = {"view": None, "handles": []}
-
-    def fold(batch_df, _batch_id):
-        delta = _ohlc_partial(batch_df)
-        view = state["view"]
-        merged = delta if view is None else _ohlc_merge(view, delta)
-        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
-
-    q = (
-        ev.writeStream.foreachBatch(fold)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    view = state["view"]
-    if view is None:
-        raise RuntimeError("stream delivered no batches")
-    cache._CKPT_CUR.extend(state["handles"])
+    view = _run_ivm_fold(ev, _ohlc_partial, _ohlc_merge)
     dollars = lambda c: (c.cast("double") / 100.0)  # noqa: E731
     return view.select(
         "event_type",

@@ -424,7 +424,33 @@ def test_contrastive_negatives_semantics(spark, sf_dir):
         assert labels[r["neg_id"]] == r["neg_label"]
         assert r["neg_label"] != labels[r["anchor_id"]]
         assert r["neg_id"] != r["anchor_id"]
-        per_anchor.setdefault(r["anchor_id"], []).append(r["neg_slot"])
-    assert all(len(slots) <= NEG_K for slots in per_anchor.values())
+        per_anchor.setdefault(r["anchor_id"], []).append((r["neg_slot"], r["neg_id"]))
+    for drawn in per_anchor.values():
+        assert len(drawn) <= NEG_K
+        # distinct BY CONSTRUCTION: no negative repeats across slots
+        assert len({neg for _, neg in drawn}) == len(drawn)
     again = contrastive_negatives(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_welch_ab_degenerate_variance(spark, tmp_path):
+    """Both arms constant: pooled variance is zero, so t/df must be
+    NULL on both engines (Spark 4 ANSI mode would otherwise throw
+    DIVIDE_BY_ZERO mid-job)."""
+    import pandas as pd
+
+    ts = pd.Timestamp("2024-03-02 09:00:00")
+    rows = [
+        (i, ts + pd.Timedelta(seconds=i), 1, "purchase", 5.00) for i in range(3)
+    ] + [
+        (10 + i, ts + pd.Timedelta(seconds=30 + i), 2, "click", 3.00)
+        for i in range(3)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import welch_ab_value_by_hour
+
+    [r] = welch_ab_value_by_hour(spark, str(tmp_path)).collect()
+    assert r["welch_t"] is None and r["welch_df"] is None
+    assert r["mean_a"] == 5.00 and r["mean_b"] == 3.00
