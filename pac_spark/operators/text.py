@@ -31,6 +31,8 @@ __all__ = [
     "unigram_prob_score",
     "doc_repetition_signals",
     "corr_quality_tokens_by_lang",
+    "chi2_terms_by_source",
+    "CHI2_SQL",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -589,3 +591,154 @@ def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov_quality_tokens"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Discriminative terms (chi-square feature selection)
+
+CHI2_TOP_TERMS = 50  # candidate vocabulary (by document frequency)
+CHI2_PER_SOURCE = 10  # reported terms per source
+
+
+def chi2_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square discriminative terms per source: for each of the
+    top-``CHI2_TOP_TERMS`` document-frequency terms, the 2×2
+    presence/source contingency statistic, top ``CHI2_PER_SOURCE``
+    per source — the classic feature-selection readout ("which terms
+    characterize this slice of the corpus"), and the drift diagnostic
+    between ingestion sources.
+
+    Every cell of the contingency table is an exact integer from TWO
+    shuffles (distinct (doc, term) presence rows; then term and
+    term×source counts — the per-source totals and the corpus total
+    are broadcast frames). The candidate cut is
+    TakeOrderedAndProject with a total ordering (df desc, term). The
+    chi-square value is one double expression over the four exact
+    cells, written identically in the oracle — factors are cast to
+    double BEFORE multiplying, so nothing overflows at any corpus
+    size (the statistic, not the intermediate, is the contract).
+    Per-source ranking uses (chi2 desc, term) — bit-identical doubles
+    on both engines, so the cut is deterministic.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    from pac_spark.cache import pin
+
+    presence = pin(
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+        ).distinct()
+    )
+    top_terms = (
+        presence.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .orderBy(F.desc("df_t"), "term")
+        .limit(CHI2_TOP_TERMS)
+    )
+    doc_sources = presence.select("doc_id", "source").distinct()
+    n_by_source = doc_sources.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    n_total = doc_sources.agg(F.count(F.lit(1)).alias("n"))
+    df_ts = (
+        presence.join(F.broadcast(top_terms), "term")
+        .groupBy("term", "source", "df_t")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    cells = (
+        df_ts.join(F.broadcast(n_by_source), "source")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            "term",
+            "a",
+            (F.col("df_t") - F.col("a")).alias("b"),
+            (F.col("n_s") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("df_t") - F.col("n_s") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = dbl("a") * dbl("d") - dbl("b") * dbl("c")
+    den = (
+        (dbl("a") + dbl("b"))
+        * (dbl("c") + dbl("d"))
+        * (dbl("a") + dbl("c"))
+        * (dbl("b") + dbl("d"))
+    )
+    # a zero marginal (term in EVERY doc, or a source covering the
+    # whole corpus) makes the table degenerate: chi2 is defined 0 —
+    # no measurable association — rather than thrown (Spark 4 ANSI
+    # mode raises on double division by zero) or NULL (DuckDB)
+    chi2 = F.when(den > 0, (dbl("n") * det * det) / den).otherwise(F.lit(0.0))
+    w = W.partitionBy("source").orderBy(F.desc("chi2"), "term")
+    return (
+        cells.select("source", "term", F.col("a").alias("docs_with_term"), chi2.alias("chi2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CHI2_PER_SOURCE)
+        .select("source", F.col("rnk").alias("rank"), "term", "docs_with_term", "chi2")
+        .orderBy("source", "rank")
+    )
+
+
+def CHI2_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH presence AS (
+    SELECT DISTINCT doc_id, source, term
+    FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS term
+          FROM documents)
+),
+top_terms AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t
+    FROM presence GROUP BY term
+    ORDER BY df_t DESC, term LIMIT {CHI2_TOP_TERMS}
+),
+doc_sources AS (SELECT DISTINCT doc_id, source FROM presence),
+n_by_source AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM doc_sources GROUP BY source
+),
+n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM doc_sources),
+df_ts AS (
+    SELECT p.term, p.source, t.df_t, CAST(COUNT(*) AS BIGINT) AS a
+    FROM presence p JOIN top_terms t USING (term)
+    GROUP BY p.term, p.source, t.df_t
+),
+cells AS (
+    SELECT d.source, d.term, d.a,
+           d.df_t - d.a AS b,
+           s.n_s - d.a AS c,
+           t.n - d.df_t - s.n_s + d.a AS d,
+           t.n
+    FROM df_ts d
+    JOIN n_by_source s USING (source)
+    CROSS JOIN n_total t
+),
+scored AS (
+    SELECT source, term, a AS docs_with_term,
+           CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                     * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                     * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE)
+                          * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                          * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                 - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                     / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                        * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                        * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                        * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)))
+                ELSE 0.0 END AS chi2
+    FROM cells
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY chi2 DESC, term) AS rank
+    FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, term, docs_with_term, chi2
+FROM ranked WHERE rank <= {CHI2_PER_SOURCE}
+ORDER BY source, rank
+"""

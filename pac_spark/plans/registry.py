@@ -113,6 +113,8 @@ def all_specs() -> list[QuerySpec]:
     # - contrastive_negatives (operators/curation.py, deterministic
     #   negative sampling; oracle curation.NEGATIVES_SQL, green at
     #   3 SFs)
+    # - chi2_terms_by_source (operators/text.py, discriminative-term
+    #   feature selection; oracle text.CHI2_SQL, green at 3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

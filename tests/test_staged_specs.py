@@ -454,3 +454,35 @@ def test_welch_ab_degenerate_variance(spark, tmp_path):
     [r] = welch_ab_value_by_hour(spark, str(tmp_path)).collect()
     assert r["welch_t"] is None and r["welch_df"] is None
     assert r["mean_a"] == 5.00 and r["mean_b"] == 3.00
+
+
+def test_chi2_terms_oracle(spark, duck, sf_dir):
+    """Staged for r7: chi-square discriminative terms vs the identical
+    contingency oracle."""
+    from pac_spark.operators.text import CHI2_SQL, chi2_terms_by_source
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(chi2_terms_by_source(spark, sf_dir), duck.sql(CHI2_SQL()))
+
+
+def test_chi2_terms_crafted(spark, tmp_path):
+    """A term exclusive to one source tops that source's ranking with
+    the hand-computed chi-square of its 2x2 table."""
+    import pandas as pd
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "zebra common filler", "en", "src_a", 0))
+    for i in range(10, 20):
+        rows.append((i, "common filler words", "en", "src_b", 0))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import chi2_terms_by_source
+
+    out = chi2_terms_by_source(spark, str(tmp_path)).collect()
+    top_a = next(r for r in out if r["source"] == "src_a" and r["rank"] == 1)
+    # 'zebra': a=10, b=0, c=0, d=10, n=20 -> chi2 = 20*(100)^2/10^4 = 20
+    assert top_a["term"] == "zebra"
+    assert abs(top_a["chi2"] - 20.0) < 1e-12
+    assert top_a["docs_with_term"] == 10
