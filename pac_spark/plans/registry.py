@@ -81,8 +81,9 @@ def all_specs() -> list[QuerySpec]:
     # streaming_cms_heavy_hitters, butterfly_supplier_pairs,
     # sequence_packing, ivm_nation_balance, bloom_pruned_orders_join,
     # percentiles_price_by_flag, rfm_customer_segments,
-    # timeseries_gapfill_hourly) — and fill the ~38 freed slots with
-    # the then-stalest tail (after this rotation: the r3-last-green
+    # timeseries_gapfill_hourly) — register the TEN staged operators
+    # listed below (they claim ~10 slots), and fill the remaining ~28
+    # with the then-stalest tail (after this rotation: the r3-last-green
     # remainder — dedup_exact_docs, flagship_company_positions,
     # issues_count_validation, er_candidate_pairs/_consolidated/_links,
     # er_records_stringified, q6/q18, pivot, grouping_sets,

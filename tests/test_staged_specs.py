@@ -486,3 +486,50 @@ def test_chi2_terms_crafted(spark, tmp_path):
     assert top_a["term"] == "zebra"
     assert abs(top_a["chi2"] - 20.0) < 1e-12
     assert top_a["docs_with_term"] == 10
+
+
+def test_cusum_matches_recursion_many_series(spark, tmp_path):
+    """20 seeded pseudo-random user series (varied length, scale,
+    trend) in ONE job: the window closed form must equal the textbook
+    recursion replayed per user."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    ts0 = pd.Timestamp("2024-07-01")
+    series = {}
+    for user in range(1, 21):
+        n = rng.randint(1, 40)
+        drift = rng.choice([0.0, 0.5, -0.5, 3.0])
+        vals = [
+            round(max(0.01, 10 + drift * i + rng.uniform(-5, 5)), 2)
+            for i in range(n)
+        ]
+        series[user] = vals
+        for i, v in enumerate(vals):
+            rows.append((eid, ts0 + pd.Timedelta(minutes=eid), user, "view", v))
+            eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import cusum_user_value_shift
+
+    got = {
+        r["user_id"]: r for r in cusum_user_value_shift(spark, str(tmp_path)).collect()
+    }
+    for user, vals in series.items():
+        cents = [round(v * 100) for v in vals]
+        n, s = len(cents), sum(cents)
+        up = dn = cu = cd = 0
+        for c in cents:
+            d = c * n - s
+            cu = max(0, cu + d)
+            cd = max(0, cd - d)
+            up, dn = max(up, cu), max(dn, cd)
+        r = got[user]
+        assert r["n_events"] == n
+        assert abs(r["up_shift"] - up / n / 100.0) < 1e-9, f"user {user}"
+        assert abs(r["down_shift"] - dn / n / 100.0) < 1e-9, f"user {user}"
