@@ -44,6 +44,8 @@ __all__ = [
     "CUSUM_SQL",
     "winsorized_price_stats_by_flag",
     "WINSOR_SQL",
+    "seasonal_anomaly_days",
+    "SEASONAL_SQL",
     "PCTS",
 ]
 
@@ -672,4 +674,101 @@ SELECT l_returnflag,
        CAST(raw_sum AS DOUBLE) / CAST(n_values AS DOUBLE) / 100.0 AS mean_raw,
        CAST(win_sum AS DOUBLE) / CAST(n_values AS DOUBLE) / 100.0 AS mean_winsorized
 FROM agg ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomaly detection
+
+SEASONAL_RATIO_PCT = 200  # flag days at >= 2x or <= 1/2 the seasonal mean
+
+
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose per-event value deviates from the SEASONAL baseline:
+    each (event_type, day) is compared against the mean value of the
+    same event type on the same DAY OF WEEK across the corpus — the
+    seasonally-adjusted monitoring readout (a quiet Sunday is not an
+    anomaly just because Mondays are busy).
+
+    The ratio day_mean / baseline_mean is the rational
+    ``(day_sum · bl_n) / (day_n · bl_sum)`` — numerator and
+    denominator are exact decimal(38,0) integer products, so the
+    anomaly FLAG is a pure integer comparison
+    (``100·num >= RATIO·den`` / ``100·num·RATIO <= 100·100·den`` form
+    avoids division entirely) and cannot flake across engines; the
+    reported ratio is the one double division, written identically in
+    the oracle. Plan: ONE raw scan into the per-day aggregate; the
+    day-of-week baseline is a re-aggregation of that (pinned) frame —
+    types × 7 rows — broadcast back onto it.
+    """
+    from pac_spark.cache import pin
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    days = pin(
+        ev.groupBy("event_type", "day", "dow").agg(
+            F.count(F.lit(1)).alias("day_n"), F.sum("c").alias("day_sum")
+        )
+    )
+    baseline = days.groupBy("event_type", "dow").agg(
+        F.sum("day_n").alias("bl_n"), F.sum("day_sum").alias("bl_sum")
+    )
+    dec = "decimal(38,0)"
+    j = days.join(F.broadcast(baseline), ["event_type", "dow"])
+    num = (F.col("day_sum").cast(dec) * F.col("bl_n")).alias("num")
+    den = (F.col("day_n").cast(dec) * F.col("bl_sum")).alias("den")
+    r = j.select("event_type", "day", "day_n", "day_sum", num, den)
+    high = F.col("num") * 100 >= F.col("den") * SEASONAL_RATIO_PCT
+    low = F.col("num") * SEASONAL_RATIO_PCT <= F.col("den") * 100
+    return r.select(
+        "event_type",
+        "day",
+        F.col("day_n").alias("n_events"),
+        (F.col("day_sum").cast("double") / 100.0).alias("day_value"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "seasonal_ratio"
+        ),
+        (high | low).alias("is_anomalous"),
+    ).orderBy("event_type", "day")
+
+
+def SEASONAL_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH e AS (
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS day,
+           dayofweek(ts) AS dow,
+           CAST(ROUND(value * 100) AS BIGINT) AS c
+    FROM events
+),
+days AS (
+    SELECT event_type, day, dow,
+           CAST(COUNT(*) AS BIGINT) AS day_n,
+           CAST(SUM(c) AS BIGINT) AS day_sum
+    FROM e GROUP BY 1, 2, 3
+),
+baseline AS (
+    SELECT event_type, dow,
+           CAST(SUM(day_n) AS BIGINT) AS bl_n,
+           CAST(SUM(day_sum) AS BIGINT) AS bl_sum
+    FROM days GROUP BY 1, 2
+),
+r AS (
+    SELECT d.event_type, d.day, d.day_n, d.day_sum,
+           CAST(d.day_sum AS HUGEINT) * b.bl_n AS num,
+           CAST(d.day_n AS HUGEINT) * b.bl_sum AS den
+    FROM days d JOIN baseline b USING (event_type, dow)
+)
+SELECT event_type, day,
+       day_n AS n_events,
+       CAST(day_sum AS DOUBLE) / 100.0 AS day_value,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS seasonal_ratio,
+       (num * 100 >= den * {SEASONAL_RATIO_PCT}
+        OR num * {SEASONAL_RATIO_PCT} <= den * 100) AS is_anomalous
+FROM r ORDER BY event_type, day
 """

@@ -533,3 +533,45 @@ def test_cusum_matches_recursion_many_series(spark, tmp_path):
         assert r["n_events"] == n
         assert abs(r["up_shift"] - up / n / 100.0) < 1e-9, f"user {user}"
         assert abs(r["down_shift"] - dn / n / 100.0) < 1e-9, f"user {user}"
+
+
+def test_seasonal_anomaly_oracle(spark, duck, sf_dir):
+    """Staged for r7: seasonally-adjusted day anomalies vs the
+    identical rational-ratio oracle (dow numbering differs between
+    engines — Spark Sunday=1, DuckDB Sunday=0 — but dow is only a
+    grouping key, so the partition sets coincide)."""
+    from pac_spark.operators.stats import SEASONAL_SQL, seasonal_anomaly_days
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        seasonal_anomaly_days(spark, sf_dir), duck.sql(SEASONAL_SQL())
+    )
+
+
+def test_seasonal_anomaly_crafted(spark, tmp_path):
+    """Three same-weekday days at $1 per event and one at $4: the
+    spiked day is flagged with the hand-computed ratio; the quiet
+    days (ratio 4/7 > 1/2) are not."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # Mondays: 2024-01-01, -08, -15, -22 — one event each
+    for week, value in enumerate([1.00, 1.00, 1.00, 4.00]):
+        ts = pd.Timestamp("2024-01-01 12:00:00") + pd.Timedelta(weeks=week)
+        rows.append((eid, ts, 1, "view", value))
+        eid += 1
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import seasonal_anomaly_days
+
+    out = {r["day"]: r for r in seasonal_anomaly_days(spark, str(tmp_path)).collect()}
+    assert len(out) == 4
+    # baseline mean = 7/4 dollars; spiked day ratio = 4/(7/4) = 16/7
+    spiked = out["2024-01-22"]
+    assert abs(spiked["seasonal_ratio"] - 16 / 7) < 1e-12
+    assert spiked["is_anomalous"]
+    for day in ("2024-01-01", "2024-01-08", "2024-01-15"):
+        assert abs(out[day]["seasonal_ratio"] - 4 / 7) < 1e-12
+        assert not out[day]["is_anomalous"]
