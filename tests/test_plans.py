@@ -382,3 +382,65 @@ def test_rfm_boundaries_broadcast(spark, sf_dir):
     plan = _exec_plan(rfm_customer_segments(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_closure_broadcasts(spark, sf_dir):
+    """Triangle enumeration must close via broadcast joins of the
+    bounded top-K edge frame — never a shuffle that grows with the
+    corpus — and the edge cut must be TakeOrdered, not a global sort."""
+    from pac_spark.operators.graph import triangle_top_parts
+
+    plan = _exec_plan(triangle_top_parts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ohlc_single_data_shuffle(spark, sf_dir):
+    """The collapsing groupBy must reuse the window's hash exchange:
+    exactly one hash exchange in the whole plan (the only other
+    exchange is the presentation range sort)."""
+    from pac_spark.operators.temporal import ohlc_bars_hourly
+
+    plan = _exec_plan(ohlc_bars_hourly(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_welch_single_shuffle_no_join(spark, sf_dir):
+    """Both arms' moments come from conditional aggregation in one
+    groupBy — a per-arm join would double-scan and co-shuffle."""
+    from pac_spark.operators.stats import welch_ab_value_by_hour
+
+    plan = _exec_plan(welch_ab_value_by_hour(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winsorize_bounds_broadcast_no_second_scan(spark, sf_dir):
+    """The clip bounds must broadcast onto the histogram, and the
+    plan must scan the fact table exactly once (everything after the
+    histogram is histogram-sized)."""
+    from pac_spark.operators.stats import winsorized_price_stats_by_flag
+
+    plan = _exec_plan(winsorized_price_stats_by_flag(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the histogram is pinned and BOTH consumers (bounds + clip agg)
+    # read the cache — the raw scan happens once at runtime even
+    # though the plan text prints the lineage under each branch
+    assert "InMemoryTableScan" in plan
+
+
+def test_seasonal_baseline_broadcasts_single_scan(spark, sf_dir):
+    from pac_spark.operators.stats import seasonal_anomaly_days
+
+    plan = _exec_plan(seasonal_anomaly_days(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # pinned per-day frame reused
+
+
+def test_chi2_candidate_cut_is_take_ordered(spark, sf_dir):
+    from pac_spark.operators.text import chi2_terms_by_source
+
+    plan = _exec_plan(chi2_terms_by_source(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
