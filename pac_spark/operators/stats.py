@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
+from pac_spark.functions.exact import int_div
 
 __all__ = [
     "group_percentiles_disc",
@@ -46,6 +47,8 @@ __all__ = [
     "WINSOR_SQL",
     "seasonal_anomaly_days",
     "SEASONAL_SQL",
+    "trend_slope_by_type",
+    "TREND_SQL",
     "PCTS",
 ]
 
@@ -771,4 +774,118 @@ SELECT event_type, day,
        (num * 100 >= den * {SEASONAL_RATIO_PCT}
         OR num * {SEASONAL_RATIO_PCT} <= den * 100) AS is_anomalous
 FROM r ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-segment linear trend (exact-moment regression)
+
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares value trend per event type — slope (dollars per
+    hour), intercept-at-epoch-start, and R² of value against event
+    time, the "is this metric drifting" readout behind every
+    monitoring dashboard.
+
+    Like the Pearson and Welch operators, nothing streams in doubles:
+    x is whole SECONDS since the corpus's first event (exact integer,
+    the micros→seconds floor stated with the shared integer-division
+    idiom on both engines; the 1-row corpus minimum is a broadcast,
+    the house scalar pattern), y is integer cents, and all five
+    moments (n, Σx, Σy, Σx², Σxy, Σy²) accumulate in decimal(38,0) —
+    x ≤ a few 10⁷ even for a multi-year corpus, so Σx² stays within
+    38 digits past 10¹² rows per group. The slope/R² formulas are one
+    identical double expression; zero-variance groups (all events in
+    one second, or constant values for R²) yield NULL via an exact
+    integer guard on the decimal determinants, not a thrown ANSI
+    division."""
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    t0 = ev.agg(F.min("us").alias("t0"))
+    dec = "decimal(38,0)"
+    xy = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        int_div(F.col("us") - F.col("t0"), F.lit(1_000_000)).alias("x"),
+        "y",
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x").cast(dec) * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y").cast(dec) * F.col("y")).cast(dec)).alias("syy"),
+    )
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    g = m.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("sx").cast("double").alias("fx"),
+        F.col("sy").cast("double").alias("fy"),
+        F.col("n").cast("double").alias("fn"),
+        dxx.cast("double").alias("fdxx"),
+        dyy.cast("double").alias("fdyy"),
+        dxy.cast("double").alias("fdxy"),
+        (dxx > 0).alias("has_x_var"),
+        ((dxx > 0) & (dyy > 0)).alias("has_both_var"),
+    )
+    slope = F.col("fdxy") / F.col("fdxx")  # cents per second
+    intercept = (F.col("fy") - slope * F.col("fx")) / F.col("fn")
+    r2 = (F.col("fdxy") * F.col("fdxy")) / (F.col("fdxx") * F.col("fdyy"))
+    return g.select(
+        "event_type",
+        "n_events",
+        F.when(F.col("has_x_var"), slope * 36.0).alias("slope_value_per_hour"),
+        F.when(F.col("has_x_var"), intercept / 100.0).alias("intercept_value"),
+        F.when(F.col("has_both_var"), r2).alias("r2"),
+    ).orderBy("event_type")
+
+
+def TREND_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH e AS (
+    SELECT event_type,
+           epoch_us(ts) AS us,
+           CAST(ROUND(value * 100) AS BIGINT) AS y
+    FROM events
+),
+t0 AS (SELECT MIN(us) AS t0 FROM e),
+xy AS (
+    SELECT event_type, (us - t0) // 1000000 AS x, y FROM e CROSS JOIN t0
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx,
+           SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM xy GROUP BY event_type
+),
+g AS (
+    SELECT event_type, n,
+           CAST(sx AS DOUBLE) AS fx,
+           CAST(sy AS DOUBLE) AS fy,
+           CAST(n AS DOUBLE) AS fn,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS fdxx,
+           CAST(n * syy - sy * sy AS DOUBLE) AS fdyy,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS fdxy,
+           n * sxx - sx * sx > 0 AS has_x_var,
+           (n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0) AS has_both_var
+    FROM m
+)
+SELECT event_type,
+       n AS n_events,
+       CASE WHEN has_x_var THEN fdxy / fdxx * 36.0 END AS slope_value_per_hour,
+       CASE WHEN has_x_var
+            THEN (fy - fdxy / fdxx * fx) / fn / 100.0 END AS intercept_value,
+       CASE WHEN has_both_var
+            THEN (fdxy * fdxy) / (fdxx * fdyy) END AS r2
+FROM g ORDER BY event_type
 """

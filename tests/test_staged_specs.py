@@ -575,3 +575,41 @@ def test_seasonal_anomaly_crafted(spark, tmp_path):
     for day in ("2024-01-01", "2024-01-08", "2024-01-15"):
         assert abs(out[day]["seasonal_ratio"] - 4 / 7) < 1e-12
         assert not out[day]["is_anomalous"]
+
+
+def test_trend_oracle(spark, duck, sf_dir):
+    """Staged for r7: per-type regression trend vs the identical
+    exact-moment oracle."""
+    from pac_spark.operators.stats import TREND_SQL, trend_slope_by_type
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(trend_slope_by_type(spark, sf_dir), duck.sql(TREND_SQL()))
+
+
+def test_trend_crafted(spark, tmp_path):
+    """A perfect $1/hour ramp recovers slope 1.0 and r2 1.0; a
+    one-second burst group yields NULL slope (zero x-variance) rather
+    than an ANSI divide-by-zero."""
+    import pandas as pd
+
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (i, ts0 + pd.Timedelta(hours=i), 1, "ramp", 10.00 + 1.0 * i)
+        for i in range(6)
+    ]
+    rows += [
+        (10 + i, ts0, 2, "burst", 3.00 + i) for i in range(3)
+    ]  # same second, varying values
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import trend_slope_by_type
+
+    out = {r["event_type"]: r for r in trend_slope_by_type(spark, str(tmp_path)).collect()}
+    ramp = out["ramp"]
+    assert abs(ramp["slope_value_per_hour"] - 1.0) < 1e-9
+    assert abs(ramp["intercept_value"] - 10.0) < 1e-9
+    assert abs(ramp["r2"] - 1.0) < 1e-12
+    burst = out["burst"]
+    assert burst["slope_value_per_hour"] is None and burst["r2"] is None
+    assert burst["n_events"] == 3
