@@ -39,6 +39,9 @@ __all__ = [
     "RI_RELATIONSHIPS",
     "referential_integrity_report",
     "RI_SQL",
+    "expectation_report",
+    "expectations_orders",
+    "EXPECTATIONS_SQL",
 ]
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -199,3 +202,91 @@ LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p ON c.{ckey} = p.{pkey}"""
         )
     union = "\nUNION ALL\n".join(selects)
     return f"SELECT * FROM ({union}) ORDER BY fk"
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations (deequ-style data-quality gate)
+
+def expectation_report(df: DataFrame, rules: list[tuple[str, object]]) -> DataFrame:
+    """Compile a declarative rule list into ONE aggregate pass and
+    report per-rule violations — the deequ/Great-Expectations-style
+    gate a pipeline runs before publishing a table, as an engine
+    primitive.
+
+    ``rules`` is a list of ``(name, spec)`` where spec is either a
+    boolean Column (rows violating = rows where the predicate is not
+    TRUE — a NULL predicate counts as a violation, so ``col > 0``
+    catches NULLs without a separate rule) or the string marker
+    ``"unique:<col>"`` (violations = rows beyond the first of each
+    value, computed as ``count - count_distinct`` in the same
+    aggregate — no self-join, no window).
+
+    Plan shape: every rule folds into one map-side-combined aggregate
+    over a single scan; the per-rule output rows are an unpivot
+    (``stack``) of that 1-row frame. Adding a rule never adds a scan.
+    """
+    n_col = F.count(F.lit(1)).alias("__n")
+    aggs, names = [n_col], []
+    for i, (name, spec) in enumerate(rules):
+        names.append(name)
+        if isinstance(spec, str) and spec.startswith("unique:"):
+            col = spec.split(":", 1)[1]
+            aggs.append(
+                (F.count(col) - F.count_distinct(F.col(col))).alias(f"__v{i}")
+            )
+        else:
+            aggs.append(
+                F.sum(F.when(spec, F.lit(0)).otherwise(F.lit(1)))
+                .cast("long")
+                .alias(f"__v{i}")
+            )
+    one = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
+    return (
+        one.select(
+            F.expr(f"stack({len(names)}, {pairs}) as (rule, violations)"),
+            F.col("__n").alias("n_rows"),
+        )
+        .select("rule", "n_rows", "violations", (F.col("violations") == 0).alias("passed"))
+        .orderBy("rule")
+    )
+
+
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the declarative gate over ``orders``."""
+    o = catalog.load(spark, sf_dir, "orders")
+    rules = [
+        ("accepted_values:o_orderstatus", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("not_null:o_custkey", F.col("o_custkey").isNotNull()),
+        ("not_null:o_orderdate", F.col("o_orderdate").isNotNull()),
+        ("range:o_totalprice_positive", F.col("o_totalprice") > 0),
+        ("unique:o_orderkey", "unique:o_orderkey"),
+    ]
+    return expectation_report(o, rules)
+
+
+def EXPECTATIONS_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py).
+    Each rule restated as the same not-TRUE violation count over one
+    aggregate; NULL predicates count as violations on both engines
+    (CASE WHEN p THEN 0 ELSE 1 END)."""
+    return """
+WITH agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v_status,
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_custkey,
+           CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_orderdate,
+           CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique
+    FROM orders
+)
+SELECT rule, n_rows, violations, violations = 0 AS passed
+FROM (
+    SELECT 'accepted_values:o_orderstatus' AS rule, n_rows, v_status AS violations FROM agg
+    UNION ALL SELECT 'not_null:o_custkey', n_rows, v_custkey FROM agg
+    UNION ALL SELECT 'not_null:o_orderdate', n_rows, v_orderdate FROM agg
+    UNION ALL SELECT 'range:o_totalprice_positive', n_rows, v_price FROM agg
+    UNION ALL SELECT 'unique:o_orderkey', n_rows, v_unique FROM agg
+)
+ORDER BY rule
+"""

@@ -82,7 +82,7 @@ def all_specs() -> list[QuerySpec]:
     # sequence_packing, ivm_nation_balance, bloom_pruned_orders_join,
     # percentiles_price_by_flag, rfm_customer_segments,
     # timeseries_gapfill_hourly) — register the TEN staged operators
-    # listed below (they claim ~12 slots), and fill the remaining ~26
+    # listed below (they claim ~13 slots), and fill the remaining ~25
     # with the then-stalest tail (after this rotation: the r3-last-green
     # remainder — dedup_exact_docs, flagship_company_positions,
     # issues_count_validation, er_candidate_pairs/_consolidated/_links,
@@ -120,6 +120,9 @@ def all_specs() -> list[QuerySpec]:
     #   adjusted anomalies; oracle stats.SEASONAL_SQL, green at 3 SFs)
     # - trend_slope_by_type (operators/stats.py, exact-moment
     #   regression trend; oracle stats.TREND_SQL, green at 3 SFs)
+    # - expectations_orders (operators/profile.py, declarative
+    #   data-quality gate; oracle profile.EXPECTATIONS_SQL, green at
+    #   3 SFs)
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",

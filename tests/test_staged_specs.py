@@ -613,3 +613,46 @@ def test_trend_crafted(spark, tmp_path):
     burst = out["burst"]
     assert burst["slope_value_per_hour"] is None and burst["r2"] is None
     assert burst["n_events"] == 3
+
+
+def test_expectations_oracle(spark, duck, sf_dir):
+    """Staged for r7: the declarative expectation gate vs the
+    identical single-aggregate oracle."""
+    from pac_spark.operators.profile import EXPECTATIONS_SQL, expectations_orders
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        expectations_orders(spark, sf_dir), duck.sql(EXPECTATIONS_SQL())
+    )
+
+
+def test_expectation_report_crafted(spark, tmp_path):
+    """Each rule kind counts exactly its violations: NULL predicates
+    are violations, duplicates count rows beyond the first, and a
+    clean column passes."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    pd.DataFrame(
+        {
+            "k": [1, 2, 2, 3, 3, 3],
+            "v": [5.0, -1.0, None, 2.0, 0.0, 7.0],
+            "s": ["A", "B", "A", "C", "A", "A"],
+        }
+    ).to_parquet(tmp_path / "t.parquet")
+    df = spark.read.parquet(str(tmp_path / "t.parquet"))
+    from pac_spark.operators.profile import expectation_report
+
+    rules = [
+        ("accepted:s", F.col("s").isin("A", "B")),
+        ("positive:v", F.col("v") > 0),
+        ("unique:k", "unique:k"),
+    ]
+    got = {r["rule"]: r for r in expectation_report(df, rules).collect()}
+    assert got["accepted:s"]["violations"] == 1  # the 'C'
+    # v > 0 violations: -1.0, NULL, 0.0
+    assert got["positive:v"]["violations"] == 3
+    assert got["unique:k"]["violations"] == 3  # one extra 2, two extra 3s
+    assert all(r["n_rows"] == 6 for r in got.values())
+    assert not any(r["passed"] for r in got.values())
