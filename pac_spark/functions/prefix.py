@@ -1,0 +1,92 @@
+"""Two-phase global prefix sums — the scale-legal form of an
+unpartitioned running-total window.
+
+``SUM(x) OVER (ORDER BY k)`` with no PARTITION BY collapses the whole
+input into ONE task (Spark plans a single-partition Window exchange),
+which is the textbook 100 TB scale-killer. But a running total is a
+classic two-phase computation — the same decomposition every parallel
+prefix-sum algorithm (Blelloch scan) uses:
+
+1. bucket rows by any expression MONOTONE in the order key (a day for
+   timestamps, ``value div 10^6`` for integer domains): running sums
+   inside each bucket are an ordinary PARTITIONed window, fully
+   parallel;
+2. per-bucket totals form a tiny frame (one row per bucket — bounded
+   by the calendar / the value domain, not by row count); an
+   unpartitioned window over THAT is harmless, and yields each
+   bucket's starting offset;
+3. broadcast-join the offsets back: ``global running = in-bucket
+   running + offset``.
+
+The reference's engines get this for free from their single-node
+sequential scans (e.g. the pandas ``cumsum`` idiom around
+``executive_review_tool.py``'s summaries); on a cluster it must be
+re-derived, hence this helper.
+
+Row-order caveat: a running sum is only well-defined per-row when the
+order key is unique (or rows with equal keys are pre-aggregated).
+Callers here always group to distinct order keys first; the helper
+asserts nothing and documents the contract instead, matching Spark's
+own ROWS-frame semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["global_running_sums"]
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    bucket: Column,
+    prefix: str = "run_",
+) -> DataFrame:
+    """Append ``{prefix}{v}`` = global running (inclusive) sum of each
+    ``v`` in *value_cols*, ordered by *order_col*, without ever forming
+    a single-task window over the data.
+
+    ``bucket`` must be monotone non-decreasing in ``order_col`` (same
+    order key -> same bucket, larger key -> same-or-larger bucket) and
+    ``order_col`` must be distinct per row; both hold for the grouped
+    event frames this repo feeds in.
+    """
+    b = df.withColumn("_pb", bucket)
+    in_w = (
+        W.partitionBy("_pb")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run_in = b.select(
+        "*", *[F.sum(v).over(in_w).alias(f"_in_{v}") for v in value_cols]
+    )
+    totals = b.groupBy("_pb").agg(
+        *[F.sum(v).alias(f"_tot_{v}") for v in value_cols]
+    )
+    # one row per bucket: the unpartitioned window is over a
+    # calendar/domain-bounded frame, not the data
+    off_w = (
+        W.orderBy("_pb").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = totals.select(
+        "_pb",
+        *[
+            (F.sum(f"_tot_{v}").over(off_w) - F.col(f"_tot_{v}")).alias(
+                f"_off_{v}"
+            )
+            for v in value_cols
+        ],
+    )
+    joined = run_in.join(F.broadcast(offsets), "_pb")
+    out = joined.select(
+        *df.columns,
+        *[
+            (F.col(f"_in_{v}") + F.col(f"_off_{v}")).alias(f"{prefix}{v}")
+            for v in value_cols
+        ],
+    )
+    return out

@@ -35,6 +35,8 @@ __all__ = [
     "timeseries_gapfill_hourly",
     "ohlc_bars_hourly",
     "OHLC_SQL",
+    "peak_concurrent_sessions",
+    "PEAK_CONCURRENCY_SQL",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -489,4 +491,141 @@ SELECT event_type, hour_ts,
 FROM fl
 GROUP BY event_type, hour_ts
 ORDER BY event_type, hour_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line over session intervals)
+
+
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: the PEAK number of simultaneously-open user sessions,
+    and the earliest instant that peak is reached.
+
+    Sessions are the same 10-minute-gap islands as
+    ``events_sessions_10m``; a session is open over the CLOSED interval
+    [first event, last event]. Concurrency only changes at session
+    starts, so the sweep evaluates ``conc(t) = #starts <= t - #ends
+    < t`` at each distinct start instant — grouped by timestamp first,
+    which makes the whole computation invariant to row order among
+    equal timestamps.
+
+    Scale shape: the classic formulation is one unpartitioned running
+    sum over every interval endpoint — a single-task window. Here the
+    endpoints are grouped to distinct instants, then the running counts
+    come from :func:`pac_spark.functions.prefix.global_running_sums`
+    (day-bucketed two-phase prefix sum), so no stage ever sees a
+    window wider than one calendar day, and the final per-day argmax
+    runs on the (tiny) distinct-instant frame.
+
+    Reference parity: the reference keeps event/session frames in
+    pandas and would take ``cumsum()`` on a sorted frame
+    (SURVEY.md §2.6 family); this is that semantics made
+    partition-parallel.
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.prefix import global_running_sums
+
+    events = catalog.load(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = 10 * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order)
+    is_break = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = (
+        events.select(
+            "user_id", us.alias("us"), F.sum(is_break).over(run).alias("sid")
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    # pinned: the sessionization scan feeds two consumers inside the
+    # prefix-sum helper (in-bucket runs + bucket totals) — without the
+    # pin the event windows would run once per consumer
+    endpoints = pin(
+        sessions.select(F.col("start_us").alias("t"), F.lit(1).alias("st"), F.lit(0).alias("en"))
+        .unionAll(
+            sessions.select(F.col("end_us").alias("t"), F.lit(0).alias("st"), F.lit(1).alias("en"))
+        )
+        .groupBy("t")
+        .agg(F.sum("st").alias("st"), F.sum("en").alias("en"))
+    )
+    day_us = F.lit(86_400_000_000)
+    running = global_running_sums(
+        endpoints, "t", ["st", "en"], bucket=((F.col("t") - F.col("t") % day_us) / day_us).cast("long")
+    )
+    # ends strictly before t: inclusive running minus this instant's own
+    conc = running.select(
+        "t",
+        "st",
+        (F.col("run_st") - (F.col("run_en") - F.col("en"))).alias("conc"),
+    ).filter(F.col("st") > 0)
+    # pinned: cand feeds the per-day max AND the argmax join-back
+    cand = pin(
+        conc.select(
+            F.date_format(F.timestamp_micros(F.col("t")), "yyyy-MM-dd").alias("day"),
+            "t",
+            "conc",
+        )
+    )
+    peaks = cand.groupBy("day").agg(F.max("conc").alias("peak_concurrency"))
+    return (
+        cand.join(F.broadcast(peaks), ["day"])
+        .filter(F.col("conc") == F.col("peak_concurrency"))
+        .groupBy("day", "peak_concurrency")
+        .agg(
+            F.date_format(F.timestamp_micros(F.min("t")), _TS6).alias("at_ts")
+        )
+        .select(
+            "day",
+            F.col("peak_concurrency").cast("int").alias("peak_concurrency"),
+            "at_ts",
+        )
+        .orderBy("day")
+    )
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH lagged AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+), b AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+                   THEN 1 ELSE 0 END AS brk
+    FROM lagged
+), s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM b
+), sess AS (
+    SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY user_id, sid
+), pts AS (
+    SELECT t, SUM(st) AS st, SUM(en) AS en FROM (
+        SELECT start_us AS t, 1 AS st, 0 AS en FROM sess
+        UNION ALL
+        SELECT end_us AS t, 0 AS st, 1 AS en FROM sess
+    ) GROUP BY t
+), run AS (
+    SELECT t, st,
+           SUM(st) OVER w - (SUM(en) OVER w - en) AS conc
+    FROM pts
+    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cand AS (
+    SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day, t, conc
+    FROM run WHERE st > 0
+), peaks AS (
+    SELECT day, MAX(conc) AS peak FROM cand GROUP BY day
+)
+SELECT c.day,
+       CAST(p.peak AS INT) AS peak_concurrency,
+       strftime(make_timestamp(MIN(c.t)), '%Y-%m-%d %H:%M:%S.%f') AS at_ts
+FROM cand c JOIN peaks p ON c.day = p.day AND c.conc = p.peak
+GROUP BY c.day, p.peak
+ORDER BY c.day
 """

@@ -444,3 +444,38 @@ def test_chi2_candidate_cut_is_take_ordered(spark, sf_dir):
     plan = _exec_plan(chi2_terms_by_source(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_two_phase_prefix_sum_plan_shape(spark):
+    """global_running_sums must never move the DATA through a single
+    partition: the in-bucket running sums are hash-partitioned windows,
+    the only SinglePartition exchange is over per-bucket TOTALS
+    (one row per bucket), and the offsets come back via broadcast."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.functions.prefix import global_running_sums
+
+    df = spark.range(1000).select(
+        F.col("id").alias("t"), (F.col("id") % 7).alias("v")
+    )
+    out = global_running_sums(df, "t", ["v"], bucket=(F.col("t") / 100).cast("long"))
+    plan = _exec_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    # the single-partition window's input is the per-bucket aggregate,
+    # i.e. a HashAggregate sits between the data and that exchange
+    single = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate" in single.split("Exchange")[0] or "HashAggregate" in single
+
+
+def test_peak_concurrency_pins_shared_frames(spark, sf_dir):
+    """The sessionization scan feeds two prefix-sum consumers and the
+    candidate frame feeds max + argmax — both must come from cache
+    (the plan text re-prints cached lineage per branch, so the runtime
+    dedup is asserted via InMemoryTableScan presence, same convention
+    as test_winsorize_bounds_broadcast_no_second_scan)."""
+    from pac_spark.operators.temporal import peak_concurrent_sessions
+
+    plan = _exec_plan(peak_concurrent_sessions(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan

@@ -656,3 +656,78 @@ def test_expectation_report_crafted(spark, tmp_path):
     assert got["unique:k"]["violations"] == 3  # one extra 2, two extra 3s
     assert all(r["n_rows"] == 6 for r in got.values())
     assert not any(r["passed"] for r in got.values())
+
+
+def test_peak_concurrency_oracle(spark, duck, sf_dir):
+    """Staged for r7: per-day peak concurrent sessions vs the
+    identical sweep-line oracle."""
+    from pac_spark.operators.temporal import (
+        PEAK_CONCURRENCY_SQL,
+        peak_concurrent_sessions,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        peak_concurrent_sessions(spark, sf_dir), duck.sql(PEAK_CONCURRENCY_SQL)
+    )
+
+
+def test_global_running_sums_matches_single_window(spark):
+    """The two-phase prefix sum must equal the textbook unpartitioned
+    running-sum window bit-for-bit, including across bucket
+    boundaries and on single-row buckets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pac_spark.functions.prefix import global_running_sums
+
+    rows = [(t, t % 7 - 3, t % 5) for t in [1, 2, 5, 99, 100, 101, 250, 251, 999, 1000]]
+    df = spark.createDataFrame(rows, ["t", "a", "b"])
+    got = {
+        r["t"]: (r["run_a"], r["run_b"])
+        for r in global_running_sums(
+            df, "t", ["a", "b"], bucket=(F.col("t") / 100).cast("long")
+        ).collect()
+    }
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["t"]: (r["ra"], r["rb"])
+        for r in df.select(
+            "t", F.sum("a").over(w).alias("ra"), F.sum("b").over(w).alias("rb")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_peak_concurrency_crafted(spark, tmp_path, monkeypatch):
+    """Closed-interval semantics on a hand-built day: a point session
+    (single event) counts while open, and a session whose last event
+    equals the probe instant is still open there."""
+    import pandas as pd
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 10:00:00",  # user 1 session [10:00, 10:05]
+            "2024-01-01 10:05:00",
+            "2024-01-01 10:05:00",  # user 2 point session at 10:05
+            "2024-01-01 10:06:00",  # user 3 point session at 10:06
+        ]
+    ).astype("datetime64[us]")
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": ts,
+            "user_id": [1, 1, 2, 3],
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import peak_concurrent_sessions
+
+    rows = peak_concurrent_sessions(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["day"] == "2024-01-01"
+    assert r["peak_concurrency"] == 2  # users 1+2 both open at 10:05
+    assert r["at_ts"] == "2024-01-01 10:05:00.000000"
