@@ -49,6 +49,8 @@ __all__ = [
     "SEASONAL_SQL",
     "trend_slope_by_type",
     "TREND_SQL",
+    "ks_test_price_by_flag",
+    "KS_SQL",
     "PCTS",
 ]
 
@@ -888,4 +890,114 @@ SELECT event_type,
        CASE WHEN has_both_var
             THEN (fdxy * fdxy) / (fdxx * fdyy) END AS r2
 FROM g ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test
+
+
+def ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the
+    ``l_extendedprice`` distribution of returned (``l_returnflag='R'``)
+    vs accepted (``'A'``) lineitems — the distribution-shift readout a
+    data pipeline runs between a candidate batch and its reference.
+
+    Exactness: both ECDFs step only at observed values, so the sup is
+    attained on the union of sample points. The statistic is computed
+    as an INTEGER before any division —
+    ``ks_num = max |cum_a * n_r - cum_r * n_a|`` over distinct cents —
+    and only the final ``ks_stat = ks_num / (n_a * n_r)`` touches
+    doubles; the cross products run in decimal(38,0) so the arithmetic
+    is exact far past bigint row counts (the reported ks_num column
+    itself is BIGINT, plenty until ~3e9 rows per arm).
+
+    Scale shape: one conditional-aggregate scan builds the per-cents
+    histogram (domain-bounded, not row-bounded); the running counts
+    come from the two-phase prefix sum (``$10k``-bucketed), never a
+    single-task window; the 1-row totals and max frames broadcast.
+
+    Reference parity: the reference eyeballs distribution drift in its
+    executive summaries (``executive_review_tool.py`` report section);
+    this is the principled test at cluster scale.
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.prefix import global_running_sums
+
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    hist = li.groupBy("cents").agg(
+        F.sum("is_a").alias("a"), F.sum(F.lit(1) - F.col("is_a")).alias("r")
+    )
+    run = global_running_sums(
+        hist, "cents", ["a", "r"], bucket=int_div(F.col("cents"), F.lit(1_000_000))
+    )
+    totals = hist.agg(
+        F.sum("a").alias("n_a"), F.sum("r").alias("n_r")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    diffs = pin(
+        run.crossJoin(F.broadcast(totals)).select(
+            "cents",
+            "n_a",
+            "n_r",
+            F.abs(dec("run_a") * dec("n_r") - dec("run_r") * dec("n_a")).alias(
+                "d"
+            ),
+        )
+    )
+    mx = diffs.agg(F.max("d").alias("ks_num"))
+    return (
+        diffs.join(F.broadcast(mx), diffs["d"] == mx["ks_num"])
+        .groupBy("n_a", "n_r", "ks_num")
+        .agg((F.min("cents").cast("double") / 100.0).alias("at_price"))
+        .select(
+            "n_a",
+            "n_r",
+            F.col("ks_num").cast("long").alias("ks_num"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_r").cast("double"))
+            ).alias("ks_stat"),
+            "at_price",
+        )
+    )
+
+
+KS_SQL = """
+WITH li AS (
+    SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+           CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+), hist AS (
+    SELECT cents, SUM(is_a) AS a, SUM(1 - is_a) AS r
+    FROM li GROUP BY cents
+), run AS (
+    SELECT cents,
+           SUM(a) OVER w AS run_a, SUM(r) OVER w AS run_r
+    FROM hist
+    WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+    SELECT SUM(a) AS n_a, SUM(r) AS n_r FROM hist
+), diffs AS (
+    SELECT cents, n_a, n_r,
+           ABS(CAST(run_a AS DECIMAL(38,0)) * CAST(n_r AS DECIMAL(38,0))
+             - CAST(run_r AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))) AS d
+    FROM run, tot
+), mx AS (
+    SELECT MAX(d) AS ks_num FROM diffs
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_r AS BIGINT) AS n_r,
+       CAST(ks_num AS BIGINT) AS ks_num,
+       CAST(ks_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_r AS DOUBLE)) AS ks_stat,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS at_price
+FROM diffs JOIN mx ON diffs.d = mx.ks_num
+GROUP BY n_a, n_r, ks_num
 """

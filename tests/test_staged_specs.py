@@ -731,3 +731,47 @@ def test_peak_concurrency_crafted(spark, tmp_path, monkeypatch):
     assert r["day"] == "2024-01-01"
     assert r["peak_concurrency"] == 2  # users 1+2 both open at 10:05
     assert r["at_ts"] == "2024-01-01 10:05:00.000000"
+
+
+def test_ks_test_oracle(spark, duck, sf_dir):
+    """Staged for r7: exact two-sample KS statistic vs the identical
+    integer-ECDF oracle."""
+    from pac_spark.operators.stats import KS_SQL, ks_test_price_by_flag
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(ks_test_price_by_flag(spark, sf_dir), duck.sql(KS_SQL))
+
+
+def test_ks_matches_scipy_definition(spark, tmp_path):
+    """The integer formulation equals the textbook sup|F1-F2| on a
+    crafted pair with ties within and across samples."""
+    import pandas as pd
+
+    a = [1.00, 2.00, 2.00, 3.00, 7.00]
+    r = [2.00, 4.00, 4.00, 9.00]
+    rows = [("A", v) for v in a] + [("R", v) for v in r]
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(rows)),
+            "l_partkey": [1] * len(rows),
+            "l_suppkey": [1] * len(rows),
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [1.0] * len(rows),
+            "l_extendedprice": [v for _, v in rows],
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": [f for f, _ in rows],
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * len(rows)).astype(
+                "datetime64[us]"
+            ),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.stats import ks_test_price_by_flag
+
+    row = ks_test_price_by_flag(spark, str(tmp_path)).collect()[0]
+    # ECDFs: at 3.00  F_A = 4/5, F_R = 1/4 -> |diff| = 11/20 (the sup)
+    assert row["n_a"] == 5 and row["n_r"] == 4
+    assert row["ks_num"] == 11
+    assert abs(row["ks_stat"] - 11 / 20) < 1e-12
+    assert row["at_price"] == 3.00
