@@ -33,6 +33,8 @@ __all__ = [
     "corr_quality_tokens_by_lang",
     "chi2_terms_by_source",
     "CHI2_SQL",
+    "bm25_topk_docs",
+    "BM25_SQL",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -741,4 +743,134 @@ ranked AS (
 SELECT source, CAST(rank AS INT) AS rank, term, docs_with_term, chi2
 FROM ranked WHERE rank <= {CHI2_PER_SOURCE}
 ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+
+# a standing keyword query a curation pipeline would run against the
+# corpus; fixed here so Spark and the oracle share one definition
+BM25_QUERY_TERMS = ("merge", "window", "stream", "hash")
+BM25_TOP_K = 20
+# k1 = 1.2, b = 0.75 — the standard defaults, carried through the
+# arithmetic below as the integer ratios 220/100 (k1+1), 30/100
+# (k1*(1-b)) and 90/100 (k1*b)
+_FP_SCALE = 1_000_000_000
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOP_K`` documents for a standing keyword query under
+    BM25 ranking (k1=1.2, b=0.75) — the retrieval scorer a corpus
+    search / dedup-adjacent curation stage runs at scale.
+
+    Determinism over float folklore: BM25's tf saturation
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` is computed as ONE
+    division of two exact integers (clear denominators: with S = total
+    corpus tokens and N = docs, the term equals
+    ``220*tf*S / (100*tf*S + 30*S + 90*dl*N)``), and the idf factor is
+    the rational Robertson form ``(2N - 2*df + 1) / (2*df + 1)``
+    WITHOUT the customary log wrap: a log's last-ulp is libm-dependent
+    and this engine's results must hash-match a foreign oracle
+    bit-for-bit. Rankings keep BM25's structure (saturating in tf,
+    decreasing in df, length-normalized); only the idf tail weighting
+    differs from Lucene's ``ln`` flavor, which a deployment can restore
+    where cross-engine hashing isn't a contract.
+
+    Per-term contributions are floored to integer 1e-9 fixed point
+    BEFORE summing, so the per-doc score is an order-free integer sum
+    — no float-accumulation nondeterminism — and the top-k cut orders
+    by (score_fp desc, doc_id) — total, partition-invariant.
+
+    Scale shape: the token array is filtered to query terms BEFORE the
+    explode (fan-out bounded by query size, not document length); df
+    and corpus totals are term-count/1-row broadcasts; the cut is
+    TakeOrderedAndProject. One data shuffle (per-doc regroup).
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    q = F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
+    hits = docs.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(F.filter("toks", lambda t: F.array_contains(q, t))).alias("term"),
+    )
+    doc_term = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = doc_term.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("toks")).alias("s_tokens")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (
+        dec(F.lit(220))
+        * dec(F.col("tf"))
+        * dec(F.col("s_tokens"))
+        * dec(F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+    )
+    den = (
+        dec(F.lit(100)) * dec(F.col("tf")) * dec(F.col("s_tokens"))
+        + dec(F.lit(30)) * dec(F.col("s_tokens"))
+        + dec(F.lit(90)) * dec(F.col("dl")) * dec(F.col("n_docs"))
+    ) * dec(F.lit(2) * F.col("df") + F.lit(1))
+    contrib = doc_term.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(corpus)
+    ).select(
+        "doc_id",
+        F.floor(
+            num.cast("double") / den.cast("double") * F.lit(float(_FP_SCALE))
+        ).alias("c_fp"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms_matched"),
+            F.sum("c_fp").alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            (F.col("score_fp").cast("double") / _FP_SCALE).alias("score"),
+        )
+    )
+
+
+def BM25_SQL() -> str:
+    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), hits AS (
+    SELECT doc_id, len(toks) AS dl, u.term
+    FROM docs, UNNEST(toks) AS u(term)
+    WHERE u.term IN ({terms})
+), doc_term AS (
+    SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM doc_term GROUP BY term
+), corpus AS (
+    SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS s_tokens FROM docs
+), contrib AS (
+    SELECT doc_id,
+           FLOOR(
+             CAST(CAST(220 AS DECIMAL(38,0)) * tf * s_tokens
+                  * (2 * n_docs - 2 * df + 1) AS DOUBLE)
+             / CAST((CAST(100 AS DECIMAL(38,0)) * tf * s_tokens
+                     + CAST(30 AS DECIMAL(38,0)) * s_tokens
+                     + CAST(90 AS DECIMAL(38,0)) * dl * n_docs)
+                    * (2 * df + 1) AS DOUBLE)
+             * {float(_FP_SCALE)}) AS c_fp
+    FROM doc_term JOIN dfreq USING (term), corpus
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_terms_matched,
+       CAST(SUM(c_fp) AS DOUBLE) / {_FP_SCALE} AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY SUM(c_fp) DESC, doc_id
+LIMIT {BM25_TOP_K}
 """

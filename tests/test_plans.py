@@ -479,3 +479,15 @@ def test_peak_concurrency_pins_shared_frames(spark, sf_dir):
     plan = _exec_plan(peak_concurrent_sessions(spark, sf_dir))
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_cut_is_take_ordered(spark, sf_dir):
+    """The top-k cut must be TakeOrderedAndProject (per-partition
+    heaps); df and corpus totals must arrive via broadcast; the only
+    nested-loop join allowed is the 1-row corpus-totals cross."""
+    from pac_spark.operators.text import bm25_topk_docs
+
+    plan = _exec_plan(bm25_topk_docs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -775,3 +775,48 @@ def test_ks_matches_scipy_definition(spark, tmp_path):
     assert row["ks_num"] == 11
     assert abs(row["ks_stat"] - 11 / 20) < 1e-12
     assert row["at_price"] == 3.00
+
+
+def test_bm25_oracle(spark, duck, sf_dir):
+    """Staged for r7: BM25 top-k vs the identical fixed-point oracle."""
+    from pac_spark.operators.text import BM25_SQL, bm25_topk_docs
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(bm25_topk_docs(spark, sf_dir), duck.sql(BM25_SQL()))
+
+
+def test_bm25_saturation_and_length_normalization(spark, tmp_path):
+    """The two properties that make BM25 BM25: term-frequency
+    saturation (doubling tf far less than doubles the score) and
+    length normalization (same tf in a longer doc scores lower)."""
+    import pandas as pd
+
+    mk = lambda *words: " ".join(words)  # noqa: E731
+    texts = {
+        1: mk(*["merge"] * 1, *["pad"] * 9),     # tf=1, dl=10
+        2: mk(*["merge"] * 2, *["pad"] * 8),     # tf=2, dl=10
+        3: mk(*["merge"] * 8, *["pad"] * 2),     # tf=8, dl=10
+        4: mk(*["merge"] * 1, *["pad"] * 39),    # tf=1, dl=40
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import bm25_topk_docs
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_docs(spark, str(tmp_path)).collect()
+    }
+    assert len(scores) == 4 and all(r > 0 for r in scores.values())
+    # saturation: 2x tf < 2x score; 8x tf << 8x score
+    assert scores[2] < 2 * scores[1]
+    assert scores[3] < 4 * scores[1]
+    assert scores[1] < scores[2] < scores[3]
+    # length normalization: same tf, 4x length -> strictly lower
+    assert scores[4] < scores[1]
