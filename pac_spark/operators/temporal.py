@@ -37,6 +37,8 @@ __all__ = [
     "OHLC_SQL",
     "peak_concurrent_sessions",
     "PEAK_CONCURRENCY_SQL",
+    "top_session_paths",
+    "SESSION_PATHS_SQL",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -628,4 +630,105 @@ SELECT c.day,
 FROM cand c JOIN peaks p ON c.day = p.day AND c.conc = p.peak
 GROUP BY c.day, p.peak
 ORDER BY c.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session path mining
+
+
+PATH_PREFIX_LEN = 5
+PATH_TOP_K = 20
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``PATH_TOP_K`` most common session journeys: each session's
+    first ``PATH_PREFIX_LEN`` event types in time order, joined with
+    ``>`` — the "what do users actually do" readout over the same
+    10-minute-gap sessions as ``events_sessions_10m``.
+
+    Order inside a session is total — (ts, event_id) — so equal-
+    timestamp events cannot reorder between engines or partitionings
+    (the window-tie rule every path/funnel operator here follows). The
+    per-session array is bounded by session length; the path regroup
+    is one map-side-combined shuffle; the final cut is
+    TakeOrderedAndProject under a total (count desc, path asc) order.
+
+    Reference parity: the reference's event exports stop at flat
+    tables (SURVEY.md §2.6); path mining is the first question asked
+    of that data at scale.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap_us = 10 * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order)
+    is_break = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_session = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_break).over(run).alias("sid"),
+    )
+    paths = (
+        with_session.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("evs", 1, PATH_PREFIX_LEN), lambda x: x["event_type"]
+                ),
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH lagged AS (
+    SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+), b AS (
+    SELECT *, CASE WHEN prev_us IS NULL
+                     OR epoch_us(ts) - prev_us > 600000000
+                   THEN 1 ELSE 0 END AS brk
+    FROM lagged
+), s AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM b
+), paths AS (
+    SELECT user_id,
+           array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{PATH_PREFIX_LEN}],
+               '>') AS path
+    FROM s GROUP BY user_id, sid
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
 """

@@ -820,3 +820,12 @@ def test_bm25_saturation_and_length_normalization(spark, tmp_path):
     assert scores[1] < scores[2] < scores[3]
     # length normalization: same tf, 4x length -> strictly lower
     assert scores[4] < scores[1]
+
+
+def test_session_paths_oracle(spark, duck, sf_dir):
+    """Staged for r7: top session paths vs the identical ordered-list
+    oracle."""
+    from pac_spark.operators.temporal import SESSION_PATHS_SQL, top_session_paths
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(top_session_paths(spark, sf_dir), duck.sql(SESSION_PATHS_SQL))
