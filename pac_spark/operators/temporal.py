@@ -39,6 +39,8 @@ __all__ = [
     "PEAK_CONCURRENCY_SQL",
     "top_session_paths",
     "SESSION_PATHS_SQL",
+    "user_activity_streaks",
+    "STREAKS_SQL",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -731,4 +733,94 @@ FROM paths
 GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {PATH_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Activity streaks (gaps and islands on the day axis)
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: total active days, number of activity streaks, and
+    the longest run of CONSECUTIVE active days (ties broken toward the
+    earliest streak) — the retention-adjacent signal cohort tables
+    don't capture.
+
+    Classic gaps-and-islands on the integer day axis: for distinct
+    (user, day) rows ordered by day, ``day_num - row_number()`` is
+    constant within a consecutive run, so grouping by that anchor
+    yields the streaks without any self-join. Every value is an exact
+    integer or a date; the longest-streak pick is a row_number under
+    the total order (length desc, start asc).
+
+    Scale shape: one map-side-combined distinct on (user, day), then
+    user-partitioned windows whose input is bounded by the calendar,
+    not the event volume.
+    """
+    events = catalog.load(spark, sf_dir, "events")
+    days = (
+        events.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+        )
+        .distinct()
+    )
+    order = W.partitionBy("user_id").orderBy("day_num")
+    anchored = days.select(
+        "user_id",
+        "day_num",
+        (F.col("day_num") - F.row_number().over(order)).alias("anchor"),
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("day_num").alias("start_num"),
+        F.max("day_num").alias("end_num"),
+    )
+    pick = W.partitionBy("user_id").orderBy(F.desc("len"), F.asc("start_num"))
+    best = streaks.select(
+        "*", F.row_number().over(pick).alias("rn"),
+        F.sum("len").over(W.partitionBy("user_id")).alias("n_active_days"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n_streaks"),
+    ).filter(F.col("rn") == 1)
+    epoch = F.lit("1970-01-01").cast("date")
+    return best.select(
+        "user_id",
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        F.col("n_streaks").cast("long").alias("n_streaks"),
+        F.col("len").cast("long").alias("longest_streak_days"),
+        F.date_add(epoch, F.col("start_num")).cast("string").alias("streak_start"),
+        F.date_add(epoch, F.col("end_num")).cast("string").alias("streak_end"),
+    ).orderBy("user_id")
+
+
+STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+    FROM events
+), anchored AS (
+    SELECT user_id, day_num,
+           day_num - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_num)
+               AS anchor
+    FROM days
+), streaks AS (
+    SELECT user_id, anchor, COUNT(*) AS len,
+           MIN(day_num) AS start_num, MAX(day_num) AS end_num
+    FROM anchored GROUP BY user_id, anchor
+), best AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, start_num) AS rn,
+           SUM(len) OVER (PARTITION BY user_id) AS n_active_days,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+    FROM streaks
+)
+SELECT user_id,
+       CAST(n_active_days AS BIGINT) AS n_active_days,
+       CAST(n_streaks AS BIGINT) AS n_streaks,
+       CAST(len AS BIGINT) AS longest_streak_days,
+       strftime(DATE '1970-01-01' + INTERVAL (start_num) DAY, '%Y-%m-%d') AS streak_start,
+       strftime(DATE '1970-01-01' + INTERVAL (end_num) DAY, '%Y-%m-%d') AS streak_end
+FROM best WHERE rn = 1
+ORDER BY user_id
 """

@@ -829,3 +829,40 @@ def test_session_paths_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(top_session_paths(spark, sf_dir), duck.sql(SESSION_PATHS_SQL))
+
+
+def test_activity_streaks_oracle(spark, duck, sf_dir):
+    """Staged for r7: gaps-and-islands day streaks vs the identical
+    anchor-difference oracle."""
+    from pac_spark.operators.temporal import STREAKS_SQL, user_activity_streaks
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(user_activity_streaks(spark, sf_dir), duck.sql(STREAKS_SQL))
+
+
+def test_activity_streaks_crafted(spark, tmp_path):
+    """Tie between two equal-length streaks resolves to the earliest;
+    multiple same-day events count one active day."""
+    import pandas as pd
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-02",  # streak 1: 2 days
+            "2024-01-05", "2024-01-06",                # streak 2: 2 days
+            "2024-01-09"]                               # streak 3: 1 day
+    pd.DataFrame(
+        {
+            "event_id": range(len(days)),
+            "ts": pd.to_datetime(days).astype("datetime64[us]"),
+            "user_id": [7] * len(days),
+            "event_type": ["view"] * len(days),
+            "value": [1.0] * len(days),
+            "props": ["{}"] * len(days),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import user_activity_streaks
+
+    r = user_activity_streaks(spark, str(tmp_path)).collect()[0]
+    assert r["n_active_days"] == 5
+    assert r["n_streaks"] == 3
+    assert r["longest_streak_days"] == 2
+    assert r["streak_start"] == "2024-01-01"  # earliest of the two ties
+    assert r["streak_end"] == "2024-01-02"
