@@ -42,6 +42,8 @@ __all__ = [
     "decontaminate",
     "training_shards",
     "sequence_packing",
+    "source_overlap_matrix",
+    "SOURCE_OVERLAP_SQL",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -496,4 +498,98 @@ SELECT anchor_id, CAST(rn - 1 AS INT) AS neg_slot,
        cand_id AS neg_id, cand_label AS neg_label
 FROM ranked WHERE rn <= {NEG_K}
 ORDER BY anchor_id, neg_slot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-set Jaccard between corpus SOURCES — the
+    contamination/provenance readout run before mixing sources into a
+    training corpus (is src7 a mirror of src3?).
+
+    Set algebra on exact integers: per source the distinct 3-gram
+    shingle set; ``|A∩B|`` from an inverted shingle index (per-shingle
+    fan-out bounded by the SOURCE count squared, never data-sized);
+    ``|A∪B| = |A| + |B| - |A∩B|``; one double division at the end.
+
+    Scale shape: documents shuffle once to build distinct
+    (source, shingle) rows; the equi-self-join on shingle is the same
+    inverted-index pattern as ``dedup.ngram_jaccard_pairs``; source
+    sizes are a SOURCE-count-sized frame that broadcasts twice. With
+    thousands of sources the pair frame grows quadratically in sources
+    only — at 20 sources it is 190 rows at any corpus size.
+    """
+    from pac_spark.operators.text_core import distinct_shingled
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    sh = (
+        distinct_shingled(docs.select("source", "text"), "text")
+        .select("source", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz = lambda side: F.broadcast(  # noqa: E731
+        sizes.select(
+            F.col("source").alias(f"src_{side}"),
+            F.col("n_shingles").alias(f"n_{side}"),
+        )
+    )
+    return (
+        inter.join(sz("a"), "src_a")
+        .join(sz("b"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH toks AS (
+    SELECT source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT source,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS shingle
+    FROM toks, UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS u(i)
+    WHERE len(t) >= 3
+), sizes AS (
+    SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY source
+), inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       CAST(sa.n_shingles AS BIGINT) AS n_a,
+       CAST(sb.n_shingles AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE)
+           / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
 """

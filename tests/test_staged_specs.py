@@ -866,3 +866,17 @@ def test_activity_streaks_crafted(spark, tmp_path):
     assert r["longest_streak_days"] == 2
     assert r["streak_start"] == "2024-01-01"  # earliest of the two ties
     assert r["streak_end"] == "2024-01-02"
+
+
+def test_source_overlap_oracle(spark, duck, sf_dir):
+    """Staged for r7: pairwise source shingle-Jaccard vs the identical
+    inverted-index oracle."""
+    from pac_spark.operators.curation import (
+        SOURCE_OVERLAP_SQL,
+        source_overlap_matrix,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        source_overlap_matrix(spark, sf_dir), duck.sql(SOURCE_OVERLAP_SQL)
+    )
