@@ -35,6 +35,8 @@ __all__ = [
     "CHI2_SQL",
     "bm25_topk_docs",
     "BM25_SQL",
+    "token_gini_by_source",
+    "TOKEN_GINI_SQL",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -873,4 +875,74 @@ FROM contrib
 GROUP BY doc_id
 ORDER BY SUM(c_fp) DESC, doc_id
 LIMIT {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token diversity (Gini impurity)
+
+
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token diversity: Gini impurity ``1 - sum(p_i^2)`` of
+    the unigram distribution, plus the top-term share — the "is this
+    source templated boilerplate?" screen a corpus mix runs next to
+    the per-document repetition signals.
+
+    Gini is chosen over Shannon entropy deliberately: it is the same
+    monotone "diversity" readout but entirely RATIONAL — ``(n^2 -
+    sum(c_i^2)) / n^2`` — so the whole statistic is exact integer
+    arithmetic (decimal(38,0) squares) until one final double
+    division, where entropy's ``ln`` would tie the hash to libm
+    rounding (the repo-wide determinism rule; see ``bm25_topk_docs``).
+
+    Scale shape: wordcount regroup (map-side combined) then a
+    source-sized aggregate; nothing else. Squares are summed in
+    decimal(38,0), exact to ~1e19 tokens per term.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    counts = docs.groupBy("source", "term").agg(F.count("*").alias("c"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.max("c").alias("c_max"),
+        F.sum(dec("c") * dec("c")).alias("sumsq"),
+    )
+    n2 = dec("n_tokens") * dec("n_tokens")
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        (F.col("c_max").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_share"
+        ),
+        ((n2 - F.col("sumsq")).cast("double") / n2.cast("double")).alias("gini"),
+    ).orderBy("source")
+
+
+TOKEN_GINI_SQL = """
+WITH counts AS (
+    SELECT source, u.term, COUNT(*) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+    GROUP BY source, u.term
+), per_source AS (
+    SELECT source,
+           SUM(c) AS n_tokens,
+           COUNT(*) AS n_terms,
+           MAX(c) AS c_max,
+           SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS sumsq
+    FROM counts GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(c_max AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share,
+       CAST(CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))
+            - sumsq AS DOUBLE)
+           / CAST(CAST(n_tokens AS DECIMAL(38,0))
+                  * CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE) AS gini
+FROM per_source
+ORDER BY source
 """

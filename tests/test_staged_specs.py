@@ -880,3 +880,35 @@ def test_source_overlap_oracle(spark, duck, sf_dir):
     assert_oracle_match(
         source_overlap_matrix(spark, sf_dir), duck.sql(SOURCE_OVERLAP_SQL)
     )
+
+
+def test_token_gini_oracle(spark, duck, sf_dir):
+    """Staged for r7: rational Gini diversity vs the identical
+    decimal-squares oracle."""
+    from pac_spark.operators.text import TOKEN_GINI_SQL, token_gini_by_source
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        token_gini_by_source(spark, sf_dir), duck.sql(TOKEN_GINI_SQL)
+    )
+
+
+def test_token_gini_crafted(spark, tmp_path):
+    """Uniform terms maximize gini; a single repeated term zeroes it."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c d", "x x x x"],
+            "lang": ["en", "en"],
+            "source": ["uni", "mono"],
+            "n_chars": [7, 7],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import token_gini_by_source
+
+    rows = {r["source"]: r for r in token_gini_by_source(spark, str(tmp_path)).collect()}
+    assert rows["mono"]["gini"] == 0.0 and rows["mono"]["top_share"] == 1.0
+    assert abs(rows["uni"]["gini"] - 0.75) < 1e-12  # 1 - 4*(1/4)^2
+    assert rows["uni"]["n_terms"] == 4
