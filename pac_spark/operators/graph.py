@@ -43,6 +43,8 @@ __all__ = [
     "BUTTERFLY_SQL",
     "triangle_top_parts",
     "TRIANGLE_SQL",
+    "two_hop_reach_top_customers",
+    "TWO_HOP_SQL",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -411,4 +413,83 @@ SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY part_id
 ORDER BY n_triangles DESC, part_id
 LIMIT {TRIANGLE_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-hop ego-network reach
+
+
+REACH_TOP_K = 20
+
+
+def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For the ``REACH_TOP_K`` highest-degree customers: exact 2-hop
+    reach over the trade graph — how many OTHER customers they can
+    touch through a shared supplier. The ego-network breadth metric
+    behind influencer/anomaly screens.
+
+    Scale shape: the expansion is anchored — the first hop filters to
+    the top-K anchors (broadcast of a K-row frame) BEFORE the
+    mid-node join, so the fan-out is sum over anchors of
+    sum_{mid in N(a)} deg(mid), never the whole graph squared; the
+    distinct on (anchor, reached) bounds memory per anchor by the
+    reach itself. Degrees come from one map-side-combined count; the
+    anchor cut is TakeOrdered under the total (degree desc, node)
+    order.
+    """
+    edges = trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    anchors = (
+        deg.filter((F.col("src") >= 10**9) & (F.col("src") < 2 * 10**9))
+        .orderBy(F.desc("degree"), F.asc("src"))
+        .limit(REACH_TOP_K)
+        .select(F.col("src").alias("anchor"), "degree")
+    )
+    hop1 = F.broadcast(anchors).join(
+        edges, F.col("anchor") == F.col("src")
+    ).select("anchor", "degree", F.col("dst").alias("mid"))
+    hop2 = hop1.join(
+        edges.withColumnRenamed("src", "mid"), "mid"
+    ).filter(F.col("dst") != F.col("anchor"))
+    return (
+        hop2.groupBy("anchor", "degree")
+        .agg(F.countDistinct("dst").alias("n_two_hop"))
+        .select(
+            (F.col("anchor") - 10**9).alias("custkey"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_two_hop").cast("long").alias("n_two_hop"),
+        )
+        .orderBy(F.desc("degree"), F.asc("custkey"))
+    )
+
+
+TWO_HOP_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey + 1000000000 AS cust,
+           l_suppkey + 2000000000 AS supp
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+), deg AS (
+    SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
+), anchors AS (
+    SELECT src AS anchor, degree FROM deg
+    WHERE src >= 1000000000 AND src < 2000000000
+    ORDER BY degree DESC, src LIMIT {REACH_TOP_K}
+), hop2 AS (
+    SELECT a.anchor, a.degree, e2.dst
+    FROM anchors a
+    JOIN edges e1 ON e1.src = a.anchor
+    JOIN edges e2 ON e2.src = e1.dst
+    WHERE e2.dst <> a.anchor
+)
+SELECT CAST(anchor - 1000000000 AS BIGINT) AS custkey,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_two_hop
+FROM hop2
+GROUP BY anchor, degree
+ORDER BY degree DESC, custkey
 """

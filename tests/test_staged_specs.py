@@ -912,3 +912,13 @@ def test_token_gini_crafted(spark, tmp_path):
     assert rows["mono"]["gini"] == 0.0 and rows["mono"]["top_share"] == 1.0
     assert abs(rows["uni"]["gini"] - 0.75) < 1e-12  # 1 - 4*(1/4)^2
     assert rows["uni"]["n_terms"] == 4
+
+
+def test_two_hop_reach_oracle(spark, duck, sf_dir):
+    """Staged for r7: anchored 2-hop reach vs the identical oracle."""
+    from pac_spark.operators.graph import TWO_HOP_SQL, two_hop_reach_top_customers
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        two_hop_reach_top_customers(spark, sf_dir), duck.sql(TWO_HOP_SQL)
+    )
