@@ -123,6 +123,31 @@ def all_specs() -> list[QuerySpec]:
     # - expectations_orders (operators/profile.py, declarative
     #   data-quality gate; oracle profile.EXPECTATIONS_SQL, green at
     #   3 SFs)
+    # - peak_concurrent_sessions (operators/temporal.py, sweep line
+    #   over a two-phase global prefix sum — functions/prefix.py;
+    #   oracle temporal.PEAK_CONCURRENCY_SQL, green at 3 SFs)
+    # - ks_test_price_by_flag (operators/stats.py, exact integer-ECDF
+    #   two-sample KS; oracle stats.KS_SQL, green at 3 SFs)
+    # - bm25_topk_docs (operators/text.py, fixed-point BM25 retrieval;
+    #   oracle text.BM25_SQL, green at 3 SFs)
+    # - top_session_paths (operators/temporal.py, session journey
+    #   prefixes; oracle temporal.SESSION_PATHS_SQL, green at 3 SFs)
+    # - user_activity_streaks (operators/temporal.py, day-axis gaps &
+    #   islands; oracle temporal.STREAKS_SQL, green at 3 SFs)
+    # - source_overlap_matrix (operators/curation.py, pairwise source
+    #   shingle Jaccard; oracle curation.SOURCE_OVERLAP_SQL, green at
+    #   3 SFs)
+    # - token_gini_by_source (operators/text.py, rational Gini
+    #   diversity; oracle text.TOKEN_GINI_SQL, green at 3 SFs)
+    # - two_hop_reach_top_customers (operators/graph.py, anchored
+    #   ego-network reach; oracle graph.TWO_HOP_SQL, green at 3 SFs)
+    # With 21 staged operators the r7 cap cannot hold all of them plus
+    # the 12 r6-first-green keeps: prioritize the keeps, then stage
+    # registrations by family diversity (streaming_ivm, dup_span,
+    # triangle, ohlc pair, stats quartet, contrastive, chi2,
+    # expectations first — they have been staged longest), and roll
+    # the remainder (this block's eight) into r8 if slots run out;
+    # all of them stay under the local 3-SF gate either way.
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",
