@@ -58,6 +58,8 @@ __all__ = [
     "event_transition_matrix",
     "basket_part_pairs",
     "rolling_1h_user_stats",
+    "daily_user_accounting",
+    "DAILY_USERS_SQL",
 ]
 
 _DATE = "yyyy-MM-dd"
@@ -829,3 +831,73 @@ def rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def daily_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: active users, NEW users (first-ever-seen that day), and
+    the cumulative distinct-user count — the growth-accounting trio
+    every activity dashboard opens with.
+
+    The naive cumulative form (``COUNT(DISTINCT user) OVER (ORDER BY
+    day)``) re-scans history per day and isn't even valid Spark SQL;
+    the scalable identity is ``cumulative(d) = Σ_{d' <= d} new(d')``
+    since each user is new exactly once. So: first-seen day per user
+    (one map-side-combined min), daily new counts, one running sum
+    over the CALENDAR-sized day frame (harmless unpartitioned window;
+    at ten years of days it is ~3.7k rows), joined to daily actives
+    from the distinct (user, day) projection.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = ev.distinct().groupBy("day").agg(
+        F.count("*").alias("n_active_users")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_by_day = first_seen.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cumulative = new_by_day.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(run).alias("n_cumulative_users"),
+    )
+    return (
+        active.join(cumulative, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_active_users",
+            F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+            # days with zero new users inherit the last cumulative value
+            F.last("n_cumulative_users", ignorenulls=True)
+            .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("n_cumulative_users"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_USERS_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), active AS (
+    SELECT day, COUNT(DISTINCT user_id) AS n_active_users FROM ev GROUP BY day
+), first_seen AS (
+    SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id
+), new_by_day AS (
+    SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY day
+), cumulative AS (
+    SELECT day, n_new_users,
+           SUM(n_new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_cumulative_users
+    FROM new_by_day
+)
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
+       CAST(a.n_active_users AS BIGINT) AS n_active_users,
+       CAST(COALESCE(c.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(LAST_VALUE(c.n_cumulative_users IGNORE NULLS) OVER (
+           ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_cumulative_users
+FROM active a LEFT JOIN cumulative c ON a.day = c.day
+ORDER BY day
+"""

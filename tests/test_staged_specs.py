@@ -922,3 +922,50 @@ def test_two_hop_reach_oracle(spark, duck, sf_dir):
     assert_oracle_match(
         two_hop_reach_top_customers(spark, sf_dir), duck.sql(TWO_HOP_SQL)
     )
+
+
+def test_daily_user_accounting_oracle(spark, duck, sf_dir):
+    """Staged for r7: growth-accounting trio vs the identical
+    first-seen oracle."""
+    from pac_spark.operators.relational import (
+        DAILY_USERS_SQL,
+        daily_user_accounting,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        daily_user_accounting(spark, sf_dir), duck.sql(DAILY_USERS_SQL)
+    )
+
+
+def test_daily_user_accounting_crafted(spark, tmp_path):
+    """A zero-new-user day carries the cumulative count forward, and
+    actives count each user once per day."""
+    import pandas as pd
+
+    rows = [  # (day, user)
+        ("2024-01-01", 1), ("2024-01-01", 1), ("2024-01-01", 2),
+        ("2024-01-02", 1), ("2024-01-02", 2),           # nobody new
+        ("2024-01-03", 3),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([d for d, _ in rows]).astype("datetime64[us]"),
+            "user_id": [u for _, u in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.relational import daily_user_accounting
+
+    got = {
+        r["day"]: (r["n_active_users"], r["n_new_users"], r["n_cumulative_users"])
+        for r in daily_user_accounting(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2, 2),
+        "2024-01-02": (2, 0, 2),
+        "2024-01-03": (1, 1, 3),
+    }
