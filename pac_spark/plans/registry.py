@@ -141,7 +141,10 @@ def all_specs() -> list[QuerySpec]:
     #   diversity; oracle text.TOKEN_GINI_SQL, green at 3 SFs)
     # - two_hop_reach_top_customers (operators/graph.py, anchored
     #   ego-network reach; oracle graph.TWO_HOP_SQL, green at 3 SFs)
-    # With 21 staged operators the r7 cap cannot hold all of them plus
+    # - daily_user_accounting (operators/relational.py, active/new/
+    #   cumulative users; oracle relational.DAILY_USERS_SQL, green at
+    #   3 SFs)
+    # With 22 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,
