@@ -557,9 +557,11 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.sum("st").alias("st"), F.sum("en").alias("en"))
     )
-    day_us = F.lit(86_400_000_000)
+    from pac_spark.functions.exact import int_div
+
     running = global_running_sums(
-        endpoints, "t", ["st", "en"], bucket=((F.col("t") - F.col("t") % day_us) / day_us).cast("long")
+        endpoints, "t", ["st", "en"],
+        bucket=int_div(F.col("t"), F.lit(86_400_000_000)),
     )
     # ends strictly before t: inclusive running minus this instant's own
     conc = running.select(

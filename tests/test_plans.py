@@ -491,3 +491,33 @@ def test_bm25_cut_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_paths_cut_is_take_ordered(spark, sf_dir):
+    from pac_spark.operators.temporal import top_session_paths
+
+    plan = _exec_plan(top_session_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_hop_anchors_broadcast(spark, sf_dir):
+    """The ego expansion must be anchor-filtered via broadcast joins —
+    the mid-node join must never shuffle the whole edge set twice."""
+    from pac_spark.operators.graph import two_hop_reach_top_customers
+
+    plan = _exec_plan(two_hop_reach_top_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_daily_users_single_partition_windows_are_day_sized(spark, sf_dir):
+    """Both unpartitioned windows in the growth accounting run over
+    day-level aggregates: each must sit above a HashAggregate, never
+    directly over the event scan."""
+    from pac_spark.operators.relational import daily_user_accounting
+
+    plan = _exec_plan(daily_user_accounting(spark, sf_dir))
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in chunk
