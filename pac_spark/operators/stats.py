@@ -51,6 +51,9 @@ __all__ = [
     "TREND_SQL",
     "ks_test_price_by_flag",
     "KS_SQL",
+    "budget_allocation_by_nation",
+    "ALLOC_SQL",
+    "ALLOC_BUDGET",
     "PCTS",
 ]
 
@@ -1000,4 +1003,116 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(MIN(cents) AS DOUBLE) / 100.0 AS at_price
 FROM diffs JOIN mx ON diffs.d = mx.ks_num
 GROUP BY n_a, n_r, ks_num
+"""
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder proportional allocation
+
+
+ALLOC_BUDGET = 1_000_000
+
+
+def budget_allocation_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split a fixed integer budget across nations proportionally to
+    customer order revenue, with LARGEST-REMAINDER rounding — the only
+    rounding rule under which the allocations sum to EXACTLY the
+    budget (naive per-row rounding drifts by up to n/2 units; at a
+    real ad-spend or quota split that drift is a reconciliation bug).
+
+    Everything is exact: shares are ``floor(B*c_i / T)`` via integer
+    division on decimal(38,0) products, remainders ``B*c_i − base_i*T``
+    stay integral, and the leftover ``B − Σbase`` units go to the
+    largest remainders under a total (remainder desc, nation) order.
+    Σalloc == B is property-tested, not hoped for.
+
+    Scale shape: one fact aggregate to nation grain; everything after
+    is a NATION-sized frame (the unpartitioned ranking window runs
+    over ≤ |nations| rows), with the two scalar totals broadcast.
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cust = catalog.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = catalog.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    totals = rev.agg(F.sum("revenue_cents").alias("t"))
+    based = rev.crossJoin(F.broadcast(totals)).select(
+        "n_name",
+        "revenue_cents",
+        int_div(
+            (dec(F.lit(ALLOC_BUDGET)) * dec(F.col("revenue_cents"))).cast(
+                "decimal(38,0)"
+            ),
+            dec(F.col("t")),
+        ).alias("base"),
+        (
+            dec(F.lit(ALLOC_BUDGET)) * dec(F.col("revenue_cents"))
+            - dec(F.col("t"))
+            * int_div(
+                (dec(F.lit(ALLOC_BUDGET)) * dec(F.col("revenue_cents"))).cast(
+                    "decimal(38,0)"
+                ),
+                dec(F.col("t")),
+            )
+        ).alias("rem"),
+    )
+    leftover = based.agg(
+        (F.lit(ALLOC_BUDGET) - F.sum("base")).alias("left")
+    )
+    ranked = based.crossJoin(F.broadcast(leftover)).select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("rem"), F.asc("n_name")))
+        .alias("rk"),
+    )
+    return ranked.select(
+        "n_name",
+        "revenue_cents",
+        (
+            F.col("base") + F.when(F.col("rk") <= F.col("left"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("n_name")
+
+
+ALLOC_SQL = f"""
+WITH rev AS (
+    SELECT n_name,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+), tot AS (
+    SELECT SUM(revenue_cents) AS t FROM rev
+), based AS (
+    SELECT n_name, revenue_cents,
+           CAST({ALLOC_BUDGET} AS HUGEINT) * revenue_cents
+               // CAST(t AS HUGEINT) AS base,
+           CAST({ALLOC_BUDGET} AS HUGEINT) * revenue_cents
+               % CAST(t AS HUGEINT) AS rem
+    FROM rev, tot
+), leftover AS (
+    SELECT {ALLOC_BUDGET} - SUM(base) AS lft FROM based
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, n_name) AS rk
+    FROM based, leftover
+)
+SELECT n_name,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+ORDER BY n_name
 """

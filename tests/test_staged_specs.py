@@ -969,3 +969,26 @@ def test_daily_user_accounting_crafted(spark, tmp_path):
         "2024-01-02": (2, 0, 2),
         "2024-01-03": (1, 1, 3),
     }
+
+
+def test_budget_allocation_oracle(spark, duck, sf_dir):
+    """Staged for r7: largest-remainder allocation vs the identical
+    integer-division oracle."""
+    from pac_spark.operators.stats import ALLOC_SQL, budget_allocation_by_nation
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        budget_allocation_by_nation(spark, sf_dir), duck.sql(ALLOC_SQL)
+    )
+
+
+def test_budget_allocation_sums_exactly(spark, sf_dir):
+    """The defining property: allocations sum to EXACTLY the budget."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.stats import ALLOC_BUDGET, budget_allocation_by_nation
+
+    out = budget_allocation_by_nation(spark, sf_dir)
+    total = out.agg(F.sum("alloc")).collect()[0][0]
+    assert total == ALLOC_BUDGET
+    assert out.filter(F.col("alloc") < 0).count() == 0
