@@ -59,6 +59,7 @@ __all__ = [
     "basket_part_pairs",
     "rolling_1h_user_stats",
     "daily_user_accounting",
+    "user_day_accounting",
     "DAILY_USERS_SQL",
 ]
 
@@ -850,10 +851,18 @@ def daily_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
-    active = ev.distinct().groupBy("day").agg(
+    return user_day_accounting(ev.distinct())
+
+
+def user_day_accounting(days: DataFrame) -> DataFrame:
+    """Growth-accounting read-off over a DISTINCT (user_id, day) frame
+    — shared by the batch operator above and the streaming IVM twin
+    (``streaming.stateful.streaming_user_accounting``), so the two
+    can only drift if the maintained state itself drifts."""
+    active = days.groupBy("day").agg(
         F.count("*").alias("n_active_users")
     )
-    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("day"))
     new_by_day = first_seen.groupBy("day").agg(F.count("*").alias("n_new_users"))
     run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     cumulative = new_by_day.select(

@@ -58,6 +58,7 @@ __all__ = [
     "LIFETIME_ORACLE",
     "streaming_ivm_user_value",
     "STREAMING_IVM_ORACLE",
+    "streaming_user_accounting",
     "streaming_ohlc_bars",
 ]
 
@@ -566,3 +567,35 @@ def streaming_ohlc_bars(spark, sf_dir: str):
         F.col("n").alias("n_events"),
         dollars(F.col("s")).alias("sum_value"),
     ).orderBy("event_type", "hour_ts")
+
+
+def streaming_user_accounting(spark, sf_dir: str):
+    """Maintain the growth-accounting state — the distinct
+    (user_id, day) activity set — incrementally over the event stream,
+    then read off daily active/new/cumulative users with the SAME
+    read-off the batch operator uses
+    (``operators.relational.user_day_accounting``).
+
+    The folded state is exactly what a dashboard's state store keeps
+    (one row per user-day, bounded by users × active days, NOT by
+    event volume); each micro-batch contributes its distinct pairs and
+    the merge is a distinct union — idempotent and order-free, so
+    late or replayed batches cannot corrupt the view. The oracle is
+    the batch construction over the full table: hash equality proves
+    stream maintenance == batch recompute.
+    """
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.relational import user_day_accounting
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+
+    def partial(batch_df):
+        return batch_df.distinct()
+
+    def merge(view, delta):
+        return view.unionByName(delta).distinct()
+
+    return user_day_accounting(_run_ivm_fold(ev, partial, merge))

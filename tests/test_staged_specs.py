@@ -992,3 +992,15 @@ def test_budget_allocation_sums_exactly(spark, sf_dir):
     total = out.agg(F.sum("alloc")).collect()[0][0]
     assert total == ALLOC_BUDGET
     assert out.filter(F.col("alloc") < 0).count() == 0
+
+
+def test_streaming_user_accounting_matches_batch(spark, duck, sf_dir):
+    """Staged for r7: stream-maintained growth accounting must equal
+    the batch oracle (same read-off, state folded per micro-batch)."""
+    from pac_spark.operators.relational import DAILY_USERS_SQL
+    from pac_spark.streaming.stateful import streaming_user_accounting
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_user_accounting(spark, sf_dir), duck.sql(DAILY_USERS_SQL)
+    )
