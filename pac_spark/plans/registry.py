@@ -147,7 +147,10 @@ def all_specs() -> list[QuerySpec]:
     # - budget_allocation_by_nation (operators/stats.py, exact
     #   largest-remainder split; oracle stats.ALLOC_SQL, green at
     #   3 SFs + sum-exactness property)
-    # With 23 staged operators the r7 cap cannot hold all of these plus
+    # - streaming_user_accounting (streaming/stateful.py, IVM fold of
+    #   the distinct (user, day) set + the batch read-off; oracle
+    #   relational.DAILY_USERS_SQL, green at 3 SFs)
+    # With 24 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,
