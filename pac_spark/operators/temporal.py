@@ -32,6 +32,8 @@ __all__ = [
     "interval_overlap_join",
     "funnel",
     "funnel_view_click_purchase",
+    "funnel_within_1h_view_click_purchase",
+    "FUNNEL_WITHIN_SQL",
     "timeseries_gapfill_hourly",
     "ohlc_bars_hourly",
     "OHLC_SQL",
@@ -262,12 +264,17 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_us: int | None = None,
 ) -> DataFrame:
     """Generic sequential funnel: for every user, the earliest
     completion of ``stages`` in order, each later stage strictly after
     the previous one. Users who stall mid-funnel keep the stages they
     reached (LEFT joins), so stage-to-stage drop-off falls out of the
-    ``reached_*`` flags.
+    ``reached_*`` flags. With ``within_us`` each later stage must also
+    land within that window of the previous stage's chosen time —
+    greedy (Amplitude-style) conversion-window semantics: the funnel
+    commits to each stage's earliest admissible event before looking
+    at the next stage.
 
     Scale shape: a cascade of conditional min-aggregations keyed on
     ``user_col``. Each stage scans only its own event type (the filter
@@ -307,9 +314,17 @@ def funnel(
         t = f"t_{stage}"
         sliced = ev.filter(F.col(type_col) == stage)
         if prev_t is not None:
-            sliced = sliced.join(frames[-1], user_col).filter(
-                F.col(ts_col) > F.col(prev_t)
-            )
+            step = F.col(ts_col) > F.col(prev_t)
+            if within_us is not None:
+                # conversion window: GREEDY product-analytics semantics
+                # (earliest completion of each stage given the previous
+                # stage's chosen time) — the bound composes with the
+                # same cascade, one extra pushed predicate per stage
+                step = step & (
+                    F.unix_micros(F.col(ts_col))
+                    <= F.unix_micros(F.col(prev_t)) + F.lit(within_us)
+                )
+            sliced = sliced.join(frames[-1], user_col).filter(step)
         frames.append(
             sliced.groupBy(user_col).agg(F.min(ts_col).alias(t)).select(user_col, t)
         )
@@ -825,4 +840,56 @@ SELECT user_id,
        strftime(DATE '1970-01-01' + INTERVAL (end_num) DAY, '%Y-%m-%d') AS streak_end
 FROM best WHERE rn = 1
 ORDER BY user_id
+"""
+
+
+CONVERSION_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def funnel_within_1h_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The view→click→purchase funnel under a 1-hour conversion window
+    per step — the realistic attribution variant of the unbounded
+    registered funnel (a purchase a week after the click is not this
+    campaign's conversion)."""
+    events = catalog.load(spark, sf_dir, "events")
+    return funnel(
+        events, ["view", "click", "purchase"], within_us=CONVERSION_WINDOW_US
+    )
+
+
+FUNNEL_WITHIN_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM e
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+      AND epoch_us(e.ts) <= epoch_us(v.t_view) + {CONVERSION_WINDOW_US}
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      AND epoch_us(e.ts) <= epoch_us(c.t_click) + {CONVERSION_WINDOW_US}
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       strftime(t_view, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       strftime(t_click, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       t_click IS NOT NULL AS reached_click,
+       t_purchase IS NOT NULL AS reached_purchase,
+       epoch_us(t_purchase) - epoch_us(t_view) AS view_to_purchase_micros
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
 """

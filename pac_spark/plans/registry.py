@@ -150,7 +150,11 @@ def all_specs() -> list[QuerySpec]:
     # - streaming_user_accounting (streaming/stateful.py, IVM fold of
     #   the distinct (user, day) set + the batch read-off; oracle
     #   relational.DAILY_USERS_SQL, green at 3 SFs)
-    # With 24 staged operators the r7 cap cannot hold all of these plus
+    # - funnel_within_1h_view_click_purchase (operators/temporal.py,
+    #   greedy conversion-window funnel; oracle
+    #   temporal.FUNNEL_WITHIN_SQL, green at 3 SFs + greedy-semantics
+    #   crafted test)
+    # With 25 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

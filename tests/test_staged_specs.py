@@ -1004,3 +1004,49 @@ def test_streaming_user_accounting_matches_batch(spark, duck, sf_dir):
     assert_oracle_match(
         streaming_user_accounting(spark, sf_dir), duck.sql(DAILY_USERS_SQL)
     )
+
+
+def test_funnel_within_oracle(spark, duck, sf_dir):
+    """Staged for r7: 1h-conversion-window funnel vs the identical
+    greedy-cascade oracle."""
+    from pac_spark.operators.temporal import (
+        FUNNEL_WITHIN_SQL,
+        funnel_within_1h_view_click_purchase,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        funnel_within_1h_view_click_purchase(spark, sf_dir),
+        duck.sql(FUNNEL_WITHIN_SQL),
+    )
+
+
+def test_funnel_within_is_greedy(spark, tmp_path):
+    """Greedy semantics pinned: the funnel commits to the EARLIEST
+    admissible click even when a later click would let the purchase
+    convert — reached_purchase False is the correct greedy answer."""
+    import pandas as pd
+
+    rows = [  # all one user
+        ("view", "2024-01-01 10:00:00"),
+        ("click", "2024-01-01 10:30:00"),   # chosen (within 1h of view)
+        ("click", "2024-01-01 11:30:00"),   # ignored: funnel committed
+        ("purchase", "2024-01-01 12:00:00"),  # >1h after chosen click
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([t for _, t in rows]).astype("datetime64[us]"),
+            "user_id": [1] * len(rows),
+            "event_type": [e for e, _ in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import funnel_within_1h_view_click_purchase
+
+    r = funnel_within_1h_view_click_purchase(spark, str(tmp_path)).collect()[0]
+    assert r["reached_click"] is True
+    assert r["click_ts"] == "2024-01-01 10:30:00.000000"
+    assert r["reached_purchase"] is False
+    assert r["view_to_purchase_micros"] is None
