@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["global_running_sums"]
+__all__ = ["global_running_sums", "global_running_max"]
 
 
 def global_running_sums(
@@ -90,3 +90,42 @@ def global_running_sums(
         ],
     )
     return out
+
+
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket: Column,
+    out: str = "run_max",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Append ``out`` = global running MAX of ``value_col`` ordered by
+    ``order_col`` — same two-phase decomposition as
+    :func:`global_running_sums` (max is associative and commutative,
+    so the identical bucket split applies; the combine is ``greatest``
+    instead of ``+``).
+
+    With ``inclusive=False`` the frame is strictly-preceding rows:
+    the first row overall gets NULL (an empty prefix has no max), the
+    property dominance tests (skyline) need. Same contracts as the sum
+    variant: bucket monotone in the order key, distinct order keys.
+    """
+    b = df.withColumn("_pb", bucket)
+    hi = W.currentRow if inclusive else -1
+    in_w = (
+        W.partitionBy("_pb").orderBy(order_col).rowsBetween(W.unboundedPreceding, hi)
+    )
+    run_in = b.select("*", F.max(value_col).over(in_w).alias("_in"))
+    totals = b.groupBy("_pb").agg(F.max(value_col).alias("_tot"))
+    # strictly-preceding buckets either way: the in-bucket part covers
+    # the current bucket
+    off_w = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select("_pb", F.max("_tot").over(off_w).alias("_off"))
+    joined = run_in.join(F.broadcast(offsets), "_pb")
+    # greatest() skips NULLs (empty in-bucket prefix / first bucket),
+    # returning NULL only when both sides are empty — exactly the
+    # empty-global-prefix case
+    return joined.select(
+        *df.columns, F.greatest(F.col("_in"), F.col("_off")).alias(out)
+    )

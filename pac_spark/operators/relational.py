@@ -60,6 +60,8 @@ __all__ = [
     "rolling_1h_user_stats",
     "daily_user_accounting",
     "user_day_accounting",
+    "skyline_suppliers",
+    "SKYLINE_SQL",
     "DAILY_USERS_SQL",
 ]
 
@@ -909,4 +911,85 @@ SELECT strftime(a.day, '%Y-%m-%d') AS day,
            AS BIGINT) AS n_cumulative_users
 FROM active a LEFT JOIN cumulative c ON a.day = c.day
 ORDER BY day
+"""
+
+
+def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (SKYLINE) of suppliers over (total lineitem
+    cost ASC better, total quantity DESC better): the suppliers no
+    other supplier beats on both axes — the classic multi-criteria
+    shortlist operator (Börzsönyi et al., ICDE'01) that engines
+    without a SKYLINE clause make users hand-roll as an O(n²)
+    NOT EXISTS.
+
+    The 2-D skyline has a linear formulation: sort by cost, then a
+    point survives iff its quantity is its cost-group's max AND
+    strictly exceeds the running max quantity over all CHEAPER costs.
+    That strictly-preceding running max is
+    :func:`pac_spark.functions.prefix.global_running_max` — the same
+    bucketed two-phase prefix machinery as the sweep line, so no
+    single-task window ever sees the supplier frame; the oracle
+    deliberately states the INDEPENDENT O(n²) NOT EXISTS dominance
+    definition, so hash equality proves the linear plan implements
+    the textbook semantics rather than echoing the same construction.
+
+    All integers: cost in exact cents, quantity in whole units.
+    """
+    from pac_spark.functions.exact import int_div
+    from pac_spark.functions.prefix import global_running_max
+
+    sup = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cost_cents"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )
+    gmax = sup.groupBy("cost_cents").agg(F.max("total_qty").alias("g_max"))
+    cheaper = global_running_max(
+        gmax,
+        "cost_cents",
+        "g_max",
+        bucket=int_div(F.col("cost_cents"), F.lit(100_000_000)),
+        out="cheaper_max",
+        inclusive=False,
+    )
+    return (
+        sup.join(cheaper, "cost_cents")
+        .filter(
+            (F.col("total_qty") == F.col("g_max"))
+            & (
+                F.col("cheaper_max").isNull()
+                | (F.col("total_qty") > F.col("cheaper_max"))
+            )
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            (F.col("cost_cents").cast("double") / 100.0).alias("total_cost"),
+            "total_qty",
+        )
+        .orderBy("total_cost", "suppkey")
+    )
+
+
+SKYLINE_SQL = """
+WITH sup AS (
+    SELECT l_suppkey AS suppkey,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents,
+           SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT suppkey,
+       CAST(cost_cents AS DOUBLE) / 100.0 AS total_cost,
+       CAST(total_qty AS BIGINT) AS total_qty
+FROM sup s
+WHERE NOT EXISTS (
+    SELECT 1 FROM sup a
+    WHERE a.cost_cents <= s.cost_cents AND a.total_qty >= s.total_qty
+      AND (a.cost_cents < s.cost_cents OR a.total_qty > s.total_qty)
+)
+ORDER BY total_cost, suppkey
 """

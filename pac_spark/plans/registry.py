@@ -154,7 +154,11 @@ def all_specs() -> list[QuerySpec]:
     #   greedy conversion-window funnel; oracle
     #   temporal.FUNNEL_WITHIN_SQL, green at 3 SFs + greedy-semantics
     #   crafted test)
-    # With 25 staged operators the r7 cap cannot hold all of these plus
+    # - skyline_suppliers (operators/relational.py, Pareto frontier
+    #   via two-phase prefix max; oracle relational.SKYLINE_SQL is the
+    #   INDEPENDENT NOT-EXISTS dominance formulation, green at 3 SFs
+    #   + dominance-semantics crafted test)
+    # With 26 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

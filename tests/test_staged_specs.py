@@ -1050,3 +1050,51 @@ def test_funnel_within_is_greedy(spark, tmp_path):
     assert r["click_ts"] == "2024-01-01 10:30:00.000000"
     assert r["reached_purchase"] is False
     assert r["view_to_purchase_micros"] is None
+
+
+def test_skyline_oracle(spark, duck, sf_dir):
+    """Staged for r7: the linear prefix-max skyline vs the INDEPENDENT
+    O(n^2) NOT EXISTS dominance oracle — formulation-diverse proof."""
+    from pac_spark.operators.relational import SKYLINE_SQL, skyline_suppliers
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(skyline_suppliers(spark, sf_dir), duck.sql(SKYLINE_SQL))
+
+
+def test_skyline_crafted(spark, tmp_path):
+    """Dominance semantics pinned: duplicates both survive (neither
+    dominates), equal-cost lower-qty dies, equal-qty cheaper wins."""
+    import pandas as pd
+
+    # supplier -> rows summing to (cost_cents, qty)
+    pts = {
+        1: (100, 50),   # skyline (cheapest)
+        2: (100, 50),   # duplicate of 1 -> also skyline
+        3: (100, 40),   # same cost as 1, less qty -> dominated
+        4: (200, 60),   # skyline (more qty than anything cheaper)
+        5: (300, 60),   # same qty as 4 but dearer -> dominated
+        6: (400, 55),   # dominated by 4
+        7: (500, 70),   # skyline
+    }
+    rows = [(k, cents / 100.0, float(q)) for k, (cents, q) in pts.items()]
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(rows)),
+            "l_partkey": [1] * len(rows),
+            "l_suppkey": [k for k, _, _ in rows],
+            "l_linenumber": [1] * len(rows),
+            "l_quantity": [q for _, _, q in rows],
+            "l_extendedprice": [c for _, c, _ in rows],
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * len(rows)).astype(
+                "datetime64[us]"
+            ),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.relational import skyline_suppliers
+
+    got = sorted(r["suppkey"] for r in skyline_suppliers(spark, str(tmp_path)).collect())
+    assert got == [1, 2, 4, 7]
