@@ -161,3 +161,32 @@ def test_lifetime_tie_split_out_of_order_is_refused(spark, tmp_path):
     with pytest.raises(Exception, match="regression"):
         _run_once(spark, src, ckpt, schema, rows)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_user_accounting_merge_is_idempotent_under_replay(spark):
+    """foreachBatch gives at-least-once delivery on restart edges: the
+    growth-accounting fold's merge (distinct union) must absorb a
+    REPLAYED batch without changing the view — and must not depend on
+    batch order."""
+    import pandas as pd
+
+    from pac_spark.operators.relational import user_day_accounting
+
+    def frame(rows):
+        return spark.createDataFrame(
+            pd.DataFrame({"user_id": [u for u, _ in rows],
+                          "day": pd.to_datetime([d for _, d in rows]).date})
+        )
+
+    b1 = frame([(1, "2024-01-01"), (2, "2024-01-01")])
+    b2 = frame([(1, "2024-01-02"), (3, "2024-01-03")])
+
+    def merge(view, delta):
+        return view.unionByName(delta).distinct()
+
+    ordered = merge(b1, b2)
+    replayed = merge(merge(b1, b2), b1)      # b1 delivered twice
+    reordered = merge(b2, b1)
+    want = sorted(map(tuple, user_day_accounting(ordered).collect()))
+    assert sorted(map(tuple, user_day_accounting(replayed).collect())) == want
+    assert sorted(map(tuple, user_day_accounting(reordered).collect())) == want
