@@ -524,8 +524,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pac_spark.operators.text_core import distinct_shingled
 
+    from pac_spark.cache import pin
+
     docs = catalog.load(spark, sf_dir, "documents")
-    sh = (
+    # pinned: the data-sized distinct feeds sizes AND both self-join
+    # sides — without the pin the shingle scan runs three times
+    sh = pin(
         distinct_shingled(docs.select("source", "text"), "text")
         .select("source", F.explode("sh").alias("shingle"))
         .distinct()

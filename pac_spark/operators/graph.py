@@ -438,7 +438,12 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor cut is TakeOrdered under the total (degree desc, node)
     order.
     """
-    edges = trade_edges(spark, sf_dir)
+    from pac_spark.cache import pin
+
+    # pinned: the join+distinct edge derivation feeds THREE consumers
+    # (degrees, hop 1, hop 2) — ReuseExchange shares only identical
+    # exchange subtrees, not the aggregates above them
+    edges = pin(trade_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     anchors = (
         deg.filter((F.col("src") >= 10**9) & (F.col("src") < 2 * 10**9))

@@ -938,7 +938,11 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.functions.exact import int_div
     from pac_spark.functions.prefix import global_running_max
 
-    sup = (
+    from pac_spark.cache import pin
+
+    # pinned: sup feeds the cost-group max AND the final join-back;
+    # gmax feeds the prefix helper's two consumers
+    sup = pin(
         catalog.load(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
         .agg(
@@ -948,7 +952,7 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
         )
     )
-    gmax = sup.groupBy("cost_cents").agg(F.max("total_qty").alias("g_max"))
+    gmax = pin(sup.groupBy("cost_cents").agg(F.max("total_qty").alias("g_max")))
     cheaper = global_running_max(
         gmax,
         "cost_cents",

@@ -935,8 +935,12 @@ def ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),
         )
     )
-    hist = li.groupBy("cents").agg(
-        F.sum("is_a").alias("a"), F.sum(F.lit(1) - F.col("is_a")).alias("r")
+    # pinned: the histogram feeds the prefix-sum's two consumers plus
+    # the totals aggregate — three scans of the fact table otherwise
+    hist = pin(
+        li.groupBy("cents").agg(
+            F.sum("is_a").alias("a"), F.sum(F.lit(1) - F.col("is_a")).alias("r")
+        )
     )
     run = global_running_sums(
         hist, "cents", ["a", "r"], bucket=int_div(F.col("cents"), F.lit(1_000_000))

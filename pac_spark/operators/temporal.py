@@ -524,10 +524,14 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sessions are the same 10-minute-gap islands as
     ``events_sessions_10m``; a session is open over the CLOSED interval
     [first event, last event]. Concurrency only changes at session
-    starts, so the sweep evaluates ``conc(t) = #starts <= t - #ends
-    < t`` at each distinct start instant — grouped by timestamp first,
-    which makes the whole computation invariant to row order among
-    equal timestamps.
+    starts, so candidate instants are the distinct start timestamps
+    PLUS one midnight probe per day of the activity span — the probe
+    is what makes the per-day slicing correct: a day whose peak is
+    inherited from sessions still open across midnight (or that has
+    carried-over sessions and no starts at all) is measured at 00:00,
+    where the start-only candidate set would miss it (code-review r6
+    finding). Candidates are grouped by timestamp first, so the whole
+    computation is invariant to row order among equal timestamps.
 
     Scale shape: the classic formulation is one unpartitioned running
     sum over every interval endpoint — a single-task window. Here the
@@ -544,20 +548,12 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pac_spark.cache import pin
     from pac_spark.functions.prefix import global_running_sums
+    from pac_spark.streaming.windows import with_session_ids
 
     events = catalog.load(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap_us = 10 * 60 * 1_000_000
-    us = F.unix_micros(F.col("ts"))
-    prev_us = F.lag(us).over(order)
-    is_break = F.when(
-        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
-    ).otherwise(F.lit(0))
     sessions = (
-        events.select(
-            "user_id", us.alias("us"), F.sum(is_break).over(run).alias("sid")
-        )
+        with_session_ids(events)
+        .select("user_id", "sid", F.unix_micros("ts").alias("us"))
         .groupBy("user_id", "sid")
         .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
     )
@@ -574,16 +570,40 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pac_spark.functions.exact import int_div
 
+    day_us = F.lit(86_400_000_000)
+    # midnight probes across the activity span (calendar-sized):
+    # sequence over day indices off the 1-row endpoint extremes
+    span = endpoints.agg(
+        int_div(F.min("t"), day_us).alias("d0"),
+        int_div(F.max("t"), day_us).alias("d1"),
+    )
+    probes = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    ).select(
+        (F.col("d") * day_us).alias("t"),
+        F.lit(0).alias("st"),
+        F.lit(0).alias("en"),
+        F.lit(1).alias("probe"),
+    )
+    points = pin(
+        endpoints.withColumn("probe", F.lit(0))
+        .unionAll(probes)
+        .groupBy("t")
+        .agg(
+            F.sum("st").alias("st"),
+            F.sum("en").alias("en"),
+            F.max("probe").alias("probe"),
+        )
+    )  # pinned: feeds the prefix helper's two consumers
     running = global_running_sums(
-        endpoints, "t", ["st", "en"],
-        bucket=int_div(F.col("t"), F.lit(86_400_000_000)),
+        points, "t", ["st", "en"],
+        bucket=int_div(F.col("t"), day_us),
     )
     # ends strictly before t: inclusive running minus this instant's own
-    conc = running.select(
+    conc = running.filter((F.col("st") > 0) | (F.col("probe") > 0)).select(
         "t",
-        "st",
         (F.col("run_st") - (F.col("run_en") - F.col("en"))).alias("conc"),
-    ).filter(F.col("st") > 0)
+    )
     # pinned: cand feeds the per-day max AND the argmax join-back
     cand = pin(
         conc.select(
@@ -626,20 +646,28 @@ WITH lagged AS (
 ), sess AS (
     SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
     FROM s GROUP BY user_id, sid
+), ep AS (
+    SELECT start_us AS t, 1 AS st, 0 AS en, 0 AS probe FROM sess
+    UNION ALL
+    SELECT end_us AS t, 0 AS st, 1 AS en, 0 AS probe FROM sess
+), span AS (
+    SELECT MIN(t) // 86400000000 AS d0, MAX(t) // 86400000000 AS d1 FROM ep
+), probes AS (
+    SELECT unnest(generate_series(d0, d1)) * 86400000000 AS t,
+           0 AS st, 0 AS en, 1 AS probe
+    FROM span
 ), pts AS (
-    SELECT t, SUM(st) AS st, SUM(en) AS en FROM (
-        SELECT start_us AS t, 1 AS st, 0 AS en FROM sess
-        UNION ALL
-        SELECT end_us AS t, 0 AS st, 1 AS en FROM sess
-    ) GROUP BY t
+    SELECT t, SUM(st) AS st, SUM(en) AS en, MAX(probe) AS probe
+    FROM (SELECT * FROM ep UNION ALL SELECT * FROM probes)
+    GROUP BY t
 ), run AS (
-    SELECT t, st,
+    SELECT t, st, probe,
            SUM(st) OVER w - (SUM(en) OVER w - en) AS conc
     FROM pts
     WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), cand AS (
     SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day, t, conc
-    FROM run WHERE st > 0
+    FROM run WHERE st > 0 OR probe > 0
 ), peaks AS (
     SELECT day, MAX(conc) AS peak FROM cand GROUP BY day
 )
@@ -677,22 +705,10 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (SURVEY.md §2.6); path mining is the first question asked
     of that data at scale.
     """
+    from pac_spark.streaming.windows import with_session_ids
+
     events = catalog.load(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap_us = 10 * 60 * 1_000_000
-    us = F.unix_micros(F.col("ts"))
-    prev_us = F.lag(us).over(order)
-    is_break = F.when(
-        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
-    ).otherwise(F.lit(0))
-    with_session = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.sum(is_break).over(run).alias("sid"),
-    )
+    with_session = with_session_ids(events, carry=("event_type",))
     paths = (
         with_session.groupBy("user_id", "sid")
         .agg(

@@ -840,16 +840,18 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def BM25_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    return f"""
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+# STAGED for the r7 rotation (gate: tests/test_staged_specs.py). A plain
+# module string like the other staged oracles so QuerySpec registration
+# cannot accidentally pass a callable (code-review r6).
+BM25_SQL = f"""
 WITH docs AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), hits AS (
     SELECT doc_id, len(toks) AS dl, u.term
     FROM docs, UNNEST(toks) AS u(term)
-    WHERE u.term IN ({terms})
+    WHERE u.term IN ({_BM25_TERMS_SQL})
 ), doc_term AS (
     SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3
 ), dfreq AS (

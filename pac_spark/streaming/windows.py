@@ -32,11 +32,36 @@ __all__ = [
     "tumbling_1h_by_type",
     "sliding_1h_30m_by_type",
     "session_windows_10m",
+    "with_session_ids",
+    "SESSION_GAP_US",
     "windowed_agg",
     "TS_FMT",
 ]
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+SESSION_GAP_US = 10 * 60 * 1_000_000
+
+
+def with_session_ids(events: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """THE canonical 10-minute-gap sessionization, shared by every
+    batch consumer (``session_windows_10m``, peak concurrency, path
+    mining — code-review r6: three drifting copies collapsed to one):
+    classic gaps-and-islands — a break is a gap > 10 min from the same
+    user's previous event under the total (ts, event_id) order; the
+    running break count is the session id. Output:
+    (user_id, ts, event_id, *carry, sid). All integer-microsecond
+    arithmetic — deterministic at any partitioning."""
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order)
+    is_break = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.select(
+        "user_id", "ts", "event_id", *carry, F.sum(is_break).over(run).alias("sid")
+    )
 
 
 def _window_bounds(win: Column) -> list[Column]:
@@ -90,20 +115,8 @@ def session_windows_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_exec.session_stream); same sessions, incremental state.
     """
     events = catalog.load(spark, sf_dir, "events")
-    order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap_us = 10 * 60 * 1_000_000
-    us = F.unix_micros(F.col("ts"))
-    prev_us = F.lag(us).over(order)
-    is_break = F.when(
-        prev_us.isNull() | ((us - prev_us) > gap_us), F.lit(1)
-    ).otherwise(F.lit(0))
-    with_session = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.sum(is_break).over(run).alias("session_id"),
+    with_session = with_session_ids(events, carry=("value",)).withColumnRenamed(
+        "sid", "session_id"
     )
     return (
         with_session.groupBy("user_id", "session_id")

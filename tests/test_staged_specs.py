@@ -782,7 +782,7 @@ def test_bm25_oracle(spark, duck, sf_dir):
     from pac_spark.operators.text import BM25_SQL, bm25_topk_docs
     from tests.conftest import assert_oracle_match
 
-    assert_oracle_match(bm25_topk_docs(spark, sf_dir), duck.sql(BM25_SQL()))
+    assert_oracle_match(bm25_topk_docs(spark, sf_dir), duck.sql(BM25_SQL))
 
 
 def test_bm25_saturation_and_length_normalization(spark, tmp_path):
@@ -1098,3 +1098,38 @@ def test_skyline_crafted(spark, tmp_path):
 
     got = sorted(r["suppkey"] for r in skyline_suppliers(spark, str(tmp_path)).collect())
     assert got == [1, 2, 4, 7]
+
+
+def test_peak_concurrency_midnight_carryover(spark, tmp_path):
+    """Code-review r6 scenario: a day whose peak is inherited from
+    sessions open across midnight must report it (measured at the
+    00:00 probe), not the count at its first same-day start."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    # five sessions genuinely spanning midnight: 23:55 -> 00:03 is an
+    # 8-minute gap, under the 10-minute session break
+    for u in range(1, 6):
+        for t in ("2024-01-01 23:55:00", "2024-01-02 00:03:00"):
+            rows.append((eid, t, u)); eid += 1
+    rows.append((eid, "2024-01-02 12:00:00", 9)); eid += 1  # lone Jan 2 start
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[2] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import peak_concurrent_sessions
+
+    got = {r["day"]: r for r in peak_concurrent_sessions(spark, str(tmp_path)).collect()}
+    assert got["2024-01-01"]["peak_concurrency"] == 5
+    # Jan 2 has no session STARTS before noon, but five sessions are
+    # still open at 00:00 — the midnight probe must surface peak 5
+    # there, not the start-only answer of 1 at 12:00
+    assert got["2024-01-02"]["peak_concurrency"] == 5
+    assert got["2024-01-02"]["at_ts"] == "2024-01-02 00:00:00.000000" 
