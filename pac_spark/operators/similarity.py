@@ -46,6 +46,8 @@ __all__ = [
     "ann_ivf_topk",
     "pq_topk",
     "label_centroids",
+    "embedding_dim_stats",
+    "DIM_STATS_SQL",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -752,3 +754,97 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding collection — count,
+    mean, exact p25/median/p75, min, max — the readout a vector
+    pipeline consults before whitening/normalizing or diagnosing a
+    collapsed dimension.
+
+    Determinism: float sums are order-dependent, so values are scaled
+    to exact 1e-6 fixed point (float32 -> double is exact; the scaled
+    round is identical in both engines) and every sum/percentile runs
+    on integers; only the final mean/display divisions touch doubles.
+    Percentiles reuse the shared histogram read-off
+    (:func:`pac_spark.operators.stats.group_percentiles_disc`) — the
+    per-dim histogram is bounded by the value domain.
+
+    Scale shape: posexplode fan-out (rows x dims) into one map-side-
+    combined aggregate per output; the join of the two per-dim frames
+    is dim-count-sized.
+    """
+    from pac_spark.operators.stats import group_percentiles_disc
+
+    emb = catalog.load(spark, sf_dir, "embeddings").select(
+        F.posexplode(_dvec("embedding")).alias("dim", "val")
+    )
+    fp = emb.select(
+        "dim", F.round(F.col("val") * 1_000_000).cast("long").alias("v")
+    )
+    moments = fp.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    pcts = group_percentiles_disc(fp, ["dim"], "v", pcts=(25, 50, 75)).select(
+        "dim", "p25", "p50", "p75"
+    )
+    back = lambda c: (F.col(c).cast("double") / 1_000_000.0)  # noqa: E731
+    return (
+        moments.join(pcts, "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            (F.col("s").cast("double") / F.col("n").cast("double") / 1_000_000.0).alias(
+                "mean_val"
+            ),
+            back("mn").alias("min_val"),
+            back("p25").alias("p25"),
+            back("p50").alias("median"),
+            back("p75").alias("p75"),
+            back("mx").alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+DIM_STATS_SQL = """
+WITH fp AS (
+    SELECT i - 1 AS dim,
+           CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+), moments AS (
+    SELECT dim, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+    FROM fp GROUP BY dim
+), h AS (
+    SELECT dim, v, COUNT(*) AS c FROM fp GROUP BY dim, v
+), w AS (
+    SELECT dim, v,
+           SUM(c) OVER (PARTITION BY dim ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY dim) AS nn
+    FROM h
+), pcts AS (
+    SELECT dim,
+           MIN(CASE WHEN cum * 100 >= 25 * nn THEN v END) AS p25,
+           MIN(CASE WHEN cum * 100 >= 50 * nn THEN v END) AS p50,
+           MIN(CASE WHEN cum * 100 >= 75 * nn THEN v END) AS p75
+    FROM w GROUP BY dim
+)
+SELECT CAST(m.dim AS INT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_val,
+       CAST(mn AS DOUBLE) / 1000000.0 AS min_val,
+       CAST(p25 AS DOUBLE) / 1000000.0 AS p25,
+       CAST(p50 AS DOUBLE) / 1000000.0 AS median,
+       CAST(p75 AS DOUBLE) / 1000000.0 AS p75,
+       CAST(mx AS DOUBLE) / 1000000.0 AS max_val
+FROM moments m JOIN pcts p ON m.dim = p.dim
+ORDER BY dim
+"""

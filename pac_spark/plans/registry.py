@@ -158,7 +158,10 @@ def all_specs() -> list[QuerySpec]:
     #   via two-phase prefix max; oracle relational.SKYLINE_SQL is the
     #   INDEPENDENT NOT-EXISTS dominance formulation, green at 3 SFs
     #   + dominance-semantics crafted test)
-    # With 26 staged operators the r7 cap cannot hold all of these plus
+    # - embedding_dim_stats (operators/similarity.py, per-dimension
+    #   fixed-point moments + histogram percentiles; oracle
+    #   similarity.DIM_STATS_SQL, green at 3 SFs)
+    # With 27 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

@@ -1133,3 +1133,12 @@ def test_peak_concurrency_midnight_carryover(spark, tmp_path):
     # there, not the start-only answer of 1 at 12:00
     assert got["2024-01-02"]["peak_concurrency"] == 5
     assert got["2024-01-02"]["at_ts"] == "2024-01-02 00:00:00.000000" 
+
+
+def test_embedding_dim_stats_oracle(spark, duck, sf_dir):
+    """Staged for r7: per-dimension fixed-point stats vs the identical
+    histogram oracle."""
+    from pac_spark.operators.similarity import DIM_STATS_SQL, embedding_dim_stats
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(embedding_dim_stats(spark, sf_dir), duck.sql(DIM_STATS_SQL))
