@@ -30,7 +30,13 @@ def int_div(a: Column, b: Column) -> Column:
     ever sits near a floor boundary (ADVICE r5 #4: a plain
     ``floor(a / b)`` form could floor across a boundary on a
     pathological near-integer double quotient). DuckDB mirror: the
-    ``//`` integer-division operator on BIGINT operands."""
+    ``//`` integer-division operator on BIGINT operands.
+
+    HARD CONTRACT: the NUMERATOR ``a - a%b`` must stay below 2^53 —
+    the long->double conversion itself rounds above that, BEFORE the
+    division (caught live by the HLL sketch's 60-bit hashes, r6). For
+    wider operands use decimal Columns (decimal division is exact
+    here) or, for power-of-two divisors, ``F.shiftright``."""
     return ((a - a % b) / b).cast("long")
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["md5_bucket", "md5_bucket_sql"]
+__all__ = ["md5_bucket", "md5_bucket_sql", "md5_u60", "md5_u60_sql"]
 
 
 def md5_bucket(expr: Column, modulus: int) -> Column:
@@ -36,3 +36,22 @@ def md5_bucket_sql(expr: str, modulus: int) -> str:
         for i in range(8)
     )
     return f"CAST(({digits}) % {modulus} AS INT)"
+
+
+def md5_u60(expr: Column) -> Column:
+    """First 15 md5 hex digits of (already-salted) string ``expr`` as
+    a 60-bit non-negative BIGINT — enough hash material for register
+    sketches (HyperLogLog needs register index + geometric bits, which
+    32-bit :func:`md5_bucket` can't supply)."""
+    h = F.md5(F.encode(expr, "UTF-8"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def md5_u60_sql(expr: str) -> str:
+    """DuckDB text computing exactly :func:`md5_u60`, digit-wise."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"CAST(({digits}) AS BIGINT)"

@@ -40,6 +40,9 @@ __all__ = [
     "cms_estimate",
     "cms_user_heavy_hitters",
     "CMS_HH_SQL",
+    "hll_distinct_customers_by_priority",
+    "HLL_SQL",
+    "HLL_M",
 ]
 
 CMS_DEPTH = 4
@@ -179,4 +182,138 @@ SELECT user_id,
        CAST(est AS BIGINT) AS cms_estimate,
        CAST(est - n_rows AS BIGINT) AS overcount
 FROM est ORDER BY n_rows DESC, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+HLL_M = 64  # registers (b = 6 index bits)
+HLL_K = 56  # fixed-point exponent for the exact harmonic sum
+# alpha_m * m^2 * 2^K — every factor is an exact double scale of the
+# 0.709 constant (alpha for m=64), so the literal is bit-identical in
+# both engines
+_HLL_EST_NUM = 0.709 * float(HLL_M * HLL_M) * float(2**HLL_K)
+
+
+def _rho_case(w: str) -> str:
+    """Portable SQL for rho(w) = index of the lowest set bit of ``w``
+    (1-based), 55 when w = 0 — the geometric observable HLL tracks.
+    One CASE over power-of-two residues: exact integers, no log2, the
+    identical text evaluated by Spark (``F.expr``) and DuckDB."""
+    whens = " ".join(
+        f"WHEN {w} % {1 << k} = {1 << (k - 1)} THEN {k}" for k in range(1, 55)
+    )
+    return f"CASE WHEN {w} = 0 THEN 55 {whens} END"
+
+
+def hll_distinct_customers_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """From-scratch HyperLogLog: approximate distinct customers per
+    order priority, next to the exact count so the error is visible —
+    the mergeable-sketch answer to COUNT(DISTINCT) when the key space
+    no longer fits an exact aggregate (the same scalability role
+    ``approx_distinct_parts`` fills with Spark's built-in HLL++, but
+    with the sketch itself in engine-portable integers).
+
+    Construction (Flajolet et al.): a 60-bit md5 hash per key splits
+    into a register index (mod 64) and the remaining bits ``w``; each
+    register keeps max rho(w) (lowest-set-bit index — geometrically
+    distributed). Register maxima commute, so the sketch is
+    partition-invariant; the harmonic mean is computed EXACTLY by
+    clearing denominators: ``sum(2^-M_j)`` becomes the integer
+    ``S = sum(2^(K-M_j))`` (missing registers contribute ``2^K``),
+    and the only float is the final ``alpha*m^2*2^K / S`` division —
+    so the estimate VALUE hash-matches the DuckDB rebuild digit for
+    digit. Raw estimate, no small/large-range corrections: the
+    correction branch is a documented deployment choice and would be
+    the same one-expression CASE in both engines.
+
+    Scale shape: one map-side-combined groupBy to (group, register)
+    maxima — at most ``|groups| * 64`` rows leave the map side; the
+    exact-distinct companion column is the expensive one (it is the
+    point of the comparison).
+    """
+    from pac_spark.functions.hashing import md5_u60
+
+    orders = pin(
+        catalog.load(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_custkey"
+        )
+    )
+    h = md5_u60(F.concat(F.lit("hll1|"), F.col("o_custkey").cast("string")))
+    hashed = orders.select(
+        "o_orderpriority",
+        (h % HLL_M).alias("reg"),
+        # h // 64 via bit shift: functions.exact.int_div routes through
+        # a double division, which ROUNDS a 60-bit numerator before
+        # dividing (2^53 mantissa) — the shift is exact at any width
+        F.shiftright(h, 6).alias("w"),
+    )
+    regs = (
+        hashed.withColumn("rho", F.expr(_rho_case("w")))
+        .groupBy("o_orderpriority", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    sums = regs.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_active"),
+        # SQL-form shiftleft takes a column exponent (the DSL overload
+        # does not); 2^(K-M) stays exact integer
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_K} - m_reg)")).alias(
+            "s_active"
+        ),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    s_total = F.col("s_active") + (F.lit(HLL_M) - F.col("n_active")) * F.lit(
+        2**HLL_K
+    )
+    return (
+        exact.join(sums, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            "exact_distinct",
+            F.col("n_active").cast("int").alias("n_active_registers"),
+            (F.lit(_HLL_EST_NUM) / s_total.cast("double")).alias("hll_estimate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def HLL_SQL() -> str:
+    from pac_spark.functions.hashing import md5_u60_sql
+
+    h = md5_u60_sql("'hll1|' || CAST(o_custkey AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+    SELECT o_orderpriority,
+           {h} % {HLL_M} AS reg,
+           {h} // {HLL_M} AS w
+    FROM orders
+), regs AS (
+    SELECT o_orderpriority, reg, MAX({_rho_case('w')}) AS m_reg
+    FROM hashed GROUP BY o_orderpriority, reg
+), sums AS (
+    SELECT o_orderpriority, COUNT(*) AS n_active,
+           SUM(CAST(1 AS BIGINT) << ({HLL_K} - m_reg)) AS s_active
+    FROM regs GROUP BY o_orderpriority
+), exact AS (
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS exact_distinct
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(n_active AS INT) AS n_active_registers,
+       {_HLL_EST_NUM!r} / CAST(s_active + ({HLL_M} - n_active)
+                               * CAST({2**HLL_K} AS BIGINT) AS DOUBLE)
+           AS hll_estimate
+FROM exact e JOIN sums s ON e.o_orderpriority = s.o_orderpriority
+ORDER BY e.o_orderpriority
 """

@@ -161,7 +161,11 @@ def all_specs() -> list[QuerySpec]:
     # - embedding_dim_stats (operators/similarity.py, per-dimension
     #   fixed-point moments + histogram percentiles; oracle
     #   similarity.DIM_STATS_SQL, green at 3 SFs)
-    # With 27 staged operators the r7 cap cannot hold all of these plus
+    # - hll_distinct_customers_by_priority (operators/sketch.py,
+    #   from-scratch HyperLogLog with exact-integer harmonic sums;
+    #   oracle sketch.HLL_SQL, green at 3 SFs + error-envelope and
+    #   partition-invariance tests)
+    # With 28 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

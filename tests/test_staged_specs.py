@@ -1142,3 +1142,34 @@ def test_embedding_dim_stats_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(embedding_dim_stats(spark, sf_dir), duck.sql(DIM_STATS_SQL))
+
+
+def test_hll_oracle(spark, duck, sf_dir):
+    """Staged for r7: from-scratch HLL estimates vs the identical
+    register rebuild in DuckDB."""
+    from pac_spark.operators.sketch import HLL_SQL, hll_distinct_customers_by_priority
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        hll_distinct_customers_by_priority(spark, sf_dir), duck.sql(HLL_SQL())
+    )
+
+
+def test_hll_estimate_is_sane_and_partition_invariant(spark, sf_dir):
+    """The estimate must land within the textbook error envelope
+    (1.04/sqrt(64) ~ 13% relative standard error; assert 3 sigma) and
+    be identical under a different partitioning (register maxima
+    commute)."""
+    from pac_spark.operators.sketch import hll_distinct_customers_by_priority
+
+    rows = hll_distinct_customers_by_priority(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.39, (r["o_orderpriority"], rel)
+    again = hll_distinct_customers_by_priority(
+        spark, sf_dir
+    ).repartition(7).collect()
+    assert {x["o_orderpriority"]: x["hll_estimate"] for x in again} == {
+        x["o_orderpriority"]: x["hll_estimate"] for x in rows
+    }
