@@ -1173,3 +1173,51 @@ def test_hll_estimate_is_sane_and_partition_invariant(spark, sf_dir):
     assert {x["o_orderpriority"]: x["hll_estimate"] for x in again} == {
         x["o_orderpriority"]: x["hll_estimate"] for x in rows
     }
+
+
+def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
+    """ANSI-mode landmine sweep: every batch operator staged this
+    round must run (returning an empty or degenerate frame) on
+    schema-identical EMPTY tables — divisions and sequence() calls
+    must not throw when aggregates go NULL. Streaming folds are
+    excluded: an empty availableNow drain raising 'no batches' is
+    their documented contract."""
+    import pyarrow.parquet as pq
+
+    for name in (
+        "events orders lineitem customer nation region supplier part "
+        "documents embeddings"
+    ).split():
+        src = f"{sf_dir}/{name}.parquet"
+        pq.write_table(pq.read_table(src).slice(0, 0), tmp_path / f"{name}.parquet")
+
+    from pac_spark.operators import (
+        curation,
+        graph,
+        relational,
+        similarity,
+        sketch,
+        stats,
+        temporal,
+        text,
+    )
+
+    ops = [
+        temporal.peak_concurrent_sessions,
+        temporal.top_session_paths,
+        temporal.user_activity_streaks,
+        temporal.funnel_within_1h_view_click_purchase,
+        stats.ks_test_price_by_flag,
+        stats.budget_allocation_by_nation,
+        text.bm25_topk_docs,
+        text.token_gini_by_source,
+        curation.source_overlap_matrix,
+        graph.two_hop_reach_top_customers,
+        relational.daily_user_accounting,
+        relational.skyline_suppliers,
+        similarity.embedding_dim_stats,
+        sketch.hll_distinct_customers_by_priority,
+    ]
+    for op in ops:
+        rows = op(spark, str(tmp_path)).collect()
+        assert rows == [], f"{op.__name__} returned rows from empty input"
