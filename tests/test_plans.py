@@ -521,3 +521,37 @@ def test_daily_users_single_partition_windows_are_day_sized(spark, sf_dir):
     plan = _exec_plan(daily_user_accounting(spark, sf_dir))
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         assert "HashAggregate" in chunk
+
+
+def test_skyline_single_partition_is_cost_group_sized(spark, sf_dir):
+    """The only single-partition window allowed is the prefix helper's
+    bucket-offsets pass; the supplier frame itself must come from
+    cache for its two consumers."""
+    from pac_spark.operators.relational import skyline_suppliers
+
+    plan = _exec_plan(skyline_suppliers(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_register_aggregate_is_map_side_combined(spark, sf_dir):
+    """The sketch must leave the map side as (group, register) maxima
+    — two-level HashAggregate, no window, no join before the final
+    dim-sized combine."""
+    from pac_spark.operators.sketch import hll_distinct_customers_by_priority
+
+    plan = _exec_plan(hll_distinct_customers_by_priority(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_allocation_everything_after_fact_aggregate_is_tiny(spark, sf_dir):
+    """The ranking window runs over the nation-sized frame; scalar
+    totals broadcast (BroadcastNestedLoopJoin on 1-row frames is the
+    sanctioned shape)."""
+    from pac_spark.operators.stats import budget_allocation_by_nation
+
+    plan = _exec_plan(budget_allocation_by_nation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
