@@ -43,6 +43,8 @@ __all__ = [
     "SESSION_PATHS_SQL",
     "user_activity_streaks",
     "STREAKS_SQL",
+    "daily_coverage_us",
+    "COVERAGE_SQL",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -908,4 +910,152 @@ FROM v
 LEFT JOIN c ON v.user_id = c.user_id
 LEFT JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval union (covered time)
+
+
+_HOUR_US = 3_600_000_000
+
+
+def daily_coverage_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: total microseconds during which AT LEAST ONE user
+    session is open (the union measure of all session intervals), plus
+    the number of distinct covered stretches — "how much of the day
+    was anyone active", the complement of peak concurrency.
+
+    Interval union is the other classic sweep problem, and the naive
+    merge (sort ALL intervals, walk once) is inherently sequential.
+    The distributed form here: split every session at HOUR boundaries
+    (closed-interval clipping, point sessions measure zero), so union
+    is additive across disjoint hour cells, then run the classic
+    island merge INSIDE each (hour) partition — a task never holds
+    more than one hour of segments, at any corpus size. Island extent
+    ``max(end) − min(start)`` is exact microseconds; the flag order is
+    total (start, end, user, sid), so islands are deterministic.
+
+    Sessions spanning midnight contribute to both days by
+    construction — the midnight-probe lesson from
+    :func:`peak_concurrent_sessions` applied structurally.
+    """
+    from pac_spark.functions.exact import int_div
+    from pac_spark.streaming.windows import with_session_ids
+
+    events = catalog.load(spark, sf_dir, "events")
+    sessions = (
+        with_session_ids(events)
+        .select("user_id", "sid", F.unix_micros("ts").alias("us"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+    )
+    hour = F.col("h") * F.lit(_HOUR_US)
+    segs = (
+        sessions.select(
+            "user_id",
+            "sid",
+            "s",
+            "e",
+            F.explode(
+                F.sequence(
+                    int_div(F.col("s"), F.lit(_HOUR_US)),
+                    int_div(F.col("e"), F.lit(_HOUR_US)),
+                )
+            ).alias("h"),
+        )
+        .select(
+            "user_id",
+            "sid",
+            "h",
+            F.greatest(F.col("s"), hour).alias("cs"),
+            F.least(F.col("e"), hour + F.lit(_HOUR_US)).alias("ce"),
+        )
+        .filter(F.col("ce") > F.col("cs"))
+    )
+    order = W.partitionBy("h").orderBy("cs", "ce", "user_id", "sid")
+    prev_max = F.max("ce").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = segs.select(
+        "h",
+        "cs",
+        "ce",
+        "user_id",
+        "sid",
+        F.when(prev_max.isNull() | (F.col("cs") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    ).select(
+        "h",
+        "cs",
+        "ce",
+        F.sum("new_island")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    islands = flagged.groupBy("h", "island").agg(
+        (F.max("ce") - F.min("cs")).alias("covered")
+    )
+    return (
+        islands.groupBy(
+            F.date_format(
+                F.timestamp_micros(F.col("h") * _HOUR_US), "yyyy-MM-dd"
+            ).alias("day")
+        )
+        .agg(
+            F.sum("covered").alias("covered_us"),
+            F.count("*").alias("n_stretches"),
+        )
+        .orderBy("day")
+    )
+
+
+COVERAGE_SQL = f"""
+WITH lagged AS (
+    SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+), b AS (
+    SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000
+                   THEN 1 ELSE 0 END AS brk
+    FROM lagged
+), sid AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM b
+), sess AS (
+    SELECT user_id, sid, MIN(us) AS s, MAX(us) AS e
+    FROM sid GROUP BY user_id, sid
+), segs AS (
+    SELECT user_id, sid, u.h,
+           GREATEST(s, u.h * {_HOUR_US}) AS cs,
+           LEAST(e, u.h * {_HOUR_US} + {_HOUR_US}) AS ce
+    FROM sess, UNNEST(generate_series(s // {_HOUR_US}, e // {_HOUR_US})) AS u(h)
+), keep AS (
+    SELECT * FROM segs WHERE ce > cs
+), flagged AS (
+    SELECT h, cs, ce,
+           CASE WHEN MAX(ce) OVER (PARTITION BY h ORDER BY cs, ce, user_id, sid
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  OR cs > MAX(ce) OVER (PARTITION BY h ORDER BY cs, ce, user_id, sid
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island,
+           user_id, sid
+    FROM keep
+), isl AS (
+    SELECT h, cs, ce,
+           SUM(new_island) OVER (PARTITION BY h ORDER BY cs, ce, user_id, sid
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM flagged
+), islands AS (
+    SELECT h, island, MAX(ce) - MIN(cs) AS covered
+    FROM isl GROUP BY h, island
+)
+SELECT strftime(make_timestamp(h * {_HOUR_US}), '%Y-%m-%d') AS day,
+       CAST(SUM(covered) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_stretches
+FROM islands
+GROUP BY 1 ORDER BY day
 """

@@ -165,7 +165,10 @@ def all_specs() -> list[QuerySpec]:
     #   from-scratch HyperLogLog with exact-integer harmonic sums;
     #   oracle sketch.HLL_SQL, green at 3 SFs + error-envelope and
     #   partition-invariance tests)
-    # With 28 staged operators the r7 cap cannot hold all of these plus
+    # - daily_coverage_us (operators/temporal.py, hour-sharded
+    #   interval-union coverage; oracle temporal.COVERAGE_SQL, green
+    #   at 3 SFs + union-semantics crafted test)
+    # With 29 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

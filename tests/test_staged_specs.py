@@ -1221,3 +1221,46 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
         assert rows == [], f"{op.__name__} returned rows from empty input"
+
+
+def test_daily_coverage_oracle(spark, duck, sf_dir):
+    """Staged for r7: hour-sharded interval union vs the identical
+    island-merge oracle."""
+    from pac_spark.operators.temporal import COVERAGE_SQL, daily_coverage_us
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(daily_coverage_us(spark, sf_dir), duck.sql(COVERAGE_SQL))
+
+
+def test_daily_coverage_crafted(spark, tmp_path):
+    """Union semantics pinned: overlapping sessions count once,
+    disjoint stretches add, a point session adds zero, and a
+    midnight-spanning session contributes to both days."""
+    import pandas as pd
+
+    rows = [  # (user, ts)
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:08:00"),  # [10:00,10:08]
+        (2, "2024-01-01 10:04:00"), (2, "2024-01-01 10:12:00"),  # overlaps -> union [10:00,10:12]
+        (3, "2024-01-01 15:00:00"),                               # point, zero measure
+        (4, "2024-01-01 23:58:00"), (4, "2024-01-02 00:06:00"),   # spans midnight
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime([t for _, t in rows]).astype("datetime64[us]"),
+            "user_id": [u for u, _ in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import daily_coverage_us
+
+    got = {r["day"]: r for r in daily_coverage_us(spark, str(tmp_path)).collect()}
+    # Jan 1: [10:00,10:12] = 720s, plus 23:58->24:00 = 120s; the point
+    # session at 15:00 adds a zero-measure stretch that is filtered out
+    assert got["2024-01-01"]["covered_us"] == (720 + 120) * 1_000_000
+    assert got["2024-01-01"]["n_stretches"] == 2
+    # Jan 2: 00:00 -> 00:06 = 360s
+    assert got["2024-01-02"]["covered_us"] == 360 * 1_000_000
+    assert got["2024-01-02"]["n_stretches"] == 1
