@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 from pac_spark.cache import pin
@@ -43,6 +44,8 @@ __all__ = [
     "hll_distinct_customers_by_priority",
     "HLL_SQL",
     "HLL_M",
+    "rolling_7d_distinct_users_hll",
+    "ROLLING_HLL_SQL",
 ]
 
 CMS_DEPTH = 4
@@ -316,4 +319,140 @@ SELECT e.o_orderpriority,
            AS hll_estimate
 FROM exact e JOIN sums s ON e.o_orderpriority = s.o_orderpriority
 ORDER BY e.o_orderpriority
+"""
+
+
+HLL_WINDOW_DAYS = 7
+
+
+def rolling_7d_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, twice: exactly, and via
+    MERGED daily HyperLogLog sketches — the pre-aggregation trick that
+    makes rolling COUNT(DISTINCT) feasible at warehouse scale. A day's
+    raw events are folded ONCE into a 64-register daily sketch;
+    any trailing window then merges by per-register max (registers
+    commute), so the rolling pass touches ``days x 64`` rows instead
+    of re-scanning user ids per window — THE argument for mergeable
+    sketches over exact distinct at 100 TB.
+
+    The merge runs on a DENSE (day x register) grid (missing
+    registers zero-filled) so a register active only earlier in the
+    window still contributes when the anchor day lacks it; the range
+    frame is by day number, so calendar gaps inside the window are
+    skipped correctly. Estimates use the same exact-integer harmonic
+    sum as :func:`hll_distinct_customers_by_priority`. The exact
+    companion column replays each user-day into the 7 windows it
+    serves via a bounded explode — linear fan-out, no range self-join.
+    """
+    from pac_spark.functions.hashing import md5_u60
+
+    events = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+    )
+    h = md5_u60(F.concat(F.lit("hll1|"), F.col("user_id").cast("string")))
+    daily = pin(
+        events.select(
+            "day_num", (h % HLL_M).alias("reg"), F.shiftright(h, 6).alias("w")
+        )
+        .withColumn("rho", F.expr(_rho_case("w")))
+        .groupBy("day_num", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    grid = (
+        daily.select("day_num")
+        .distinct()
+        .select(
+            "day_num", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg")
+        )
+    )
+    dense = grid.join(daily, ["day_num", "reg"], "left").select(
+        "day_num", "reg", F.coalesce("m_reg", F.lit(0)).alias("m_reg")
+    )
+    merge_w = (
+        W.partitionBy("reg")
+        .orderBy("day_num")
+        .rangeBetween(-(HLL_WINDOW_DAYS - 1), 0)
+    )
+    merged = dense.select(
+        "day_num", "reg", F.max("m_reg").over(merge_w).alias("m7")
+    )
+    sums = merged.groupBy("day_num").agg(
+        F.sum(F.when(F.col("m7") > 0, 1).otherwise(0)).alias("n_active"),
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_K} - m7)")).alias("s"),
+    )
+    # exact companion: each (user, active day) serves windows anchored
+    # at day..day+6; count distinct users per anchor among ACTIVE days
+    pairs = events.distinct()
+    exact = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_num"),
+                    F.col("day_num") + F.lit(HLL_WINDOW_DAYS - 1),
+                )
+            ).alias("anchor"),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("exact_7d_distinct"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        sums.join(exact, sums.day_num == exact.anchor)
+        .select(
+            F.date_add(epoch, F.col("day_num")).cast("string").alias("day"),
+            "exact_7d_distinct",
+            F.col("n_active").cast("int").alias("n_active_registers"),
+            (F.lit(_HLL_EST_NUM) / F.col("s").cast("double")).alias("hll_estimate"),
+        )
+        .orderBy("day")
+    )
+
+
+def ROLLING_HLL_SQL() -> str:
+    from pac_spark.functions.hashing import md5_u60_sql
+
+    h = md5_u60_sql("'hll1|' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+    FROM events
+), daily AS (
+    SELECT day_num, {h} % {HLL_M} AS reg,
+           MAX({_rho_case(f"({h} // {HLL_M})")}) AS m_reg
+    FROM ev GROUP BY 1, 2
+), grid AS (
+    SELECT d.day_num, u.reg
+    FROM (SELECT DISTINCT day_num FROM daily) d,
+         UNNEST(range(0, {HLL_M})) AS u(reg)
+), dense AS (
+    SELECT g.day_num, g.reg, COALESCE(daily.m_reg, 0) AS m_reg
+    FROM grid g LEFT JOIN daily USING (day_num, reg)
+), merged AS (
+    SELECT day_num, reg,
+           MAX(m_reg) OVER (PARTITION BY reg ORDER BY day_num
+                            RANGE BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
+                            AND CURRENT ROW) AS m7
+    FROM dense
+), sums AS (
+    SELECT day_num,
+           SUM(CASE WHEN m7 > 0 THEN 1 ELSE 0 END) AS n_active,
+           SUM(CAST(1 AS BIGINT) << ({HLL_K} - m7)) AS s
+    FROM merged GROUP BY day_num
+), pairs AS (
+    SELECT DISTINCT user_id, day_num FROM ev
+), exact AS (
+    SELECT u.anchor, COUNT(DISTINCT user_id) AS exact_7d_distinct
+    FROM pairs,
+         UNNEST(range(day_num, day_num + {HLL_WINDOW_DAYS})) AS u(anchor)
+    GROUP BY u.anchor
+)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (s.day_num) DAY, '%Y-%m-%d') AS day,
+       CAST(exact_7d_distinct AS BIGINT) AS exact_7d_distinct,
+       CAST(n_active AS INT) AS n_active_registers,
+       {_HLL_EST_NUM!r} / CAST(s AS DOUBLE) AS hll_estimate
+FROM sums s JOIN exact e ON s.day_num = e.anchor
+ORDER BY day
 """

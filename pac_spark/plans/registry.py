@@ -168,7 +168,11 @@ def all_specs() -> list[QuerySpec]:
     # - daily_coverage_us (operators/temporal.py, hour-sharded
     #   interval-union coverage; oracle temporal.COVERAGE_SQL, green
     #   at 3 SFs + union-semantics crafted test)
-    # With 29 staged operators the r7 cap cannot hold all of these plus
+    # - rolling_7d_distinct_users_hll (operators/sketch.py, window-
+    #   merged daily HLL sketches + exact companion; oracle
+    #   sketch.ROLLING_HLL_SQL, green at 3 SFs + merge==sketch-of-
+    #   union property test)
+    # With 30 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

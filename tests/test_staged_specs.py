@@ -1264,3 +1264,58 @@ def test_daily_coverage_crafted(spark, tmp_path):
     # Jan 2: 00:00 -> 00:06 = 360s
     assert got["2024-01-02"]["covered_us"] == 360 * 1_000_000
     assert got["2024-01-02"]["n_stretches"] == 1
+
+
+def test_rolling_hll_oracle(spark, duck, sf_dir):
+    """Staged for r7: merged daily sketches vs the identical rebuild."""
+    from pac_spark.operators.sketch import (
+        ROLLING_HLL_SQL,
+        rolling_7d_distinct_users_hll,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        rolling_7d_distinct_users_hll(spark, sf_dir), duck.sql(ROLLING_HLL_SQL())
+    )
+
+
+def test_rolling_hll_merge_equals_sketch_of_union(spark, sf_dir):
+    """The defining mergeability property: the window-merged sketch
+    estimate for an anchor day must EQUAL the estimate of a sketch
+    built directly from the union of that window's raw user ids."""
+    import datetime
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pac_spark import catalog
+    from pac_spark.operators.sketch import (
+        HLL_K,
+        HLL_M,
+        _HLL_EST_NUM,
+        rolling_7d_distinct_users_hll,
+    )
+
+    rows = rolling_7d_distinct_users_hll(spark, sf_dir).collect()
+    assert rows
+    anchor = rows[-1]  # latest day: fullest window
+    d1 = datetime.date.fromisoformat(anchor["day"])
+    d0 = d1 - datetime.timedelta(days=6)
+    users = [
+        r["user_id"]
+        for r in catalog.load(spark, sf_dir, "events")
+        .filter((F.to_date("ts") >= F.lit(d0)) & (F.to_date("ts") <= F.lit(d1)))
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    regs = {}
+    for u in users:
+        h = int(hashlib.md5(f"hll1|{u}".encode()).hexdigest()[:15], 16)
+        w = h // HLL_M
+        rho = 55 if w == 0 else (w & -w).bit_length()
+        regs[h % HLL_M] = max(regs.get(h % HLL_M, 0), rho)
+    s = sum(1 << (HLL_K - m) for m in regs.values()) + (HLL_M - len(regs)) * (
+        1 << HLL_K
+    )
+    assert abs(anchor["hll_estimate"] - _HLL_EST_NUM / s) < 1e-9
