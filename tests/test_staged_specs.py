@@ -1217,6 +1217,8 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         relational.skyline_suppliers,
         similarity.embedding_dim_stats,
         sketch.hll_distinct_customers_by_priority,
+        sketch.rolling_7d_distinct_users_hll,
+        temporal.daily_coverage_us,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
