@@ -54,6 +54,9 @@ __all__ = [
     "budget_allocation_by_nation",
     "ALLOC_SQL",
     "ALLOC_BUDGET",
+    "group_percentiles_cont",
+    "percentiles_cont_price_by_flag",
+    "PCT_CONT_SQL",
     "PCTS",
 ]
 
@@ -1119,4 +1122,106 @@ SELECT n_name,
        CAST(base + CASE WHEN rk <= lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
 FROM ranked
 ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Continuous (interpolated) percentiles
+
+
+def group_percentiles_cont(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str,
+    pcts: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Exact CONTINUOUS percentiles (linear interpolation between
+    order statistics — the ``percentile_cont`` / numpy default) from
+    the same histogram + integer read-off machinery as the discrete
+    variant: zero-based rank ``p*(n-1)/100`` splits into integer part
+    ``k`` and hundredths remainder ``f``; the result is
+    ``v_k + f*(v_{k+1} - v_k)/100`` where ``v_k`` = smallest value
+    with cumulative count > k. Every comparison is integer; the one
+    float expression is identical in both engines, so interpolated
+    values hash-match — the construction proves percentile_cont
+    semantics engine-portably instead of trusting either engine's
+    interpolation flavor.
+    """
+    hist = df.groupBy(*group_cols, value).agg(F.count("*").alias("_c"))
+    cum_w = (
+        W.partitionBy(*group_cols)
+        .orderBy(value)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = hist.select(
+        *group_cols,
+        F.col(value),
+        F.sum("_c").over(cum_w).alias("_cum"),
+        F.sum("_c").over(W.partitionBy(*group_cols)).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n_values")]
+    for p in pcts:
+        pos = F.lit(p) * (F.col("_n") - 1)  # rank in hundredths
+        k = int_div(pos, F.lit(100))
+        f = pos % 100
+        lo = F.min(F.when(F.col("_cum") > k, F.col(value)))
+        hi = F.min(F.when(F.col("_cum") > k + 1, F.col(value)))
+        # the last rank has no successor; f is 0 there, so reuse lo
+        aggs.append(
+            (
+                lo.cast("double")
+                + F.max(f).cast("double")
+                * (F.coalesce(hi, lo).cast("double") - lo.cast("double"))
+                / 100.0
+            ).alias(f"p{p}_cont")
+        )
+    return with_cum.groupBy(*group_cols).agg(*aggs)
+
+
+def percentiles_cont_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: interpolated p25/p50/p75 of lineitem price
+    cents per return flag — the continuous twin of the registered
+    discrete spec, same one-scan histogram shape."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    out = group_percentiles_cont(li, ["l_returnflag"], "cents")
+    return out.select(
+        "l_returnflag",
+        "n_values",
+        *[(F.col(f"p{p}_cont") / 100.0).alias(f"p{p}_price") for p in (25, 50, 75)],
+    ).orderBy("l_returnflag")
+
+
+def _cont_col(p: int) -> str:
+    return f"""
+           CAST(MIN(CASE WHEN cum > ({p} * (n - 1)) // 100 THEN v END) AS DOUBLE)
+           + CAST(MAX(({p} * (n - 1)) % 100) AS DOUBLE)
+             * (CAST(COALESCE(
+                    MIN(CASE WHEN cum > ({p} * (n - 1)) // 100 + 1 THEN v END),
+                    MIN(CASE WHEN cum > ({p} * (n - 1)) // 100 THEN v END)
+                ) AS DOUBLE)
+                - CAST(MIN(CASE WHEN cum > ({p} * (n - 1)) // 100 THEN v END)
+                       AS DOUBLE))
+             / 100.0"""
+
+
+PCT_CONT_SQL = f"""
+WITH h AS (
+    SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+           COUNT(*) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+w AS (
+    SELECT l_returnflag, v,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM h
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       {",".join(f"({_cont_col(p)}) / 100.0 AS p{p}_price" for p in (25, 50, 75))}
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -172,7 +172,10 @@ def all_specs() -> list[QuerySpec]:
     #   merged daily HLL sketches + exact companion; oracle
     #   sketch.ROLLING_HLL_SQL, green at 3 SFs + merge==sketch-of-
     #   union property test)
-    # With 30 staged operators the r7 cap cannot hold all of these plus
+    # - percentiles_cont_price_by_flag (operators/stats.py,
+    #   interpolated percentile_cont from the same histogram; oracle
+    #   stats.PCT_CONT_SQL, green at 3 SFs + numpy-equivalence test)
+    # With 31 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

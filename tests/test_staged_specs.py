@@ -1321,3 +1321,45 @@ def test_rolling_hll_merge_equals_sketch_of_union(spark, sf_dir):
         1 << HLL_K
     )
     assert abs(anchor["hll_estimate"] - _HLL_EST_NUM / s) < 1e-9
+
+
+def test_percentiles_cont_oracle(spark, duck, sf_dir):
+    """Staged for r7: interpolated percentiles vs the identical
+    integer-rank oracle."""
+    from pac_spark.operators.stats import PCT_CONT_SQL, percentiles_cont_price_by_flag
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        percentiles_cont_price_by_flag(spark, sf_dir), duck.sql(PCT_CONT_SQL)
+    )
+
+
+def test_percentiles_cont_matches_numpy(spark, tmp_path):
+    """The interpolation is numpy's default (linear on p*(n-1))."""
+    import numpy as np
+    import pandas as pd
+
+    vals = [10.00, 20.00, 30.00, 40.00, 100.00]
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(vals)),
+            "l_partkey": [1] * len(vals),
+            "l_suppkey": [1] * len(vals),
+            "l_linenumber": [1] * len(vals),
+            "l_quantity": [1.0] * len(vals),
+            "l_extendedprice": vals,
+            "l_discount": [0.0] * len(vals),
+            "l_tax": [0.0] * len(vals),
+            "l_returnflag": ["A"] * len(vals),
+            "l_linestatus": ["O"] * len(vals),
+            "l_shipdate": pd.to_datetime(["2024-01-01"] * len(vals)).astype(
+                "datetime64[us]"
+            ),
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.stats import percentiles_cont_price_by_flag
+
+    r = percentiles_cont_price_by_flag(spark, str(tmp_path)).collect()[0]
+    for p in (25, 50, 75):
+        want = float(np.percentile(vals, p))
+        assert abs(r[f"p{p}_price"] - want) < 1e-9, (p, r[f"p{p}_price"], want)
