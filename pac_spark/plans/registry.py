@@ -175,7 +175,11 @@ def all_specs() -> list[QuerySpec]:
     # - percentiles_cont_price_by_flag (operators/stats.py,
     #   interpolated percentile_cont from the same histogram; oracle
     #   stats.PCT_CONT_SQL, green at 3 SFs + numpy-equivalence test)
-    # With 31 staged operators the r7 cap cannot hold all of these plus
+    # - streaming_purchase_click_left_join (streaming/stream_exec.py,
+    #   watermarked LEFT OUTER stream-stream join over the matured
+    #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at
+    #   3 SFs + unattributed-emission test)
+    # With 32 staged operators the r7 cap cannot hold all of these plus
     # the 12 r6-first-green keeps: prioritize the keeps, then stage
     # registrations by family diversity (streaming_ivm, dup_span,
     # triangle, ohlc pair, stats quartet, contrastive, chi2,

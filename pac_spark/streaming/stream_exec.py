@@ -34,6 +34,8 @@ __all__ = [
     "streaming_purchase_click_join",
     "streaming_neardup_admission",
     "streaming_cms_heavy_hitters",
+    "streaming_purchase_click_left_join",
+    "STREAM_PC_LEFT_ORACLE",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -376,3 +378,114 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("cms_estimate"),
         (F.col("est") - F.col("n_rows")).alias("overcount"),
     ).orderBy(F.desc("n_rows"), "user_id")
+
+
+# maturity horizon for the LEFT OUTER stream-stream join. A purchase's
+# no-click NULL row is only guaranteed once the engine's LEFT-side
+# state watermark passes it, and Spark derives that conservatively:
+# global watermark (max event time - 1h delay) minus the OTHER side's
+# allowance again — measured on this source as a 2-hour horizon (a
+# 90-minute cutoff left the newest matured purchase withheld). Both
+# engines therefore restrict to purchases at least delay + delay +
+# join window older than the newest event.
+_OUTER_MATURITY = "INTERVAL 150 MINUTES"
+
+
+def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase with its
+    preceding-30-minute clicks, and purchases with NO qualifying click
+    emitted once with NULLs — the semantics inner joins cannot give
+    (an absent match is itself a signal: an unattributed purchase).
+
+    The outer side makes watermarks LOAD-BEARING rather than just a
+    state bound: a NULL row may only be emitted when the watermark
+    proves no matching click can still arrive. At stream end that
+    guarantee covers only purchases older than watermark delay + join
+    window, so BOTH the stream and the batch oracle restrict to that
+    matured prefix — the honest comparison window; without the cutoff
+    the tail's withheld NULL rows would differ from batch semantics by
+    construction, not by bug.
+    """
+    from pac_spark import catalog
+
+    ev = stream_events(spark, sf_dir)
+    # the cutoff scalar comes from a BATCH read of the same files (a
+    # streaming frame cannot be collected). CRITICAL: it is applied to
+    # the drained RESULT, never to the purchase stream — filtering the
+    # stream would lower that side's own watermark (watermarks combine
+    # as the min across sides), shrinking the emission horizon by
+    # exactly the amount filtered and withholding the newest matured
+    # NULL row again, recursively (observed live on sf0.001).
+    bound = (
+        catalog.load(spark, sf_dir, "events")
+        .agg(
+            F.date_format(
+                F.max("ts") - F.expr(_OUTER_MATURITY),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("cutoff")
+        )
+        .collect()[0]["cutoff"]
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    out = joined.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", _TS6).alias("purchase_ts"),
+        "click_id",
+        F.date_format("c_ts", _TS6).alias("click_ts"),
+        F.col("click_id").isNull().alias("unattributed"),
+    )
+    return (
+        run_to_memory(spark, out, "stream_pc_left_join", "append")
+        .filter(F.col("purchase_ts") <= F.lit(bound))
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+STREAM_PC_LEFT_ORACLE = """
+WITH mx AS (
+    SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 150 MINUTE AS cutoff FROM events
+), p AS (
+    SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+    FROM events, mx
+    WHERE event_type = 'purchase' AND CAST(ts AS TIMESTAMP) <= cutoff
+), c AS (
+    SELECT event_id AS click_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id,
+       p.user_id,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       click_id,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       click_id IS NULL AS unattributed
+FROM p LEFT JOIN c
+  ON p.user_id = c.c_user
+ AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+ AND c.c_ts <= p.p_ts
+ORDER BY purchase_id, click_id
+"""

@@ -1363,3 +1363,36 @@ def test_percentiles_cont_matches_numpy(spark, tmp_path):
     for p in (25, 50, 75):
         want = float(np.percentile(vals, p))
         assert abs(r[f"p{p}_price"] - want) < 1e-9, (p, r[f"p{p}_price"], want)
+
+
+def test_streaming_left_outer_join_oracle(spark, duck, sf_dir):
+    """Staged for r7: watermarked LEFT OUTER stream-stream join vs the
+    batch oracle over the matured prefix — NULL rows included."""
+    from pac_spark.streaming.stream_exec import (
+        STREAM_PC_LEFT_ORACLE,
+        streaming_purchase_click_left_join,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_purchase_click_left_join(spark, sf_dir),
+        duck.sql(STREAM_PC_LEFT_ORACLE),
+    )
+
+
+def test_streaming_left_outer_join_emits_unattributed(spark, sf_dir):
+    """The point of OUTER: at least one purchase with no qualifying
+    click must appear with NULLs (the fixture's purchases are not all
+    click-attributed), and no purchase may be lost vs the inner join."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.streaming.stream_exec import (
+        streaming_purchase_click_left_join,
+    )
+
+    out = streaming_purchase_click_left_join(spark, sf_dir)
+    rows = out.collect()
+    assert any(r["unattributed"] for r in rows)
+    assert all(
+        (r["click_id"] is None) == r["unattributed"] for r in rows
+    )
