@@ -288,15 +288,18 @@ def hll_distinct_customers_by_priority(
     )
 
 
-def HLL_SQL() -> str:
-    from pac_spark.functions.hashing import md5_u60_sql
+from pac_spark.functions.hashing import md5_u60_sql as _md5_u60_sql
 
-    h = md5_u60_sql("'hll1|' || CAST(o_custkey AS VARCHAR)")
-    return f"""
+_H_CUST = _md5_u60_sql("'hll1|' || CAST(o_custkey AS VARCHAR)")
+
+# module-level string like every other oracle, so QuerySpec
+# registration cannot accidentally pass a callable (code-review r6,
+# same fix as BM25_SQL)
+HLL_SQL = f"""
 WITH hashed AS (
     SELECT o_orderpriority,
-           {h} % {HLL_M} AS reg,
-           {h} // {HLL_M} AS w
+           {_H_CUST} % {HLL_M} AS reg,
+           {_H_CUST} // {HLL_M} AS w
     FROM orders
 ), regs AS (
     SELECT o_orderpriority, reg, MAX({_rho_case('w')}) AS m_reg
@@ -410,18 +413,16 @@ def rolling_7d_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def ROLLING_HLL_SQL() -> str:
-    from pac_spark.functions.hashing import md5_u60_sql
+_H_USER = _md5_u60_sql("'hll1|' || CAST(user_id AS VARCHAR)")
 
-    h = md5_u60_sql("'hll1|' || CAST(user_id AS VARCHAR)")
-    return f"""
+ROLLING_HLL_SQL = f"""
 WITH ev AS (
     SELECT user_id,
            date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
     FROM events
 ), daily AS (
-    SELECT day_num, {h} % {HLL_M} AS reg,
-           MAX({_rho_case(f"({h} // {HLL_M})")}) AS m_reg
+    SELECT day_num, {_H_USER} % {HLL_M} AS reg,
+           MAX({_rho_case(f"({_H_USER} // {HLL_M})")}) AS m_reg
     FROM ev GROUP BY 1, 2
 ), grid AS (
     SELECT d.day_num, u.reg

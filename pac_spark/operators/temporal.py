@@ -993,17 +993,47 @@ def daily_coverage_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("island"),
     )
     islands = flagged.groupBy("h", "island").agg(
-        (F.max("ce") - F.min("cs")).alias("covered")
+        F.min("cs").alias("i_start"),
+        F.max("ce").alias("i_end"),
+        (F.max("ce") - F.min("cs")).alias("covered"),
+    )
+    # an island whose start sits exactly on its cell boundary continues
+    # a stretch from the previous cell iff that cell has coverage
+    # ending exactly there (clipping guarantees a boundary-crossing
+    # stretch produces that pair) — such islands must not count as new
+    # stretches, or every hour-crossing stretch counts once per hour
+    # it touches (code-review r6 #1). Day boundaries are exempt: a
+    # midnight-crossing stretch legitimately appears in both days'
+    # per-day views. The cell-level join is calendar-sized.
+    cell_ends = islands.groupBy("h").agg(
+        F.max(
+            F.when(F.col("i_end") == (F.col("h") + 1) * _HOUR_US, 1).otherwise(0)
+        ).alias("ends_at_boundary")
+    )
+    prev = cell_ends.select(
+        (F.col("h") + 1).alias("h"), F.col("ends_at_boundary").alias("prev_ends")
+    )
+    flagged_islands = islands.join(F.broadcast(prev), "h", "left").select(
+        "h",
+        "covered",
+        F.when(
+            (F.col("i_start") == F.col("h") * _HOUR_US)
+            & (F.col("h") % 24 != 0)
+            & (F.coalesce(F.col("prev_ends"), F.lit(0)) == 1),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new_stretch"),
     )
     return (
-        islands.groupBy(
+        flagged_islands.groupBy(
             F.date_format(
                 F.timestamp_micros(F.col("h") * _HOUR_US), "yyyy-MM-dd"
             ).alias("day")
         )
         .agg(
             F.sum("covered").alias("covered_us"),
-            F.count("*").alias("n_stretches"),
+            F.sum("is_new_stretch").alias("n_stretches"),
         )
         .orderBy("day")
     )
@@ -1050,12 +1080,25 @@ WITH lagged AS (
                AS island
     FROM flagged
 ), islands AS (
-    SELECT h, island, MAX(ce) - MIN(cs) AS covered
+    SELECT h, island, MIN(cs) AS i_start, MAX(ce) AS i_end,
+           MAX(ce) - MIN(cs) AS covered
     FROM isl GROUP BY h, island
+), cell_ends AS (
+    SELECT h, MAX(CASE WHEN i_end = (h + 1) * {_HOUR_US} THEN 1 ELSE 0 END)
+               AS ends_at_boundary
+    FROM islands GROUP BY h
+), flagged_islands AS (
+    SELECT i.h, i.covered,
+           CASE WHEN i.i_start = i.h * {_HOUR_US}
+                 AND i.h % 24 <> 0
+                 AND COALESCE(p.ends_at_boundary, 0) = 1
+                THEN 0 ELSE 1 END AS is_new_stretch
+    FROM islands i
+    LEFT JOIN cell_ends p ON p.h + 1 = i.h
 )
 SELECT strftime(make_timestamp(h * {_HOUR_US}), '%Y-%m-%d') AS day,
        CAST(SUM(covered) AS BIGINT) AS covered_us,
-       CAST(COUNT(*) AS BIGINT) AS n_stretches
-FROM islands
+       CAST(SUM(is_new_stretch) AS BIGINT) AS n_stretches
+FROM flagged_islands
 GROUP BY 1 ORDER BY day
 """

@@ -384,10 +384,11 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-click NULL row is only guaranteed once the engine's LEFT-side
 # state watermark passes it, and Spark derives that conservatively:
 # global watermark (max event time - 1h delay) minus the OTHER side's
-# allowance again — measured on this source as a 2-hour horizon (a
-# 90-minute cutoff left the newest matured purchase withheld). Both
-# engines therefore restrict to purchases at least delay + delay +
-# join window older than the newest event.
+# allowance again. A 90-minute cutoff (delay + window) left the newest
+# matured purchase withheld on this source; the safe bound is
+# delay + delay + window = 60 + 60 + 30 = 150 minutes, which is what
+# this constant states — keep the arithmetic and the constant in sync
+# when tuning either delay or the window.
 _OUTER_MATURITY = "INTERVAL 150 MINUTES"
 
 

@@ -532,6 +532,12 @@ def test_skyline_single_partition_is_cost_group_sized(spark, sf_dir):
     plan = _exec_plan(skyline_suppliers(spark, sf_dir))
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan
+    # the claim itself: a naive unpartitioned running-max over the
+    # data-sized supplier frame would add SinglePartition exchanges
+    # whose input is NOT an aggregate (code-review r6 #6); cached
+    # lineage reprints per consumer, so count per cached branch
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in chunk
 
 
 def test_hll_register_aggregate_is_map_side_combined(spark, sf_dir):

@@ -1151,7 +1151,7 @@ def test_hll_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(
-        hll_distinct_customers_by_priority(spark, sf_dir), duck.sql(HLL_SQL())
+        hll_distinct_customers_by_priority(spark, sf_dir), duck.sql(HLL_SQL)
     )
 
 
@@ -1219,6 +1219,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         sketch.hll_distinct_customers_by_priority,
         sketch.rolling_7d_distinct_users_hll,
         temporal.daily_coverage_us,
+        stats.percentiles_cont_price_by_flag,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
@@ -1245,6 +1246,7 @@ def test_daily_coverage_crafted(spark, tmp_path):
         (2, "2024-01-01 10:04:00"), (2, "2024-01-01 10:12:00"),  # overlaps -> union [10:00,10:12]
         (3, "2024-01-01 15:00:00"),                               # point, zero measure
         (4, "2024-01-01 23:58:00"), (4, "2024-01-02 00:06:00"),   # spans midnight
+        (5, "2024-01-01 14:55:00"), (5, "2024-01-01 15:05:00"),   # spans an HOUR boundary
     ]
     pd.DataFrame(
         {
@@ -1259,11 +1261,13 @@ def test_daily_coverage_crafted(spark, tmp_path):
     from pac_spark.operators.temporal import daily_coverage_us
 
     got = {r["day"]: r for r in daily_coverage_us(spark, str(tmp_path)).collect()}
-    # Jan 1: [10:00,10:12] = 720s, plus 23:58->24:00 = 120s; the point
-    # session at 15:00 adds a zero-measure stretch that is filtered out
-    assert got["2024-01-01"]["covered_us"] == (720 + 120) * 1_000_000
-    assert got["2024-01-01"]["n_stretches"] == 2
-    # Jan 2: 00:00 -> 00:06 = 360s
+    # Jan 1: [10:00,10:12] = 720s + [14:55,15:05] = 600s (ONE stretch
+    # though it crosses the 15:00 hour cell — code-review r6 #1; the
+    # 15:00 point session merges into it) + 23:58->24:00 = 120s
+    assert got["2024-01-01"]["covered_us"] == (720 + 600 + 120) * 1_000_000
+    assert got["2024-01-01"]["n_stretches"] == 3
+    # Jan 2: 00:00 -> 00:06 = 360s; the midnight-crossing stretch
+    # counts again here by design (per-day view)
     assert got["2024-01-02"]["covered_us"] == 360 * 1_000_000
     assert got["2024-01-02"]["n_stretches"] == 1
 
@@ -1277,7 +1281,7 @@ def test_rolling_hll_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(
-        rolling_7d_distinct_users_hll(spark, sf_dir), duck.sql(ROLLING_HLL_SQL())
+        rolling_7d_distinct_users_hll(spark, sf_dir), duck.sql(ROLLING_HLL_SQL)
     )
 
 
@@ -1339,7 +1343,10 @@ def test_percentiles_cont_matches_numpy(spark, tmp_path):
     import numpy as np
     import pandas as pd
 
-    vals = [10.00, 20.00, 30.00, 40.00, 100.00]
+    # SIX values: p25 lands at rank 1.25, p75 at 3.75 — the remainder
+    # f is nonzero, so a wrong interpolation term cannot hide behind
+    # exact order statistics (code-review r6 #3)
+    vals = [10.00, 20.00, 30.00, 40.00, 70.00, 100.00]
     pd.DataFrame(
         {
             "l_orderkey": range(len(vals)),
