@@ -165,3 +165,74 @@ def test_parquet_schema_evolution_merges_batches(spark, tmp_path):
     assert len(rows) == 5
     assert rows[0] == ("old", None)
     assert rows[4] == ("new", 0.9)
+
+
+def test_python_datasource_reads_deterministically(spark):
+    """Spark 4 Python DataSource API: registered source yields the
+    same deterministic rows at any parallelism, matching a direct
+    hash computation."""
+    import hashlib
+
+    from pac_spark.sources.pydatasource import SyntheticEventsDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("pac_synth_events")
+        .option("n_days", 4)
+        .option("events_per_day", 50)
+        .option("seed", 11)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 200
+    assert len({r["event_id"] for r in rows}) == 200
+    # value check against the documented generator for one known row
+    h = int(hashlib.md5(b"11|2|7").hexdigest()[:15], 16)
+    row = next(r for r in rows if r["event_id"] == 2 * 50 + 7)
+    assert row["user_id"] == h % 20
+    assert row["value"] == float((h >> 16) % 10_000) / 100.0
+    again = spark.read.format("pac_synth_events").option("n_days", 4).option(
+        "events_per_day", 50
+    ).option("seed", 11).load().collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_python_datasource_pushdown_prunes_partitions(spark):
+    """day_num range predicates must prune generator partitions at
+    plan time (the Python-source analog of parquet partition pruning),
+    and the filtered read must return exactly the surviving days."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from pac_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+        _SynthReader,
+    )
+
+    # unit level: the reader consumes range filters and narrows its plan
+    r = _SynthReader({"n_days": "10", "events_per_day": "5"})
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("day_num",), 3), LessThan(("day_num",), 6)]
+        )
+    )
+    assert leftover == []
+    assert [p.day for p in r.partitions()] == [3, 4, 5]
+    r2 = _SynthReader({"n_days": "10"})
+    assert len(list(r2.pushFilters([EqualTo(("day_num",), 4)]))) == 0
+    assert [p.day for p in r2.partitions()] == [4]
+
+    # end to end: Spark plans the pruned read and values agree
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (
+        spark.read.format("pac_synth_events")
+        .option("n_days", 10)
+        .option("events_per_day", 20)
+        .load()
+        .filter((F.col("day_num") >= 3) & (F.col("day_num") < 6))
+    )
+    rows = df.collect()
+    assert len(rows) == 60
+    assert {r["day_num"] for r in rows} == {3, 4, 5}
