@@ -46,6 +46,9 @@ __all__ = [
     "HLL_M",
     "rolling_7d_distinct_users_hll",
     "ROLLING_HLL_SQL",
+    "kmv_nation_part_overlap",
+    "KMV_SQL",
+    "KMV_K",
 ]
 
 CMS_DEPTH = 4
@@ -456,4 +459,223 @@ SELECT strftime(DATE '1970-01-01' + INTERVAL (s.day_num) DAY, '%Y-%m-%d') AS day
        {_HLL_EST_NUM!r} / CAST(s AS DOUBLE) AS hll_estimate
 FROM sums s JOIN exact e ON s.day_num = e.anchor
 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct counts WITH set algebra
+
+
+KMV_K = 64  # sketch size (k minimum hash values)
+_KMV_RANGE = 2**60  # md5_u60's hash space; exactly representable as double
+
+
+def _kmv_sketches(rows: DataFrame, group: str, key: str) -> DataFrame:
+    """(group, h) sample rows of each group's KMV/theta sketch.
+
+    A KMV sketch keeps the ``k`` smallest hash values of a set; the
+    k-th smallest estimates the set's density in hash space. Unlike
+    HLL registers, the retained SAMPLE supports set algebra: two
+    groups' samples intersected below the pairwise theta estimate the
+    intersection cardinality — the theta-sketch trick that answers
+    "how many items do these segments share?" without re-scanning
+    either segment.
+
+    Uniform theta formulation: ``theta = h_k`` when the group has at
+    least ``k`` distinct hashes else the full hash range, and the
+    sample is ``h < theta`` — so ``est = |sample| * RANGE / theta``
+    covers both regimes (exact below ``k``, (k-1)-th-order estimate
+    above) with a single expression.
+
+    Scale shape: the k-smallest selection is TWO-PHASE — a first
+    ``row_number`` inside (group, hash-bucket) partitions bounds every
+    window partition, then the second pass ranks only the ≤ 32·k
+    per-group survivors. A single window per group would serialize
+    each group's full key set through one task — the unpartitioned-
+    window anti-pattern ``functions.prefix`` exists to avoid.
+
+    The hash depends ONLY on the key (no group salt): the same key
+    must map to the same point of hash space in every group, or
+    samples could never be intersected.
+    """
+    from pac_spark.functions.hashing import md5_bucket, md5_u60
+
+    h = md5_u60(F.concat(F.lit("kmv1|"), F.col(key).cast("string")))
+    b = md5_bucket(F.concat(F.lit("kmvb|"), F.col(key).cast("string")), 32)
+    hashed = rows.select(
+        F.col(group).alias("g"), h.alias("h"), b.alias("b")
+    ).distinct()
+    phase1 = (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g", "b").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn", "b")
+    )
+    return (
+        phase1.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def kmv_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise part-catalog overlap between supplier nations, from
+    KMV/theta sketches: for every nation pair, each side's estimated
+    distinct part count and the estimated size of the INTERSECTION of
+    their part sets, next to the exact intersection so the error is
+    visible. The sketch answer reads 25 sketches of ≤ k rows; the
+    exact companion is the expensive self-join it replaces at scale.
+
+    All arithmetic to the final division is exact integers: samples
+    join on the 60-bit hash itself, thetas compare as BIGINTs, and the
+    estimate ``n·RANGE/theta`` multiplies n ≤ 64 (6 bits) by 2^60 —
+    exactly representable as a double — before one IEEE division both
+    engines round identically.
+    """
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    sup = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = catalog.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    np_pairs = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("l_partkey").alias("part"))
+    )
+    sk = pin(_kmv_sketches(np_pairs, "nation", "part"))
+    theta = sk.groupBy("g").agg(
+        F.count("*").alias("n_sk"), F.max("h").alias("h_max")
+    ).select(
+        "g",
+        F.when(F.col("n_sk") >= KMV_K, F.col("h_max"))
+        .otherwise(F.lit(_KMV_RANGE))
+        .alias("theta"),
+    )
+    # sample = h < theta (drops the k-th value itself in the full regime)
+    samples = sk.join(F.broadcast(theta), "g").filter(F.col("h") < F.col("theta"))
+    per_g = samples.groupBy("g", "theta").agg(F.count("*").alias("n_below"))
+    a, bq = per_g.alias("a"), per_g.alias("b")
+    # ≤ |groups| rows per side: a broadcast nested-loop pair join
+    pairs = a.join(F.broadcast(bq), F.col("a.g") < F.col("b.g")).select(
+        F.col("a.g").alias("nation_a"),
+        F.col("b.g").alias("nation_b"),
+        F.col("a.n_below").alias("na"),
+        F.col("a.theta").alias("ta"),
+        F.col("b.n_below").alias("nb"),
+        F.col("b.theta").alias("tb"),
+        F.least("a.theta", "b.theta").alias("tab"),
+    )
+    sa, sb = samples.alias("sa"), samples.alias("sb")
+    common = (
+        sa.join(sb, (F.col("sa.h") == F.col("sb.h")) & (F.col("sa.g") < F.col("sb.g")))
+        .select(
+            F.col("sa.g").alias("nation_a"),
+            F.col("sb.g").alias("nation_b"),
+            F.col("sa.h").alias("h"),
+            F.col("sa.theta").alias("ta2"),
+            F.col("sb.theta").alias("tb2"),
+        )
+        .filter(F.col("h") < F.least("ta2", "tb2"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = pin(np_pairs.distinct())
+    ea, eb = exact.alias("ea"), exact.alias("eb")
+    exact_inter = (
+        ea.join(
+            eb,
+            (F.col("ea.part") == F.col("eb.part"))
+            & (F.col("ea.nation") < F.col("eb.nation")),
+        )
+        .groupBy(
+            F.col("ea.nation").alias("nation_a"),
+            F.col("eb.nation").alias("nation_b"),
+        )
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    rng = F.lit(float(_KMV_RANGE))
+
+    def est(n, t):
+        return F.col(n).cast("double") * rng / F.col(t).cast("double")
+
+    return (
+        pairs.join(common, ["nation_a", "nation_b"], "left")
+        .join(exact_inter, ["nation_a", "nation_b"], "left")
+        .select(
+            "nation_a",
+            "nation_b",
+            est("na", "ta").alias("kmv_est_a"),
+            est("nb", "tb").alias("kmv_est_b"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                * rng
+                / F.col("tab").cast("double")
+            ).alias("kmv_est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+        .orderBy("nation_a", "nation_b")
+    )
+
+
+from pac_spark.functions.hashing import md5_u60_sql as _md5_u60_sql_  # noqa: E402
+
+_H_PART = _md5_u60_sql_("'kmv1|' || CAST(part AS VARCHAR)")
+
+KMV_SQL = f"""
+WITH np AS (
+    SELECT DISTINCT n.n_name AS nation, l.l_partkey AS part
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+), hashed AS (
+    SELECT DISTINCT nation AS g, {_H_PART} AS h FROM np
+), sk AS (
+    SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {KMV_K}
+), theta AS (
+    SELECT g,
+           CASE WHEN COUNT(*) >= {KMV_K} THEN MAX(h)
+                ELSE CAST({_KMV_RANGE} AS BIGINT) END AS theta
+    FROM sk GROUP BY g
+), samples AS (
+    SELECT sk.g, sk.h, t.theta FROM sk JOIN theta t ON sk.g = t.g
+    WHERE sk.h < t.theta
+), per_g AS (
+    SELECT g, theta, COUNT(*) AS n_below FROM samples GROUP BY g, theta
+), pairs AS (
+    SELECT a.g AS nation_a, b.g AS nation_b,
+           a.n_below AS na, a.theta AS ta,
+           b.n_below AS nb, b.theta AS tb,
+           LEAST(a.theta, b.theta) AS tab
+    FROM per_g a JOIN per_g b ON a.g < b.g
+), common AS (
+    SELECT sa.g AS nation_a, sb.g AS nation_b, COUNT(*) AS n_common
+    FROM samples sa JOIN samples sb
+      ON sa.h = sb.h AND sa.g < sb.g
+    WHERE sa.h < LEAST(sa.theta, sb.theta)
+    GROUP BY sa.g, sb.g
+), exact_inter AS (
+    SELECT ea.nation AS nation_a, eb.nation AS nation_b,
+           COUNT(*) AS exact_intersection
+    FROM np ea JOIN np eb
+      ON ea.part = eb.part AND ea.nation < eb.nation
+    GROUP BY ea.nation, eb.nation
+)
+SELECT p.nation_a, p.nation_b,
+       CAST(na AS DOUBLE) * {float(_KMV_RANGE)!r} / CAST(ta AS DOUBLE)
+           AS kmv_est_a,
+       CAST(nb AS DOUBLE) * {float(_KMV_RANGE)!r} / CAST(tb AS DOUBLE)
+           AS kmv_est_b,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE) * {float(_KMV_RANGE)!r}
+           / CAST(tab AS DOUBLE) AS kmv_est_intersection,
+       CAST(COALESCE(e.exact_intersection, 0) AS BIGINT) AS exact_intersection
+FROM pairs p
+LEFT JOIN common c ON p.nation_a = c.nation_a AND p.nation_b = c.nation_b
+LEFT JOIN exact_inter e ON p.nation_a = e.nation_a AND p.nation_b = e.nation_b
+ORDER BY p.nation_a, p.nation_b
 """

@@ -175,6 +175,9 @@ def all_specs() -> list[QuerySpec]:
     # - percentiles_cont_price_by_flag (operators/stats.py,
     #   interpolated percentile_cont from the same histogram; oracle
     #   stats.PCT_CONT_SQL, green at 3 SFs + numpy-equivalence test)
+    # - kmv_nation_part_overlap (operators/sketch.py, KMV/theta
+    #   sketch distinct + intersection estimates; oracle
+    #   sketch.KMV_SQL, green at 3 SFs)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

@@ -1218,6 +1218,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         similarity.embedding_dim_stats,
         sketch.hll_distinct_customers_by_priority,
         sketch.rolling_7d_distinct_users_hll,
+        sketch.kmv_nation_part_overlap,
         temporal.daily_coverage_us,
         stats.percentiles_cont_price_by_flag,
     ]
@@ -1403,3 +1404,77 @@ def test_streaming_left_outer_join_emits_unattributed(spark, sf_dir):
     assert all(
         (r["click_id"] is None) == r["unattributed"] for r in rows
     )
+
+
+def test_kmv_overlap_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: KMV/theta pairwise overlap vs the identical
+    single-phase k-smallest oracle (the two-phase selection is
+    invisible in the result)."""
+    from pac_spark.operators.sketch import KMV_SQL, kmv_nation_part_overlap
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(kmv_nation_part_overlap(spark, sf_dir), duck.sql(KMV_SQL))
+
+
+def test_kmv_exact_below_k_and_replay_above_k(spark, tmp_path):
+    """Two regimes pinned: a nation with < k parts estimates EXACTLY
+    (theta = full range), and a nation with > k parts reproduces the
+    hand-replayed (k-1)/h_k estimate; the intersection estimate of a
+    known 60%-overlap pair replays the same way."""
+    import hashlib
+
+    import pandas as pd
+
+    from pac_spark.operators.sketch import (
+        _KMV_RANGE,
+        KMV_K,
+        kmv_nation_part_overlap,
+    )
+
+    # nation 0 = parts 0..199, nation 1 = parts 120..319 (overlap 80),
+    # nation 2 = parts 0..9 (below k -> exact regime)
+    sets = {0: range(0, 200), 1: range(120, 320), 2: range(0, 10)}
+    rows = [(n, p) for n, parts in sets.items() for p in parts]
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(rows)),
+            "l_suppkey": [n for n, _ in rows],
+            "l_partkey": [p for _, p in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(
+        {"s_suppkey": [0, 1, 2], "s_nationkey": [0, 1, 2]}
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame(
+        {"n_nationkey": [0, 1, 2], "n_name": ["A", "B", "C"]}
+    ).to_parquet(tmp_path / "nation.parquet")
+
+    def h(p):
+        return int(hashlib.md5(f"kmv1|{p}".encode()).hexdigest()[:15], 16)
+
+    def sketch(parts):
+        hs = sorted(h(p) for p in parts)
+        theta = hs[KMV_K - 1] if len(hs) >= KMV_K else _KMV_RANGE
+        return {x for x in hs[:KMV_K] if x < theta}, theta
+
+    got = {
+        (r["nation_a"], r["nation_b"]): r
+        for r in kmv_nation_part_overlap(spark, str(tmp_path)).collect()
+    }
+    sk = {n: sketch(ps) for n, ps in zip("ABC", sets.values())}
+    ab = got[("A", "B")]
+    sa, ta = sk["A"]
+    sb, tb = sk["B"]
+    assert abs(ab["kmv_est_a"] - len(sa) * float(_KMV_RANGE) / ta) < 1e-6
+    assert abs(ab["kmv_est_b"] - len(sb) * float(_KMV_RANGE) / tb) < 1e-6
+    tab = min(ta, tb)
+    common = len({x for x in sa & sb if x < tab})
+    assert abs(ab["kmv_est_intersection"] - common * float(_KMV_RANGE) / tab) < 1e-6
+    assert ab["exact_intersection"] == 80
+    # the estimate should be in the right ballpark (k=64 on n=200:
+    # ~12.5% RSE; allow 4 sigma)
+    assert abs(ab["kmv_est_a"] - 200) < 100
+    # below-k regime is EXACT
+    ac = got[("A", "C")]
+    assert ac["kmv_est_b"] == 10.0
+    assert ac["exact_intersection"] == 10
