@@ -1,0 +1,204 @@
+"""Co-occurrence recommenders: association rules + item-item top-k.
+
+The classic market-basket pipeline the reference's analytics users run
+one step past raw pair counts (``relational.basket_part_pairs``):
+
+- :func:`association_rules_parts` — directed rules ``A -> B`` scored
+  by support / confidence / lift, the interpretable "customers who
+  bought A also bought B" readout;
+- :func:`item_item_similar_parts` — each part's top-k nearest
+  neighbors under co-occurrence cosine, the memory-based
+  collaborative-filtering item index (the thing a "similar items"
+  widget serves).
+
+Scale shape (both): candidate generation is a self-join keyed on
+``l_orderkey`` — fan-out per order is basket², bounded by basket size,
+never a cartesian — followed by one map-side-combined pair aggregate.
+Per-item counts join back on the part key (a plain shuffled equi-join;
+the item-count side is |parts|, which at 100 TB is far too big to
+broadcast and doesn't need to be). The only driver-visible values are
+the final bounded outputs (top-N rules / k neighbors per anchor).
+
+All scores divide exact BIGINT counts (or their products) as one IEEE
+double division — identical in both engines, so values hash-match the
+DuckDB oracle. The lift numerator ``n_both * n_orders`` stays under
+2^53 through sf100-scale order counts; past that, promote the two
+products to decimal(38,0) before the division (documented contract,
+same idiom as the stats moments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pac_spark import catalog
+from pac_spark.cache import pin
+
+__all__ = [
+    "ITEM_MIN_COOCCUR",
+    "RULE_TOP_N",
+    "ITEM_TOPK",
+    "association_rules_parts",
+    "ASSOC_RULES_SQL",
+    "item_item_similar_parts",
+    "ITEM_ITEM_SQL",
+]
+
+ITEM_MIN_COOCCUR = 2  # directed pair admission threshold
+RULE_TOP_N = 50
+ITEM_TOPK = 3
+
+
+def _directed_pairs(spark: SparkSession, sf_dir: str):
+    """(pairs, items, n_orders): directed co-occurrence counts over
+    distinct (order, part), per-part order counts, and the 1-row
+    order total. The distinct-first makes every count "orders
+    containing", so a part ordered twice in one basket counts once."""
+    li = pin(
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("antecedent"),
+            F.col("b.l_partkey").alias("consequent"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= ITEM_MIN_COOCCUR)
+    )
+    items = li.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    totals = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return pairs, items, totals
+
+
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``RULE_TOP_N`` association rules by lift.
+
+    ``confidence = P(B|A)``, ``lift = P(A,B) / (P(A)·P(B))`` — lift > 1
+    marks genuinely associated pairs rather than merely popular ones.
+    The ordering is fully specified (lift desc, antecedent, consequent)
+    so the limit is deterministic on both engines.
+    """
+    pairs, items, totals = _directed_pairs(spark, sf_dir)
+    ia, ic = items.alias("ia"), items.alias("ic")
+    joined = (
+        pairs.join(ia, F.col("antecedent") == F.col("ia.l_partkey"))
+        .join(ic, F.col("consequent") == F.col("ic.l_partkey"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.col("ia.n_item").alias("n_antecedent"),
+            F.col("ic.n_item").alias("n_consequent"),
+            "n_orders",
+        )
+    )
+    return (
+        joined.select(
+            "*",
+            (F.col("n_both").cast("double") / F.col("n_orders").cast("double")).alias(
+                "support"
+            ),
+            (
+                F.col("n_both").cast("double") / F.col("n_antecedent").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("n_antecedent") * F.col("n_consequent")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(RULE_TOP_N)
+    )
+
+
+ASSOC_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+           COUNT(*) AS n_both
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {ITEM_MIN_COOCCUR}
+),
+items AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+totals AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT antecedent, consequent, n_both,
+       ia.n_item AS n_antecedent, ic.n_item AS n_consequent, n_orders,
+       CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+       CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       CAST(n_both * n_orders AS DOUBLE)
+           / CAST(ia.n_item * ic.n_item AS DOUBLE) AS lift
+FROM pairs
+JOIN items ia ON antecedent = ia.l_partkey
+JOIN items ic ON consequent = ic.l_partkey
+CROSS JOIN totals
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {RULE_TOP_N}
+"""
+
+
+def item_item_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each part's top-``ITEM_TOPK`` co-occurrence neighbors by cosine
+    ``n_ab / sqrt(n_a·n_b)`` — the item-item collaborative-filtering
+    index. IEEE sqrt is correctly rounded in both engines, so the
+    scores (and therefore the ranks, with the part-id tie-break) are
+    bit-identical; the per-anchor window partitions are bounded by the
+    admission threshold's survivor fan, never the catalog."""
+    pairs, items, _ = _directed_pairs(spark, sf_dir)
+    ia, ic = items.alias("ia"), items.alias("ic")
+    scored = (
+        pairs.join(ia, F.col("antecedent") == F.col("ia.l_partkey"))
+        .join(ic, F.col("consequent") == F.col("ic.l_partkey"))
+        .select(
+            F.col("antecedent").alias("part_a"),
+            F.col("consequent").alias("part_b"),
+            "n_both",
+            F.col("ia.n_item").alias("n_a"),
+            F.col("ic.n_item").alias("n_b"),
+            (
+                F.col("n_both").cast("double")
+                / F.sqrt((F.col("ia.n_item") * F.col("ic.n_item")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("part_a").orderBy(F.desc("cosine"), "part_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ITEM_TOPK)
+        .orderBy("part_a", "rank")
+    )
+
+
+ITEM_ITEM_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {ITEM_MIN_COOCCUR}
+),
+items AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+scored AS (
+    SELECT part_a, part_b, n_both,
+           ia.n_item AS n_a, ic.n_item AS n_b,
+           CAST(n_both AS DOUBLE)
+               / sqrt(CAST(ia.n_item * ic.n_item AS DOUBLE)) AS cosine
+    FROM pairs
+    JOIN items ia ON part_a = ia.l_partkey
+    JOIN items ic ON part_b = ic.l_partkey
+)
+SELECT part_a, part_b, n_both, n_a, n_b, cosine, rank FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY part_a ORDER BY cosine DESC, part_b) AS INT) AS rank
+    FROM scored
+) WHERE rank <= {ITEM_TOPK}
+ORDER BY part_a, rank
+"""

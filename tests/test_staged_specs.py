@@ -1194,6 +1194,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
     from pac_spark.operators import (
         curation,
         graph,
+        recommend,
         relational,
         similarity,
         sketch,
@@ -1219,6 +1220,8 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         sketch.hll_distinct_customers_by_priority,
         sketch.rolling_7d_distinct_users_hll,
         sketch.kmv_nation_part_overlap,
+        recommend.association_rules_parts,
+        recommend.item_item_similar_parts,
         temporal.daily_coverage_us,
         stats.percentiles_cont_price_by_flag,
     ]
@@ -1478,3 +1481,65 @@ def test_kmv_exact_below_k_and_replay_above_k(spark, tmp_path):
     ac = got[("A", "C")]
     assert ac["kmv_est_b"] == 10.0
     assert ac["exact_intersection"] == 10
+
+
+def test_association_rules_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: directed association rules vs the identical
+    counts/lift oracle."""
+    from pac_spark.operators.recommend import ASSOC_RULES_SQL, association_rules_parts
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        association_rules_parts(spark, sf_dir), duck.sql(ASSOC_RULES_SQL)
+    )
+
+
+def test_item_item_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: item-item cosine top-k vs the identical
+    windowed oracle."""
+    from pac_spark.operators.recommend import ITEM_ITEM_SQL, item_item_similar_parts
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        item_item_similar_parts(spark, sf_dir), duck.sql(ITEM_ITEM_SQL)
+    )
+
+
+def test_recommend_crafted(spark, tmp_path):
+    """Hand-computed rules and cosines on four known baskets; the
+    below-threshold pair is absent; a twice-ordered part counts once."""
+    import math
+
+    import pandas as pd
+
+    baskets = {1: [1, 2], 2: [1, 2, 2], 3: [1, 3], 4: [4]}
+    rows = [(o, p) for o, parts in baskets.items() for p in parts]
+    pd.DataFrame(
+        {
+            "l_orderkey": [o for o, _ in rows],
+            "l_partkey": [p for _, p in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.recommend import (
+        association_rules_parts,
+        item_item_similar_parts,
+    )
+
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules_parts(spark, str(tmp_path)).collect()
+    }
+    # n_1 = 3, n_2 = 2 (dup in basket 2 counts once), N = 4
+    assert set(rules) == {(1, 2), (2, 1)}  # pair (1,3) has n_both=1
+    r = rules[(2, 1)]
+    assert r["n_both"] == 2 and r["n_antecedent"] == 2 and r["n_consequent"] == 3
+    assert r["confidence"] == 1.0
+    assert abs(r["lift"] - (2 * 4) / (2 * 3)) < 1e-15
+    assert abs(r["support"] - 0.5) < 1e-15
+    sims = {
+        (r["part_a"], r["part_b"]): r
+        for r in item_item_similar_parts(spark, str(tmp_path)).collect()
+    }
+    assert set(sims) == {(1, 2), (2, 1)}
+    assert abs(sims[(1, 2)]["cosine"] - 2 / math.sqrt(6)) < 1e-15
+    assert sims[(1, 2)]["rank"] == 1
