@@ -58,6 +58,9 @@ __all__ = [
     "percentiles_cont_price_by_flag",
     "PCT_CONT_SQL",
     "PCTS",
+    "ewma_user_value",
+    "EWMA_SQL",
+    "EWMA_SPAN",
 ]
 
 PCTS = (25, 50, 75, 90, 99)
@@ -1225,3 +1228,104 @@ SELECT l_returnflag,
        {",".join(f"({_cont_col(p)}) / 100.0 AS p{p}_price" for p in (25, 50, 75))}
 FROM w GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average (order-sensitive smoothing)
+
+
+EWMA_SPAN = 16  # lags folded in; alpha = 1/2 halves each step back
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted value at the user's LATEST
+    event: EWMA with decay alpha = 1/2 over the last ``EWMA_SPAN``
+    events in (ts, event_id) order — the smoothing readout a
+    monitoring pipeline keeps per entity.
+
+    Float EWMA recursions are order-dependent and never
+    cross-engine-stable; alpha = 1/2 makes every weight a POWER OF
+    TWO, so the weighted numerator Sum(cents_i * 2^(SPAN-1-i)) and the
+    weight mass Sum(2^(SPAN-1-i)) over the lags actually present are
+    exact BIGINTs (max ~5e10, far under 2^53) and the smoothed value
+    is one IEEE division both engines round identically. Beyond SPAN
+    lags a weight would be < 2^-16 of the newest — truncation is the
+    standard "effective memory" cutoff, and it is what bounds the
+    window state.
+
+    Scale shape: ONE shuffle on user_id; the lag chain is a single
+    window pass (whole-stage codegen, no self-join); the final filter
+    keeps each user's last row via the same window's row counter.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("cents", i).over(w).alias(f"l{i}") for i in range(EWMA_SPAN)]
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "cents",
+        *lags,
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n"),
+    ).filter(F.col("rn") == F.col("n"))
+    weight = lambda i: 1 << (EWMA_SPAN - 1 - i)  # noqa: E731
+    num = sum(
+        (
+            F.coalesce(F.col(f"l{i}") * F.lit(weight(i)), F.lit(0))
+            for i in range(EWMA_SPAN)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"l{i}").isNotNull(), F.lit(weight(i))).otherwise(F.lit(0))
+            for i in range(EWMA_SPAN)
+        ),
+        F.lit(0),
+    )
+    return rows.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("last_value"),
+        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("ewma_value"),
+    ).orderBy("user_id")
+
+
+def _ewma_sql() -> str:
+    span = EWMA_SPAN
+    lag_cols = ", ".join(f"LAG(cents, {i}) OVER w AS l{i}" for i in range(span))
+    num = " + ".join(
+        f"COALESCE(l{i} * {1 << (span - 1 - i)}, 0)" for i in range(span)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{i} IS NOT NULL THEN {1 << (span - 1 - i)} ELSE 0 END"
+        for i in range(span)
+    )
+    return f"""
+WITH base AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), lagged AS (
+    SELECT user_id, ts, cents, {lag_cols},
+           ROW_NUMBER() OVER w AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       n AS n_events,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       CAST(cents AS DOUBLE) / 100.0 AS last_value,
+       CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) / 100.0 AS ewma_value
+FROM lagged WHERE rn = n ORDER BY user_id
+"""
+
+
+EWMA_SQL = _ewma_sql()

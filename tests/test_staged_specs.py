@@ -1210,6 +1210,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         temporal.funnel_within_1h_view_click_purchase,
         stats.ks_test_price_by_flag,
         stats.budget_allocation_by_nation,
+        stats.ewma_user_value,
         text.bm25_topk_docs,
         text.token_gini_by_source,
         curation.source_overlap_matrix,
@@ -1543,3 +1544,47 @@ def test_recommend_crafted(spark, tmp_path):
     assert set(sims) == {(1, 2), (2, 1)}
     assert abs(sims[(1, 2)]["cosine"] - 2 / math.sqrt(6)) < 1e-15
     assert sims[(1, 2)]["rank"] == 1
+
+
+def test_ewma_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: power-of-two EWMA vs the identical lag-chain
+    oracle."""
+    from pac_spark.operators.stats import EWMA_SQL, ewma_user_value
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(ewma_user_value(spark, sf_dir), duck.sql(EWMA_SQL))
+
+
+def test_ewma_matches_pandas_and_truncates(spark, tmp_path):
+    """A short series equals pandas ewm(alpha=1/2, adjust=True)
+    exactly (below the span, truncation is invisible); a long series
+    equals the hand-replayed 16-term truncated form, which pandas'
+    full-history ewm only approaches."""
+    import pandas as pd
+
+    from pac_spark.operators.stats import EWMA_SPAN, ewma_user_value
+
+    short = [1.00, 2.00, 4.00, 8.00, 3.00]
+    long = [float(2 + (i * 7) % 50) for i in range(40)]
+    rows = [(1, v) for v in short] + [(2, v) for v in long]
+    ts0 = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [ts0 + pd.Timedelta(minutes=i) for i in range(len(rows))],
+            "user_id": [u for u, _ in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [v for _, v in rows],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {r["user_id"]: r for r in ewma_user_value(spark, str(tmp_path)).collect()}
+
+    want_short = pd.Series(short).ewm(alpha=0.5, adjust=True).mean().iloc[-1]
+    assert abs(got[1]["ewma_value"] - want_short) < 1e-12
+    assert got[1]["last_value"] == 3.00 and got[1]["n_events"] == 5
+
+    cents = [round(v * 100) for v in long][-EWMA_SPAN:][::-1]  # newest first
+    num = sum(c * (1 << (EWMA_SPAN - 1 - i)) for i, c in enumerate(cents))
+    den = sum(1 << (EWMA_SPAN - 1 - i) for i in range(EWMA_SPAN))
+    assert abs(got[2]["ewma_value"] - num / den / 100.0) < 1e-12
+    assert got[2]["n_events"] == 40
