@@ -45,6 +45,9 @@ __all__ = [
     "STREAKS_SQL",
     "daily_coverage_us",
     "COVERAGE_SQL",
+    "attribution_last_touch",
+    "ATTRIBUTION_SQL",
+    "ATTRIBUTION_WINDOW_MIN",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -1101,4 +1104,118 @@ SELECT strftime(make_timestamp(h * {_HOUR_US}), '%Y-%m-%d') AS day,
        CAST(SUM(is_new_stretch) AS BIGINT) AS n_stretches
 FROM flagged_islands
 GROUP BY 1 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (last touch)
+
+
+ATTRIBUTION_WINDOW_MIN = 60  # lookback from each purchase
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the most
+    recent ``view``/``click`` by the same user within the lookback
+    window (purchases with no qualifying touch report as
+    ``unattributed``), aggregated to per-channel purchase counts,
+    revenue, and mean time-to-convert.
+
+    Same scale posture as the as-of join above (module docstring): NO
+    range self-join — one shuffle on user_id sorts touches and
+    purchases together, a ``last_value(..., ignorenulls)`` ROWS window
+    carries the latest touch forward, and the lookback cutoff is a
+    row-local filter on the carried timestamp. A touch that shares a
+    purchase's timestamp attributes when its event_id is lower (the
+    (ts, event_id) total order decides "preceding", making ties
+    deterministic instead of engine-dependent).
+
+    Revenue uses the exact-cents sum; mean minutes-to-convert divides
+    two exact integers (micros sum / count) once.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.select(
+        "*",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    cutoff_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    purchases = carried.filter(F.col("event_type") == "purchase").select(
+        "cents",
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("touch_ts") <= cutoff_us),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("channel"),
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("touch_ts") <= cutoff_us),
+            F.unix_micros("ts") - F.unix_micros("touch_ts"),
+        ).alias("delta_us"),
+    )
+    return (
+        purchases.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            (F.sum("cents") / F.lit(100.0)).cast("double").alias("revenue"),
+            (
+                F.sum("delta_us").cast("double")
+                / F.count("delta_us").cast("double")
+                / F.lit(60_000_000.0)
+            ).alias("avg_minutes_to_touch"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), carried AS (
+    SELECT *,
+           last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+                      IGNORE NULLS) OVER w AS touch_ts,
+           last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+                      IGNORE NULLS) OVER w AS touch_type
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), purchases AS (
+    SELECT cents,
+           CASE WHEN touch_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(touch_ts)
+                         <= {ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000}
+                THEN touch_type ELSE 'unattributed' END AS channel,
+           CASE WHEN touch_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(touch_ts)
+                         <= {ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000}
+                THEN epoch_us(ts) - epoch_us(touch_ts) END AS delta_us
+    FROM carried WHERE event_type = 'purchase'
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       CAST(CAST(SUM(cents) AS DOUBLE) / 100.0 AS DOUBLE) AS revenue,
+       CAST(SUM(delta_us) AS DOUBLE) / CAST(COUNT(delta_us) AS DOUBLE)
+           / 60000000.0 AS avg_minutes_to_touch
+FROM purchases GROUP BY channel ORDER BY channel
 """

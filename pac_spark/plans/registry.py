@@ -183,6 +183,9 @@ def all_specs() -> list[QuerySpec]:
     #   recommend.ASSOC_RULES_SQL / ITEM_ITEM_SQL, green at 3 SFs)
     # - ewma_user_value (operators/stats.py, power-of-two EWMA
     #   smoothing; oracle stats.EWMA_SQL, green at 3 SFs)
+    # - attribution_last_touch (operators/temporal.py, last-touch
+    #   revenue attribution; oracle temporal.ATTRIBUTION_SQL, green
+    #   at 3 SFs)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

@@ -1208,6 +1208,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         temporal.top_session_paths,
         temporal.user_activity_streaks,
         temporal.funnel_within_1h_view_click_purchase,
+        temporal.attribution_last_touch,
         stats.ks_test_price_by_flag,
         stats.budget_allocation_by_nation,
         stats.ewma_user_value,
@@ -1588,3 +1589,57 @@ def test_ewma_matches_pandas_and_truncates(spark, tmp_path):
     den = sum(1 << (EWMA_SPAN - 1 - i) for i in range(EWMA_SPAN))
     assert abs(got[2]["ewma_value"] - num / den / 100.0) < 1e-12
     assert got[2]["n_events"] == 40
+
+
+def test_attribution_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: last-touch attribution vs the identical
+    carried-window oracle."""
+    from pac_spark.operators.temporal import ATTRIBUTION_SQL, attribution_last_touch
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        attribution_last_touch(spark, sf_dir), duck.sql(ATTRIBUTION_SQL)
+    )
+
+
+def test_attribution_crafted(spark, tmp_path):
+    """Semantics pinned: the LATEST touch wins (click after view), the
+    lookback cutoff unattributes stale touches, an equal-timestamp
+    touch with lower event_id attributes, and revenue/minutes are the
+    hand-computed values."""
+    import pandas as pd
+
+    rows = [  # (event_id, user, type, ts, value)
+        # user 1: view 10:00, click 10:30, purchase 10:45 -> click, 15 min
+        (1, 1, "view", "2024-01-01 10:00:00", 1.00),
+        (2, 1, "click", "2024-01-01 10:30:00", 1.00),
+        (3, 1, "purchase", "2024-01-01 10:45:00", 20.00),
+        # user 2: view 09:00, purchase 11:00 -> outside 1h, unattributed
+        (4, 2, "view", "2024-01-01 09:00:00", 1.00),
+        (5, 2, "purchase", "2024-01-01 11:00:00", 7.00),
+        # user 3: view at the SAME ts as the purchase, lower event_id
+        (6, 3, "view", "2024-01-01 12:00:00", 1.00),
+        (7, 3, "purchase", "2024-01-01 12:00:00", 5.00),
+        # user 4: no touches at all
+        (8, 4, "purchase", "2024-01-01 13:00:00", 3.00),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[3] for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [r[4] for r in rows],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import attribution_last_touch
+
+    got = {r["channel"]: r for r in attribution_last_touch(spark, str(tmp_path)).collect()}
+    assert set(got) == {"click", "view", "unattributed"}
+    assert got["click"]["n_purchases"] == 1 and got["click"]["revenue"] == 20.00
+    assert abs(got["click"]["avg_minutes_to_touch"] - 15.0) < 1e-12
+    assert got["view"]["n_purchases"] == 1 and got["view"]["revenue"] == 5.00
+    assert got["view"]["avg_minutes_to_touch"] == 0.0
+    assert got["unattributed"]["n_purchases"] == 2
+    assert got["unattributed"]["revenue"] == 10.00
+    assert got["unattributed"]["avg_minutes_to_touch"] is None
