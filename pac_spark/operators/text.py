@@ -37,6 +37,9 @@ __all__ = [
     "BM25_SQL",
     "token_gini_by_source",
     "TOKEN_GINI_SQL",
+    "bpe_learn_merges",
+    "BPE_SQL",
+    "BPE_MERGES",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -948,3 +951,185 @@ SELECT source,
 FROM per_source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training)
+
+
+BPE_MERGES = 8  # merge-table prefix learned by the demo query
+BPE_WORD_RE = "^[a-z]+$"  # vocab admission: ascii-letter word types
+BPE_WORD_MAXLEN = 20
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, syms) — the word-type frequency table BPE trains
+    on, symbols initialized to single characters. Bounded by VOCAB
+    SIZE (Heaps' law: ~10^6-10^7 types even at 100 TB), not corpus
+    size — the one wordcount shuffle is the only pass over raw text.
+    The admission regex also guarantees symbols are plain lowercase
+    letters, so merge literals can be inlined into expressions
+    without escaping on either engine."""
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        docs.filter(
+            F.col("word").rlike(BPE_WORD_RE)
+            & (F.length("word") >= 2)
+            & (F.length("word") <= BPE_WORD_MAXLEN)
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", F.expr("filter(split(word, ''), s -> s <> '')").alias("syms"))
+    )
+
+
+def _bpe_apply(x: str, y: str) -> str:
+    """SQL expression rebuilding ``syms`` with pair (x, y) merged —
+    the standard greedy LEFT-TO-RIGHT non-overlapping replacement as
+    a row-local array fold (``aggregate``): the accumulator's last
+    element merges with the current symbol when they spell the pair.
+    After a merge the new last element is ``x||y``, which can never
+    equal ``x`` (y nonempty), so merged tokens never chain — exactly
+    the non-overlap rule. Runs entirely in codegen: applying a merge
+    to the whole vocabulary is a zero-shuffle projection."""
+    m = x + y
+    return f"""
+    aggregate(syms, cast(array() as array<string>), (acc, s) ->
+        if(size(acc) = 0, array(s),
+           if(element_at(acc, -1) = '{x}' AND s = '{y}',
+              concat(slice(acc, 1, size(acc) - 1), array('{m}')),
+              concat(acc, array(s)))))
+    """
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first ``BPE_MERGES`` byte-pair-encoding merges over
+    the corpus — the tokenizer-training step downstream of
+    :func:`vocab_top_terms`'s frequency table (Sennrich et al. 2016,
+    the algorithm behind GPT-2/LLaMA-style tokenizers).
+
+    Per round: count all adjacent symbol pairs weighted by word
+    frequency (one map-side-combined aggregate over the VOCAB, never
+    the corpus), pick the most frequent (count desc, then
+    lexicographic — a total order, so the argmax is deterministic),
+    and apply it with the row-local greedy fold. The per-round driver
+    value is ONE scalar row — the same legitimate iterative pattern
+    as PageRank's convergence checksum; everything heavy stays
+    distributed. Pair counting includes overlapping occurrences
+    (``get_stats`` in the reference implementation does too); the
+    APPLY step is strictly non-overlapping — both engines implement
+    identical semantics, by different formulations (fold here, match-
+    island parity windows in the oracle), so agreement is evidence.
+
+    Output: the learned merge table (rank, lhs, rhs, merged,
+    pair_count at selection time).
+    """
+    from pac_spark.cache import pin
+
+    v = pin(_bpe_vocab(spark, sf_dir))
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = (
+            v.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+        )
+        best = pairs.collect()
+        if not best:
+            break
+        x, y, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, x, y, x + y, cnt))
+        v = pin(v.select("word", "freq", F.expr(_bpe_apply(x, y)).alias("syms")))
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    ).orderBy("rank")
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled oracle round: pair counts from v{i-1}, the argmax,
+    and the rebuilt v{i}. The APPLY here is the formulation-diverse
+    window form: mark matching positions, group CONSECUTIVE matches
+    into islands (only possible when lhs = rhs), take even offsets
+    within each island (greedy parity), drop consumed successors, and
+    re-list. MATERIALIZED: v{i} feeds both round i+1 CTEs."""
+    return f"""
+p{i} AS (
+    SELECT syms[u.pos] AS l, syms[u.pos + 1] AS r, SUM(freq) AS cnt
+    FROM v{i - 1}, UNNEST(range(1, len(syms))) AS u(pos)
+    GROUP BY 1, 2
+),
+best{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+m{i} AS (
+    SELECT word, freq, u.pos, syms[u.pos] AS s,
+           COALESCE(syms[u.pos] = (SELECT l FROM best{i})
+                    AND syms[u.pos + 1] = (SELECT r FROM best{i}),
+                    FALSE) AS match
+    FROM v{i - 1}, UNNEST(range(1, len(syms) + 1)) AS u(pos)
+),
+g{i} AS (
+    SELECT *,
+           match AND (pos - MIN(pos) OVER (PARTITION BY word, match, isl)) % 2 = 0
+               AS merge_start
+    FROM (
+        SELECT *,
+               pos - ROW_NUMBER() OVER (PARTITION BY word, match ORDER BY pos)
+                   AS isl
+        FROM m{i}
+    )
+),
+v{i} AS MATERIALIZED (
+    SELECT word, freq,
+           list(CASE WHEN merge_start THEN s || (SELECT r FROM best{i})
+                     ELSE s END ORDER BY pos) AS syms
+    FROM (
+        SELECT *, COALESCE(LAG(merge_start) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS consumed
+        FROM g{i}
+    )
+    WHERE NOT consumed
+    GROUP BY word, freq
+)"""
+
+
+def _bpe_sql() -> str:
+    iters = ",".join(_bpe_iter_sql(i) for i in range(1, BPE_MERGES + 1))
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS lhs, r AS rhs, l || r AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT w.word, COUNT(*) AS freq
+    FROM documents, UNNEST({TOKENS_SQL_}) AS w(word)
+    WHERE regexp_matches(w.word, '{BPE_WORD_RE}')
+      AND len(w.word) BETWEEN 2 AND {BPE_WORD_MAXLEN}
+    GROUP BY w.word
+),
+v0 AS MATERIALIZED (
+    SELECT word, freq,
+           list(substring(word, u.pos, 1) ORDER BY u.pos) AS syms
+    FROM words, UNNEST(range(1, len(word) + 1)) AS u(pos)
+    GROUP BY word, freq
+),
+{iters}
+SELECT * FROM ({finals}) ORDER BY rank
+"""
+
+
+from pac_spark.operators.text_core import TOKENS_SQL as TOKENS_SQL_  # noqa: E402
+
+BPE_SQL = _bpe_sql()

@@ -186,6 +186,8 @@ def all_specs() -> list[QuerySpec]:
     # - attribution_last_touch (operators/temporal.py, last-touch
     #   revenue attribution; oracle temporal.ATTRIBUTION_SQL, green
     #   at 3 SFs)
+    # - bpe_learn_merges (operators/text.py, BPE tokenizer-training
+    #   merge induction; oracle text.BPE_SQL, green at 3 SFs)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

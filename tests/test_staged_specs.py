@@ -1213,6 +1213,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         stats.budget_allocation_by_nation,
         stats.ewma_user_value,
         text.bm25_topk_docs,
+        text.bpe_learn_merges,
         text.token_gini_by_source,
         curation.source_overlap_matrix,
         graph.two_hop_reach_top_customers,
@@ -1643,3 +1644,77 @@ def test_attribution_crafted(spark, tmp_path):
     assert got["unattributed"]["n_purchases"] == 2
     assert got["unattributed"]["revenue"] == 10.00
     assert got["unattributed"]["avg_minutes_to_touch"] is None
+
+
+def test_bpe_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: BPE merge induction vs the formulation-
+    diverse oracle (row-local greedy fold in Spark, match-island
+    parity windows in DuckDB)."""
+    from pac_spark.operators.text import BPE_SQL, bpe_learn_merges
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(bpe_learn_merges(spark, sf_dir), duck.sql(BPE_SQL))
+
+
+def test_bpe_matches_reference_replay(spark, tmp_path):
+    """Third formulation: a from-scratch Python replay of Sennrich's
+    algorithm (overlapping pair counts, greedy non-overlapping apply,
+    count-then-lexicographic argmax) must produce the identical merge
+    table — including on a corpus engineered with same-letter runs
+    ('aaaa') where overlap handling shows."""
+    import pandas as pd
+
+    from pac_spark.operators.text import BPE_MERGES, bpe_learn_merges
+
+    texts = [
+        "low low low low lower lower newest newest",
+        "newest newest widest widest aaaa aaaa aaaa",
+        "banana banana bandana Xupper 1digit toolongwordxxxxxxxxxxxxx",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # independent replay
+    freq = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w.isascii() and w.isalpha() and w.islower() and 2 <= len(w) <= 20:
+                freq[w] = freq.get(w, 0) + 1
+    vocab = {w: list(w) for w in freq}
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + freq[w]
+                )
+        if not counts:
+            break
+        (x, y), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, x, y, x + y, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(spark, str(tmp_path)).collect()
+    ]
+    assert got == want
+    # the run corpus exercised the greedy-overlap rule: some learned
+    # merge must involve a doubled symbol
+    assert any(l == r for _, l, r, _, _ in want)
