@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from pac_spark.functions.normalize import sanitize_key
 
-__all__ = ["WriteReport", "json_tree_write", "json_tree_read", "parquet_write"]
+__all__ = [
+    "WriteReport",
+    "json_tree_write",
+    "json_tree_read",
+    "parquet_write",
+    "UpsertTable",
+]
 
 
 @dataclass(frozen=True)
@@ -116,3 +122,122 @@ def parquet_write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Idempotent keyed upsert sink (versioned snapshots + commit ledger)
+
+
+class UpsertTable:
+    """A keyed parquet table maintained by idempotent batch upserts —
+    the exactly-once sink contract ``foreachBatch`` needs (Structured
+    Streaming replays a failed micro-batch with the SAME batch_id and
+    data; the sink must absorb the replay), provided without a lake
+    format, with the same commit protocol a lake format uses:
+
+    - every upsert writes a brand-new immutable snapshot directory
+      ``v{n}`` (never mutates the current one);
+    - a commit marker ``_commits/{n}.json`` recording the batch id is
+      written LAST — the marker is the commit point, so a crash
+      between data write and marker leaves an orphan directory that
+      every reader and the recovery path ignore;
+    - replaying an already-committed batch id is a metadata no-op
+      (the ledger answers without touching data);
+    - ``read(version=...)`` time-travels to any committed snapshot.
+
+    Scale: the merge is ONE left-anti shuffle on the key (current
+    snapshot vs the batch's keys) plus an append of the batch rows —
+    unmatched rows pass through untouched; pair with the bucketed
+    layout to plan it exchange-free. Within a batch, last-wins per key
+    under the caller's ``order_col`` (deterministic total order via
+    the key tie-break). The ledger is O(versions) tiny JSON files;
+    compaction of old snapshots is a deployment-policy deletion of
+    ``v{k}`` dirs below the retention horizon (their markers say so).
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, key: str, order_col: str
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.order_col = order_col
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+
+    # -- ledger ------------------------------------------------------------
+    def _commits(self) -> dict[int, str]:
+        import json
+        import os
+
+        out: dict[int, str] = {}
+        cdir = os.path.join(self.path, "_commits")
+        for name in os.listdir(cdir):
+            if name.endswith(".json"):
+                with open(os.path.join(cdir, name)) as fh:
+                    out[int(name[:-5])] = json.load(fh)["batch_id"]
+        return out
+
+    def versions(self) -> list[int]:
+        return sorted(self._commits())
+
+    def committed_batch_ids(self) -> set[str]:
+        return set(self._commits().values())
+
+    # -- io ----------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        commits = self._commits()
+        if version is None:
+            version = max(commits, default=None)
+        if version is None:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        if version not in commits:
+            raise FileNotFoundError(f"{self.path}: v{version} never committed")
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.path, f"v{version}"))
+
+    def upsert(self, batch_df: DataFrame, batch_id: int | str) -> bool:
+        """Apply one batch; returns False (no-op) on a replayed id."""
+        import json
+        import os
+
+        from pyspark.sql.window import Window as W
+
+        commits = self._commits()
+        if str(batch_id) in set(commits.values()):
+            return False
+        w = W.partitionBy(self.key).orderBy(
+            F.desc(self.order_col), F.desc(self.key)
+        )
+        dedup = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        current = max(commits, default=None)
+        if current is None:
+            merged = dedup
+            version = 0
+        else:
+            base = self.read(current)
+            merged = base.join(
+                dedup.select(self.key), self.key, "left_anti"
+            ).unionByName(dedup)
+            version = current + 1
+        target = os.path.join(self.path, f"v{version}")
+        merged.write.mode("overwrite").parquet(target)
+        # marker LAST: this rename-free single-file write is the commit
+        marker = os.path.join(self.path, "_commits", f"{version}.json")
+        with open(marker, "w") as fh:
+            json.dump({"batch_id": str(batch_id), "version": version}, fh)
+        return True
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch(...)``."""
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.upsert(batch_df, batch_id)
+
+        return _apply
