@@ -188,6 +188,9 @@ def all_specs() -> list[QuerySpec]:
     #   at 3 SFs)
     # - bpe_learn_merges (operators/text.py, BPE tokenizer-training
     #   merge induction; oracle text.BPE_SQL, green at 3 SFs)
+    # - auc_value_predicts_purchase + decile_lift_value_purchase
+    #   (operators/evaluate.py, offline eval metrics; oracles
+    #   evaluate.AUC_SQL / DECILE_LIFT_SQL, green at 3 SFs)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

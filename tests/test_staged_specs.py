@@ -1193,6 +1193,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
 
     from pac_spark.operators import (
         curation,
+        evaluate,
         graph,
         recommend,
         relational,
@@ -1218,6 +1219,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         curation.source_overlap_matrix,
         graph.two_hop_reach_top_customers,
         relational.daily_user_accounting,
+        evaluate.decile_lift_value_purchase,
         relational.skyline_suppliers,
         similarity.embedding_dim_stats,
         sketch.hll_distinct_customers_by_priority,
@@ -1718,3 +1720,97 @@ def test_bpe_matches_reference_replay(spark, tmp_path):
     # the run corpus exercised the greedy-overlap rule: some learned
     # merge must involve a doubled symbol
     assert any(l == r for _, l, r, _, _ in want)
+
+
+def test_auc_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: Mann-Whitney AUC vs the identical
+    histogram-rank oracle."""
+    from pac_spark.operators.evaluate import AUC_SQL, auc_value_predicts_purchase
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        auc_value_predicts_purchase(spark, sf_dir), duck.sql(AUC_SQL)
+    )
+
+
+def test_decile_lift_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: decile gains table vs the identical
+    boundary-bucket oracle."""
+    from pac_spark.operators.evaluate import (
+        DECILE_LIFT_SQL,
+        decile_lift_value_purchase,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        decile_lift_value_purchase(spark, sf_dir), duck.sql(DECILE_LIFT_SQL)
+    )
+
+
+def test_auc_matches_pair_counting(spark, tmp_path):
+    """The histogram-rank identity equals brute-force pair counting
+    (ties = 1/2) on a crafted score set with heavy ties, and a
+    perfectly separating score yields AUC 1."""
+    import pandas as pd
+
+    pos = [5.00, 3.00, 3.00, 9.00]
+    neg = [1.00, 3.00, 2.00, 3.00, 4.00]
+    rows = [("purchase", v) for v in pos] + [("view", v) for v in neg]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(["2024-01-01"] * len(rows)).astype("datetime64[us]"),
+            "user_id": [1] * len(rows),
+            "event_type": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.evaluate import auc_value_predicts_purchase
+
+    [r] = auc_value_predicts_purchase(spark, str(tmp_path)).collect()
+    want = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert r["n_pos"] == 4 and r["n_neg"] == 5
+    assert abs(r["auc"] - want) < 1e-15
+    assert abs(r["gini"] - (2 * want - 1)) < 1e-15
+
+
+def test_auc_degenerate_labels_null(spark, tmp_path):
+    """All-negative input: NULL AUC/Gini, not an ANSI divide-by-zero."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01"] * 2).astype("datetime64[us]"),
+            "user_id": [1, 1],
+            "event_type": ["view", "click"],
+            "value": [1.00, 2.00],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.evaluate import auc_value_predicts_purchase
+
+    [r] = auc_value_predicts_purchase(spark, str(tmp_path)).collect()
+    assert r["auc"] is None and r["gini"] is None
+    assert r["n_pos"] == 0 and r["n_neg"] == 2
+
+
+def test_decile_lift_mass_balance(spark, sf_dir):
+    """Deciles partition the table (counts sum to the total) and the
+    lift identity holds: sum(n_purchases) re-derives the base rate."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.evaluate import decile_lift_value_purchase
+
+    out = decile_lift_value_purchase(spark, sf_dir)
+    ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    agg = out.agg(
+        F.sum("n_events").alias("ne"), F.sum("n_purchases").alias("np")
+    ).collect()[0]
+    assert agg["ne"] == ev_n
+    rows = out.collect()
+    base = agg["np"] / agg["ne"]
+    for r in rows:
+        if r["lift"] is not None:
+            assert abs(r["lift"] - r["purchase_rate"] / base) < 1e-9
