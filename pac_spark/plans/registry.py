@@ -183,6 +183,9 @@ def all_specs() -> list[QuerySpec]:
     #   recommend.ASSOC_RULES_SQL / ITEM_ITEM_SQL, green at 3 SFs)
     # - ewma_user_value (operators/stats.py, power-of-two EWMA
     #   smoothing; oracle stats.EWMA_SQL, green at 3 SFs)
+    # - streaming_ewma_user_value (streaming/stateful.py, monoid
+    #   top-SPAN state fold; same oracle stats.EWMA_SQL, green at
+    #   3 SFs + out-of-order chaos test)
     # - attribution_last_touch (operators/temporal.py, last-touch
     #   revenue attribution; oracle temporal.ATTRIBUTION_SQL, green
     #   at 3 SFs)

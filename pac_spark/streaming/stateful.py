@@ -599,3 +599,93 @@ def streaming_user_accounting(spark, sf_dir: str):
         return view.unionByName(delta).distinct()
 
     return user_day_accounting(_run_ivm_fold(ev, partial, merge))
+
+
+def _ewma_partial(batch_df):
+    """Per-batch EWMA state partial: each user's top-``EWMA_SPAN``
+    events by (ts, event_id) DESC as a sorted bounded array, plus the
+    batch's row count. Top-k under a total order is a commutative
+    monoid, so the fold is ORDER-FREE — late or out-of-order batches
+    merge correctly by construction. The window rank runs BEFORE the
+    collect so no aggregation buffer ever exceeds SPAN rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pac_spark.operators.stats import EWMA_SPAN
+
+    k = F.struct(
+        "ts", "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("k.ts").desc(), F.col("k.event_id").desc()
+    )
+    tops = (
+        batch_df.select("user_id", k.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EWMA_SPAN)
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.reverse(F.array_sort(F.collect_list("k"))), 1, EWMA_SPAN
+            ).alias("top")
+        )
+    )
+    counts = batch_df.groupBy("user_id").agg(F.count("*").alias("n"))
+    return counts.join(tops, "user_id")
+
+
+def _ewma_merge(view, delta):
+    """Merge two partials: counts add; the two ≤SPAN arrays flatten,
+    re-sort descending, and truncate — per-user merge state is ≤
+    2·SPAN structs."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.stats import EWMA_SPAN
+
+    return (
+        view.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.slice(
+                F.reverse(F.array_sort(F.flatten(F.collect_list("top")))),
+                1,
+                EWMA_SPAN,
+            ).alias("top"),
+        )
+    )
+
+
+def streaming_ewma_user_value(spark, sf_dir: str):
+    """The batch EWMA (``stats.ewma_user_value``) maintained under
+    Structured Streaming: per-user state is the top-SPAN events under
+    the (ts, event_id) total order plus a row count — bounded per
+    user, merged as a commutative monoid across micro-batches, read
+    off once at the end with the identical power-of-two weighting.
+    The oracle is the BATCH operator's oracle (``stats.EWMA_SQL``), so
+    hash equality proves streaming maintenance == the one-shot
+    lag-chain window."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.stats import EWMA_SPAN
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    view = _run_ivm_fold(ev, _ewma_partial, _ewma_merge)
+    # weights 2^(SPAN-1-i) over the present prefix; mass = 2^SPAN - 2^(SPAN-m)
+    num = F.expr(
+        f"aggregate(transform(top, (x, i) -> x.cents * shiftleft(cast(1 as bigint),"
+        f" {EWMA_SPAN} - 1 - i)), cast(0 as bigint), (a, b) -> a + b)"
+    )
+    den = F.expr(
+        f"shiftleft(cast(1 as bigint), {EWMA_SPAN})"
+        f" - shiftleft(cast(1 as bigint), {EWMA_SPAN} - size(top))"
+    )
+    return view.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.date_format(F.col("top")[0]["ts"], "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts"
+        ),
+        (F.col("top")[0]["cents"].cast("double") / 100.0).alias("last_value"),
+        (num.cast("double") / den.cast("double") / 100.0).alias("ewma_value"),
+    ).orderBy("user_id")

@@ -1814,3 +1814,90 @@ def test_decile_lift_mass_balance(spark, sf_dir):
     for r in rows:
         if r["lift"] is not None:
             assert abs(r["lift"] - r["purchase_rate"] / base) < 1e-9
+
+
+def test_streaming_ewma_matches_batch_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: stream-maintained EWMA state read off at the
+    end must equal the batch lag-chain oracle."""
+    from pac_spark.streaming.stateful import streaming_ewma_user_value
+    from pac_spark.operators.stats import EWMA_SQL
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_ewma_user_value(spark, sf_dir), duck.sql(EWMA_SQL)
+    )
+
+
+def test_ewma_state_merge_is_order_free(spark, tmp_path):
+    """Adversarial split: one user's 20 events scattered across three
+    files delivered LATEST-FIRST; the folded state must equal the
+    single-shot partial over the whole table (top-k under a total
+    order is a commutative monoid), and the survivors must be exactly
+    the newest EWMA_SPAN events."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pac_spark.operators.stats import EWMA_SPAN
+    from pac_spark.streaming.stateful import (
+        _ewma_merge,
+        _ewma_partial,
+        _rotate_view,
+    )
+
+    ts0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = [(i, float(i + 1)) for i in range(20)]  # event_id == minute index
+    chunks = [rows[10:20], rows[0:5], rows[5:10]]  # newest chunk first
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        frame = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in chunk],
+                "ts": [ts0 + pd.Timedelta(minutes=r[0]) for r in chunk],
+                "user_id": 1,
+                "event_type": "view",
+                "value": [r[1] for r in chunk],
+            }
+        )
+        frame["ts"] = frame["ts"].astype("datetime64[us]")
+        frame.to_parquet(src / f"part-{i}.parquet")
+    now = time.time()
+    for i, name in enumerate(["part-0.parquet", "part-1.parquet", "part-2.parquet"]):
+        os.utime(src / name, (now + i, now + i))
+
+    schema = spark.read.parquet(str(src)).schema
+    state = {"view": None, "handles": []}
+    n_batches = []
+
+    def fold(batch_df, _bid):
+        n_batches.append(batch_df.count())
+        delta = _ewma_partial(batch_df)
+        view = state["view"]
+        merged = delta if view is None else _ewma_merge(view, delta)
+        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) == 3
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["n"], tuple((x["event_id"], x["cents"]) for x in r["top"]))
+            for r in df.collect()
+        )
+
+    single = _ewma_partial(spark.read.parquet(str(src)))
+    assert canon(state["view"]) == canon(single)
+    [row] = state["view"].collect()
+    assert row["n"] == 20
+    assert [x["event_id"] for x in row["top"]] == list(range(19, 19 - EWMA_SPAN, -1))
