@@ -45,6 +45,8 @@ __all__ = [
     "TRIANGLE_SQL",
     "two_hop_reach_top_customers",
     "TWO_HOP_SQL",
+    "kcore_parts",
+    "KCORE_SQL",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -498,3 +500,100 @@ FROM hop2
 GROUP BY anchor, degree
 ORDER BY degree DESC, custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+
+
+KCORE_K = 2  # the cycle core: peel pendant trees until only cycles remain
+KCORE_MIN_COOCCUR = 2  # edge admission, same threshold the recommenders use
+KCORE_ROUNDS = 8  # synchronous-peel cap (idempotent once stable)
+
+
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``KCORE_K``-core of the co-purchase graph: parts surviving
+    iterative removal of nodes with degree < k, with their in-core
+    degree — the standard graph-densification step (a node outside
+    the 2-core sits on a pendant tree: no cycle, no cohesion).
+
+    Peeling is SYNCHRONOUS (each round removes every current
+    sub-degree node at once) and capped at ``KCORE_ROUNDS`` rounds in
+    BOTH engines; peeling is idempotent once stable, so the early
+    exit when a round removes nothing cannot diverge from the
+    oracle's fixed unroll. Per round: one map-side-combined degree
+    count, a 1-row doomed-count scalar (the PageRank convergence
+    pattern), and two anti-joins dropping edges that touch doomed
+    nodes; the edge frame re-checkpoints each round to cut lineage.
+    Degrees are exact (edges are distinct pairs by construction).
+    """
+    op = pin(
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= KCORE_MIN_COOCCUR)
+        .select("pa", "pb")
+    )
+    edges = checkpoint(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    )
+    for _ in range(KCORE_ROUNDS):
+        doomed = pin(
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") < KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        if doomed.count() == 0:
+            break
+        edges = checkpoint(
+            edges.join(doomed, edges.src == doomed.node, "left_anti").join(
+                doomed, edges.dst == doomed.node, "left_anti"
+            )
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("src").alias("part_id"), "core_degree")
+        .orderBy("part_id")
+    )
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{i} AS (SELECT src AS node FROM e{i - 1} GROUP BY src HAVING COUNT(*) < {KCORE_K}),
+e{i} AS MATERIALIZED (
+    SELECT src, dst FROM e{i - 1}
+    WHERE src NOT IN (SELECT node FROM d{i})
+      AND dst NOT IN (SELECT node FROM d{i})
+)""")
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+    SELECT a.p AS pa, b.p AS pb
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_MIN_COOCCUR}
+),
+e0 AS MATERIALIZED (
+    SELECT pa AS src, pb AS dst FROM pairs
+    UNION ALL
+    SELECT pb, pa FROM pairs
+),
+{",".join(rounds)}
+SELECT src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ROUNDS} GROUP BY src ORDER BY part_id
+"""
+
+
+KCORE_SQL = _kcore_sql()

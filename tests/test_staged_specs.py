@@ -1218,6 +1218,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         text.token_gini_by_source,
         curation.source_overlap_matrix,
         graph.two_hop_reach_top_customers,
+        graph.kcore_parts,
         relational.daily_user_accounting,
         evaluate.decile_lift_value_purchase,
         relational.skyline_suppliers,
@@ -1901,3 +1902,40 @@ def test_ewma_state_merge_is_order_free(spark, tmp_path):
     [row] = state["view"].collect()
     assert row["n"] == 20
     assert [x["event_id"] for x in row["top"]] == list(range(19, 19 - EWMA_SPAN, -1))
+
+
+def test_kcore_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: synchronous 2-core peel vs the identical
+    8-round unrolled oracle (early exit is idempotent)."""
+    from pac_spark.operators.graph import KCORE_SQL, kcore_parts
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(kcore_parts(spark, sf_dir), duck.sql(KCORE_SQL))
+
+
+def test_kcore_crafted(spark, tmp_path):
+    """A triangle with a 3-node pendant chain: the chain peels away
+    over multiple synchronous rounds (deepest node first), leaving
+    exactly the triangle at degree 2 — and an isolated edge vanishes."""
+    import pandas as pd
+
+    # every edge = one part pair ordered together in TWO orders
+    edges = [(1, 2), (2, 3), (1, 3),  # triangle
+             (3, 4), (4, 5), (5, 6),  # pendant chain off node 3
+             (7, 8)]                   # isolated edge
+    rows = []
+    oid = 0
+    for a, b in edges:
+        for _ in range(2):
+            rows += [(oid, a), (oid, b)]
+            oid += 1
+    pd.DataFrame(
+        {
+            "l_orderkey": [o for o, _ in rows],
+            "l_partkey": [p for _, p in rows],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import kcore_parts
+
+    got = {r["part_id"]: r["core_degree"] for r in kcore_parts(spark, str(tmp_path)).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
