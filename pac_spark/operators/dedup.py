@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 from pac_spark.cache import pin
@@ -39,6 +40,7 @@ from pac_spark.operators.text_core import (
 )
 
 __all__ = [
+    "dedup_canonical_docs",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -644,3 +646,59 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bp"
         ),
     ).orderBy("doc_id")
+
+
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final act: from verified near-dup PAIRS to
+    the per-cluster KEEP/DROP decision. Pairs (the
+    :func:`minhash_lsh_dedup` output) become edges of a dup graph,
+    connected components merge transitive duplicates (A~B, B~C ⇒ one
+    cluster even if A,C never collided), and each non-singleton
+    cluster elects a canonical representative: longest text wins
+    (``n_chars`` desc), lowest ``doc_id`` breaks ties.
+
+    Scale shape: the component step is the shared pointer-doubling
+    :func:`~pac_spark.operators.entity_resolution.connected_components`
+    (isolated docs — the vast majority — never enter a round's
+    shuffle); the election window partitions by cluster, bounded by
+    dup-cluster size. Output rows only for docs in real dup clusters,
+    so downstream deletion is an anti-join against the non-canonical
+    ids.
+    """
+    from pac_spark.operators.entity_resolution import connected_components
+
+    pairs = minhash_lsh_dedup(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    docs = pin(
+        catalog.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    labels = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    clustered = docs.join(labels, docs.doc_id == labels.id).select(
+        "doc_id", "n_chars", F.col("label").alias("cluster_id")
+    )
+    sizes = (
+        clustered.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        clustered.join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            "n_docs",
+            (F.row_number().over(w) == 1).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+# CANONICAL_SQL lives in plans/llm_plans.py next to the verified-pair
+# oracle whose CTE chain it extends (building it here would import
+# llm_plans at module-import time — a cycle, since llm_plans imports
+# this module).

@@ -95,6 +95,46 @@ SELECT * FROM rescored WHERE jaccard >= {D.JACCARD_THRESHOLD} ORDER BY doc_a, do
 """
 
 
+# -- canonical-doc election: extends the verified-pair chain above with
+# a recursive component walk (same walk shape as the ER clusters
+# oracle); lives here, not in operators/dedup.py, to avoid an import
+# cycle (this module imports dedup).
+_lsh_prelude = _MINHASH_LSH[: _MINHASH_LSH.rindex(")") + 1].replace(
+    "WITH ", "WITH RECURSIVE ", 1
+)
+CANONICAL_SQL = f"""
+{_lsh_prelude},
+dup_pairs AS (
+    SELECT doc_a, doc_b FROM rescored WHERE jaccard >= {D.JACCARD_THRESHOLD}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+        UNION ALL SELECT doc_b, doc_a FROM dup_pairs),
+walk(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, w.label FROM walk w JOIN und u ON w.node = u.a
+),
+clusters AS (
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+),
+clustered AS (
+    SELECT d.doc_id, d.n_chars, c.cluster_id
+    FROM documents d JOIN clusters c USING (doc_id)
+),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM clustered GROUP BY cluster_id HAVING COUNT(*) >= 2
+)
+SELECT m.cluster_id, m.doc_id, m.n_chars, s.n_docs,
+       ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                          ORDER BY m.n_chars DESC, m.doc_id) = 1
+           AS is_canonical
+FROM clustered m JOIN sizes s USING (cluster_id)
+ORDER BY m.cluster_id, m.doc_id
+"""
+
+
 _HEXD = "strpos('0123456789abcdef', substring(md5(shingle), {i}, 1)) - 1"
 
 _H16 = " + ".join(

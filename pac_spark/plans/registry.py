@@ -196,6 +196,9 @@ def all_specs() -> list[QuerySpec]:
     #   evaluate.AUC_SQL / DECILE_LIFT_SQL, green at 3 SFs)
     # - kcore_parts (operators/graph.py, synchronous 2-core peel;
     #   oracle graph.KCORE_SQL, green at 3 SFs)
+    # - dedup_canonical_docs (operators/dedup.py, per-cluster
+    #   canonical election over dup components; oracle
+    #   llm_plans.CANONICAL_SQL, green at 3 SFs)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

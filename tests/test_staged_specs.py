@@ -1193,6 +1193,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
 
     from pac_spark.operators import (
         curation,
+        dedup as dedup_mod,
         evaluate,
         graph,
         recommend,
@@ -1219,6 +1220,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         curation.source_overlap_matrix,
         graph.two_hop_reach_top_customers,
         graph.kcore_parts,
+        dedup_mod.dedup_canonical_docs,
         relational.daily_user_accounting,
         evaluate.decile_lift_value_purchase,
         relational.skyline_suppliers,
@@ -1939,3 +1941,36 @@ def test_kcore_crafted(spark, tmp_path):
 
     got = {r["part_id"]: r["core_degree"] for r in kcore_parts(spark, str(tmp_path)).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_dedup_canonical_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: canonical-doc election over dup components vs
+    the recursive-walk oracle."""
+    from pac_spark.operators.dedup import dedup_canonical_docs
+    from pac_spark.plans.llm_plans import CANONICAL_SQL
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(dedup_canonical_docs(spark, sf_dir), duck.sql(CANONICAL_SQL))
+
+
+def test_dedup_canonical_semantics(spark, sf_dir):
+    """Election invariants: exactly one canonical per cluster, the
+    canonical has the cluster's max n_chars (min doc_id on ties),
+    n_docs matches the member count, and every returned cluster is a
+    real dup cluster (>= 2 docs)."""
+    from collections import defaultdict
+
+    from pac_spark.operators.dedup import dedup_canonical_docs
+
+    rows = dedup_canonical_docs(spark, sf_dir).collect()
+    assert rows, "no dup clusters at this SF"
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        assert len(members) >= 2
+        assert all(m["n_docs"] == len(members) for m in members)
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1
+        best = min(members, key=lambda m: (-m["n_chars"], m["doc_id"]))
+        assert canon[0]["doc_id"] == best["doc_id"]
