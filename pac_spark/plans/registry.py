@@ -199,6 +199,10 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - spatial_customer_neighbors (operators/spatial.py, grid-
+    #   blocked radius self-join with exact integer geometry; oracle
+    #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
+    #   tie crafted test + no-cartesian plan assertion)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

@@ -561,3 +561,19 @@ def test_allocation_everything_after_fact_aggregate_is_tiny(spark, sf_dir):
     plan = _exec_plan(budget_allocation_by_nation(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_spatial_radius_join_is_equi_join_on_cells(spark, sf_dir):
+    """The radius self-join must be a hash/merge EQUI-join on the
+    grid-cell keys — the whole point of the 3x3 stencil is that no
+    CartesianProduct or nested-loop appears — and the stencil explode
+    is a fixed fan-out Generate, not a data-sized blow-up."""
+    from pac_spark.operators.spatial import spatial_customer_neighbors
+
+    plan = _exec_plan(spatial_customer_neighbors(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

@@ -1974,3 +1974,50 @@ def test_dedup_canonical_semantics(spark, sf_dir):
         assert len(canon) == 1
         best = min(members, key=lambda m: (-m["n_chars"], m["doc_id"]))
         assert canon[0]["doc_id"] == best["doc_id"]
+
+
+def test_spatial_neighbors_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: grid-blocked radius self-join vs the
+    identical digit-wise md5 + integer-geometry oracle."""
+    from pac_spark.operators.spatial import (
+        SPATIAL_NEIGHBORS_SQL,
+        spatial_customer_neighbors,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        spatial_customer_neighbors(spark, sf_dir), duck.sql(SPATIAL_NEIGHBORS_SQL())
+    )
+
+
+def test_spatial_neighbors_crafted(spark):
+    """Hand-placed points pin the geometry: (a) a pair straddling a
+    cell boundary IS found (the stencil covers it); (b) a pair at
+    exactly RADIUS is inside (<=); (c) one unit past RADIUS is out;
+    (d) nearest ties break to the smaller key; (e) isolated points
+    are absent."""
+    from pac_spark.operators.spatial import RADIUS, neighbor_stats
+
+    cell = RADIUS  # cell side == RADIUS
+    pts = [
+        # (a) straddle a vertical cell boundary: x = cell-1 vs cell+1
+        (1, cell - 1, 500), (2, cell + 1, 500),
+        # (b)/(c): 10 at exactly RADIUS from 11; 12 one unit beyond
+        (10, 10 * cell, 0), (11, 10 * cell + RADIUS, 0),
+        (12, 10 * cell - RADIUS - 1, 0),
+        # (d) 20 equidistant from 21 and 22 -> nearest = 21
+        (21, 5 * cell, 5 * cell - 10), (22, 5 * cell, 5 * cell + 10),
+        (20, 5 * cell, 5 * cell),
+        # (e) isolated far corner
+        (99, 15 * cell + 100, 15 * cell + 100),
+    ]
+    df = spark.createDataFrame(pts, "c_custkey long, x long, y long")
+    got = {r["c_custkey"]: r for r in neighbor_stats(df).collect()}
+    assert got[1]["nearest_custkey"] == 2 and got[2]["nearest_custkey"] == 1
+    assert got[1]["nearest_d2"] == 4
+    assert got[10]["n_within"] == 1 and got[10]["nearest_custkey"] == 11
+    assert got[10]["nearest_d2"] == RADIUS * RADIUS
+    assert 12 not in got  # RADIUS+1 away from 10, and 2*RADIUS+1 from 11
+    assert got[20]["n_within"] == 2 and got[20]["nearest_custkey"] == 21
+    assert got[21]["nearest_custkey"] == 20 and got[22]["nearest_custkey"] == 20
+    assert 99 not in got
