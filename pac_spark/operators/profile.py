@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pac_spark import catalog
+from pac_spark.functions.exact import int_div
 
 __all__ = [
     "profile",
@@ -42,6 +43,8 @@ __all__ = [
     "expectation_report",
     "expectations_orders",
     "EXPECTATIONS_SQL",
+    "k_anonymity_customer_qi",
+    "K_ANONYMITY_SQL",
 ]
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -289,4 +292,71 @@ FROM (
     UNION ALL SELECT 'unique:o_orderkey', n_rows, v_unique FROM agg
 )
 ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# Privacy governance: k-anonymity / l-diversity audit
+
+K_THRESHOLD = 5
+L_THRESHOLD = 3
+BAND_CENTS = 100_000  # sensitive attribute banded to $1000 buckets
+
+
+def k_anonymity_customer_qi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit before a dataset release: treat
+    (nation, market segment) as the quasi-identifier and the account
+    balance (banded to $1000) as the sensitive attribute, and report
+    per QI-group size (k-anonymity) and sensitive-value diversity
+    (l-diversity) with pass flags at the house thresholds (k>=5,
+    l>=3). Groups failing either flag are the re-identification /
+    attribute-disclosure risk surface Sweeney's k-anonymity and
+    Machanavajjhala's l-diversity measure.
+
+    One map-side-combined aggregate over the QI keys; the exact
+    distinct-band count rewrites to Spark's expand-based distinct
+    plan (same trade as ``profile`` — swap to approx_count_distinct
+    past oracle scale). Banding is exact integer arithmetic: balances
+    to cents, shifted non-negative (TPC-H balances start at -999.99)
+    so the shared ``int_div`` contract holds on both engines.
+    """
+    cust = catalog.load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long") + F.lit(BAND_CENTS)
+    band = int_div(cents, F.lit(BAND_CENTS))
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct("band").alias("l_distinct_bands"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            "l_distinct_bands",
+            (F.col("group_n") >= K_THRESHOLD).alias("meets_k5"),
+            (F.col("l_distinct_bands") >= L_THRESHOLD).alias("meets_l3"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+def K_ANONYMITY_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH banded AS (
+    SELECT c_nationkey, c_mktsegment,
+           (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {BAND_CENTS})
+               // {BAND_CENTS} AS band
+    FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS group_n,
+       COUNT(DISTINCT band) AS l_distinct_bands,
+       COUNT(*) >= {K_THRESHOLD} AS meets_k5,
+       COUNT(DISTINCT band) >= {L_THRESHOLD} AS meets_l3
+FROM banded
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
 """

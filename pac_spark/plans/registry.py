@@ -199,6 +199,9 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - k_anonymity_customer_qi (operators/profile.py, privacy
+    #   governance audit; oracle profile.K_ANONYMITY_SQL, green at
+    #   3 SFs + threshold-edge crafted test)
     # - spatial_customer_neighbors (operators/spatial.py, grid-
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/

@@ -2021,3 +2021,46 @@ def test_spatial_neighbors_crafted(spark):
     assert got[20]["n_within"] == 2 and got[20]["nearest_custkey"] == 21
     assert got[21]["nearest_custkey"] == 20 and got[22]["nearest_custkey"] == 20
     assert 99 not in got
+
+
+def test_k_anonymity_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: privacy audit vs the identical banded
+    QI-group oracle."""
+    from pac_spark.operators.profile import K_ANONYMITY_SQL, k_anonymity_customer_qi
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        k_anonymity_customer_qi(spark, sf_dir), duck.sql(K_ANONYMITY_SQL())
+    )
+
+
+def test_k_anonymity_crafted(spark, tmp_path):
+    """Pin the audit semantics: a 5-row group with one band meets k5
+    but not l3; a 3-row group with 3 distinct bands meets l3 but not
+    k5; negative balances band WITHOUT colliding into the first
+    positive band (the shift keeps int_div on non-negative ground)."""
+    import pandas as pd
+
+    rows = (
+        # group A: n=5, all in the same $1000 band
+        [(i, "n", 0, "AUTO", 500.00) for i in range(5)]
+        # group B: n=3, three distinct bands
+        + [(10, "n", 1, "BIKE", 500.00), (11, "n", 1, "BIKE", 1500.00),
+           (12, "n", 1, "BIKE", 2500.00)]
+        # group C: negative vs small-positive balances = 2 bands
+        + [(20, "n", 2, "SHIP", -999.99), (21, "n", 2, "SHIP", 500.00)]
+    )
+    pd.DataFrame(
+        rows, columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    ).to_parquet(tmp_path / "customer.parquet")
+    from pac_spark.operators.profile import k_anonymity_customer_qi
+
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in k_anonymity_customer_qi(spark, str(tmp_path)).collect()
+    }
+    a, b, c = got[(0, "AUTO")], got[(1, "BIKE")], got[(2, "SHIP")]
+    assert a["group_n"] == 5 and a["meets_k5"] and a["l_distinct_bands"] == 1
+    assert not a["meets_l3"]
+    assert b["l_distinct_bands"] == 3 and b["meets_l3"] and not b["meets_k5"]
+    assert c["l_distinct_bands"] == 2  # -999.99 does not collide with +500
