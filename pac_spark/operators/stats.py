@@ -57,6 +57,8 @@ __all__ = [
     "group_percentiles_cont",
     "percentiles_cont_price_by_flag",
     "PCT_CONT_SQL",
+    "theilsen_trend_by_type",
+    "THEILSEN_SQL",
     "PCTS",
     "ewma_user_value",
     "EWMA_SQL",
@@ -1329,3 +1331,131 @@ FROM lagged WHERE rn = n ORDER BY user_id
 
 
 EWMA_SQL = _ewma_sql()
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+
+TS_SCALE = 1_000_000  # slopes in 1e-6 cents/day fixed point
+
+
+def theilsen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the daily-revenue trend per event type:
+    the MEDIAN of all pairwise slopes (and the companion median
+    intercept), the robust alternative to ``trend_slope_by_type``'s
+    least squares — one wild day shifts OLS arbitrarily but moves a
+    median of ~k²/2 slopes not at all (breakdown point ≈ 29%).
+
+    Scale shape: the O(k²) pair set is quadratic in DAYS, not rows —
+    the fact table first collapses to one exact-cents total per
+    (event_type, day) via a map-side-combined aggregate, so k is
+    bounded by the calendar span (a 10-year corpus is ~3.7k days →
+    ~6.6M pair rows per type, trivially shuffle-sized) while the scan
+    underneath is the full corpus. Everything after the aggregate is
+    exact integer arithmetic: day = epoch day, dy in cents, each
+    slope truncated to 1e-6-cents/day fixed point by the shared
+    remainder-subtracted division (trunc semantics match DuckDB's
+    BIGINT ``//`` for NEGATIVE slopes too — both truncate toward
+    zero), and the median is the house lower-median read-off
+    ``2*rank >= n`` over ranked values, never a float percentile.
+    ``dy * TS_SCALE`` stays under 2^53 while daily totals are below
+    ~$90M — true far past sf100; widen to decimal before that.
+    Single-day types have no pairs and are absent by definition.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.sum("cents").alias("y"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "event_type").where(F.col("d1") < F.col("d2"))
+    slope = int_div(
+        (F.col("y2") - F.col("y1")) * F.lit(TS_SCALE), F.col("d2") - F.col("d1")
+    )
+    ranked = pairs.select("event_type", slope.alias("s")).select(
+        "event_type",
+        "s",
+        F.row_number().over(W.partitionBy("event_type").orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n_pairs"),
+    )
+    med_slope = (
+        ranked.where(F.col("rn") * 2 >= F.col("n_pairs"))
+        .groupBy("event_type")
+        .agg(F.min("s").alias("slope_fp"), F.first("n_pairs").alias("n_pairs"))
+    )
+    # median intercept over the k daily points: y*SCALE - slope_fp*d
+    pts = daily.join(med_slope, "event_type").select(
+        "event_type",
+        "slope_fp",
+        "n_pairs",
+        (F.col("y") * F.lit(TS_SCALE) - F.col("slope_fp") * F.col("d")).alias("i"),
+    )
+    ranked_i = pts.select(
+        "event_type",
+        "slope_fp",
+        "n_pairs",
+        "i",
+        F.row_number().over(W.partitionBy("event_type").orderBy("i")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("k"),
+    )
+    return (
+        ranked_i.where(F.col("rn") * 2 >= F.col("k"))
+        .groupBy("event_type")
+        .agg(
+            F.first("k").alias("n_days"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.first("slope_fp").alias("slope_microcents_per_day"),
+            F.min("i").alias("intercept_microcents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def THEILSEN_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           -- BIGINT, not DuckDB's HUGEINT SUM: '//' stays integer and
+           -- pandas never round-trips the result through float
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+    SELECT a.event_type,
+           ((b.y - a.y) * {TS_SCALE}) // (b.d - a.d) AS s
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+    SELECT event_type, s,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM pairs
+),
+med AS (
+    SELECT event_type, MIN(s) AS slope_fp, MIN(n_pairs) AS n_pairs
+    FROM ranked WHERE rn * 2 >= n_pairs GROUP BY event_type
+),
+pts AS (
+    SELECT d.event_type, m.slope_fp, m.n_pairs,
+           d.y * {TS_SCALE} - m.slope_fp * d.d AS i
+    FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+ranked_i AS (
+    SELECT event_type, slope_fp, n_pairs, i,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS k
+    FROM pts
+)
+SELECT event_type,
+       MIN(k) AS n_days,
+       MIN(n_pairs) AS n_pairs,
+       MIN(slope_fp) AS slope_microcents_per_day,
+       MIN(i) AS intercept_microcents
+FROM ranked_i WHERE rn * 2 >= k
+GROUP BY event_type ORDER BY event_type
+"""

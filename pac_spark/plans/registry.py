@@ -199,6 +199,9 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - theilsen_trend_by_type (operators/stats.py, median-of-slopes
+    #   robust trend; oracle stats.THEILSEN_SQL, green at 3 SFs +
+    #   outlier-immunity crafted test)
     # - k_anonymity_customer_qi (operators/profile.py, privacy
     #   governance audit; oracle profile.K_ANONYMITY_SQL, green at
     #   3 SFs + threshold-edge crafted test)

@@ -2064,3 +2064,41 @@ def test_k_anonymity_crafted(spark, tmp_path):
     assert not a["meets_l3"]
     assert b["l_distinct_bands"] == 3 and b["meets_l3"] and not b["meets_k5"]
     assert c["l_distinct_bands"] == 2  # -999.99 does not collide with +500
+
+
+def test_theilsen_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: Theil–Sen robust trend vs the identical
+    pairwise-slope median oracle."""
+    from pac_spark.operators.stats import THEILSEN_SQL, theilsen_trend_by_type
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        theilsen_trend_by_type(spark, sf_dir), duck.sql(THEILSEN_SQL())
+    )
+
+
+def test_theilsen_robustness_crafted(spark, tmp_path):
+    """The point of Theil–Sen: a clean $2/day trend with ONE wild
+    outlier day keeps slope exactly 2e8 microcents/day and intercept
+    0 (OLS would be dragged arbitrarily); and a negative slope
+    truncates toward zero identically to the oracle's `//`."""
+    import pandas as pd
+
+    rows = [("a", f"2024-01-0{d + 1}", 2.00 * d) for d in range(7)]
+    rows[3] = ("a", "2024-01-04", 10_000.00)  # the wild day
+    rows += [("b", "2024-01-01", 0.05), ("b", "2024-01-04", 0.00)]
+    df = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import theilsen_trend_by_type
+
+    got = {r["event_type"]: r for r in theilsen_trend_by_type(spark, str(tmp_path)).collect()}
+    a = got["a"]
+    assert a["n_days"] == 7 and a["n_pairs"] == 21
+    assert a["slope_microcents_per_day"] == 200 * 1_000_000
+    # intercept is at x = 0 = epoch day zero: clean points all give
+    # exactly -slope * d0 (the outlier's value lands past the median)
+    d0 = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
+    assert a["intercept_microcents"] == -200 * 1_000_000 * d0
+    # dy = -5 cents over dx = 3 days: trunc(-5e6/3) = -1666666 (not floor)
+    assert got["b"]["slope_microcents_per_day"] == -1_666_666
