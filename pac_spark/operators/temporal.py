@@ -46,6 +46,8 @@ __all__ = [
     "daily_coverage_us",
     "COVERAGE_SQL",
     "attribution_last_touch",
+    "pattern_runs_view_click_purchase",
+    "PATTERN_RUNS_SQL",
     "ATTRIBUTION_SQL",
     "ATTRIBUTION_WINDOW_MIN",
 ]
@@ -1218,4 +1220,112 @@ SELECT channel,
        CAST(SUM(delta_us) AS DOUBLE) / CAST(COUNT(delta_us) AS DOUBLE)
            / 60000000.0 AS avg_minutes_to_touch
 FROM purchases GROUP BY channel ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style run patterns
+
+def pattern_runs_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 MATCH_RECOGNIZE's flagship shape — PATTERN
+    (view+ click+ purchase+) — without the operator: per user, detect
+    every place the event stream runs through one-or-more views, then
+    IMMEDIATELY one-or-more clicks, then immediately one-or-more
+    purchases, with no other event type breaking the chain. This is a
+    different contract from the funnels (which allow arbitrary
+    interleaving between stages): here adjacency is the predicate,
+    which is what run-length encoding is for.
+
+    Plan: one per-user window pass turns the stream into its runs
+    (lag-change flag → running sum = run index; order key (ts,
+    event_id) is unique, so no tie ever reaches a window compare),
+    one aggregate collapses runs to (type, length, start), and two
+    leads over the run table — already ~|event type changes| rows,
+    far smaller than the corpus — read the A+B+C+ triple off. All
+    per-user windows hash-partition on user_id; nothing global.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_idx", F.sum("chg").over(w))
+        .groupBy("user_id", "run_idx")
+        .agg(
+            F.first("event_type").alias("rtype"),
+            F.count(F.lit(1)).alias("rlen"),
+            F.min("ts").alias("rstart"),
+        )
+    )
+    wr = W.partitionBy("user_id").orderBy("run_idx")
+    return (
+        runs.select(
+            "user_id",
+            "rtype",
+            "rlen",
+            "rstart",
+            F.lead("rtype", 1).over(wr).alias("t1"),
+            F.lead("rlen", 1).over(wr).alias("l1"),
+            F.lead("rtype", 2).over(wr).alias("t2"),
+            F.lead("rlen", 2).over(wr).alias("l2"),
+        )
+        .where(
+            (F.col("rtype") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("rstart").alias("match_start"),
+            F.col("rlen").alias("n_views"),
+            F.col("l1").alias("n_clicks"),
+            F.col("l2").alias("n_purchases"),
+        )
+        .orderBy("user_id", "match_start")
+    )
+
+
+def PATTERN_RUNS_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+indexed AS (
+    SELECT user_id, ts, event_type,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_idx
+    FROM flagged
+),
+runs AS (
+    SELECT user_id, run_idx,
+           MIN(event_type) AS rtype,
+           CAST(COUNT(*) AS BIGINT) AS rlen,
+           MIN(ts) AS rstart
+    FROM indexed GROUP BY user_id, run_idx
+),
+led AS (
+    SELECT user_id, rtype, rlen, rstart,
+           LEAD(rtype, 1) OVER w AS t1, LEAD(rlen, 1) OVER w AS l1,
+           LEAD(rtype, 2) OVER w AS t2, LEAD(rlen, 2) OVER w AS l2
+    FROM runs
+    WINDOW w AS (PARTITION BY user_id ORDER BY run_idx)
+)
+SELECT user_id, rstart AS match_start,
+       rlen AS n_views, l1 AS n_clicks, l2 AS n_purchases
+FROM led
+WHERE rtype = 'view' AND t1 = 'click' AND t2 = 'purchase'
+ORDER BY user_id, match_start
 """

@@ -199,6 +199,10 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - pattern_runs_view_click_purchase (operators/temporal.py,
+    #   MATCH_RECOGNIZE-style A+B+C+ run pattern; oracle
+    #   temporal.PATTERN_RUNS_SQL, green at 3 SFs + adjacency
+    #   crafted test)
     # - theilsen_trend_by_type (operators/stats.py, median-of-slopes
     #   robust trend; oracle stats.THEILSEN_SQL, green at 3 SFs +
     #   outlier-immunity crafted test)

@@ -2102,3 +2102,51 @@ def test_theilsen_robustness_crafted(spark, tmp_path):
     assert a["intercept_microcents"] == -200 * 1_000_000 * d0
     # dy = -5 cents over dx = 3 days: trunc(-5e6/3) = -1666666 (not floor)
     assert got["b"]["slope_microcents_per_day"] == -1_666_666
+
+
+def test_pattern_runs_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: MATCH_RECOGNIZE-style (view+ click+
+    purchase+) run pattern vs the identical RLE oracle."""
+    from pac_spark.operators.temporal import (
+        PATTERN_RUNS_SQL,
+        pattern_runs_view_click_purchase,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        pattern_runs_view_click_purchase(spark, sf_dir), duck.sql(PATTERN_RUNS_SQL())
+    )
+
+
+def test_pattern_runs_crafted(spark, tmp_path):
+    """Adjacency is the predicate: (a) view,view,click,purchase
+    matches with n_views=2; (b) an interleaved error BREAKS the chain
+    (the funnels would still fire); (c) two disjoint matches in one
+    user's stream both emit; (d) purchase-first never matches."""
+    import pandas as pd
+
+    seq = {
+        1: ["view", "view", "click", "purchase"],
+        2: ["view", "error", "click", "purchase"],
+        3: ["view", "click", "purchase", "view", "click", "click", "purchase"],
+        4: ["purchase", "click", "view"],
+    }
+    rows = []
+    eid = 0
+    for uid, types in seq.items():
+        for i, t in enumerate(types):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), uid, t))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import pattern_runs_view_click_purchase
+
+    got = pattern_runs_view_click_purchase(spark, str(tmp_path)).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {1, 3}
+    assert by_user[1][0]["n_views"] == 2 and by_user[1][0]["n_clicks"] == 1
+    assert len(by_user[3]) == 2
+    assert [m["n_clicks"] for m in by_user[3]] == [1, 2]
