@@ -45,6 +45,9 @@ __all__ = [
     "EXPECTATIONS_SQL",
     "k_anonymity_customer_qi",
     "K_ANONYMITY_SQL",
+    "benford_price_audit",
+    "BENFORD_SQL",
+    "BENFORD_MILLI",
 ]
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -359,4 +362,94 @@ SELECT c_nationkey, c_mktsegment,
 FROM banded
 GROUP BY c_nationkey, c_mktsegment
 ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud / data-fabrication screen)
+
+# P(first digit = d) = log10(1 + 1/d), in exact milli-probabilities
+BENFORD_MILLI = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic forensic
+    screen for fabricated or truncated numeric data: the first
+    significant digit of naturally-grown amounts follows
+    P(d) = log10(1 + 1/d), and a per-digit chi-square contribution
+    table shows exactly where a corpus bends away from it.
+
+    Exactness: the first digit comes from the integer cents rendered
+    as a string (never float formatting); expected counts stay in
+    exact integer MILLI-probability space (Σ = 1000, so expected
+    milli-count = n·p_milli is an integer), and each chi-square cell
+    is ONE double division of two exact integers —
+    (1000·obs − n·p)² / (1000·n·p) — identical text on both engines.
+    Digits with zero observations still report (the digit spine is a
+    literal 1..9 frame), because a MISSING digit is the loudest
+    Benford violation of all. One map-side-combined aggregate over
+    the scan; the 9-row spine join is a broadcast.
+    """
+    ob = catalog.load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    counts = (
+        ob.where(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.element_at(
+            F.array([F.lit(m) for m in BENFORD_MILLI]), F.col("id").cast("int")
+        ).cast("long").alias("p_milli"),
+    )
+    total = counts.agg(F.sum("n_obs").alias("n"))
+    j = (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            (F.col("n") * F.col("p_milli")).alias("expected_milli"),
+            "n",
+            "p_milli",
+        )
+    )
+    dev = F.col("n_obs") * 1000 - F.col("n") * F.col("p_milli")
+    chi = (dev * dev).cast("double") / (
+        (F.lit(1000) * F.col("n") * F.col("p_milli")).cast("double")
+    )
+    return j.select(
+        "digit", "n_obs", "expected_milli", chi.alias("chi2_contrib")
+    ).orderBy("digit")
+
+
+def BENFORD_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    milli_rows = ", ".join(f"({d + 1}, {m})" for d, m in enumerate(BENFORD_MILLI))
+    return f"""
+WITH c AS (
+    SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0
+    GROUP BY 1
+),
+spine(digit, p_milli) AS (VALUES {milli_rows}),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c),
+j AS (
+    SELECT s.digit,
+           CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(t.n * s.p_milli AS BIGINT) AS expected_milli,
+           t.n AS n, CAST(s.p_milli AS BIGINT) AS p_milli
+    FROM spine s LEFT JOIN c ON s.digit = c.digit CROSS JOIN t
+)
+SELECT digit, n_obs, expected_milli,
+       CAST((n_obs * 1000 - n * p_milli) * (n_obs * 1000 - n * p_milli)
+            AS DOUBLE)
+       / CAST(1000 * n * p_milli AS DOUBLE) AS chi2_contrib
+FROM j ORDER BY digit
 """

@@ -49,6 +49,8 @@ __all__ = [
     "kmv_nation_part_overlap",
     "KMV_SQL",
     "KMV_K",
+    "bitmap_distinct_users_daily",
+    "BITMAP_DISTINCT_SQL",
 ]
 
 CMS_DEPTH = 4
@@ -678,4 +680,63 @@ FROM pairs p
 LEFT JOIN common c ON p.nation_a = c.nation_a AND p.nation_b = c.nation_b
 LEFT JOIN exact_inter e ON p.nation_a = e.nation_a AND p.nation_b = e.nation_b
 ORDER BY p.nation_a, p.nation_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index exact distinct (the dense-domain companion to HLL)
+
+def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day via 64-bit bitmap words — the
+    roaring-bitmap idea reduced to its Spark-native core. Each user
+    id owns one bit (word = id >> 6, bit = id & 63); per (day, word)
+    a map-side-combined ``bit_or`` fuses all occurrences into one
+    BIGINT, and the day's distinct count is the sum of popcounts.
+
+    Why it earns a slot next to HLL and count-distinct: the shuffle
+    carries at most one row per (day, touched word) — for dense
+    integer domains that is 1/64th of the distinct-expansion rows
+    Spark's exact ``countDistinct`` rewrites into, the merge is a
+    pure bitwise OR (associative, partition-invariant by
+    construction), and unlike HLL the answer is EXACT. The trade is
+    domain-boundedness: memory is domain/8 bytes per group worst
+    case, so it fits id spaces up to a few billion — past that, HLL.
+
+    The oracle is deliberately the INDEPENDENT formulation — plain
+    ``COUNT(DISTINCT user_id)`` — so hash equality proves the bitmap
+    machinery implements distinct-count semantics rather than echoing
+    its own construction. bit_count of a negative word (bit 63 set)
+    counts two's-complement bits identically on both engines
+    (verified in the staged gate's crafted case).
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    words = (
+        ev.select(
+            "day",
+            F.shiftright("user_id", 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return (
+        words.groupBy("day")
+        .agg(F.sum(F.expr("bit_count(bits)")).alias("n_distinct_users"))
+        .orderBy("day")
+    )
+
+
+def BITMAP_DISTINCT_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py).
+
+    The independent spec: no bitmaps anywhere — COUNT(DISTINCT).
+    """
+    return """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events GROUP BY 1 ORDER BY day
 """

@@ -199,6 +199,12 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - bitmap_distinct_users_daily (operators/sketch.py, bitmap-word
+    #   exact distinct; INDEPENDENT COUNT(DISTINCT) oracle
+    #   sketch.BITMAP_DISTINCT_SQL, green at 3 SFs + bit-63 crafted)
+    # - benford_price_audit (operators/profile.py, first-digit fraud
+    #   screen; oracle profile.BENFORD_SQL, green at 3 SFs +
+    #   missing-digit crafted test)
     # - pattern_runs_view_click_purchase (operators/temporal.py,
     #   MATCH_RECOGNIZE-style A+B+C+ run pattern; oracle
     #   temporal.PATTERN_RUNS_SQL, green at 3 SFs + adjacency

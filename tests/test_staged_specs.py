@@ -2150,3 +2150,71 @@ def test_pattern_runs_crafted(spark, tmp_path):
     assert by_user[1][0]["n_views"] == 2 and by_user[1][0]["n_clicks"] == 1
     assert len(by_user[3]) == 2
     assert [m["n_clicks"] for m in by_user[3]] == [1, 2]
+
+
+def test_bitmap_distinct_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: bitmap-word distinct vs the INDEPENDENT
+    COUNT(DISTINCT) formulation — hash equality proves semantics."""
+    from pac_spark.operators.sketch import (
+        BITMAP_DISTINCT_SQL,
+        bitmap_distinct_users_daily,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        bitmap_distinct_users_daily(spark, sf_dir), duck.sql(BITMAP_DISTINCT_SQL())
+    )
+
+
+def test_bitmap_distinct_crafted(spark, tmp_path):
+    """Bit-63 (negative word) and word-boundary ids count correctly,
+    and duplicates collapse: users {0, 63, 64, 127, 128, 63, 0} on
+    one day = 5 distinct across three words, one of which is held
+    entirely in sign/high bits."""
+    import pandas as pd
+
+    uids = [0, 63, 64, 127, 128, 63, 0]
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(uids)),
+            "ts": pd.to_datetime(["2024-01-01"] * len(uids)),
+            "user_id": uids,
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.sketch import bitmap_distinct_users_daily
+
+    rows = bitmap_distinct_users_daily(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["n_distinct_users"] == 5
+
+
+def test_benford_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: Benford first-digit audit vs the identical
+    integer milli-probability oracle."""
+    from pac_spark.operators.profile import BENFORD_SQL, benford_price_audit
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(benford_price_audit(spark, sf_dir), duck.sql(BENFORD_SQL()))
+
+
+def test_benford_crafted(spark, tmp_path):
+    """First digits come from integer cents, missing digits still
+    report with a positive chi-square contribution, and the expected
+    column is exact n*p_milli: prices 1.23 (digit 1), 0.91 (digit 9,
+    sub-dollar), 54.00 (digit 5), 5.99 (digit 5)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_totalprice": [1.23, 0.91, 54.00, 5.99],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    from pac_spark.operators.profile import benford_price_audit
+
+    got = {r["digit"]: r for r in benford_price_audit(spark, str(tmp_path)).collect()}
+    assert sorted(got) == list(range(1, 10))
+    assert got[1]["n_obs"] == 1 and got[9]["n_obs"] == 1 and got[5]["n_obs"] == 2
+    assert got[2]["n_obs"] == 0 and got[2]["chi2_contrib"] > 0
+    assert got[1]["expected_milli"] == 4 * 301
