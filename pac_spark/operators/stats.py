@@ -59,6 +59,8 @@ __all__ = [
     "PCT_CONT_SQL",
     "theilsen_trend_by_type",
     "THEILSEN_SQL",
+    "daily_event_mix_drift",
+    "MIX_DRIFT_SQL",
     "PCTS",
     "ewma_user_value",
     "EWMA_SQL",
@@ -1458,4 +1460,109 @@ SELECT event_type,
        MIN(i) AS intercept_microcents
 FROM ranked_i WHERE rn * 2 >= k
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: daily event-mix total-variation distance
+
+TV_ALERT_MILLI = 200  # flag days whose mix drifts > 0.200 from the corpus
+
+
+def daily_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitor over the event-type mix: for every day, the
+    total-variation distance between that day's event-type
+    distribution and the whole corpus's — TV = ½·Σ|p_t − q_t| — with
+    an alert flag past 0.200. The readout behind "did yesterday's
+    traffic change shape", feeding the same dashboards as the
+    seasonal and CUSUM detectors but about COMPOSITION, not volume.
+
+    TV distance is chosen over KL/JS divergence deliberately (the
+    token-Gini precedent): the same monotone drift readout, but
+    RATIONAL — clearing denominators turns ½Σ|n_dt/n_d − N_t/N| into
+    Σ|n_dt·N − N_t·n_d| over 2·n_d·N, exact integers end-to-end
+    (decimal(38,0) products: n_dt·N stays within 38 digits past 10¹⁸
+    row corpora) where a log-based divergence would tie the hash to
+    libm rounding. The published value is exact MILLI-units by the
+    shared truncating division.
+
+    One scan: day×type counts (map-side combined), day totals and
+    type totals derived FROM that tiny table, corpus total broadcast
+    — the fan-in after the first aggregate is |days|·|types| rows.
+    Absent (day, type) cells contribute |0·N − N_t·n_d| and are
+    materialized by the day×type spine join, not skipped.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    dt = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n_dt"))
+    days = dt.groupBy("day").agg(F.sum("n_dt").alias("n_d"))
+    types = dt.groupBy("event_type").agg(F.sum("n_dt").alias("n_t"))
+    total = types.agg(F.sum("n_t").alias("n"))
+    dec = "decimal(38,0)"
+    spine = days.crossJoin(F.broadcast(types)).crossJoin(F.broadcast(total))
+    cells = spine.join(dt, ["day", "event_type"], "left").select(
+        "day",
+        "n_d",
+        "n",
+        (
+            F.abs(
+                F.coalesce(F.col("n_dt"), F.lit(0)).cast(dec) * F.col("n")
+                - F.col("n_t").cast(dec) * F.col("n_d")
+            )
+        ).alias("dev"),
+    )
+    # trunc division in DECIMAL(38,0), not the long-backed int_div:
+    # the numerator is 1000·Σdev ≈ 2000·n_d·N, far past 2^53 for real
+    # corpora. Remainder-subtracted decimal division of an exact
+    # multiple is exact (verified: decimal(38,6) result, .000000), and
+    # the quotient is <= 1000 by construction.
+    num = (F.sum("dev") * F.lit(1000)).cast(dec)
+    den = (F.lit(2).cast(dec) * F.first("n_d") * F.first("n")).cast(dec)
+    tv_milli = ((num - num % den) / den).cast("long")
+    return (
+        cells.groupBy("day")
+        .agg(
+            F.first("n_d").alias("n_events"),
+            tv_milli.alias("tv_milli"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "tv_milli",
+            (F.col("tv_milli") > TV_ALERT_MILLI).alias("is_drifted"),
+        )
+        .orderBy("day")
+    )
+
+
+def MIX_DRIFT_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH dt AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_dt
+    FROM events GROUP BY 1, 2
+),
+days AS (SELECT day, CAST(SUM(n_dt) AS BIGINT) AS n_d FROM dt GROUP BY day),
+types AS (
+    SELECT event_type, CAST(SUM(n_dt) AS BIGINT) AS n_t FROM dt GROUP BY event_type
+),
+tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM types),
+cells AS (
+    SELECT d.day, d.n_d, t.n_t, tot.n,
+           ABS(CAST(COALESCE(x.n_dt, 0) AS HUGEINT) * tot.n
+               - CAST(t.n_t AS HUGEINT) * d.n_d) AS dev
+    FROM days d CROSS JOIN types t CROSS JOIN tot
+    LEFT JOIN dt x ON x.day = d.day AND x.event_type = t.event_type
+),
+agg AS (
+    SELECT day, MIN(n_d) AS n_events,
+           CAST(SUM(dev) * 1000 AS HUGEINT)
+               // (2 * CAST(MIN(n_d) AS HUGEINT) * MIN(n)) AS tv_milli
+    FROM cells GROUP BY day
+)
+SELECT day, n_events, CAST(tv_milli AS BIGINT) AS tv_milli,
+       tv_milli > {TV_ALERT_MILLI} AS is_drifted
+FROM agg ORDER BY day
 """

@@ -199,6 +199,9 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - daily_event_mix_drift (operators/stats.py, rational TV-
+    #   distance composition drift; oracle stats.MIX_DRIFT_SQL,
+    #   green at 3 SFs + disjoint-mix crafted test)
     # - bitmap_distinct_users_daily (operators/sketch.py, bitmap-word
     #   exact distinct; INDEPENDENT COUNT(DISTINCT) oracle
     #   sketch.BITMAP_DISTINCT_SQL, green at 3 SFs + bit-63 crafted)

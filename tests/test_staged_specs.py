@@ -2218,3 +2218,34 @@ def test_benford_crafted(spark, tmp_path):
     assert got[1]["n_obs"] == 1 and got[9]["n_obs"] == 1 and got[5]["n_obs"] == 2
     assert got[2]["n_obs"] == 0 and got[2]["chi2_contrib"] > 0
     assert got[1]["expected_milli"] == 4 * 301
+
+
+def test_mix_drift_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: daily event-mix TV distance vs the identical
+    cleared-denominator rational oracle."""
+    from pac_spark.operators.stats import MIX_DRIFT_SQL, daily_event_mix_drift
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        daily_event_mix_drift(spark, sf_dir), duck.sql(MIX_DRIFT_SQL())
+    )
+
+
+def test_mix_drift_crafted(spark, tmp_path):
+    """TV semantics pinned by hand-checkable mixes: day 1 = corpus mix
+    minus one type entirely, day 2 = the complement. Corpus = 30 a +
+    30 b over two days; day1 = 30 a, day2 = 30 b → each day's TV vs
+    the 50/50 corpus is exactly 0.5 → 500 milli, flagged."""
+    import pandas as pd
+
+    rows = [("2024-01-01", "a")] * 30 + [("2024-01-02", "b")] * 30
+    df = pd.DataFrame(rows, columns=["day", "event_type"])
+    df["ts"] = pd.to_datetime(df["day"]).astype("datetime64[us]")
+    df["event_id"] = range(len(df))
+    df[["event_id", "ts", "event_type"]].to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import daily_event_mix_drift
+
+    got = {r["day"]: r for r in daily_event_mix_drift(spark, str(tmp_path)).collect()}
+    assert got["2024-01-01"]["tv_milli"] == 500
+    assert got["2024-01-02"]["tv_milli"] == 500
+    assert got["2024-01-01"]["is_drifted"] and got["2024-01-02"]["is_drifted"]
