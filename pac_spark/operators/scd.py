@@ -40,6 +40,9 @@ __all__ = [
     "scd2_snapshot_at",
     "scd2_pointintime_customer",
     "SCD2_PIT_SQL",
+    "maintain_join_nation_revenue",
+    "ivm_join_nation_revenue",
+    "IVM_JOIN_SQL",
 ]
 
 MOD_UPDATE = 7
@@ -661,4 +664,202 @@ g1 AS (
     FROM newc WHERE c_custkey % {MOD_DELETE} = 0
 )
 SELECT {collist} FROM g1 ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# JOIN-view IVM: maintain an aggregate OVER A JOIN from both sides'
+# changesets (the delta-join rule), never rejoining the full tables.
+
+ORD_MOD_UPDATE = 5
+ORD_MOD_INSERT = 9
+ORD_MOD_DELETE = 17
+
+
+def _old_orders(new: DataFrame) -> DataFrame:
+    """Derived old orders snapshot: keys ≡0 (mod 9) absent (inserts),
+    keys ≡0 (mod 5) carry a shifted price (updates), keys ≡0 (mod 17)
+    mirrored to the ghost range (deletes). Same derivation discipline
+    as ``_old_snapshot`` with disjoint moduli so order and customer
+    changes interleave every way."""
+    key = F.col("o_orderkey")
+    base = new.filter(key % ORD_MOD_INSERT != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(key % ORD_MOD_UPDATE == 0, F.col("cents") + 2500)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    ghosts = new.filter(key % ORD_MOD_DELETE == 0).select(
+        (key + GHOST_OFFSET).alias("o_orderkey"), "o_custkey", "cents"
+    )
+    return base.unionByName(ghosts)
+
+
+def _old_customers_nation(new: DataFrame) -> DataFrame:
+    """Derived old customer snapshot for the JOIN view: updates move
+    the GROUP KEY (nation) — the case that makes join-IVM hard —
+    instead of the balance."""
+    key = F.col("c_custkey")
+    base = new.filter(key % MOD_INSERT != 0).select(
+        "c_custkey",
+        F.when(key % MOD_UPDATE == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    ghosts = new.filter(key % MOD_DELETE == 0).select(
+        (key + GHOST_OFFSET).alias("c_custkey"), "c_nationkey"
+    )
+    return base.unionByName(ghosts)
+
+
+def _signed_deltas(diff: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """A :func:`snapshot_diff` changeset as a SIGNED delta relation:
+    insert → (+1, new payload), delete → (−1, old payload), update →
+    both rows. The multiset-algebra form every IVM derivation
+    composes from. ``key`` is the diff's key column (emitted plain,
+    one per row, valid for both sides); ``cols`` the per-side
+    payloads."""
+    minus = F.struct(
+        F.lit(-1).cast("long").alias("sign"),
+        *[F.col(f"old_{c}").alias(c) for c in cols],
+    )
+    plus = F.struct(
+        F.lit(1).cast("long").alias("sign"),
+        *[F.col(f"new_{c}").alias(c) for c in cols],
+    )
+    return diff.select(
+        key,
+        F.explode(
+            F.when(F.col("change_type") == "insert", F.array(plus))
+            .when(F.col("change_type") == "delete", F.array(minus))
+            .otherwise(F.array(minus, plus))
+        ).alias("d"),
+    ).select(key, "d.*")
+
+
+def ivm_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: maintain V = γ_nation(orders ⋈ customer) —
+    order count and exact revenue per nation — across simultaneous
+    old→new transitions of BOTH base tables, using the delta-join
+    rule, never rejoining the full tables:
+
+        Δ(O ⋈ C) = ΔO ⋈ C_old  +  O_old ⋈ ΔC  +  ΔO ⋈ ΔC
+
+    with multiset signs multiplying in the cross term (that term is
+    what makes the algebra self-correcting: e.g. a deleted order
+    referencing an inserted customer nets to zero through +1·−1).
+    Customer updates move the GROUP KEY (nation), order updates move
+    the measure, and inserts/deletes hit both sides — every
+    interleaving the rule must absorb.
+
+    Scale shape: the two changesets are small by assumption (that is
+    the IVM premise); both ΔO and ΔC travel as broadcasts, so the
+    only full-table touches are one scan of O_old (pre-filtered by
+    the broadcast ΔC hash) and one of C_old for ΔO's lookups — no
+    O⋈C rejoin anywhere. The maintained view then folds
+    |V| + |contributions| rows. The oracle aggregates the NEW join
+    directly, so hash equality proves maintenance ≡ full recompute.
+    """
+    new_c = _guard_ghost_range(catalog.load(spark, sf_dir, "customer").select(*_COLS))
+    new_o = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from pac_spark.cache import pin
+
+    new_o = pin(new_o)
+    c_new = pin(new_c.select("c_custkey", "c_nationkey"))
+    c_old = pin(_old_customers_nation(c_new))
+    o_old = pin(_old_orders(new_o))
+
+    return maintain_join_nation_revenue(o_old, new_o, c_old, c_new)
+
+
+def maintain_join_nation_revenue(
+    o_old: DataFrame, o_new: DataFrame, c_old: DataFrame, c_new: DataFrame
+) -> DataFrame:
+    """The delta-join maintenance core over any two snapshot pairs —
+    split out so crafted tests can feed handmade transitions (the
+    cross-term cancellations especially) without the derived-snapshot
+    plumbing. Schemas: orders (o_orderkey, o_custkey, cents),
+    customers (c_custkey, c_nationkey)."""
+    from pac_spark.cache import pin
+
+    d_o = pin(
+        _signed_deltas(
+            snapshot_diff(o_old, o_new, "o_orderkey"), "o_orderkey", ["o_custkey", "cents"]
+        )
+    )
+    d_c = pin(
+        _signed_deltas(
+            snapshot_diff(c_old, c_new, "c_custkey"), "c_custkey", ["c_nationkey"]
+        )
+    )
+
+    base = (
+        o_old.join(c_old, o_old["o_custkey"] == c_old["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("_dn"), F.sum("cents").alias("_dc"))
+    )
+    t1 = (
+        F.broadcast(d_o)
+        .join(c_old, d_o["o_custkey"] == c_old["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.col("sign").alias("_dn"),
+            (F.col("sign") * F.col("cents")).alias("_dc"),
+        )
+    )
+    t2 = (
+        o_old.join(F.broadcast(d_c), o_old["o_custkey"] == d_c["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.col("sign").alias("_dn"),
+            (F.col("sign") * F.col("cents")).alias("_dc"),
+        )
+    )
+    t3 = (
+        F.broadcast(d_o.withColumnRenamed("sign", "s_o"))
+        .join(
+            F.broadcast(d_c.withColumnRenamed("sign", "s_c")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_nationkey",
+            (F.col("s_o") * F.col("s_c")).alias("_dn"),
+            (F.col("s_o") * F.col("s_c") * F.col("cents")).alias("_dc"),
+        )
+    )
+    return (
+        base.unionByName(t1).unionByName(t2).unionByName(t3)
+        .groupBy("c_nationkey")
+        .agg(F.sum("_dn").alias("n"), F.sum("_dc").alias("cents"))
+        .filter(F.col("n") > 0)
+        .select(
+            "c_nationkey",
+            F.col("n").alias("n_orders"),
+            (F.col("cents") / 100.0).cast("double").alias("total_revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def IVM_JOIN_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py).
+
+    The independent spec: aggregate the NEW join directly — no deltas,
+    no snapshots — so hash equality proves the delta-join maintenance
+    implements exactly a full recompute.
+    """
+    return """
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS DOUBLE) AS total_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+HAVING COUNT(*) > 0
+ORDER BY c.c_nationkey
 """

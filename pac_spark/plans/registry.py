@@ -199,6 +199,10 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - ivm_join_nation_revenue (operators/scd.py, delta-JOIN view
+    #   maintenance with the signed cross term; INDEPENDENT full-
+    #   recompute oracle scd.IVM_JOIN_SQL, green at 3 SFs +
+    #   cross-term cancellation crafted test)
     # - daily_event_mix_drift (operators/stats.py, rational TV-
     #   distance composition drift; oracle stats.MIX_DRIFT_SQL,
     #   green at 3 SFs + disjoint-mix crafted test)

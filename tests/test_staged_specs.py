@@ -2249,3 +2249,48 @@ def test_mix_drift_crafted(spark, tmp_path):
     assert got["2024-01-01"]["tv_milli"] == 500
     assert got["2024-01-02"]["tv_milli"] == 500
     assert got["2024-01-01"]["is_drifted"] and got["2024-01-02"]["is_drifted"]
+
+
+def test_ivm_join_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: delta-join view maintenance vs the
+    INDEPENDENT full-recompute oracle (aggregate the NEW join)."""
+    from pac_spark.operators.scd import IVM_JOIN_SQL, ivm_join_nation_revenue
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        ivm_join_nation_revenue(spark, sf_dir), duck.sql(IVM_JOIN_SQL())
+    )
+
+
+def test_ivm_join_cross_term_crafted(spark):
+    """The delta-join rule's nasty interleavings, by hand:
+    (a) deleted order x inserted customer nets ZERO via the +1*-1
+        cross term (without it the O_old x dC term overcounts);
+    (b) a customer moving nations drags its surviving order's revenue
+        with it;
+    (c) an inserted order on an inserted customer lands once;
+    (d) an order whose price changed contributes the NEW price."""
+    from pac_spark.operators.scd import maintain_join_nation_revenue
+
+    o_old = spark.createDataFrame(
+        [(1, 10, 1000), (2, 11, 2000), (3, 12, 3000)],
+        "o_orderkey long, o_custkey long, cents long",
+    )
+    # order 1 deleted (its customer 10 also deleted); order 2 price
+    # 2000->2500; order 3 survives; order 4 inserted on NEW customer 13
+    o_new = spark.createDataFrame(
+        [(2, 11, 2500), (3, 12, 3000), (4, 13, 4000)],
+        "o_orderkey long, o_custkey long, cents long",
+    )
+    c_old = spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)], "c_custkey long, c_nationkey int"
+    )
+    # customer 10 deleted, 12 moves nation 2->3, 13 inserted
+    c_new = spark.createDataFrame(
+        [(11, 1), (12, 3), (13, 4)], "c_custkey long, c_nationkey int"
+    )
+    got = {
+        r["c_nationkey"]: (r["n_orders"], r["total_revenue"])
+        for r in maintain_join_nation_revenue(o_old, o_new, c_old, c_new).collect()
+    }
+    assert got == {1: (1, 25.0), 3: (1, 30.0), 4: (1, 40.0)}
