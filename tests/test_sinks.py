@@ -70,5 +70,10 @@ def test_point_read_prunes_to_one_key(spark, issues_df, tmp_path):
     sub = json_tree_read(spark, path, key=any_key)
     assert sub.count() > 0
     assert sub.select("__key").distinct().count() == 1
-    # partition pruning must reach the file listing
-    assert "PartitionFilters" in sub._jdf.queryExecution().executedPlan().toString() or True
+    # partition pruning must reach the file listing: the key equality
+    # appears as a PartitionFilter on the JSON scan (not a post-scan
+    # Filter), so only that key's directory is ever listed/read
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pruned = plan.split("PartitionFilters")[1][:200]
+    assert "__key" in pruned and "PartitionFilters: []" not in "PartitionFilters" + pruned
