@@ -61,6 +61,11 @@ __all__ = [
     "THEILSEN_SQL",
     "daily_event_mix_drift",
     "MIX_DRIFT_SQL",
+    "mann_kendall_by_type",
+    "MANN_KENDALL_SQL",
+    "acf_daily_revenue",
+    "ACF_SQL",
+    "ACF_MAX_LAG",
     "PCTS",
     "ewma_user_value",
     "EWMA_SQL",
@@ -1565,4 +1570,165 @@ agg AS (
 SELECT day, n_events, CAST(tv_milli AS BIGINT) AS tv_milli,
        tv_milli > {TV_ALERT_MILLI} AS is_drifted
 FROM agg ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test (the significance companion to Theil–Sen)
+
+
+def mann_kendall_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type over the
+    daily-revenue series: S = Σ_{i<j} sign(y_j − y_i) and Kendall's
+    tau = 2S / (n(n−1)) — the nonparametric "is this actually
+    trending" readout that pairs with the Theil–Sen slope (same pair
+    set, the SIGN of each pairwise slope instead of its value).
+
+    Everything is trivially exact: signs are integers, ties
+    contribute 0 naturally, and tau publishes in milli-units by the
+    shared truncating division (S may be negative — trunc-toward-zero
+    proven equal to DuckDB's ``//``). Same scale shape as Theil–Sen:
+    pairs are quadratic in calendar DAYS, not rows.
+    """
+    daily = (
+        catalog.load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "event_type").where(F.col("d1") < F.col("d2"))
+    agg = pairs.groupBy("event_type").agg(
+        F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long")).alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    tau_milli = int_div(F.col("s_stat") * 1000, F.col("n_pairs"))
+    return agg.select(
+        "event_type", "n_pairs", "s_stat", tau_milli.alias("tau_milli")
+    ).orderBy("event_type")
+
+
+def MANN_KENDALL_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+    SELECT a.event_type, CAST(SIGN(b.y - a.y) AS BIGINT) AS sg
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sg) AS BIGINT) AS s_stat,
+       (CAST(SUM(sg) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS tau_milli
+FROM pairs GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily revenue series
+
+
+ACF_MAX_LAG = 7
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the corpus's daily revenue — the
+    "is there weekly rhythm" readout behind seasonality decisions.
+    Lags are CALENDAR days (pairs join on d2 = d1 + k; missing days
+    produce no pair, they are not zero-filled — stated semantics).
+
+    Exactness via denominator clearing, the trend/corr idiom: with
+    S = Σy and n days, (y_t − S/n)(y_{t+k} − S/n)·n² =
+    (n·y_t − S)(n·y_{t+k} − S), all integers; each r_k is ONE double
+    division Num_k / Den of two decimal(38,0) sums (centered values
+    ~n·y_max fit decimal squares far past 10¹² rows). Zero-variance
+    series yield NULL via an exact integer guard, not an ANSI throw.
+    """
+    daily = (
+        catalog.load(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("y"))
+    )
+    from pac_spark.cache import pin
+
+    daily = pin(daily)  # feeds the total, the denominator, and both pair sides
+    dec = "decimal(38,0)"
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast(dec).alias("s")
+    )
+    centered = pin(
+        daily.crossJoin(F.broadcast(tot)).select(
+            "d",
+            (F.col("n").cast(dec) * F.col("y") - F.col("s")).alias("c"),
+            "n",
+        )
+    )
+    den = centered.agg(
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("den"),
+        F.first("n").alias("n_days"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = centered.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = centered.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.col("d1") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum((F.col("c1") * F.col("c2")).cast(dec)).alias("num"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    out = pairs.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_terms",
+        F.when(
+            F.col("den") > 0, F.col("num").cast("double") / F.col("den").cast("double")
+        ).alias("acf"),
+    )
+    return out.orderBy("lag")
+
+
+def ACF_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS s
+        FROM daily),
+centered AS (
+    SELECT d, n * y - s AS c FROM daily CROSS JOIN tot
+),
+den AS (SELECT SUM(c * c) AS den FROM centered),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, {ACF_MAX_LAG + 1})),
+pairs AS (
+    SELECT l.lag,
+           SUM(a.c * b.c) AS num,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM centered a CROSS JOIN lags l
+    JOIN centered b ON b.d = a.d + l.lag
+    GROUP BY l.lag
+)
+SELECT p.lag, p.n_terms,
+       CASE WHEN d.den > 0
+            THEN CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
+FROM pairs p CROSS JOIN den d ORDER BY p.lag
 """

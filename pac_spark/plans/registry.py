@@ -199,6 +199,10 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
+    #   MK trend significance + calendar-lag ACF; oracles
+    #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted
+    #   monotone/numpy-equivalence tests)
     # - ivm_join_nation_revenue (operators/scd.py, delta-JOIN view
     #   maintenance with the signed cross term; INDEPENDENT full-
     #   recompute oracle scd.IVM_JOIN_SQL, green at 3 SFs +

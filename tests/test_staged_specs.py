@@ -2294,3 +2294,76 @@ def test_ivm_join_cross_term_crafted(spark):
         for r in maintain_join_nation_revenue(o_old, o_new, c_old, c_new).collect()
     }
     assert got == {1: (1, 25.0), 3: (1, 30.0), 4: (1, 40.0)}
+
+
+def test_mann_kendall_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: Mann-Kendall S/tau vs the identical
+    pairwise-sign oracle."""
+    from pac_spark.operators.stats import MANN_KENDALL_SQL, mann_kendall_by_type
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        mann_kendall_by_type(spark, sf_dir), duck.sql(MANN_KENDALL_SQL())
+    )
+
+
+def test_mann_kendall_crafted(spark, tmp_path):
+    """Hand-checked trends: strictly increasing daily revenue gives
+    tau = +1000 exactly; strictly decreasing gives -1000; and a
+    tied-day series contributes sign 0 (type c: values 1,1,2 over
+    three days -> S = 2, tau = trunc(2000/3) = 666)."""
+    import pandas as pd
+
+    rows = (
+        [("a", f"2024-01-0{i+1}", float(i + 1)) for i in range(4)]
+        + [("b", f"2024-01-0{i+1}", float(9 - i)) for i in range(4)]
+        + [("c", "2024-01-01", 1.0), ("c", "2024-01-02", 1.0), ("c", "2024-01-03", 2.0)]
+    )
+    df = pd.DataFrame(rows, columns=["event_type", "day", "value"])
+    df["ts"] = pd.to_datetime(df["day"]).astype("datetime64[us]")
+    df["event_id"] = range(len(df))
+    df[["event_id", "ts", "event_type", "value"]].to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import mann_kendall_by_type
+
+    got = {r["event_type"]: r for r in mann_kendall_by_type(spark, str(tmp_path)).collect()}
+    assert got["a"]["tau_milli"] == 1000 and got["a"]["s_stat"] == 6
+    assert got["b"]["tau_milli"] == -1000 and got["b"]["s_stat"] == -6
+    assert got["c"]["s_stat"] == 2 and got["c"]["tau_milli"] == 666
+
+
+def test_acf_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: calendar-lag autocorrelation vs the identical
+    denominator-cleared oracle."""
+    from pac_spark.operators.stats import ACF_SQL, acf_daily_revenue
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(acf_daily_revenue(spark, sf_dir), duck.sql(ACF_SQL()))
+
+
+def test_acf_crafted(spark, tmp_path):
+    """A period-2 alternating series has ACF(1) < 0 and ACF(2) > 0
+    computed against numpy's definition (same full-series mean,
+    biased denominator), to 1e-12."""
+    import numpy as np
+    import pandas as pd
+
+    vals = [10.0, 2.0] * 10
+    df = pd.DataFrame(
+        {
+            "event_id": range(20),
+            "ts": pd.to_datetime([f"2024-01-{d+1:02d}" for d in range(20)]),
+            "value": vals,
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.stats import acf_daily_revenue
+
+    got = {r["lag"]: r["acf"] for r in acf_daily_revenue(spark, str(tmp_path)).collect()}
+    y = np.array([round(v * 100) for v in vals], dtype=float)
+    c = y - y.mean()
+    den = (c * c).sum()
+    for k in (1, 2, 3):
+        expect = (c[:-k] * c[k:]).sum() / den
+        assert abs(got[k] - expect) < 1e-12
+    assert got[1] < 0 < got[2]
