@@ -48,6 +48,8 @@ __all__ = [
     "simhash_neardup",
     "incremental_neardup_filter",
     "dup_span_coverage",
+    "levenshtein_neardup_pairs",
+    "LEVENSHTEIN_SQL",
 ]
 
 N_HASHES = 8
@@ -702,3 +704,100 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle whose CTE chain it extends (building it here would import
 # llm_plans at module-import time — a cycle, since llm_plans imports
 # this module).
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance tier: prefix-blocked Levenshtein verification
+
+ED_PREFIX = 16  # blocking prefix (ASCII-normalized)
+ED_MIN_LEN = 40  # docs whose ASCII projection is shorter are out of scope
+ED_SIM_NUM, ED_SIM_DEN = 1, 5  # near-dup iff dist * 5 <= max length
+
+
+def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate tier: document pairs whose
+    CHARACTER-level Levenshtein distance is at most 20% of the longer
+    text — the similarity notion the shingle tiers cannot express
+    (Jaccard sees sets; edit distance sees order and small in-place
+    mutations, e.g. a template with one entity substituted).
+
+    Filter-verify shape: candidates are pairs agreeing on (lang,
+    16-char prefix) with a ±20% length window — an equi-join on the
+    blocking key, never an all-pairs theta join — and only candidates
+    pay the O(L²) Levenshtein verify. Completeness caveat, stated
+    like ``ngram_jaccard_pairs``'s: a near-dup pair whose FIRST 16
+    characters already diverge is this tier's blind spot and the
+    shingle tiers' job; prefix-stable template dups (the common case)
+    are exactly what this tier is for.
+
+    Cross-engine exactness: Spark's levenshtein counts CHARACTERS
+    while DuckDB's counts BYTES, so both engines compare the
+    ASCII-projected text (identical bytes ≡ identical chars; measured
+    live: 'héllo'→'hello' is 1 in Spark, 2 in DuckDB). Similarity
+    publishes as exact milli-units by truncating integer division.
+    """
+    t = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", t.alias("t"))
+        .withColumn("L", F.length("t"))
+        .where(F.col("L") >= ED_MIN_LEN)
+        .withColumn("pre", F.substring("t", 1, ED_PREFIX))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("d1"), "lang", "pre",
+        F.col("t").alias("t1"), F.col("L").alias("l1"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("d2"), "lang", "pre",
+        F.col("t").alias("t2"), F.col("L").alias("l2"),
+    )
+    max_l = F.greatest("l1", "l2")
+    dist = F.levenshtein("t1", "t2")
+    return (
+        a.join(b, ["lang", "pre"])
+        .where(F.col("d1") < F.col("d2"))
+        # length filter first: levenshtein >= |ΔL|, so pairs failing it
+        # can never verify — and it is free, the verify is not
+        .where(F.abs(F.col("l1") - F.col("l2")) * ED_SIM_DEN <= max_l)
+        .where(dist * ED_SIM_DEN <= max_l)
+        .select(
+            "d1",
+            "d2",
+            "lang",
+            dist.alias("dist"),
+            max_l.cast("long").alias("max_len"),
+            int_div((max_l - dist).cast("long") * 1000, max_l.cast("long")).alias(
+                "sim_milli"
+            ),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+def LEVENSHTEIN_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH a AS (
+    SELECT doc_id, lang,
+           regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang, t, length(t) AS L, substring(t, 1, {ED_PREFIX}) AS pre
+    FROM a WHERE length(t) >= {ED_MIN_LEN}
+),
+p AS (
+    SELECT x.doc_id AS d1, y.doc_id AS d2, x.lang,
+           levenshtein(x.t, y.t) AS dist,
+           greatest(x.L, y.L) AS max_len
+    FROM b x JOIN b y
+      ON x.lang = y.lang AND x.pre = y.pre AND x.doc_id < y.doc_id
+     AND abs(x.L - y.L) * {ED_SIM_DEN} <= greatest(x.L, y.L)
+)
+SELECT d1, d2, lang, CAST(dist AS INT) AS dist,
+       CAST(max_len AS BIGINT) AS max_len,
+       ((max_len - dist) * 1000) // max_len AS sim_milli
+FROM p WHERE dist * {ED_SIM_DEN} <= max_len
+ORDER BY d1, d2
+"""

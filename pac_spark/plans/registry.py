@@ -199,6 +199,10 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - levenshtein_neardup_pairs (operators/dedup.py, prefix-blocked
+    #   edit-distance tier, ASCII-projected for cross-engine char/byte
+    #   parity; oracle dedup.LEVENSHTEIN_SQL, green at 3 SFs +
+    #   substitution/blind-spot crafted test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

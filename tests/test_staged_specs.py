@@ -2367,3 +2367,50 @@ def test_acf_crafted(spark, tmp_path):
         expect = (c[:-k] * c[k:]).sum() / den
         assert abs(got[k] - expect) < 1e-12
     assert got[1] < 0 < got[2]
+
+
+def test_levenshtein_tier_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: prefix-blocked edit-distance near-dup pairs
+    vs the identical ASCII-projected oracle."""
+    from pac_spark.operators.dedup import LEVENSHTEIN_SQL, levenshtein_neardup_pairs
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        levenshtein_neardup_pairs(spark, sf_dir), duck.sql(LEVENSHTEIN_SQL())
+    )
+
+
+def test_levenshtein_tier_crafted(spark, tmp_path):
+    """The tier's contract, on crafted docs sharing a 16-char prefix:
+    (a) one in-place substitution is a near-dup that SHINGLE tiers
+    would score low... but here dist counts chars: sim_milli exact;
+    (b) a pair 30% rewritten fails the 20% bar; (c) docs differing in
+    their first 16 chars never pair (the documented blind spot);
+    (d) non-ASCII chars are invisible to the distance."""
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again padding"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "lang": ["en"] * 6,
+            "text": [
+                base,
+                base.replace("lazy", "hazy"),            # 1 substitution
+                "X" + base[1:],                           # first char differs -> blocked out
+                base[: len(base) // 2] + "Z" * 40,        # heavy rewrite
+                base + "é中",                    # non-ASCII suffix only
+                "short",                                  # < 40 ASCII chars
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.dedup import levenshtein_neardup_pairs
+
+    rows = levenshtein_neardup_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r["d1"], r["d2"]): r for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)]["dist"] == 1
+    L = len(base)
+    assert pairs[(1, 2)]["sim_milli"] == (L - 1) * 1000 // L
+    assert (1, 5) in pairs and pairs[(1, 5)]["dist"] == 0  # é中 stripped
+    assert not any(3 in p or 4 in p or 6 in p for p in pairs)
