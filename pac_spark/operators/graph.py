@@ -47,6 +47,8 @@ __all__ = [
     "TWO_HOP_SQL",
     "kcore_parts",
     "KCORE_SQL",
+    "degree_assortativity",
+    "ASSORTATIVITY_SQL",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -597,3 +599,98 @@ FROM e{KCORE_ROUNDS} GROUP BY src ORDER BY part_id
 
 
 KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (graph-level mixing statistic)
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity of the trade graph: the Pearson
+    correlation of (degree(src), degree(dst)) over the symmetric
+    directed edge list — positive when high-degree nodes prefer each
+    other (hub-to-hub mixing), negative for hub-and-spoke. On a
+    bipartite customer↔supplier graph it is typically negative (few
+    suppliers serve many customers), which makes it a useful one-row
+    health readout for the graph family.
+
+    Exact-moment idiom (the corr/trend precedent): degrees are
+    integers from one map-side-combined groupBy, the edge list joins
+    its two endpoint degrees (both joins hash on node id), and the
+    six moments accumulate in decimal(38,0); r is ONE double
+    expression over exact integer determinants, zero-variance guarded
+    to NULL. Summing over directed edges counts each undirected edge
+    once per direction — exactly the remaining-degree sum in Newman's
+    formula for an undirected graph.
+    """
+    edges = pin(trade_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        edges.join(deg.withColumnRenamed("src", "a"), F.col("src") == F.col("a"))
+        .select("src", "dst", F.col("deg").alias("dx"))
+        .join(deg.withColumnRenamed("src", "b"), F.col("dst") == F.col("b"))
+        .select("src", "dst", "dx", F.col("deg").alias("dy"))
+    )
+    dec = "decimal(38,0)"
+    m = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum((F.col("dx").cast(dec) * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dy").cast(dec) * F.col("dy")).cast(dec)).alias("syy"),
+        F.sum((F.col("dx").cast(dec) * F.col("dy")).cast(dec)).alias("sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    dxx = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")
+    dxy = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(
+                (dxx > 0) & (dyy > 0),
+                dxy.cast("double")
+                / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+            ).alias("assortativity"),
+        )
+    )
+
+
+def ASSORTATIVITY_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH pairs AS (
+    SELECT DISTINCT o.o_custkey + 1000000000 AS cust,
+           l.l_suppkey + 2000000000 AS supp
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+e AS (
+    SELECT CAST(a.deg AS HUGEINT) AS dx, CAST(b.deg AS HUGEINT) AS dy
+    FROM edges
+    JOIN deg a ON edges.src = a.src
+    JOIN deg b ON edges.dst = b.src
+),
+m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(dx) AS sx, SUM(dy) AS sy,
+           SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy, SUM(dx * dy) AS sxy
+    FROM e
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       CAST(m.n AS BIGINT) AS n_edges,
+       CASE WHEN m.n * m.sxx - m.sx * m.sx > 0
+             AND m.n * m.syy - m.sy * m.sy > 0
+            THEN CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                        * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))
+       END AS assortativity
+FROM m CROSS JOIN nn
+"""

@@ -48,6 +48,8 @@ __all__ = [
     "benford_price_audit",
     "BENFORD_SQL",
     "BENFORD_MILLI",
+    "table_fingerprint_by_nation",
+    "FINGERPRINT_SQL",
 ]
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -452,4 +454,73 @@ SELECT digit, n_obs, expected_milli,
             AS DOUBLE)
        / CAST(1000 * n * p_milli AS DOUBLE) AS chi2_contrib
 FROM j ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprint (order-independent integrity checksum)
+
+def table_fingerprint_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tamper-evident content checksum of the customer table, one row
+    per nation: SUM of each row's 60-bit md5 over a canonical
+    serialization. Integer addition commutes, so the checksum is
+    independent of row order, partitioning, file layout, and merge
+    tree — two replicas (or a pre/post-compaction pair, or a JDBC
+    copy) agree iff their CONTENT agrees, compared without sorting a
+    byte. This is the first-class form of the identity proofs the
+    compaction and upsert sinks run internally.
+
+    The serialization pins every cross-engine rendering hazard the
+    profile operator already solved: doubles as integer cents (never
+    printf), explicit '|' field order, NULLs as a sentinel. Checksums
+    accumulate in decimal(38,0) — 2^60 per row keeps exact headroom
+    past 10¹⁸ rows per group.
+    """
+    from pac_spark.functions.hashing import md5_u60
+
+    cust = catalog.load(spark, sf_dir, "customer")
+    ser = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.coalesce(F.col("c_name"), F.lit("<null>")),
+        F.col("c_nationkey").cast("string"),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("<null>")),
+    )
+    return (
+        cust.select("c_nationkey", md5_u60(ser).alias("h"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # published mod 2^63: the exact decimal sum reduced to a
+            # BIGINT residue (modular addition still commutes, so the
+            # order/partition independence is untouched — and neither
+            # pandas nor a JDBC reader mangles a 38-digit value)
+            (
+                F.sum(F.col("h").cast("decimal(38,0)"))
+                % F.expr(f"CAST('{2**63}' AS DECIMAL(38,0))")
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def FINGERPRINT_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    from pac_spark.functions.hashing import md5_u60_sql
+
+    ser = (
+        "CAST(c_custkey AS VARCHAR) || '|' || COALESCE(c_name, '<null>')"
+        " || '|' || CAST(c_nationkey AS VARCHAR)"
+        " || '|' || CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR)"
+        " || '|' || COALESCE(c_mktsegment, '<null>')"
+    )
+    return f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST({md5_u60_sql(f"({ser})")} AS HUGEINT))
+            % 9223372036854775808 AS BIGINT) AS checksum
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """

@@ -199,6 +199,13 @@ def all_specs() -> list[QuerySpec]:
     # - dedup_canonical_docs (operators/dedup.py, per-cluster
     #   canonical election over dup components; oracle
     #   llm_plans.CANONICAL_SQL, green at 3 SFs)
+    # - degree_assortativity (operators/graph.py, exact-moment
+    #   Newman assortativity; oracle graph.ASSORTATIVITY_SQL, green
+    #   at 3 SFs + star-graph r=-1 crafted test)
+    # - table_fingerprint_by_nation (operators/profile.py, order-
+    #   independent modular content checksum; oracle
+    #   profile.FINGERPRINT_SQL, green at 3 SFs + permutation/
+    #   sensitivity crafted test)
     # - levenshtein_neardup_pairs (operators/dedup.py, prefix-blocked
     #   edit-distance tier, ASCII-projected for cross-engine char/byte
     #   parity; oracle dedup.LEVENSHTEIN_SQL, green at 3 SFs +

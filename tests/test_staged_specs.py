@@ -2414,3 +2414,77 @@ def test_levenshtein_tier_crafted(spark, tmp_path):
     assert pairs[(1, 2)]["sim_milli"] == (L - 1) * 1000 // L
     assert (1, 5) in pairs and pairs[(1, 5)]["dist"] == 0  # é中 stripped
     assert not any(3 in p or 4 in p or 6 in p for p in pairs)
+
+
+def test_assortativity_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: degree assortativity vs the identical
+    exact-moment oracle."""
+    from pac_spark.operators.graph import ASSORTATIVITY_SQL, degree_assortativity
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        degree_assortativity(spark, sf_dir), duck.sql(ASSORTATIVITY_SQL())
+    )
+
+
+def test_assortativity_star_crafted(spark, tmp_path):
+    """A pure hub-and-spoke trade graph (one customer, 5 suppliers)
+    is maximally disassortative: r = -1 exactly (every edge joins a
+    degree-5 node to a degree-1 node)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": range(5), "o_custkey": [1] * 5}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": range(5), "l_suppkey": [10 + i for i in range(5)]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import degree_assortativity
+
+    row = degree_assortativity(spark, str(tmp_path)).collect()[0]
+    assert row["n_nodes"] == 6 and row["n_edges"] == 10
+    assert abs(row["assortativity"] - (-1.0)) < 1e-12
+
+
+def test_fingerprint_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: content checksum vs the identical digit-wise
+    md5 oracle."""
+    from pac_spark.operators.profile import FINGERPRINT_SQL, table_fingerprint_by_nation
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        table_fingerprint_by_nation(spark, sf_dir), duck.sql(FINGERPRINT_SQL())
+    )
+
+
+def test_fingerprint_order_invariant_and_sensitive(spark, tmp_path):
+    """The integrity contract: a row-PERMUTED copy checksums
+    identically (order/layout independence is the whole point), and a
+    single-cent change in one row changes that nation's checksum."""
+    import pandas as pd
+
+    base = pd.DataFrame(
+        {
+            "c_custkey": [1, 2, 3, 4],
+            "c_name": ["a", "b", "c", "d"],
+            "c_nationkey": [0, 0, 1, 1],
+            "c_acctbal": [1.11, 2.22, 3.33, 4.44],
+            "c_mktsegment": ["X"] * 4,
+        }
+    )
+    (tmp_path / "t1").mkdir(); (tmp_path / "t2").mkdir(); (tmp_path / "t3").mkdir()
+    base.to_parquet(tmp_path / "t1" / "customer.parquet")
+    base.iloc[::-1].reset_index(drop=True).to_parquet(tmp_path / "t2" / "customer.parquet")
+    mut = base.copy(); mut.loc[0, "c_acctbal"] = 1.12
+    mut.to_parquet(tmp_path / "t3" / "customer.parquet")
+    from pac_spark.operators.profile import table_fingerprint_by_nation
+
+    def sums(d):
+        return {
+            r["c_nationkey"]: r["checksum"]
+            for r in table_fingerprint_by_nation(spark, str(d)).collect()
+        }
+
+    s1, s2, s3 = sums(tmp_path / "t1"), sums(tmp_path / "t2"), sums(tmp_path / "t3")
+    assert s1 == s2
+    assert s1[0] != s3[0] and s1[1] == s3[1]
