@@ -50,6 +50,8 @@ __all__ = [
     "dup_span_coverage",
     "levenshtein_neardup_pairs",
     "LEVENSHTEIN_SQL",
+    "containment_neardup_pairs",
+    "CONTAINMENT_SQL",
 ]
 
 N_HASHES = 8
@@ -800,4 +802,151 @@ SELECT d1, d2, lang, CAST(dist AS INT) AS dist,
        ((max_len - dist) * 1000) // max_len AS sim_milli
 FROM p WHERE dist * {ED_SIM_DEN} <= max_len
 ORDER BY d1, d2
+"""
+
+
+# Containment threshold over the SMALLER shingle set: catches a short
+# document embedded verbatim inside a longer one (quotes, excerpts,
+# concatenated-corpus dups) — pairs whose Jaccard is far below 0.8
+# because the union is dominated by the longer doc.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric subset-duplication tier: pairs whose shingle-set
+    containment ``|A ∩ B| / min(|A|, |B|)`` is >= 0.9 — i.e. the
+    smaller document's content is (almost) entirely inside the larger
+    one. Jaccard cannot see these: a 50-shingle excerpt inside a
+    2000-shingle article scores J ≈ 0.025 but containment 1.0, and
+    excerpt-dups are exactly what corpus concatenation produces.
+
+    Same adaptive inverted-index shape as ``ngram_jaccard_pairs`` (one
+    shingle shuffle, pair counts generated in place): when no shingle
+    exceeds ``MAX_SHINGLE_DF`` the pair counts are exact; otherwise
+    the index drops hot shingles, interval bounds ``[shared_rare,
+    shared_rare + min(hot_a, hot_b)]`` classify pairs, and only
+    bound-straddling pairs are rescored exactly against their full
+    shingle sets. Same completeness caveat: a small doc made ONLY of
+    corpus-hot shingles is boilerplate for the exact tier, not this
+    one.
+    """
+    sh = pin(_doc_shingles(spark, sf_dir))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    has_hot = bool(hot.limit(1).count())
+
+    out_cols = ["doc_a", "doc_b", "shared", "n_a", "n_b", "containment"]
+    if not has_hot:
+        c = F.col("shared_rare") / F.least("n_a", "n_b")
+        return (
+            _pair_shared_counts(sh)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("shared_rare").alias("shared"),
+                "n_a",
+                "n_b",
+                F.round(c, 8).alias("containment"),
+            )
+            .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+            .orderBy("doc_a", "doc_b")
+        )
+
+    hot_b = F.broadcast(hot)
+    index = sh.join(hot_b, "shingle", "left_anti")
+    hot_docs = (
+        sh.join(hot_b, "shingle").groupBy("doc_id").agg(F.count("*").alias("n_hot"))
+    )
+    shared = (
+        _pair_shared_counts(index)
+        .join(
+            F.broadcast(
+                hot_docs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("hot_a")
+                )
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                hot_docs.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("hot_b")
+                )
+            ),
+            "doc_b",
+            "left",
+        )
+        .withColumn("hot_a", F.coalesce("hot_a", F.lit(0)))
+        .withColumn("hot_b", F.coalesce("hot_b", F.lit(0)))
+    )
+    m = F.least("hot_a", "hot_b")
+    small = F.least("n_a", "n_b")
+    c_lo = F.col("shared_rare") / small
+    c_hi = (F.col("shared_rare") + m) / small
+    certain = shared.filter(
+        (m == 0) & (F.round(c_lo, 8) >= CONTAINMENT_THRESHOLD)
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("shared_rare").alias("shared"),
+        "n_a",
+        "n_b",
+        F.round(c_lo, 8).alias("containment"),
+    )
+    band = shared.filter((m > 0) & (c_hi >= CONTAINMENT_THRESHOLD)).select(
+        "doc_a", "doc_b"
+    )
+    docs_sh = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    paired = (
+        band.join(docs_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(docs_sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    rescored = paired.select(
+        "doc_a",
+        "doc_b",
+        inter.cast("long").alias("shared"),
+        F.size("sh_a").alias("n_a"),
+        F.size("sh_b").alias("n_b"),
+        F.round(inter / F.least(F.size("sh_a"), F.size("sh_b")), 8).alias(
+            "containment"
+        ),
+    ).filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    return (
+        certain.select(*out_cols)
+        .unionByName(rescored.select(*out_cols))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def CONTAINMENT_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    from pac_spark.operators.text_core import SHINGLES_SQL
+
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{SHINGLES_SQL(3).strip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
+shared AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM shingle_rows x
+    JOIN shingle_rows y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+c AS (
+    SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(shared / LEAST(sa.n, sb.n), 8) AS containment
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT * FROM c WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
 """

@@ -210,6 +210,10 @@ def all_specs() -> list[QuerySpec]:
     #   edit-distance tier, ASCII-projected for cross-engine char/byte
     #   parity; oracle dedup.LEVENSHTEIN_SQL, green at 3 SFs +
     #   substitution/blind-spot crafted test)
+    # - containment_neardup_pairs (operators/dedup.py, asymmetric
+    #   subset-duplication tier |A∩B|/min(|A|,|B|) with the adaptive
+    #   hot-shingle bounds; oracle dedup.CONTAINMENT_SQL, green at
+    #   3 SFs + excerpt-vs-jaccard and hot-branch crafted tests)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

@@ -1221,6 +1221,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         graph.two_hop_reach_top_customers,
         graph.kcore_parts,
         dedup_mod.dedup_canonical_docs,
+        dedup_mod.containment_neardup_pairs,
         relational.daily_user_accounting,
         evaluate.decile_lift_value_purchase,
         relational.skyline_suppliers,
@@ -2488,3 +2489,82 @@ def test_fingerprint_order_invariant_and_sensitive(spark, tmp_path):
     s1, s2, s3 = sums(tmp_path / "t1"), sums(tmp_path / "t2"), sums(tmp_path / "t3")
     assert s1 == s2
     assert s1[0] != s3[0] and s1[1] == s3[1]
+
+
+def test_containment_pairs_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: shingle-set containment tier vs the identical
+    exact pairwise oracle."""
+    from pac_spark.operators.dedup import CONTAINMENT_SQL, containment_neardup_pairs
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        containment_neardup_pairs(spark, sf_dir), duck.sql(CONTAINMENT_SQL())
+    )
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """Crafted corpus pins the asymmetric semantics: a 10-token excerpt
+    of a 30-token article has containment 1.0 (pair emitted) but
+    Jaccard 8/28 (the Jaccard tier returns nothing)."""
+    import pandas as pd
+
+    article = " ".join(f"w{i}" for i in range(30))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))
+    other = " ".join(f"u{i}" for i in range(10))
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [article, excerpt, other]}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from pac_spark.operators.dedup import (
+        containment_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    got = containment_neardup_pairs(spark, str(tmp_path)).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    r = got[0]
+    assert (r["shared"], r["containment"]) == (8, 1.0)
+    assert {r["n_a"], r["n_b"]} == {8, 28}
+    assert ngram_jaccard_pairs(spark, str(tmp_path)).collect() == []
+
+
+def test_containment_hot_shingle_paths(spark, tmp_path):
+    """The skew branch, both sub-paths: under a corpus-hot trigram
+    (df > MAX_SHINGLE_DF) (a) a one-sided-hot pair resolves exactly on
+    the certain branch (m == 0), and (b) a both-sides-hot pair whose
+    rare-only bounds straddle the threshold is rescored exactly. The
+    whole result still matches the exact pairwise oracle run on the
+    same corpus."""
+    import duckdb
+    import pandas as pd
+
+    from pac_spark.operators.dedup import MAX_SHINGLE_DF
+
+    hot = "hot1 hot2 hot3"
+    rows = [(i, f"{hot} only{i}a only{i}b") for i in range(MAX_SHINGLE_DF + 5)]
+    base = " ".join(f"w{i}" for i in range(10))
+    rows += [
+        (100, base),  # rare-only excerpt ...
+        (101, f"{hot} {base} " + " ".join(f"w{i}" for i in range(10, 15))),
+        (200, f"{hot} x1 x2 x3"),
+        (201, f"{hot} x1 x2 x3 x4"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    from pac_spark.operators.dedup import CONTAINMENT_SQL, containment_neardup_pairs
+    from tests.conftest import assert_oracle_match
+
+    got = containment_neardup_pairs(spark, str(tmp_path))
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in got.collect()}
+    assert by_pair[(100, 101)]["containment"] == 1.0  # certain branch
+    assert by_pair[(200, 201)]["containment"] == 1.0  # rescored branch
+    assert by_pair[(200, 201)]["shared"] == 4  # hot shingle re-counted exactly
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    assert_oracle_match(got, con.sql(CONTAINMENT_SQL()))
+    con.close()
