@@ -49,6 +49,8 @@ __all__ = [
     "KCORE_SQL",
     "degree_assortativity",
     "ASSORTATIVITY_SQL",
+    "sssp_from_hub",
+    "SSSP_SQL",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -693,4 +695,103 @@ SELECT nn.n_nodes,
                         * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))
        END AS assortativity
 FROM m CROSS JOIN nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hop-bounded single-source shortest paths (weighted min-plus)
+
+SSSP_HOPS = 6  # synchronous Bellman-Ford rounds — see docstring
+
+
+def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from the graph's hub:
+    cheapest-trade distance from the highest-degree node to every node
+    reachable within ``SSSP_HOPS`` hops, where an edge's weight is the
+    smallest quantity ever traded between that customer and supplier
+    (an integer "friction" — min-plus semantics, the classic
+    Bellman-Ford relaxation).
+
+    The hop bound is part of the SEMANTICS, not a convergence fudge:
+    the result is "cheapest cost using at most K hops" (the K-round
+    Bellman-Ford invariant), identical in both engines because both
+    run exactly K synchronous relaxations. Unbounded SSSP needs up to
+    V-1 rounds; a K-hop readout is what a bounded-latency pipeline
+    actually ships (and K rounds IS delta-stepping's outer loop shape
+    on a 1000-executor cluster: per round one hash join dist ⋈ edges
+    on the same key both sides plus one map-side-combined min —
+    lineage cut every round via the checkpoint registry).
+
+    Source selection is deterministic: max degree, ties to the
+    smallest node id.
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") + F.lit(10**9)).alias("cust"),
+            (F.col("l_suppkey") + F.lit(2 * 10**9)).alias("supp"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    edges = pin(
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"), "w")
+        .unionByName(
+            pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w")
+        )
+    )
+    hub = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(1)
+    )
+    dist = pin(hub.select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")))
+    for i in range(SSSP_HOPS):
+        relax = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        new = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+        # cadence-2 checkpoints (the PageRank pattern): every other
+        # round materializes and truncates lineage; in-between rounds
+        # just persist
+        dist = checkpoint(new) if i % 2 == 1 else pin(new)
+    return dist.select("node", "dist").orderBy("node")
+
+
+def SSSP_SQL(hops: int = SSSP_HOPS) -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    rounds = []
+    for i in range(1, hops + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i - 1} d JOIN edges e ON d.node = e.src
+    ) GROUP BY node
+)""")
+    return f"""
+WITH pairs AS (
+    SELECT o_custkey + 1000000000 AS cust,
+           l_suppkey + 2000000000 AS supp,
+           MIN(CAST(l_quantity AS BIGINT)) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+    SELECT cust AS src, supp AS dst, w FROM pairs
+    UNION ALL
+    SELECT supp, cust, w FROM pairs
+),
+d0 AS (
+    SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM edges
+    GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 1
+),
+{",".join(rounds)}
+SELECT node, dist FROM d{hops} ORDER BY node
 """

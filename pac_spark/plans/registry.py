@@ -214,6 +214,10 @@ def all_specs() -> list[QuerySpec]:
     #   subset-duplication tier |A∩B|/min(|A|,|B|) with the adaptive
     #   hot-shingle bounds; oracle dedup.CONTAINMENT_SQL, green at
     #   3 SFs + excerpt-vs-jaccard and hot-branch crafted tests)
+    # - sssp_from_hub (operators/graph.py, hop-bounded min-plus
+    #   Bellman-Ford from the max-degree node; oracle graph.SSSP_SQL
+    #   (same unrolled relaxations), green at 3 SFs + crafted
+    #   detour/hop-bound/hub-selection test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

@@ -1220,6 +1220,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         curation.source_overlap_matrix,
         graph.two_hop_reach_top_customers,
         graph.kcore_parts,
+        graph.sssp_from_hub,
         dedup_mod.dedup_canonical_docs,
         dedup_mod.containment_neardup_pairs,
         relational.daily_user_accounting,
@@ -2567,4 +2568,63 @@ def test_containment_hot_shingle_paths(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
     )
     assert_oracle_match(got, con.sql(CONTAINMENT_SQL()))
+    con.close()
+
+
+def test_sssp_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: hop-bounded min-plus shortest paths vs the
+    identically-unrolled Bellman-Ford oracle."""
+    from pac_spark.operators.graph import SSSP_SQL, sssp_from_hub
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(sssp_from_hub(spark, sf_dir), duck.sql(SSSP_SQL()))
+
+
+def test_sssp_crafted_semantics(spark, tmp_path):
+    """Crafted graph pins (a) min-plus: a 3-hop cost-3 path beats a
+    direct weight-10 edge; (b) the hop bound: a 7-hop cost-7 path is
+    NOT taken within 6 rounds, so the direct weight-40 edge wins; and
+    (c) deterministic hub selection (max degree). The result also
+    matches the unrolled SQL oracle on the same corpus."""
+    import duckdb
+    import pandas as pd
+
+    edges = [(1, s, 50) for s in range(10, 16)]  # degree boosters -> hub = c1
+    edges += [
+        (1, 1, 10),  # direct, beaten by the detour below
+        (1, 2, 1), (2, 2, 1), (2, 1, 1),  # c1-s2-c2-s1, cost 3
+        # 7-hop weight-1 chain c1-sA1-cA2-sA2-cA3-sA3-cA4-sA4 ...
+        (1, 3, 1), (3, 3, 1), (3, 4, 1), (4, 4, 1),
+        (4, 5, 1), (5, 5, 1), (5, 6, 1),
+        (1, 6, 40),  # ... loses to the direct edge under the 6-hop bound
+    ]
+    orders = pd.DataFrame(
+        {"o_orderkey": range(len(edges)), "o_custkey": [c for c, _, _ in edges]}
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": range(len(edges)),
+            "l_suppkey": [s for _, s, _ in edges],
+            "l_quantity": [float(w) for _, _, w in edges],
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    lineitem.to_parquet(tmp_path / "lineitem.parquet")
+
+    from pac_spark.operators.graph import SSSP_SQL, sssp_from_hub
+    from tests.conftest import assert_oracle_match
+
+    got = sssp_from_hub(spark, str(tmp_path))
+    C, S = 10**9, 2 * 10**9
+    expect = {
+        C + 1: 0, C + 2: 2, C + 3: 2, C + 4: 4, C + 5: 6,
+        S + 1: 3, S + 2: 1, S + 3: 1, S + 4: 3, S + 5: 5, S + 6: 40,
+        **{S + s: 50 for s in range(10, 16)},
+    }
+    assert {r["node"]: r["dist"] for r in got.collect()} == expect
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    assert_oracle_match(got, con.sql(SSSP_SQL()))
     con.close()
