@@ -16,6 +16,7 @@ from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 from pac_spark.functions.exact import exact_avg
+from pac_spark.functions.prefix import global_running_sums
 from pac_spark.operators.text_core import tokens
 
 __all__ = [
@@ -40,6 +41,7 @@ __all__ = [
     "bpe_learn_merges",
     "BPE_SQL",
     "BPE_MERGES",
+    "quantile_normalized_quality",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -1133,3 +1135,69 @@ SELECT * FROM ({finals}) ORDER BY rank
 from pac_spark.operators.text_core import TOKENS_SQL as TOKENS_SQL_  # noqa: E402
 
 BPE_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of quality scores across sources
+
+
+def _quantile_normalize(d: DataFrame) -> DataFrame:
+    """Core rank→reference-value mapping over a (doc_id, source, q_fp)
+    frame: doc with within-source rank r (of n_s) maps to the GLOBAL
+    order statistic at position ceil(r·N / n_s) — classic quantile
+    normalization, so every source's scores become comparable on the
+    pooled distribution (a web-crawl source whose classifier runs hot
+    stops dominating a books source in downstream threshold gates).
+
+    Scale shape: within-source rank/size are ordinary PARTITIONed
+    windows; the global order statistics come from the two-phase
+    prefix scan (``functions/prefix.py``) over the composite key
+    ``q_fp·2³⁴ + doc_id`` — never a single-task global window — and
+    the read-off is one hash join on the target position. Target
+    positions use Spark's integral ``div`` (exact at any magnitude;
+    r·N fits a long up to ~3·10⁹ docs).
+    """
+    ws = W.partitionBy("source").orderBy("q_fp", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "q_fp",
+        F.row_number().over(ws).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_s"),
+    )
+    g = d.select(
+        "q_fp",
+        "doc_id",
+        (F.col("q_fp") * F.lit(2**34) + F.col("doc_id")).alias("ok"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    pos = global_running_sums(
+        g, "ok", ["one"], bucket=F.shiftright("q_fp", 17), prefix="p_"
+    )
+    n_tot = d.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    tgt = (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn("g", F.expr("(r * N + n_s - 1) div n_s"))
+    )
+    return (
+        tgt.join(
+            pos.select(F.col("p_one").alias("g"), F.col("q_fp").alias("q_norm_fp")),
+            "g",
+        )
+        .select("doc_id", "source", "q_fp", "q_norm_fp")
+        .orderBy("doc_id")
+    )
+
+
+def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score quantile-normalized across sources,
+    in exact fixed-point units (quality · 10⁸ as BIGINT, the
+    ``corr_quality_tokens_by_lang`` idiom — float quality is rounded
+    to 8 decimals upstream, so the fixed-point image is exact and
+    engine-portable)."""
+    d = stats_frame(catalog.load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.round(F.col("quality_score") * QUALITY_SCALE).cast("long").alias("q_fp"),
+    )
+    return _quantile_normalize(d)

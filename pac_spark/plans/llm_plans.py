@@ -1178,3 +1178,35 @@ SPECS = [
     QuerySpec("pq_topk", S.pq_topk, _pq_topk_sql()),
     QuerySpec("pcm_audio_features", MM.pcm_audio_features, MM.PCM_AUDIO_SQL),
 ]
+
+
+# --- quantile normalization (STAGED for the r7/r8 rotation; gate in
+#     tests/test_staged_specs.py) -------------------------------------
+# Same computation as text._quantile_normalize: within-source rank r
+# of n_s maps to the pooled order statistic at ceil(r*N/n_s). Target
+# positions use HUGEINT // (DuckDB's BIGINT // and DECIMAL // are
+# float-backed — the budget-allocation lesson).
+QNORM_SQL = f"""
+WITH stats AS ({_TEXT_STATS.strip().rstrip()}),
+d AS (
+    SELECT doc_id, source,
+           CAST(ROUND(quality_score * {TX.QUALITY_SCALE}) AS BIGINT) AS q_fp
+    FROM stats
+),
+g AS (
+    SELECT doc_id, source, q_fp,
+           ROW_NUMBER() OVER (ORDER BY q_fp, doc_id) AS p,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_fp, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS n_s,
+           COUNT(*) OVER () AS n_all
+    FROM d
+),
+m AS (
+    SELECT doc_id, source, q_fp,
+           CAST((CAST(r AS HUGEINT) * n_all + n_s - 1) // n_s AS BIGINT) AS tgt
+    FROM g
+)
+SELECT m.doc_id, m.source, m.q_fp, x.q_fp AS q_norm_fp
+FROM m JOIN g x ON x.p = m.tgt
+ORDER BY m.doc_id
+"""

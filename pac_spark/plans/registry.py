@@ -218,6 +218,10 @@ def all_specs() -> list[QuerySpec]:
     #   Bellman-Ford from the max-degree node; oracle graph.SSSP_SQL
     #   (same unrolled relaxations), green at 3 SFs + crafted
     #   detour/hop-bound/hub-selection test)
+    # - quantile_normalized_quality (operators/text.py, cross-source
+    #   quantile normalization to the pooled distribution via the
+    #   two-phase prefix scan; oracle llm_plans.QNORM_SQL, green at
+    #   3 SFs + identity/textbook-example crafted tests + plan test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

@@ -577,3 +577,18 @@ def test_spatial_radius_join_is_equi_join_on_cells(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_quantile_normalize_no_global_data_window(spark, sf_dir):
+    """The global order statistics must come from the two-phase prefix
+    scan: the only SinglePartition exchanges feed bucket-total /
+    corpus-total aggregates (tiny frames), never the per-doc data, and
+    the position read-off plus offset join are hash/broadcast joins —
+    no cartesian."""
+    from pac_spark.operators.text import quantile_normalized_quality
+
+    plan = _exec_plan(quantile_normalized_quality(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in chunk.split("Exchange")[0] or "HashAggregate" in chunk

@@ -1217,6 +1217,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         text.bm25_topk_docs,
         text.bpe_learn_merges,
         text.token_gini_by_source,
+        text.quantile_normalized_quality,
         curation.source_overlap_matrix,
         graph.two_hop_reach_top_customers,
         graph.kcore_parts,
@@ -2628,3 +2629,45 @@ def test_sssp_crafted_semantics(spark, tmp_path):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
     assert_oracle_match(got, con.sql(SSSP_SQL()))
     con.close()
+
+
+def test_quantile_normalize_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: cross-source quantile normalization vs the
+    identical pooled-order-statistic oracle."""
+    from pac_spark.operators.text import quantile_normalized_quality
+    from pac_spark.plans.llm_plans import QNORM_SQL
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        quantile_normalized_quality(spark, sf_dir), duck.sql(QNORM_SQL)
+    )
+
+
+def test_quantile_normalize_crafted(spark):
+    """Core-mapping semantics pinned: (a) a single source is a fixed
+    point (r·N/n_s = r → every value maps to itself); (b) the textbook
+    asymmetric example: source A {0,10,20,30} against pooled
+    {0,10,20,30,100} maps to {10,20,30,100} (ceil(r·5/4) = 2,3,4,5)
+    and source B's lone {100} maps to the pooled max; (c) the mapping
+    is monotone within each source."""
+    from pac_spark.operators.text import _quantile_normalize
+
+    one = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate([7, 3, 3, 9, 100])],
+        "doc_id long, source string, q_fp long",
+    )
+    got = {r["doc_id"]: r for r in _quantile_normalize(one).collect()}
+    assert all(r["q_norm_fp"] == r["q_fp"] for r in got.values())
+
+    two = spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 10), (3, "A", 20), (4, "A", 30), (5, "B", 100)],
+        "doc_id long, source string, q_fp long",
+    )
+    rows = _quantile_normalize(two).collect()
+    norm = {r["doc_id"]: r["q_norm_fp"] for r in rows}
+    assert norm == {1: 10, 2: 20, 3: 30, 4: 100, 5: 100}
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["q_fp"], r["doc_id"])):
+        prev = by_src.get(r["source"])
+        assert prev is None or r["q_norm_fp"] >= prev
+        by_src[r["source"]] = r["q_norm_fp"]
