@@ -50,6 +50,8 @@ __all__ = [
     "KMV_SQL",
     "KMV_K",
     "bitmap_distinct_users_daily",
+    "bitmap_day_words",
+    "bitmap_day_counts",
     "BITMAP_DISTINCT_SQL",
 ]
 
@@ -712,7 +714,14 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = catalog.load(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
-    words = (
+    return bitmap_day_counts(bitmap_day_words(ev))
+
+
+def bitmap_day_words(ev: DataFrame) -> DataFrame:
+    """(day, word, bits) bitmap words over a (day, user_id) frame —
+    the ONE rendering of the word/bit split, shared by the batch tier
+    and the streaming fold's per-batch partial."""
+    return (
         ev.select(
             "day",
             F.shiftright("user_id", 6).alias("word"),
@@ -723,6 +732,10 @@ def bitmap_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "word")
         .agg(F.expr("bit_or(bit)").alias("bits"))
     )
+
+
+def bitmap_day_counts(words: DataFrame) -> DataFrame:
+    """Popcount read-off of a (day, word, bits) frame."""
     return (
         words.groupBy("day")
         .agg(F.sum(F.expr("bit_count(bits)")).alias("n_distinct_users"))

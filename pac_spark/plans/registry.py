@@ -222,6 +222,10 @@ def all_specs() -> list[QuerySpec]:
     #   quantile normalization to the pooled distribution via the
     #   two-phase prefix scan; oracle llm_plans.QNORM_SQL, green at
     #   3 SFs + identity/textbook-example crafted tests + plan test)
+    # - streaming_bitmap_distinct_users (streaming/stateful.py,
+    #   bit_or-monoid fold of the bitmap words — order-free AND
+    #   replay-idempotent; oracle sketch.BITMAP_DISTINCT_SQL
+    #   (INDEPENDENT COUNT(DISTINCT)), green at 3 SFs + replay test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

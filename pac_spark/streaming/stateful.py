@@ -689,3 +689,35 @@ def streaming_ewma_user_value(spark, sf_dir: str):
         (F.col("top")[0]["cents"].cast("double") / 100.0).alias("last_value"),
         (num.cast("double") / den.cast("double") / 100.0).alias("ewma_value"),
     ).orderBy("user_id")
+
+
+def streaming_bitmap_distinct_users(spark, sf_dir: str):
+    """Exact distinct-users-per-day maintained under Structured
+    Streaming via 64-bit bitmap words: each micro-batch contributes
+    its (day, word) ``bit_or`` partial (``sketch.bitmap_day_words`` —
+    the SAME rendering the batch tier scans with) and the merge is a
+    per-(day, word) ``bit_or`` — a commutative AND idempotent monoid,
+    so the fold is order-free and replay-safe: a re-delivered or
+    duplicated batch cannot inflate the count, which a streamed
+    ``count(distinct)`` accumulator cannot claim. State is one BIGINT
+    per (day, touched word) — bounded by the id domain / 64 per day,
+    not by event volume. The oracle is the batch tier's INDEPENDENT
+    formulation (plain ``COUNT(DISTINCT)``,
+    ``sketch.BITMAP_DISTINCT_SQL``), so hash equality proves streaming
+    maintenance == distinct-count semantics end to end."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.sketch import bitmap_day_counts, bitmap_day_words
+
+    ev = stream_events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .groupBy("day", "word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+
+    return bitmap_day_counts(_run_ivm_fold(ev, bitmap_day_words, merge))

@@ -2671,3 +2671,49 @@ def test_quantile_normalize_crafted(spark):
         prev = by_src.get(r["source"])
         assert prev is None or r["q_norm_fp"] >= prev
         by_src[r["source"]] = r["q_norm_fp"]
+
+
+def test_streaming_bitmap_distinct_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: the streamed bitmap fold vs the batch tier's
+    INDEPENDENT COUNT(DISTINCT) oracle."""
+    from pac_spark.operators.sketch import BITMAP_DISTINCT_SQL
+    from pac_spark.streaming.stateful import streaming_bitmap_distinct_users
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_bitmap_distinct_users(spark, sf_dir),
+        duck.sql(BITMAP_DISTINCT_SQL()),
+    )
+
+
+def test_streaming_bitmap_merge_order_free_and_replay_safe(spark):
+    """The bit_or monoid claim, tested against the grain: partials
+    merged in reverse order AND with one batch folded TWICE (an
+    at-least-once redelivery) must equal the single-shot partial —
+    idempotence is what a count-based accumulator cannot offer."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.sketch import bitmap_day_counts, bitmap_day_words
+
+    rows = [("2024-01-01", u) for u in (1, 63, 64, 65, 1)] + [
+        ("2024-01-02", u) for u in (128, 1)
+    ]
+    ev = spark.createDataFrame(rows, "day string, user_id long")
+    a = spark.createDataFrame(rows[:3], "day string, user_id long")
+    b = spark.createDataFrame(rows[3:], "day string, user_id long")
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .groupBy("day", "word")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+
+    # reverse order + replay of `a`
+    view = merge(merge(bitmap_day_words(b), bitmap_day_words(a)), bitmap_day_words(a))
+    got = {r["day"]: r["n_distinct_users"] for r in bitmap_day_counts(view).collect()}
+    single = {
+        r["day"]: r["n_distinct_users"]
+        for r in bitmap_day_counts(bitmap_day_words(ev)).collect()
+    }
+    assert got == single == {"2024-01-01": 4, "2024-01-02": 2}
