@@ -50,6 +50,9 @@ __all__ = [
     "BENFORD_MILLI",
     "table_fingerprint_by_nation",
     "FINGERPRINT_SQL",
+    "FD_CANDIDATES",
+    "fd_profile_orders",
+    "FD_SQL",
 ]
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -524,3 +527,105 @@ SELECT c_nationkey,
             % 9223372036854775808 AS BIGINT) AS checksum
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling (approximate-FD discovery readout)
+
+# Candidate dependencies audited over orders: a true key FD, two
+# plausible-but-false business rules, and a date→priority rule —
+# the mix a schema-inference pass would propose for human review.
+FD_CANDIDATES = [
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderpriority"),
+]
+
+
+def fd_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared candidate
+    ``lhs → rhs``, how close the table comes to satisfying it — the
+    Metanome/TANE-style profiling readout that tells a pipeline which
+    "obvious" invariants actually hold before they get baked into
+    MERGE keys or dedup rules.
+
+    Per FD (all exact integers):
+    - ``n_groups``: distinct lhs values;
+    - ``n_violating_groups``: lhs values mapping to >1 distinct rhs;
+    - ``g3_rows_to_remove``: the classic g3 error — the minimum rows
+      whose deletion makes the FD hold (rows − Σ per-group majority
+      count);
+    - ``holds``: zero violations.
+
+    Plan shape per FD: groupBy(lhs, rhs) count, then groupBy(lhs)
+    fusing (Σcnt, max cnt, count distinct-by-construction rhs), then a
+    1-row readout — two map-side-combined shuffles on the FD's own
+    keys, over ONE pinned projection of the table (four FDs ≠ four
+    scans). No window, no expand, no driver loop over data (the loop
+    is over the four DECLARED rules, each a tiny plan).
+    """
+    from pac_spark.cache import pin
+
+    cols = sorted({c for fd in FD_CANDIDATES for c in fd})
+    base = pin(
+        catalog.load(spark, sf_dir, "orders").select(
+            *[
+                F.date_format(c, _TS_FMT_SPARK).alias(c)
+                if c == "o_orderdate"
+                else F.col(c)
+                for c in cols
+            ]
+        )
+    )
+    outs = []
+    for lhs, rhs in FD_CANDIDATES:
+        per_pair = base.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("cnt"))
+        per_lhs = per_pair.groupBy(lhs).agg(
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.count(F.lit(1)).alias("n_rhs"),
+        )
+        outs.append(
+            per_lhs.agg(
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                F.sum("n_rows").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("long")).alias(
+                    "n_violating_groups"
+                ),
+                (F.sum("n_rows") - F.sum("max_cnt")).alias("g3_rows_to_remove"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "*", (F.col("n_violating_groups") == 0).alias("holds")
+    ).orderBy("fd")
+
+
+def FD_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        lhs_expr = (
+            f"strftime({lhs}, '{_TS_FMT_DUCK}')" if lhs == "o_orderdate" else lhs
+        )
+        parts.append(f"""
+SELECT '{lhs} -> {rhs}' AS fd,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_groups,
+       CAST(SUM(n_rows) - SUM(max_cnt) AS BIGINT) AS g3_rows_to_remove,
+       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+    SELECT {lhs} AS l,
+           SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt, COUNT(*) AS n_rhs
+    FROM (
+        SELECT {lhs_expr} AS {lhs}, {rhs}, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ) GROUP BY 1
+)""")
+    return " UNION ALL ".join(parts) + " ORDER BY fd"

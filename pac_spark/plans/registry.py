@@ -226,6 +226,9 @@ def all_specs() -> list[QuerySpec]:
     #   bit_or-monoid fold of the bitmap words — order-free AND
     #   replay-idempotent; oracle sketch.BITMAP_DISTINCT_SQL
     #   (INDEPENDENT COUNT(DISTINCT)), green at 3 SFs + replay test)
+    # - fd_profile_orders (operators/profile.py, functional-dependency
+    #   audit with exact g3 error; oracle profile.FD_SQL, green at
+    #   3 SFs + majority-count crafted test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

@@ -2717,3 +2717,47 @@ def test_streaming_bitmap_merge_order_free_and_replay_safe(spark):
         for r in bitmap_day_counts(bitmap_day_words(ev)).collect()
     }
     assert got == single == {"2024-01-01": 4, "2024-01-02": 2}
+
+
+def test_fd_profile_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: functional-dependency audit vs the identical
+    per-rule majority-count oracle."""
+    from pac_spark.operators.profile import FD_SQL, fd_profile_orders
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(fd_profile_orders(spark, sf_dir), duck.sql(FD_SQL()))
+
+
+def test_fd_profile_crafted(spark, tmp_path):
+    """g3 semantics pinned on a hand-built table: the key FD holds;
+    custkey→status has one violating group whose minority rows count
+    (g3 = rows − Σ majority), groups with a single rhs contribute
+    zero."""
+    import pandas as pd
+
+    orders = pd.DataFrame(
+        {
+            # cust 1: status O×3, F×1  -> violating, g3 contribution 1
+            # cust 2: status F×2       -> clean
+            "o_orderkey": [1, 2, 3, 4, 5, 6],
+            "o_custkey": [1, 1, 1, 1, 2, 2],
+            "o_orderstatus": ["O", "O", "O", "F", "F", "F"],
+            "o_orderpriority": ["1-URGENT"] * 6,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 6).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    from pac_spark.operators.profile import fd_profile_orders
+
+    got = {r["fd"]: r for r in fd_profile_orders(spark, str(tmp_path)).collect()}
+    key_fd = got["o_orderkey -> o_orderstatus"]
+    assert key_fd["holds"] and key_fd["n_groups"] == 6
+    assert key_fd["g3_rows_to_remove"] == 0
+    cs = got["o_custkey -> o_orderstatus"]
+    assert not cs["holds"]
+    assert (cs["n_groups"], cs["n_violating_groups"]) == (2, 1)
+    assert cs["g3_rows_to_remove"] == 1
+    assert got["o_custkey -> o_orderpriority"]["holds"]
+    assert got["o_orderdate -> o_orderpriority"]["holds"]
