@@ -45,6 +45,8 @@ __all__ = [
     "STREAKS_SQL",
     "daily_coverage_us",
     "COVERAGE_SQL",
+    "time_weighted_value_by_user",
+    "TWA_SQL",
     "attribution_last_touch",
     "pattern_runs_view_click_purchase",
     "PATTERN_RUNS_SQL",
@@ -1328,4 +1330,97 @@ SELECT user_id, rstart AS match_start,
 FROM led
 WHERE rtype = 'view' AND t1 = 'click' AND t2 = 'purchase'
 ORDER BY user_id, match_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (step-function integral)
+
+
+def time_weighted_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average event value: each event's value
+    holds until the user's next event (a right-open step function),
+    and the average weights by holding duration instead of event
+    count — the standard readout for balances, prices, and gauge
+    metrics, where ten rapid-fire updates must not out-vote one value
+    held all day.
+
+    Exactness: the integral is Σ cents·micros accumulated in
+    decimal(38,0) (cents×micros ≈ 10¹⁷ per term — a BIGINT sum
+    overflows at cluster scale, the ``corr_quality`` overflow lesson),
+    divided once at the end as double. The step order is the total
+    (ts, event_id), so duplicate timestamps form zero-width steps
+    deterministically instead of reaching an engine-dependent window
+    tie. Users whose events all share one timestamp have zero span
+    and are excluded (a 0/0 average is undefined; the filter is
+    stated in BOTH engines — ANSI mode would otherwise throw here).
+
+    Scale shape: ONE window partitioned by user (lead), one
+    map-side-combined groupBy — no global window, no self-join.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "cents",
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    dec = "decimal(38,0)"
+    agg = stepped.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.sum(F.col("dur_us").cast(dec)).alias("span_us"),
+        F.sum((F.col("cents").cast(dec) * F.col("dur_us")).cast(dec)).alias("num"),
+    )
+    return (
+        agg.filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("span_us").cast("long").alias("span_micros"),
+            (
+                F.col("num").cast("double")
+                / F.col("span_us").cast("double")
+                / F.lit(100.0)
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def TWA_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH e AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+stepped AS (
+    SELECT user_id, cents,
+           LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) - epoch_us(ts) AS dur_us
+    FROM e
+),
+agg AS (
+    SELECT user_id,
+           COUNT(*) + 1 AS n_events,
+           SUM(CAST(dur_us AS HUGEINT)) AS span_us,
+           SUM(CAST(cents AS HUGEINT) * dur_us) AS num
+    FROM stepped WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(span_us AS BIGINT) AS span_micros,
+       CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twa_value
+FROM agg WHERE span_us > 0
+ORDER BY user_id
 """

@@ -229,6 +229,10 @@ def all_specs() -> list[QuerySpec]:
     # - fd_profile_orders (operators/profile.py, functional-dependency
     #   audit with exact g3 error; oracle profile.FD_SQL, green at
     #   3 SFs + majority-count crafted test)
+    # - time_weighted_value_by_user (operators/temporal.py, exact
+    #   step-function integral in decimal(38,0) cents·micros; oracle
+    #   temporal.TWA_SQL, green at 3 SFs + integral-semantics crafted
+    #   test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

@@ -1234,6 +1234,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         recommend.association_rules_parts,
         recommend.item_item_similar_parts,
         temporal.daily_coverage_us,
+        temporal.time_weighted_value_by_user,
         stats.percentiles_cont_price_by_flag,
     ]
     for op in ops:
@@ -2761,3 +2762,46 @@ def test_fd_profile_crafted(spark, tmp_path):
     assert cs["g3_rows_to_remove"] == 1
     assert got["o_custkey -> o_orderpriority"]["holds"]
     assert got["o_orderdate -> o_orderpriority"]["holds"]
+
+
+def test_time_weighted_value_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: step-function time-weighted averages vs the
+    identical lead/integral oracle."""
+    from pac_spark.operators.temporal import TWA_SQL, time_weighted_value_by_user
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        time_weighted_value_by_user(spark, sf_dir), duck.sql(TWA_SQL())
+    )
+
+
+def test_time_weighted_value_crafted(spark, tmp_path):
+    """Integral semantics pinned: value 10 held 9 minutes + value 100
+    held 1 minute averages 19 (time-weighted), NOT 55 (event-weighted);
+    the last event carries no duration; a user whose events share one
+    timestamp is excluded; a zero-width step contributes nothing."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, 1, t0, 10.0), (2, 1, t0 + 9 * m, 100.0), (3, 1, t0 + 10 * m, 7.0),
+        (4, 2, t0, 50.0), (5, 2, t0, 99.0),  # zero span -> excluded
+        # user 3: zero-width step (two events same ts) inside a real span
+        (6, 3, t0, 10.0), (7, 3, t0 + m, 20.0), (8, 3, t0 + m, 30.0),
+        (9, 3, t0 + 2 * m, 40.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_type"] = "view"
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet")
+
+    from pac_spark.operators.temporal import time_weighted_value_by_user
+
+    got = {r["user_id"]: r for r in time_weighted_value_by_user(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 3}
+    assert abs(got[1]["twa_value"] - 19.0) < 1e-12
+    assert got[1]["span_micros"] == 600_000_000 and got[1]["n_events"] == 3
+    # user 3: 10 for 1min, 20 for 0, 30 for 1min -> (10+30)/2 = 20
+    assert abs(got[3]["twa_value"] - 20.0) < 1e-12
