@@ -53,6 +53,9 @@ __all__ = [
     "bitmap_day_words",
     "bitmap_day_counts",
     "BITMAP_DISTINCT_SQL",
+    "ams_f2_user_activity",
+    "AMS_SQL",
+    "AMS_DEPTH",
 ]
 
 CMS_DEPTH = 4
@@ -752,4 +755,91 @@ def BITMAP_DISTINCT_SQL() -> str:
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
 FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) second frequency moment
+
+
+AMS_DEPTH = 8  # independent ±1 estimators, averaged
+
+
+def ams_f2_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment (F2 = Σ_k c_k²) of the events table's
+    user_id distribution, estimated by the AMS ±1 sketch next to the
+    exact answer — F2 IS the self-join size, so this sketch is what a
+    planner consults before committing to a join strategy on a maybe-
+    skewed key.
+
+    Sketch: ``AMS_DEPTH`` independent estimators; estimator j keeps
+    one integer ``s_j = Σ_rows sign_j(user_id)`` with sign_j the
+    shared md5 bucket (mod 2 → ±1). E[s_j²] = F2 exactly; the readout
+    averages the squares. Everything is an integer sum — partition-
+    invariant, mergeable (the partial-tables-add property every sketch
+    here carries), and the whole sketch is ONE 1-row aggregate: no
+    explode, no shuffle beyond the partial-agg tree, D counters of
+    state total. The exact companion accumulates c_k² in
+    decimal(38,0) (a count of 10⁶ squares to 10¹² — BIGINT survives,
+    but the cluster-scale margin is the point).
+
+    Estimator error is the standard AMS bound (variance ≤ 2·F2²/D);
+    the driver hash-checks the VALUES, which are deterministic because
+    the sign family is md5, not RNG state.
+    """
+    from pac_spark.functions.hashing import md5_bucket
+
+    ev = catalog.load(spark, sf_dir, "events").select("user_id")
+
+    def sign(j: int):
+        b = md5_bucket(
+            F.concat(F.lit(f"ams{j}|"), F.col("user_id").cast("string")), 2
+        )
+        return (b * 2 - 1).cast("long")
+
+    sk = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(sign(j)).alias(f"s{j}") for j in range(AMS_DEPTH)],
+    )
+    dec = "decimal(38,0)"
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("c").cast(dec) * F.col("c")).cast(dec)).alias("f2_exact"),
+        )
+    )
+    est = sum(F.col(f"s{j}") * F.col(f"s{j}") for j in range(AMS_DEPTH))
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "n_rows",
+        "n_keys",
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        (est.cast("double") / F.lit(float(AMS_DEPTH))).alias("f2_estimate"),
+    )
+
+
+def AMS_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    from pac_spark.functions.hashing import md5_bucket_sql
+
+    signs = ", ".join(
+        "SUM(CAST("
+        + md5_bucket_sql(f"'ams{j}|' || CAST(user_id AS VARCHAR)", 2)
+        + f" * 2 - 1 AS BIGINT)) AS s{j}"
+        for j in range(AMS_DEPTH)
+    )
+    est = " + ".join(f"s{j} * s{j}" for j in range(AMS_DEPTH))
+    return f"""
+WITH sk AS (SELECT COUNT(*) AS n_rows, {signs} FROM events),
+ex AS (
+    SELECT COUNT(*) AS n_keys,
+           SUM(CAST(c AS HUGEINT) * c) AS f2_exact
+    FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(f2_exact AS BIGINT) AS f2_exact,
+       CAST({est} AS DOUBLE) / {float(AMS_DEPTH)} AS f2_estimate
+FROM sk CROSS JOIN ex
 """

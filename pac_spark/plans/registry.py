@@ -233,6 +233,10 @@ def all_specs() -> list[QuerySpec]:
     #   step-function integral in decimal(38,0) cents·micros; oracle
     #   temporal.TWA_SQL, green at 3 SFs + integral-semantics crafted
     #   test)
+    # - ams_f2_user_activity (operators/sketch.py, AMS ±1 second-
+    #   moment sketch + exact F2 companion — self-join-size
+    #   estimation; oracle sketch.AMS_SQL, green at 3 SFs +
+    #   zero-error single-key crafted test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

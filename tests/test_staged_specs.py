@@ -2805,3 +2805,37 @@ def test_time_weighted_value_crafted(spark, tmp_path):
     assert got[1]["span_micros"] == 600_000_000 and got[1]["n_events"] == 3
     # user 3: 10 for 1min, 20 for 0, 30 for 1min -> (10+30)/2 = 20
     assert abs(got[3]["twa_value"] - 20.0) < 1e-12
+
+
+def test_ams_f2_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: AMS ±1 sketch + exact F2 vs the identical
+    digit-wise md5 oracle."""
+    from pac_spark.operators.sketch import AMS_SQL, ams_f2_user_activity
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(ams_f2_user_activity(spark, sf_dir), duck.sql(AMS_SQL()))
+
+
+def test_ams_f2_crafted(spark, tmp_path):
+    """Sharp single-key property: with one key appearing c times every
+    estimator is ±c, so the estimate equals the exact F2 = c² with no
+    sketch error at all; and the sketch is partition-invariant (the
+    integer sums commute)."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": pd.to_datetime(["2024-01-01"] * 5).astype("datetime64[us]"),
+            "user_id": [42] * 5,
+            "event_type": ["view"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.sketch import ams_f2_user_activity
+
+    [row] = ams_f2_user_activity(spark, str(tmp_path)).collect()
+    assert (row["n_rows"], row["n_keys"], row["f2_exact"]) == (5, 1, 25)
+    assert row["f2_estimate"] == 25.0
