@@ -44,6 +44,8 @@ __all__ = [
     "sequence_packing",
     "source_overlap_matrix",
     "SOURCE_OVERLAP_SQL",
+    "epoch_interleave_positions",
+    "EPOCH_INTERLEAVE_SQL",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -596,4 +598,87 @@ FROM inter
 JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
 ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch ordering (shuffle + balanced source interleave)
+
+EPOCH_SALT = "epoch1|"
+
+
+def epoch_interleave_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its position in a training epoch:
+    shuffled WITHIN each source by a salted hash (deterministic,
+    replayable — no RNG state), and sources interleaved round-robin
+    by taking each source's r-th shuffled doc before any source's
+    (r+1)-th. A model trained off this order sees every source
+    continuously instead of in corpus-concatenation clumps, and a
+    restarted job reproduces the exact order from the salt alone.
+
+    The epoch position is a dense global rank over the lexicographic
+    (within_pos, source) order. Ranking by a global window is the
+    single-task scale-killer, so the rank is decomposed exactly like
+    ``text._quantile_normalize``: docs strictly ahead = the two-phase
+    prefix sum of per-within_pos counts (``functions/prefix.py``),
+    plus the doc's tie-rank among sources sharing its within_pos (a
+    window over ≤ n_sources rows). The ORACLE deliberately uses the
+    naive global ROW_NUMBER — formulation-diverse proof that the
+    decomposition is the same total order.
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.prefix import global_running_sums
+
+    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "source")
+    k = F.md5(
+        F.encode(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")), "UTF-8")
+    )
+    ws = W.partitionBy("source").orderBy("k", "doc_id")
+    base = pin(
+        docs.select("doc_id", "source", k.alias("k"))
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(ws).cast("long").alias("within_pos"),
+        )
+    )
+    cnt = base.groupBy("within_pos").agg(F.count(F.lit(1)).alias("cnt"))
+    pref = global_running_sums(
+        cnt,
+        "within_pos",
+        ["cnt"],
+        bucket=F.floor(F.col("within_pos") / 1024).cast("long"),
+    )
+    before = pref.select(
+        "within_pos", (F.col("run_cnt") - F.col("cnt")).alias("n_before")
+    )
+    wr = W.partitionBy("within_pos").orderBy("source")
+    return (
+        base.withColumn("tie", F.row_number().over(wr).cast("long"))
+        .join(before, "within_pos")
+        .select(
+            "doc_id",
+            "source",
+            "within_pos",
+            (F.col("n_before") + F.col("tie")).alias("epoch_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EPOCH_INTERLEAVE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           md5('{EPOCH_SALT}' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+),
+rr AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
+               AS within_pos
+    FROM d
+)
+SELECT doc_id, source, within_pos,
+       ROW_NUMBER() OVER (ORDER BY within_pos, source) AS epoch_pos
+FROM rr ORDER BY doc_id
 """

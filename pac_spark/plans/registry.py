@@ -237,6 +237,12 @@ def all_specs() -> list[QuerySpec]:
     #   moment sketch + exact F2 companion — self-join-size
     #   estimation; oracle sketch.AMS_SQL, green at 3 SFs +
     #   zero-error single-key crafted test)
+    # - epoch_interleave_positions (operators/curation.py,
+    #   deterministic epoch shuffle + round-robin source interleave,
+    #   dense rank via the two-phase prefix scan; INDEPENDENT naive
+    #   global-ROW_NUMBER oracle curation.EPOCH_INTERLEAVE_SQL, green
+    #   at 3 SFs + hash-independent interleave crafted test + plan
+    #   test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

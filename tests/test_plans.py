@@ -592,3 +592,16 @@ def test_quantile_normalize_no_global_data_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         assert "HashAggregate" in chunk.split("Exchange")[0] or "HashAggregate" in chunk
+
+
+def test_epoch_interleave_no_global_data_window(spark, sf_dir):
+    """The dense epoch rank must come from the two-phase prefix scan:
+    SinglePartition exchanges may only feed aggregate-sized frames
+    (the per-within_pos totals), never the per-doc data."""
+    from pac_spark.operators.curation import epoch_interleave_positions
+
+    plan = _exec_plan(epoch_interleave_positions(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in chunk.split("Exchange")[0] or "HashAggregate" in chunk

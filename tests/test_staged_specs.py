@@ -2839,3 +2839,41 @@ def test_ams_f2_crafted(spark, tmp_path):
     [row] = ams_f2_user_activity(spark, str(tmp_path)).collect()
     assert (row["n_rows"], row["n_keys"], row["f2_exact"]) == (5, 1, 25)
     assert row["f2_estimate"] == 25.0
+
+
+def test_epoch_interleave_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: two-phase decomposed epoch rank vs the
+    DELIBERATELY-naive global ROW_NUMBER oracle (formulation-diverse)."""
+    from pac_spark.operators.curation import (
+        EPOCH_INTERLEAVE_SQL,
+        epoch_interleave_positions,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        epoch_interleave_positions(spark, sf_dir), duck.sql(EPOCH_INTERLEAVE_SQL)
+    )
+
+
+def test_epoch_interleave_crafted(spark, tmp_path):
+    """Interleave semantics pinned independent of the hash: with
+    |a| = 4 and |b| = 2 the source sequence along epoch positions is
+    a,b,a,b,a,a — every source's r-th doc goes before any source's
+    (r+1)-th — and positions are a dense permutation of 1..N."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["x"] * 6,
+            "lang": ["en"] * 6,
+            "source": ["a", "a", "a", "a", "b", "b"],
+            "n_chars": [1] * 6,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.curation import epoch_interleave_positions
+
+    rows = epoch_interleave_positions(spark, str(tmp_path)).collect()
+    assert sorted(r["epoch_pos"] for r in rows) == list(range(1, 7))
+    seq = [r["source"] for r in sorted(rows, key=lambda r: r["epoch_pos"])]
+    assert seq == ["a", "b", "a", "b", "a", "a"]
