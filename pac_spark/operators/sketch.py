@@ -56,6 +56,8 @@ __all__ = [
     "ams_f2_user_activity",
     "AMS_SQL",
     "AMS_DEPTH",
+    "ams_join_size_orders_events",
+    "AMS_JOIN_SQL",
 ]
 
 CMS_DEPTH = 4
@@ -842,4 +844,86 @@ SELECT CAST(n_rows AS BIGINT) AS n_rows,
        CAST(f2_exact AS BIGINT) AS f2_exact,
        CAST({est} AS DOUBLE) / {float(AMS_DEPTH)} AS f2_estimate
 FROM sk CROSS JOIN ex
+"""
+
+
+def ams_join_size_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from two independently built
+    AMS sketches: |orders ⋈ events on customer| = Σ_k a_k·b_k, and
+    with BOTH tables sketched under the SAME ±1 sign family,
+    E[sa_j·sb_j] = Σ_k a_k·b_k — the inner product of the sketches
+    estimates the join size without ever joining. This is the
+    planner's question ("how big would this join be?") answered from
+    two 8-integer summaries that each side can maintain independently
+    and merge monoidally; the exact companion (the actual per-key
+    count join, decimal-accumulated) is computed alongside so the
+    driver hash-checks both.
+    """
+    from pac_spark.functions.hashing import md5_bucket
+
+    def sign(col: str, j: int):
+        b = md5_bucket(F.concat(F.lit(f"ams{j}|"), F.col(col).cast("string")), 2)
+        return (b * 2 - 1).cast("long")
+
+    o = catalog.load(spark, sf_dir, "orders").select("o_custkey")
+    e = catalog.load(spark, sf_dir, "events").select("user_id")
+    sk_o = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        *[F.sum(sign("o_custkey", j)).alias(f"a{j}") for j in range(AMS_DEPTH)],
+    )
+    sk_e = e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[F.sum(sign("user_id", j)).alias(f"b{j}") for j in range(AMS_DEPTH)],
+    )
+    dec = "decimal(38,0)"
+    oc = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("ac"))
+    ec = e.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("bc"))
+    exact = oc.join(ec, "k").agg(
+        F.coalesce(
+            F.sum((F.col("ac").cast(dec) * F.col("bc")).cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("join_size_exact")
+    )
+    est = sum(F.col(f"a{j}") * F.col(f"b{j}") for j in range(AMS_DEPTH))
+    return (
+        sk_o.crossJoin(F.broadcast(sk_e))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_orders",
+            "n_events",
+            F.col("join_size_exact").cast("long").alias("join_size_exact"),
+            (est.cast("double") / F.lit(float(AMS_DEPTH))).alias(
+                "join_size_estimate"
+            ),
+        )
+    )
+
+
+def AMS_JOIN_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    from pac_spark.functions.hashing import md5_bucket_sql
+
+    def signs(col: str, alias: str) -> str:
+        return ", ".join(
+            "SUM(CAST("
+            + md5_bucket_sql(f"'ams{j}|' || CAST({col} AS VARCHAR)", 2)
+            + f" * 2 - 1 AS BIGINT)) AS {alias}{j}"
+            for j in range(AMS_DEPTH)
+        )
+
+    est = " + ".join(f"a{j} * b{j}" for j in range(AMS_DEPTH))
+    return f"""
+WITH sko AS (SELECT COUNT(*) AS n_orders, {signs("o_custkey", "a")} FROM orders),
+ske AS (SELECT COUNT(*) AS n_events, {signs("user_id", "b")} FROM events),
+ex AS (
+    SELECT COALESCE(SUM(CAST(ac AS HUGEINT) * bc), 0) AS join_size_exact
+    FROM (SELECT o_custkey AS k, COUNT(*) AS ac FROM orders GROUP BY 1) o
+    JOIN (SELECT user_id AS k, COUNT(*) AS bc FROM events GROUP BY 1) e
+      USING (k)
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(join_size_exact AS BIGINT) AS join_size_exact,
+       CAST({est} AS DOUBLE) / {float(AMS_DEPTH)} AS join_size_estimate
+FROM sko CROSS JOIN ske CROSS JOIN ex
 """

@@ -243,6 +243,10 @@ def all_specs() -> list[QuerySpec]:
     #   global-ROW_NUMBER oracle curation.EPOCH_INTERLEAVE_SQL, green
     #   at 3 SFs + hash-independent interleave crafted test + plan
     #   test)
+    # - ams_join_size_orders_events (operators/sketch.py, cross-sketch
+    #   inner-product join-cardinality estimate + exact join-count
+    #   companion; oracle sketch.AMS_JOIN_SQL, green at 3 SFs +
+    #   zero-error matched-sign crafted test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

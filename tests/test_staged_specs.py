@@ -2877,3 +2877,47 @@ def test_epoch_interleave_crafted(spark, tmp_path):
     assert sorted(r["epoch_pos"] for r in rows) == list(range(1, 7))
     seq = [r["source"] for r in sorted(rows, key=lambda r: r["epoch_pos"])]
     assert seq == ["a", "b", "a", "b", "a", "a"]
+
+
+def test_ams_join_size_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: cross-sketch inner-product join-size estimate
+    + exact companion vs the identical digit-wise md5 oracle."""
+    from pac_spark.operators.sketch import AMS_JOIN_SQL, ams_join_size_orders_events
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        ams_join_size_orders_events(spark, sf_dir), duck.sql(AMS_JOIN_SQL())
+    )
+
+
+def test_ams_join_size_crafted(spark, tmp_path):
+    """Sharp single-shared-key property: orders = key 42 ×3, events =
+    key 42 ×4 → every estimator pair is (±3)·(±4) with MATCHING signs,
+    so the estimate equals the exact join size 12 with zero error."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "o_orderkey": range(3),
+            "o_custkey": [42] * 3,
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [1.0] * 3,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 3).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": pd.to_datetime(["2024-01-01"] * 4).astype("datetime64[us]"),
+            "user_id": [42] * 4,
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.sketch import ams_join_size_orders_events
+
+    [row] = ams_join_size_orders_events(spark, str(tmp_path)).collect()
+    assert (row["n_orders"], row["n_events"], row["join_size_exact"]) == (3, 4, 12)
+    assert row["join_size_estimate"] == 12.0
