@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
+from pac_spark.cache import pin
 
 __all__ = [
     "knn_bruteforce",
@@ -48,6 +49,8 @@ __all__ = [
     "label_centroids",
     "embedding_dim_stats",
     "DIM_STATS_SQL",
+    "kcenter_diverse_embeddings",
+    "KCENTER_SQL",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -848,3 +851,151 @@ SELECT CAST(m.dim AS INT) AS dim,
 FROM moments m JOIN pcts p ON m.dim = p.dim
 ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# k-center diversity sampling (farthest-point traversal)
+
+KCENTER_K = 8
+_FP = 10**6  # embedding fixed-point scale: float -> integer micro-units
+
+
+def _d2_expr(a: str, b: str) -> Column:
+    """Exact integer squared L2 distance between two fixed-point
+    vectors — comparisons (argmax, LEAST) never touch a float, so
+    center selection is bit-deterministic at any partition count and
+    identical to the oracle."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    )
+
+
+def kcenter_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) traversal over the embedding
+    table: start from the smallest vec_id, then repeatedly select the
+    vector farthest from everything selected so far — the classic
+    2-approximation to the k-center objective and the standard
+    diversity-sampling / coreset-seeding pass for training data (pick
+    prototypes that COVER the embedding space, where random sampling
+    oversamples dense clusters).
+
+    Exactness: embeddings become integer micro-units once; every
+    distance is an exact BIGINT Σ(Δ)² (64 dims × (1.2·10⁶)² ≈ 10¹⁴,
+    ample long headroom), so the argmax at each round has no float
+    ties. Ties break to the smallest vec_id; exact duplicates of
+    already-selected vectors (d² = 0) are never selected, so the
+    trace stops early iff the space is exhausted.
+
+    Scale shape per round: the candidate frame keeps (vec_id, v, d =
+    min distance to selected centers); one broadcast of the 1-row new
+    center updates d via LEAST (a map-only pass over the pinned
+    frame), one max + one TakeOrdered pick the next center. K is a
+    small constant (the PageRank fixed-rounds pattern); nothing ever
+    collects the vectors to the driver.
+    """
+    from pac_spark.cache import checkpoint
+
+    fp = F.expr(
+        f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * {_FP}) AS BIGINT))"
+    )
+    emb = pin(
+        catalog.load(spark, sf_dir, "embeddings").select("vec_id", fp.alias("v"))
+    )
+    seed = checkpoint(emb.orderBy("vec_id").limit(1))
+    cur = seed.select(F.col("v").alias("cv"))
+    # every round CHECKPOINTS (eager): the selection chain re-reads
+    # each frame through two broadcasts per round, and un-materialized
+    # lineage would fork exponentially across rounds (each reuse
+    # re-evaluates the whole prefix) — the kcore/pagerank truncation
+    # rule, which their per-round count() actions get implicitly
+    md = checkpoint(
+        emb.crossJoin(F.broadcast(cur)).select(
+            "vec_id", "v", _d2_expr("v", "cv").alias("d")
+        )
+    )
+    trace = [
+        seed.select(
+            F.lit(1).alias("sel_order"),
+            "vec_id",
+            F.lit(None).cast("long").alias("radius"),
+        )
+    ]
+    for j in range(2, KCENTER_K + 1):
+        mx = md.agg(F.max("d").alias("m"))
+        pick = checkpoint(
+            md.join(F.broadcast(mx), F.col("d") == F.col("m"))
+            .filter(F.col("d") > 0)
+            .orderBy("vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("c_id"),
+                F.col("v").alias("cv"),
+                F.col("d").alias("radius"),
+            )
+        )
+        trace.append(
+            pick.select(
+                F.lit(j).alias("sel_order"),
+                F.col("c_id").alias("vec_id"),
+                "radius",
+            )
+        )
+        md = checkpoint(
+            md.crossJoin(F.broadcast(pick.select("cv"))).select(
+                "vec_id",
+                "v",
+                F.least(F.col("d"), _d2_expr("v", "cv")).alias("d"),
+            )
+        )
+    out = trace[0]
+    for t in trace[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("sel_order")
+
+
+def KCENTER_SQL(k: int = KCENTER_K) -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""
+e AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(ROUND(x * {_FP}) AS BIGINT)) AS v
+    FROM embeddings
+),
+c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+md1 AS MATERIALIZED (
+    SELECT e.vec_id, e.v, {d2("e.v", "c1.v")} AS d FROM e, c1
+)"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(f"""
+c{j} AS MATERIALIZED (
+    SELECT vec_id, v, d FROM md{j - 1}
+    WHERE d = (SELECT MAX(d) FROM md{j - 1}) AND d > 0
+    ORDER BY vec_id LIMIT 1
+),
+md{j} AS MATERIALIZED (
+    SELECT m.vec_id, m.v, LEAST(m.d, {d2("m.v", f"c{j}.v")}) AS d
+    FROM md{j - 1} m, c{j}
+)""")
+    selects = ["SELECT 1 AS sel_order, vec_id, CAST(NULL AS BIGINT) AS radius FROM c1"]
+    for j in range(2, k + 1):
+        selects.append(
+            f"SELECT {j} AS sel_order, vec_id, CAST(d AS BIGINT) AS radius FROM c{j}"
+        )
+    return (
+        "WITH " + ",".join(parts) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY sel_order"
+    )

@@ -247,6 +247,11 @@ def all_specs() -> list[QuerySpec]:
     #   inner-product join-cardinality estimate + exact join-count
     #   companion; oracle sketch.AMS_JOIN_SQL, green at 3 SFs +
     #   zero-error matched-sign crafted test)
+    # - kcenter_diverse_embeddings (operators/similarity.py, greedy
+    #   farthest-point diversity sampling in exact integer d² with
+    #   per-round eager checkpoints; oracle similarity.KCENTER_SQL
+    #   (same unrolled rounds), green at 3 SFs + 1-D greedy-trace
+    #   crafted test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

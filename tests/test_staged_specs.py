@@ -1228,6 +1228,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         evaluate.decile_lift_value_purchase,
         relational.skyline_suppliers,
         similarity.embedding_dim_stats,
+        similarity.kcenter_diverse_embeddings,
         sketch.hll_distinct_customers_by_priority,
         sketch.rolling_7d_distinct_users_hll,
         sketch.kmv_nation_part_overlap,
@@ -2921,3 +2922,46 @@ def test_ams_join_size_crafted(spark, tmp_path):
     [row] = ams_join_size_orders_events(spark, str(tmp_path)).collect()
     assert (row["n_orders"], row["n_events"], row["join_size_exact"]) == (3, 4, 12)
     assert row["join_size_estimate"] == 12.0
+
+
+def test_kcenter_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: farthest-point traversal vs the identically
+    unrolled integer-distance oracle."""
+    from pac_spark.operators.similarity import KCENTER_SQL, kcenter_diverse_embeddings
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        kcenter_diverse_embeddings(spark, sf_dir), duck.sql(KCENTER_SQL())
+    )
+
+
+def test_kcenter_crafted(spark, tmp_path):
+    """Greedy semantics pinned on a 1-D line {0, 1, 10, 11, 100}:
+    seed = smallest vec_id (0), then 100 (farthest), then 11 (121 from
+    the selected set beats 10's 100), then the d²=1 tie {1, 10} breaks
+    to the smaller vec_id; the duplicate of the seed (d²=0) is never
+    selected and the trace stops when the space is exhausted."""
+    import pandas as pd
+
+    vals = [0.0, 1.0, 10.0, 11.0, 100.0, 0.0]  # vec 5 duplicates vec 0
+    pd.DataFrame(
+        {
+            "vec_id": range(6),
+            "embedding": [[v] for v in vals],
+            "label": [0] * 6,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from pac_spark.operators.similarity import _FP as _FP_UNITS
+    from pac_spark.operators.similarity import kcenter_diverse_embeddings
+
+    rows = sorted(
+        kcenter_diverse_embeddings(spark, str(tmp_path)).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    picked = [r["vec_id"] for r in rows]
+    # 0 (seed) -> 4 (d²=100²) -> 3 (d²=11²) -> 1 (tie with 10 at d²=1,
+    # smaller id wins) -> 2 -> exhausted (vec 5 duplicates the seed)
+    assert picked == [0, 4, 3, 1, 2]
+    assert rows[1]["radius"] == (100 * _FP_UNITS) ** 2
+    assert rows[2]["radius"] == (11 * _FP_UNITS) ** 2
+    assert [r["radius"] for r in rows[3:]] == [_FP_UNITS**2, _FP_UNITS**2]
