@@ -252,6 +252,11 @@ def all_specs() -> list[QuerySpec]:
     #   per-round eager checkpoints; oracle similarity.KCENTER_SQL
     #   (same unrolled rounds), green at 3 SFs + 1-D greedy-trace
     #   crafted test)
+    # - streaming_kmv_distinct_users (streaming/stateful.py, min-k
+    #   monoid fold of the KMV sketch — order-free, replay-idempotent,
+    #   k-bounded state; oracle stateful.STREAMING_KMV_SQL (one-shot
+    #   SQL sketch rebuild), green at 3 SFs + reverse/replay merge
+    #   test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

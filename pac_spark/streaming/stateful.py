@@ -721,3 +721,93 @@ def streaming_bitmap_distinct_users(spark, sf_dir: str):
         )
 
     return bitmap_day_counts(_run_ivm_fold(ev, bitmap_day_words, merge))
+
+
+def streaming_kmv_distinct_users(spark, sf_dir: str):
+    """Per-event-type distinct-user ESTIMATES maintained under
+    Structured Streaming from KMV/theta sketches: each micro-batch
+    contributes its per-type k-minimum user-id hashes (built by the
+    SAME ``sketch._kmv_sketches`` the batch overlap tier scans with)
+    and the merge re-selects the k smallest of the union — min-k of a
+    set is a commutative, idempotent monoid, so the fold is order-free
+    and replay-safe, and state is bounded by k rows per event type no
+    matter how many events stream through. Readout is the uniform
+    theta estimate ``n·RANGE/theta`` (exact below k, (k-1)-th-order
+    estimate above). The oracle rebuilds the identical sketch from the
+    full table in SQL, so hash equality proves the incremental
+    maintenance converges to the one-shot sketch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pac_spark.operators.sketch import KMV_K, _KMV_RANGE, _kmv_sketches
+
+    ev = stream_events(spark, sf_dir).select("event_type", "user_id")
+
+    def partial(batch_df):
+        return _kmv_sketches(batch_df, "event_type", "user_id")
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .distinct()
+            .withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("h")))
+            .filter(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+
+    sk = _run_ivm_fold(ev, partial, merge)
+    theta = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_max")
+    ).select(
+        "g",
+        F.when(F.col("n_sk") >= KMV_K, F.col("h_max"))
+        .otherwise(F.lit(_KMV_RANGE))
+        .alias("theta"),
+    )
+    return (
+        sk.join(F.broadcast(theta), "g")
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("g", "theta")
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+        .select(
+            F.col("g").alias("event_type"),
+            "n_sample",
+            (
+                F.col("n_sample").cast("double")
+                * F.lit(float(_KMV_RANGE))
+                / F.col("theta").cast("double")
+            ).alias("est_distinct_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def STREAMING_KMV_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    from pac_spark.functions.hashing import md5_u60_sql
+    from pac_spark.operators.sketch import KMV_K, _KMV_RANGE
+
+    h = md5_u60_sql("'kmv1|' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (SELECT DISTINCT event_type AS g, {h} AS h FROM events),
+sk AS (
+    SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {KMV_K}
+),
+theta AS (
+    SELECT g,
+           CASE WHEN COUNT(*) >= {KMV_K} THEN MAX(h)
+                ELSE CAST({_KMV_RANGE} AS BIGINT) END AS theta
+    FROM sk GROUP BY g
+)
+SELECT sk.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sample,
+       CAST(COUNT(*) AS DOUBLE) * {float(_KMV_RANGE)!r}
+           / CAST(ANY_VALUE(t.theta) AS DOUBLE) AS est_distinct_users
+FROM sk JOIN theta t ON sk.g = t.g
+WHERE sk.h < t.theta
+GROUP BY sk.g
+ORDER BY event_type
+"""

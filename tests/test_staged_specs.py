@@ -2965,3 +2965,57 @@ def test_kcenter_crafted(spark, tmp_path):
     assert rows[1]["radius"] == (100 * _FP_UNITS) ** 2
     assert rows[2]["radius"] == (11 * _FP_UNITS) ** 2
     assert [r["radius"] for r in rows[3:]] == [_FP_UNITS**2, _FP_UNITS**2]
+
+
+def test_streaming_kmv_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: the streamed min-k fold vs the one-shot SQL
+    sketch reconstruction."""
+    from pac_spark.streaming.stateful import (
+        STREAMING_KMV_SQL,
+        streaming_kmv_distinct_users,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_kmv_distinct_users(spark, sf_dir), duck.sql(STREAMING_KMV_SQL())
+    )
+
+
+def test_streaming_kmv_merge_order_free_and_replay_safe(spark):
+    """Min-k monoid against the grain: partials merged in reverse
+    order with one batch folded twice must equal the single-shot
+    sketch (idempotence via the distinct union, boundedness via the
+    re-rank)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from pac_spark.operators.sketch import KMV_K, _kmv_sketches
+
+    rows = [("view", u) for u in range(200)] + [("click", u) for u in range(40, 60)]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    a = spark.createDataFrame(rows[:120], "event_type string, user_id long")
+    b = spark.createDataFrame(rows[120:], "event_type string, user_id long")
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .distinct()
+            .withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("h")))
+            .filter(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+
+    def canon(df):
+        return sorted((r["g"], r["h"]) for r in df.collect())
+
+    folded = merge(
+        merge(_kmv_sketches(b, "event_type", "user_id"),
+              _kmv_sketches(a, "event_type", "user_id")),
+        _kmv_sketches(a, "event_type", "user_id"),
+    )
+    single = _kmv_sketches(ev, "event_type", "user_id")
+    assert canon(folded) == canon(single)
+    # and the view regime is right: view has 200 > K distinct users
+    # (bounded sample), click has 20 < K (sample IS the set)
+    sizes = {g: sum(1 for gg, _ in canon(single) if gg == g) for g in ("view", "click")}
+    assert sizes["view"] == KMV_K and sizes["click"] == 20
