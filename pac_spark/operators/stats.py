@@ -35,6 +35,8 @@ from pac_spark import catalog
 from pac_spark.functions.exact import int_div
 
 __all__ = [
+    "cramers_v_lang_source",
+    "CRAMERS_V_SQL",
     "group_percentiles_disc",
     "mad_outliers_by_flag",
     "percentiles_price_by_flag",
@@ -1731,4 +1733,119 @@ SELECT p.lag, p.n_terms,
        CASE WHEN d.den > 0
             THEN CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE) END AS acf
 FROM pairs p CROSS JOIN den d ORDER BY p.lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (categorical association strength)
+
+
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength between a document's language and its
+    ingestion source — the full R×C chi-square contingency test
+    normalized to Cramér's V ∈ [0, 1]. The curation question it
+    answers: are sources language-balanced (V ≈ 0), or does "source"
+    secretly encode "language" (V → 1), in which case any
+    source-stratified split leaks language?
+
+    Determinism discipline: every cell's χ² term is ONE double
+    expression over exact integer counts ((o·n − r·c)² / (n·r·c),
+    factors cast to double before multiplying — the chi2_terms
+    precedent), but an R×C table needs a float SUM over cells, which
+    is partition-order-dependent — so each term is floored to 10⁻⁹
+    fixed point and summed as integers (the BM25 idiom); sqrt is
+    IEEE-identical cross-engine. EMPTY cells of the observed-marginal
+    grid contribute e = r·c/n (o = 0), so the grid is the explicit
+    marginal cross join — tiny (languages × sources), broadcast —
+    LEFT-joined to observed counts, never just the observed cells.
+    """
+    d = catalog.load(spark, sf_dir, "documents").select("lang", "source")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rmar = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_r"))
+    cmar = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rmar.crossJoin(F.broadcast(cmar))
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "n_r",
+            "n_c",
+            "n",
+        )
+    )
+    diff = (F.col("o") * F.col("n") - F.col("n_r") * F.col("n_c")).cast("double")
+    den = (
+        F.col("n").cast("double")
+        * F.col("n_r").cast("double")
+        * F.col("n_c").cast("double")
+    )
+    cell_fp = F.floor(diff * diff / den * F.lit(1e9)).cast("long")
+    grid = grid.withColumn("cell_fp", cell_fp)
+    dims = grid.agg(
+        F.sum("cell_fp").alias("chi2_fp"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.max("n").alias("n_docs"),
+    )
+    chi2 = F.col("chi2_fp").cast("double") / F.lit(1e9)
+    mindim = F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+    return dims.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        chi2.alias("chi2"),
+        F.when(
+            (mindim > 0) & (F.col("n_docs") > 0),
+            F.sqrt(
+                chi2 / (F.col("n_docs").cast("double") * mindim.cast("double"))
+            ),
+        ).alias("cramers_v"),
+    )
+
+
+def CRAMERS_V_SQL() -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    return """
+WITH d AS (SELECT lang, source FROM documents),
+obs AS (SELECT lang, source, COUNT(*) AS o FROM d GROUP BY 1, 2),
+rmar AS (SELECT lang, COUNT(*) AS n_r FROM d GROUP BY 1),
+cmar AS (SELECT source, COUNT(*) AS n_c FROM d GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM d),
+grid AS (
+    SELECT rmar.lang, cmar.source, COALESCE(obs.o, 0) AS o, n_r, n_c, n
+    FROM rmar CROSS JOIN cmar
+    LEFT JOIN obs ON obs.lang = rmar.lang AND obs.source = cmar.source
+    CROSS JOIN tot
+),
+cells AS (
+    SELECT *,
+           CAST(FLOOR(
+               CAST(o * n - n_r * n_c AS DOUBLE)
+               * CAST(o * n - n_r * n_c AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE))
+               * 1e9
+           ) AS BIGINT) AS cell_fp
+    FROM grid
+),
+dims AS (
+    SELECT SUM(cell_fp) AS chi2_fp,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           MAX(n) AS n_docs
+    FROM cells
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       CAST(chi2_fp AS DOUBLE) / 1e9 AS chi2,
+       CASE WHEN LEAST(n_langs - 1, n_sources - 1) > 0 AND n_docs > 0
+            THEN sqrt((CAST(chi2_fp AS DOUBLE) / 1e9)
+                      / (CAST(n_docs AS DOUBLE)
+                         * CAST(LEAST(n_langs - 1, n_sources - 1) AS DOUBLE)))
+       END AS cramers_v
+FROM dims
 """

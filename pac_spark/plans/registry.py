@@ -257,6 +257,10 @@ def all_specs() -> list[QuerySpec]:
     #   k-bounded state; oracle stateful.STREAMING_KMV_SQL (one-shot
     #   SQL sketch rebuild), green at 3 SFs + reverse/replay merge
     #   test)
+    # - cramers_v_lang_source (operators/stats.py, R×C chi-square /
+    #   Cramér's V with fixed-point cell terms + explicit empty cells;
+    #   oracle stats.CRAMERS_V_SQL, green at 3 SFs + determined/
+    #   balanced limit-case crafted test)
     # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
     #   MK trend significance + calendar-lag ACF; oracles
     #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted

@@ -3019,3 +3019,51 @@ def test_streaming_kmv_merge_order_free_and_replay_safe(spark):
     # (bounded sample), click has 20 < K (sample IS the set)
     sizes = {g: sum(1 for gg, _ in canon(single) if gg == g) for g in ("view", "click")}
     assert sizes["view"] == KMV_K and sizes["click"] == 20
+
+
+def test_cramers_v_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: R×C chi-square / Cramér's V vs the identical
+    fixed-point-cell oracle."""
+    from pac_spark.operators.stats import CRAMERS_V_SQL, cramers_v_lang_source
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        cramers_v_lang_source(spark, sf_dir), duck.sql(CRAMERS_V_SQL())
+    )
+
+
+def test_cramers_v_crafted(spark, tmp_path):
+    """Limit cases pinned: a table where source DETERMINES lang has
+    V = 1 (up to the 1e-9 cell flooring); a perfectly balanced table
+    has chi2 = 0 and V = 0; empty cells of the marginal grid
+    contribute their expected count (the determined case has them)."""
+    import pandas as pd
+
+    det = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["x"] * 8,
+            "lang": ["en"] * 4 + ["de"] * 4,
+            "source": ["web"] * 4 + ["books"] * 4,
+            "n_chars": [1] * 8,
+        }
+    )
+    det.to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.stats import cramers_v_lang_source
+
+    [r] = cramers_v_lang_source(spark, str(tmp_path)).collect()
+    assert (r["n_langs"], r["n_sources"]) == (2, 2)
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+    bal = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["x"] * 8,
+            "lang": ["en", "de"] * 4,
+            "source": ["web"] * 4 + ["books"] * 4,
+            "n_chars": [1] * 8,
+        }
+    )
+    bal.to_parquet(tmp_path / "documents.parquet")
+    [r] = cramers_v_lang_source(spark, str(tmp_path)).collect()
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
