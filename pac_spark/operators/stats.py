@@ -36,6 +36,8 @@ from pac_spark.functions.exact import int_div
 
 __all__ = [
     "cramers_v_lang_source",
+    "weighted_percentiles_price_by_flag",
+    "WEIGHTED_PCT_SQL",
     "CRAMERS_V_SQL",
     "group_percentiles_disc",
     "mad_outliers_by_flag",
@@ -82,10 +84,17 @@ def group_percentiles_disc(
     group_cols: list[str],
     value: str,
     pcts: tuple[int, ...] = PCTS,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Exact discrete percentiles of ``value`` per group, histogram
     route. Output: group cols + ``n_values`` + one ``p{p}`` column per
     requested percentile.
+
+    With ``weight`` (an integer Column), the histogram accumulates
+    weights instead of row counts and ``n_values`` is the total
+    weight: the read-off ``cum·100 ≥ p·n`` is unchanged — weighted
+    discrete percentiles ARE the count read-off over the weighted
+    histogram (each row standing for ``weight`` unit rows).
 
     The window partitions by the group key over DISTINCT values — the
     one structural cost; its input is the histogram, whose size per
@@ -95,7 +104,9 @@ def group_percentiles_disc(
     ``text.lang_quality_quantiles`` does approximately); this operator
     keeps single-level exactness.
     """
-    hist = df.groupBy(*group_cols, value).agg(F.count("*").alias("_c"))
+    hist = df.groupBy(*group_cols, value).agg(
+        (F.count("*") if weight is None else F.sum(weight)).alias("_c")
+    )
     cum_w = (
         W.partitionBy(*group_cols)
         .orderBy(value)
@@ -1848,4 +1859,48 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
                          * CAST(LEAST(n_langs - 1, n_sources - 1) AS DOUBLE)))
        END AS cramers_v
 FROM dims
+"""
+
+
+def weighted_percentiles_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted price percentiles per return flag: the price
+    below which p% of shipped UNITS fall — the distributional readout
+    that a per-line percentile silently misstates whenever cheap lines
+    carry big quantities (a 97-unit line is one vote in the unweighted
+    histogram but 97 votes here). Same single rendering of the
+    ``cum·100 ≥ p·n`` read-off (:func:`group_percentiles_disc`), with
+    the histogram accumulating integer quantities."""
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("_w"),
+    )
+    return group_percentiles_disc(
+        li, ["l_returnflag"], "l_extendedprice", weight=F.col("_w")
+    ).withColumnRenamed("n_values", "total_units").orderBy("l_returnflag")
+
+
+def WEIGHTED_PCT_SQL(pcts: tuple[int, ...] = PCTS) -> str:
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    reads = ",\n       ".join(
+        f"MIN(CASE WHEN cum * 100 >= {p} * n THEN l_extendedprice END) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+WITH hist AS (
+    SELECT l_returnflag, l_extendedprice,
+           SUM(CAST(l_quantity AS BIGINT)) AS c
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, l_extendedprice, c,
+           SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY l_returnflag) AS n
+    FROM hist
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS total_units,
+       {reads}
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
 """

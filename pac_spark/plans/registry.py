@@ -292,6 +292,10 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - weighted_percentiles_price_by_flag (operators/stats.py,
+    #   quantity-weighted discrete percentiles via the weighted
+    #   histogram read-off; oracle stats.WEIGHTED_PCT_SQL, green at
+    #   3 SFs + 97-unit-line weighting crafted test)
     # - streaming_purchase_click_left_join (streaming/stream_exec.py,
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at

@@ -3067,3 +3067,48 @@ def test_cramers_v_crafted(spark, tmp_path):
     bal.to_parquet(tmp_path / "documents.parquet")
     [r] = cramers_v_lang_source(spark, str(tmp_path)).collect()
     assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_weighted_percentiles_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: quantity-weighted price percentiles vs the
+    identical weighted-histogram read-off oracle."""
+    from pac_spark.operators.stats import (
+        WEIGHTED_PCT_SQL,
+        weighted_percentiles_price_by_flag,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        weighted_percentiles_price_by_flag(spark, sf_dir),
+        duck.sql(WEIGHTED_PCT_SQL()),
+    )
+
+
+def test_weighted_percentiles_crafted(spark, tmp_path):
+    """Weighting semantics pinned: prices 10/20/30/40 with quantities
+    97/1/1/1 have weighted p50 = 10 (97 of 100 units are at 10) where
+    the unweighted per-line median is 20; the unweighted path is
+    regression-guarded on the same table."""
+    import pandas as pd
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 1],
+            "l_partkey": [1, 2, 3, 4],
+            "l_suppkey": [1, 1, 1, 1],
+            "l_returnflag": ["N"] * 4,
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0],
+            "l_quantity": [97.0, 1.0, 1.0, 1.0],
+        }
+    )
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.stats import (
+        percentiles_price_by_flag,
+        weighted_percentiles_price_by_flag,
+    )
+
+    [w] = weighted_percentiles_price_by_flag(spark, str(tmp_path)).collect()
+    assert w["total_units"] == 100
+    assert (w["p25"], w["p50"], w["p90"], w["p99"]) == (10.0, 10.0, 10.0, 30.0)
+    [u] = percentiles_price_by_flag(spark, str(tmp_path)).collect()
+    assert u["p50"] == 20.0
