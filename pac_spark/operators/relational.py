@@ -23,7 +23,7 @@ DataFrame`` plan built for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -59,6 +59,8 @@ __all__ = [
     "basket_part_pairs",
     "rolling_1h_user_stats",
     "daily_user_accounting",
+    "user_growth_accounting",
+    "GROWTH_SQL",
     "user_day_accounting",
     "skyline_suppliers",
     "SKYLINE_SQL",
@@ -996,4 +998,122 @@ WHERE NOT EXISTS (
       AND (a.cost_cents < s.cost_cents OR a.total_qty > s.total_qty)
 )
 ORDER BY total_cost, suppkey
+"""
+
+
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain growth accounting: split each day's active users into
+    NEW (first-ever day), RETAINED (also active the previous day) and
+    RESURRECTED (seen before, but not yesterday), plus the day's
+    CHURNED count (active yesterday, absent today) — the four-state
+    lifecycle readout behind every "growth accounting" chart, with the
+    flow identity ``active(d) − active(d−1) = new + resurrected −
+    churned`` holding exactly on every row.
+
+    Plan: one distinct over (user, day), then two per-user day-ordered
+    windows — ``lag(day)`` classifies the state, ``lead(day)`` emits
+    the churn day (the day AFTER a gap opens, including the day after
+    a user's last activity) — and a per-day conditional-sum aggregate.
+    The windows partition by user (bounded by a user's own day count,
+    never calendar-wide), so the only shuffles are the distinct and
+    the two user-keyed windows sharing one partitioning; the final
+    day-axis frame is calendar-sized. Churn days land via a full-outer
+    day join so a day with zero activity but positive churn (everyone
+    left) still appears, zero-filled.
+    """
+    days = (
+        catalog.load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    # lag + lead in ONE window pass; each row then emits its own
+    # (day, state) plus — when a gap opens after it — a (day+1,
+    # 'churned') marker, so the whole readout is ONE scan, one
+    # user-keyed window, a ≤2× explode and one day-grain aggregate
+    # (no second scan, no full-outer day join)
+    cls = days.select(
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    state = (
+        F.when(F.col("prev_day").isNull(), F.lit("new"))
+        .when(F.datediff("day", "prev_day") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    active = F.struct(F.col("day"), state.alias("state"))
+    churned = F.struct(
+        F.date_add("day", 1).alias("day"), F.lit("churned").alias("state")
+    )
+    gap_opens = F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1)
+    marks = cls.select(
+        F.explode(
+            F.when(gap_opens, F.array(active, churned)).otherwise(F.array(active))
+        ).alias("m")
+    ).select("m.day", "m.state")
+
+    def _n(s: str) -> Column:
+        return F.sum(F.when(F.col("state") == s, 1).otherwise(0))
+
+    return (
+        marks.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("state") != "churned", 1).otherwise(0)).alias(
+                "n_active_users"
+            ),
+            _n("new").alias("n_new_users"),
+            _n("retained").alias("n_retained_users"),
+            _n("resurrected").alias("n_resurrected_users"),
+            _n("churned").alias("n_churned_users"),
+        )
+        .select(F.col("day").cast("string").alias("day"), *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "n_active_users",
+                "n_new_users",
+                "n_retained_users",
+                "n_resurrected_users",
+                "n_churned_users",
+            )
+        ])
+        .orderBy("day")
+    )
+
+
+GROWTH_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cls AS (
+    SELECT day,
+           CASE WHEN prev_day IS NULL THEN 'new'
+                WHEN day - prev_day = 1 THEN 'retained'
+                ELSE 'resurrected' END AS state
+    FROM (SELECT user_id, day,
+                 LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+          FROM days)
+), by_day AS (
+    SELECT day,
+           COUNT(*) AS n_active_users,
+           SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS n_new_users,
+           SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS n_retained_users,
+           SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+               AS n_resurrected_users
+    FROM cls GROUP BY day
+), churn AS (
+    SELECT day + 1 AS day, COUNT(*) AS n_churned_users
+    FROM (SELECT user_id, day,
+                 LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+          FROM days)
+    WHERE next_day IS NULL OR next_day - day > 1
+    GROUP BY day + 1
+)
+SELECT strftime(COALESCE(b.day, c.day), '%Y-%m-%d') AS day,
+       CAST(COALESCE(b.n_active_users, 0) AS BIGINT) AS n_active_users,
+       CAST(COALESCE(b.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(COALESCE(b.n_retained_users, 0) AS BIGINT) AS n_retained_users,
+       CAST(COALESCE(b.n_resurrected_users, 0) AS BIGINT) AS n_resurrected_users,
+       CAST(COALESCE(c.n_churned_users, 0) AS BIGINT) AS n_churned_users
+FROM by_day b FULL OUTER JOIN churn c ON b.day = c.day
+ORDER BY day
 """

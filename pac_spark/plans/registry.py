@@ -292,6 +292,11 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - user_growth_accounting (operators/relational.py, four-state
+    #   new/retained/resurrected/churned lifecycle readout, single-
+    #   scan explode-marker plan; oracle relational.GROWTH_SQL, green
+    #   at 3 SFs + flow-identity property + crafted lifecycle test +
+    #   plan test)
     # - weighted_percentiles_price_by_flag (operators/stats.py,
     #   quantity-weighted discrete percentiles via the weighted
     #   histogram read-off; oracle stats.WEIGHTED_PCT_SQL, green at

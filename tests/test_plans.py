@@ -605,3 +605,18 @@ def test_epoch_interleave_no_global_data_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         assert "HashAggregate" in chunk.split("Exchange")[0] or "HashAggregate" in chunk
+
+
+def test_user_growth_accounting_plan_shape(spark, sf_dir):
+    """Growth accounting is ONE scan of events (the churn markers are
+    emitted by the same windowed rows via explode — no second
+    scan/distinct branch and no day-axis outer join), with no
+    cartesian product and a bounded exchange count (distinct +
+    user window + day agg + output sort)."""
+    from pac_spark.operators.relational import user_growth_accounting
+    from tests.test_plans import _exec_plan
+
+    plan = _exec_plan(user_growth_accounting(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 5, plan.count("Exchange")

@@ -3112,3 +3112,78 @@ def test_weighted_percentiles_crafted(spark, tmp_path):
     assert (w["p25"], w["p50"], w["p90"], w["p99"]) == (10.0, 10.0, 10.0, 30.0)
     [u] = percentiles_price_by_flag(spark, str(tmp_path)).collect()
     assert u["p50"] == 20.0
+
+
+def test_user_growth_accounting_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: four-state growth accounting vs the identical
+    lag/lead classification oracle."""
+    from pac_spark.operators.relational import GROWTH_SQL, user_growth_accounting
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        user_growth_accounting(spark, sf_dir), duck.sql(GROWTH_SQL)
+    )
+
+
+def test_user_growth_accounting_flow_identity(spark, sf_dir):
+    """The flow identity active(d) − active(d−1) = new + resurrected −
+    churned must hold on EVERY consecutive-day pair (days with zero
+    activity count as active = 0)."""
+    from pac_spark.operators.relational import user_growth_accounting
+
+    rows = user_growth_accounting(spark, sf_dir).collect()
+    by_day = {r["day"]: r for r in rows}
+    import datetime as dt
+
+    first = dt.date.fromisoformat(rows[0]["day"])
+    last = dt.date.fromisoformat(rows[-1]["day"])
+    prev_active = 0
+    d = first
+    while d <= last:
+        r = by_day.get(d.isoformat())
+        active = r["n_active_users"] if r else 0
+        new = r["n_new_users"] if r else 0
+        res = r["n_resurrected_users"] if r else 0
+        ret = r["n_retained_users"] if r else 0
+        churn = r["n_churned_users"] if r else 0
+        assert active - prev_active == new + res - churn, d
+        assert active == new + ret + res, d
+        prev_active = active
+        d += dt.timedelta(days=1)
+
+
+def test_user_growth_accounting_crafted(spark, tmp_path):
+    """Lifecycle pinned: user 7 active days 1,2,4; user 8 active day 2
+    only. Day 3 has zero actives but churn 2 (both leave); day 4 is a
+    pure resurrection; day 5 carries the final churn."""
+    import pandas as pd
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01 09:00"), 7, "view", 1.0),
+        (2, pd.Timestamp("2024-01-02 09:00"), 7, "view", 1.0),
+        (3, pd.Timestamp("2024-01-02 18:00"), 7, "click", 1.0),  # dup day
+        (4, pd.Timestamp("2024-01-04 09:00"), 7, "view", 1.0),
+        (5, pd.Timestamp("2024-01-02 12:00"), 8, "view", 1.0),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.relational import user_growth_accounting
+
+    got = {
+        r["day"]: (
+            r["n_active_users"],
+            r["n_new_users"],
+            r["n_retained_users"],
+            r["n_resurrected_users"],
+            r["n_churned_users"],
+        )
+        for r in user_growth_accounting(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 1, 0, 0, 0),
+        "2024-01-02": (2, 1, 1, 0, 0),
+        "2024-01-03": (0, 0, 0, 0, 2),
+        "2024-01-04": (1, 0, 0, 1, 0),
+        "2024-01-05": (0, 0, 0, 0, 1),
+    }
