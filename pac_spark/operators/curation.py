@@ -45,6 +45,9 @@ __all__ = [
     "source_overlap_matrix",
     "SOURCE_OVERLAP_SQL",
     "epoch_interleave_positions",
+    "priority_sample_docs",
+    "PRIORITY_SAMPLE_SQL",
+    "PRIORITY_SAMPLE_K",
     "EPOCH_INTERLEAVE_SQL",
 ]
 
@@ -681,4 +684,142 @@ rr AS (
 SELECT doc_id, source, within_pos,
        ROW_NUMBER() OVER (ORDER BY within_pos, source) AS epoch_pos
 FROM rr ORDER BY doc_id
+"""
+
+
+# priority-sample size per source: small enough that estimation is
+# genuinely sub-linear at every test SF (sf0.001 has ~25 docs/source,
+# so some groups sample everything — the exact-when-exhaustive branch
+# is exercised — while sf0.01+ estimate from a strict subset)
+PRIORITY_SAMPLE_K = 16
+_P60 = "CAST('1152921504606846976' AS DECIMAL(38,0))"  # 2^60
+
+
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted priority sample per source (Duffield,
+    Lund & Thorup, JACM'07) + the subset-sum total-weight estimator:
+    every doc draws priority ``q = w / u`` with weight ``w`` its byte
+    length and ``u`` a uniform hash draw; the k highest-priority docs
+    per source are THE sample, and ``Σ max(w_i, τ)`` over them — with
+    ``τ`` the (k+1)-th priority — is an unbiased estimate of the
+    source's total bytes. One sampling scheme answers arbitrary
+    subset-sum queries later, which is why priority sampling (not
+    uniform rows) is the right reservoir for corpus accounting.
+
+    Determinism: ``u = (h+1)/2^60`` from a salted 60-bit md5 of
+    doc_id, so ``q = floor(w·2^60/(h+1))`` is exact DECIMAL(38,0)
+    arithmetic via the remainder-subtracted division (numerator
+    ~2^75 — far past :func:`~pac_spark.functions.exact.int_div`'s
+    2^53 long contract); the oracle mirrors it digit-for-digit in
+    HUGEINT. No RNG, no seed, any cluster layout.
+
+    Scale shape: the ``row_number() <= k+1`` filter compiles to
+    WindowGroupLimit (asserted in test_plans), so every input
+    partition keeps only its own top-(k+1) heap BEFORE the one
+    source-keyed shuffle — the sort never sees the corpus. The exact
+    totals branch is a separate map-side-combined aggregate; both
+    reductions are source-cardinality-sized, so the final join
+    broadcasts.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.octet_length(F.coalesce("text", F.lit(""))).cast("long").alias("w"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("w").alias("total_bytes")
+    )
+    dec = "decimal(38,0)"
+    h = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(F.lit("ps|"), F.col("doc_id").cast("string")), "UTF-8")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    num = F.col("w").cast(dec) * F.expr(_P60)
+    den = (h + F.lit(1)).cast(dec)
+    q = ((num - num % den) / den).cast(dec)
+    k = PRIORITY_SAMPLE_K
+    rn_w = W.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    top = (
+        docs.withColumn("q", q)
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= k + 1)
+    )
+    tau = F.max(F.when(F.col("rn") == k + 1, F.col("q")).otherwise(F.lit(0).cast(dec)))
+    est = top.groupBy("source").agg(
+        F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).alias("n_sampled"),
+        tau.alias("_tau"),
+    )
+    # max(w, tau) needs tau on each sampled row: re-join the two tiny
+    # per-source frames (both <= (k+1) rows/source), then one more agg
+    contrib = (
+        top.filter(F.col("rn") <= k)
+        .join(F.broadcast(est), "source")
+        .groupBy("source", "n_sampled")
+        .agg(
+            F.sum(F.greatest(F.col("w").cast(dec), F.col("_tau")))
+            .cast(dec)
+            .alias("_est")
+        )
+    )
+    return (
+        totals.join(F.broadcast(contrib), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.col("_est").cast("double").alias("est_total_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+PRIORITY_SAMPLE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(strlen(COALESCE(text, '')) AS HUGEINT) AS w,
+           {{h}} AS h
+    FROM documents
+), pri AS (
+    SELECT doc_id, source, w,
+           (w * CAST('1152921504606846976' AS HUGEINT))
+               // (CAST(h AS HUGEINT) + 1) AS q
+    FROM d
+), ranked AS (
+    SELECT source, w, q,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY q DESC, doc_id ASC) AS rn
+    FROM pri
+), top AS (
+    SELECT * FROM ranked WHERE rn <= {PRIORITY_SAMPLE_K} + 1
+), est AS (
+    SELECT source,
+           SUM(CASE WHEN rn <= {PRIORITY_SAMPLE_K} THEN 1 ELSE 0 END)
+               AS n_sampled,
+           MAX(CASE WHEN rn = {PRIORITY_SAMPLE_K} + 1 THEN q
+                    ELSE CAST(0 AS HUGEINT) END) AS tau
+    FROM top GROUP BY source
+), contrib AS (
+    SELECT t.source, e.n_sampled,
+           SUM(CASE WHEN t.w > e.tau THEN t.w ELSE e.tau END) AS est_bytes
+    FROM top t JOIN est e ON t.source = e.source
+    WHERE t.rn <= {PRIORITY_SAMPLE_K}
+    GROUP BY t.source, e.n_sampled
+), totals AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(strlen(COALESCE(text, ''))) AS total_bytes
+    FROM documents GROUP BY source
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.total_bytes AS BIGINT) AS total_bytes,
+       CAST(c.n_sampled AS BIGINT) AS n_sampled,
+       CAST(c.est_bytes AS DOUBLE) AS est_total_bytes
+FROM totals t JOIN contrib c ON t.source = c.source
+ORDER BY t.source
 """

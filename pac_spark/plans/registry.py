@@ -292,6 +292,11 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - priority_sample_docs (operators/curation.py, Duffield-Lund-
+    #   Thorup weighted priority sample + subset-sum total estimator,
+    #   WindowGroupLimit partial top-k heaps; oracle
+    #   curation.PRIORITY_SAMPLE_SQL (HUGEINT mirror), green at 3 SFs
+    #   + INDEPENDENT pure-hashlib reference test + plan test)
     # - user_growth_accounting (operators/relational.py, four-state
     #   new/retained/resurrected/churned lifecycle readout, single-
     #   scan explode-marker plan; oracle relational.GROWTH_SQL, green

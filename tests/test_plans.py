@@ -620,3 +620,17 @@ def test_user_growth_accounting_plan_shape(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 5, plan.count("Exchange")
+
+
+def test_priority_sample_plan_shape(spark, sf_dir):
+    """The rn <= k+1 filter must compile to WindowGroupLimit (partial
+    per-partition top-(k+1) heaps BEFORE the source shuffle — the sort
+    never sees the corpus), and the two source-sized reduction frames
+    join by broadcast."""
+    from pac_spark.operators.curation import priority_sample_docs
+    from tests.test_plans import _exec_plan
+
+    plan = _exec_plan(priority_sample_docs(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2, plan.count("BroadcastHashJoin")

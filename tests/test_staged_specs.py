@@ -3187,3 +3187,75 @@ def test_user_growth_accounting_crafted(spark, tmp_path):
         "2024-01-04": (1, 0, 0, 1, 0),
         "2024-01-05": (0, 0, 0, 0, 1),
     }
+
+
+def test_priority_sample_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: Duffield-Lund-Thorup priority sample +
+    subset-sum estimator vs the HUGEINT oracle."""
+    from pac_spark.functions.hashing import md5_u60_sql
+    from pac_spark.operators.curation import (
+        PRIORITY_SAMPLE_SQL,
+        priority_sample_docs,
+    )
+    from tests.conftest import assert_oracle_match
+
+    sql = PRIORITY_SAMPLE_SQL.format(
+        h=md5_u60_sql("'ps|' || CAST(doc_id AS VARCHAR)")
+    )
+    assert_oracle_match(priority_sample_docs(spark, sf_dir), duck.sql(sql))
+
+
+def test_priority_sample_python_reference(spark, tmp_path):
+    """INDEPENDENT formulation: a pure-Python hashlib reimplementation
+    of the whole scheme (priorities, top-k, tau, estimator) must agree
+    exactly — including the n <= k exhaustive branch where the
+    estimate IS the exact total (tau = 0)."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = []
+    # src 'big' has 30 docs (> k=16, real estimation); 'tiny' has 3
+    for i in range(30):
+        rows.append((i, "x" * (20 + 7 * i), "en", "big", 20 + 7 * i))
+    for i in range(30, 33):
+        rows.append((i, "y" * (10 + i), "en", "tiny", 10 + i))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from pac_spark.operators.curation import PRIORITY_SAMPLE_K, priority_sample_docs
+
+    k = PRIORITY_SAMPLE_K
+    expected = {}
+    by_src = {}
+    for doc_id, text, _, src, _ in rows:
+        by_src.setdefault(src, []).append((doc_id, text))
+    for src, docs in by_src.items():
+        pri = []
+        for doc_id, text in docs:
+            w = len(text.encode())
+            h = int(hashlib.md5(f"ps|{doc_id}".encode()).hexdigest()[:15], 16)
+            pri.append((w * 2**60 // (h + 1), -doc_id, w))
+        pri.sort(reverse=True)
+        top = pri[:k]
+        tau = pri[k][0] if len(pri) > k else 0
+        expected[src] = (
+            len(docs),
+            sum(w for _, _, w in pri),
+            len(top),
+            float(sum(max(w, tau) for _, _, w in top)),
+        )
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_bytes"],
+            r["n_sampled"],
+            r["est_total_bytes"],
+        )
+        for r in priority_sample_docs(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # exhaustive branch: the tiny source's estimate is exact
+    assert got["tiny"][3] == float(got["tiny"][1])
