@@ -292,6 +292,12 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - prefix_filter_neardup_pairs (operators/dedup.py, PPJoin-style
+    #   prefix-filter tier — complete exact-Jaccard candidates from a
+    #   ~(1−τ)-fraction index, no df cap needed; oracle is the
+    #   INDEPENDENT full-inverted-index llm_plans._NGRAM_JACCARD,
+    #   green at 3 SFs + cross-tier equality + adversarial
+    #   common-overlap crafted test + plan/index-reduction test)
     # - priority_sample_docs (operators/curation.py, Duffield-Lund-
     #   Thorup weighted priority sample + subset-sum total estimator,
     #   WindowGroupLimit partial top-k heaps; oracle

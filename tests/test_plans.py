@@ -634,3 +634,34 @@ def test_priority_sample_plan_shape(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") == 2, plan.count("BroadcastHashJoin")
+
+
+def test_prefix_filter_plan_and_index_reduction(spark, sf_dir):
+    """The prefix tier joins candidates (no cartesian product), and
+    the indexed prefix really is the ~(1-tau) fraction: at tau = 0.8
+    the prefix rows are under 35% of the full shingle rows."""
+    from pac_spark.operators.dedup import _doc_shingles, prefix_filter_neardup_pairs
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from pac_spark.functions.exact import int_div
+    from tests.test_plans import _exec_plan
+
+    plan = _exec_plan(prefix_filter_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+    sh = _doc_shingles(spark, sf_dir)
+    total = sh.count()
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    p = (
+        F.col("n_shingles")
+        - int_div(F.lit(4) * F.col("n_shingles") + F.lit(4), F.lit(5))
+        + F.lit(1)
+    )
+    n_prefix = (
+        sh.join(df_tab, "shingle")
+        .select("doc_id", "n_shingles", F.row_number().over(w).alias("pos"), p.alias("p"))
+        .filter(F.col("pos") <= F.col("p"))
+        .count()
+    )
+    assert n_prefix < 0.35 * total, (n_prefix, total)

@@ -3259,3 +3259,58 @@ def test_priority_sample_python_reference(spark, tmp_path):
     assert got == expected
     # exhaustive branch: the tiny source's estimate is exact
     assert got["tiny"][3] == float(got["tiny"][1])
+
+
+def test_prefix_filter_neardup_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: the prefix-filter tier must reproduce the
+    INDEPENDENT full-inverted-index exact-Jaccard oracle (which knows
+    nothing about prefixes — an incomplete filter loses rows here)."""
+    from pac_spark.operators.dedup import prefix_filter_neardup_pairs
+    from pac_spark.plans.llm_plans import _NGRAM_JACCARD
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        prefix_filter_neardup_pairs(spark, sf_dir), duck.sql(_NGRAM_JACCARD)
+    )
+
+
+def test_prefix_filter_matches_inverted_index_tier(spark, sf_dir):
+    """Cross-tier consistency: the prefix-filter tier and the
+    df-capped inverted-index tier are different algorithms computing
+    the SAME exact relation."""
+    from pac_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_neardup_pairs,
+    )
+
+    a = sorted(map(tuple, prefix_filter_neardup_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_prefix_filter_adversarial_common_overlap(spark, tmp_path):
+    """Adversarial completeness case: the near-dup pair's SHARED
+    shingles are corpus-common (high df, sorted last) while each
+    doc's unique shingles are rare (sorted first, filling the
+    prefix). The prefix theorem still guarantees a collision; a
+    buggy 'index the rare tokens' heuristic would miss the pair."""
+    import pandas as pd
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = [(0, base + " mike", "en", "s", 1), (1, base + " november", "en", "s", 1)]
+    # make the base shingles common: many other docs carry them
+    for i in range(2, 12):
+        rows.append((i, base + f" unique{i} only{i}", "en", "s", 1))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    from pac_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_neardup_pairs,
+    )
+
+    got = prefix_filter_neardup_pairs(spark, str(tmp_path)).collect()
+    want = ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in got)
