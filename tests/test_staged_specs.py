@@ -1237,6 +1237,10 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         temporal.daily_coverage_us,
         temporal.time_weighted_value_by_user,
         stats.percentiles_cont_price_by_flag,
+        stats.weighted_percentiles_price_by_flag,
+        relational.user_growth_accounting,
+        curation.priority_sample_docs,
+        dedup_mod.prefix_filter_neardup_pairs,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
