@@ -35,6 +35,9 @@ __all__ = [
     "chi2_terms_by_source",
     "CHI2_SQL",
     "bm25_topk_docs",
+    "phrase_match_docs",
+    "PHRASE_MATCH_SQL",
+    "PHRASE_QUERY",
     "BM25_SQL",
     "token_gini_by_source",
     "TOKEN_GINI_SQL",
@@ -1201,3 +1204,69 @@ def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("quality_score") * QUALITY_SCALE).cast("long").alias("q_fp"),
     )
     return _quantile_normalize(d)
+
+
+# registered phrase: two words so every test SF has matches, with a
+# repeated word so OVERLAPPING occurrences are exercised ("batch batch
+# batch" contains the phrase twice); longer chains covered in tests
+PHRASE_QUERY = "batch batch"
+
+
+def phrase_match_docs(
+    spark: SparkSession, sf_dir: str, phrase: str = PHRASE_QUERY
+) -> DataFrame:
+    """Exact phrase retrieval via a POSITIONAL inverted index: docs
+    containing the query words as a consecutive token run, with the
+    OVERLAPPING occurrence count and the first match position —
+    `LIKE '%...%'` pushed into index shape. Each query word selects
+    its posting rows (doc_id, pos); word i joins word 0's postings on
+    ``(doc_id, pos + i)``, so a match row survives exactly per start
+    position.
+
+    Scale shape: the posting scan filters to the query's words BEFORE
+    any shuffle (a real deployment serves it from a stored (token,
+    doc, pos) index — here the index build is the explode), and every
+    join is an equi-join on (doc_id, expected_pos) of already-selective
+    frames; no window, no per-doc buffering. The oracle is the
+    formulation-diverse per-row array slide (``tk[i:i+m-1]`` equality
+    over an unnested position range) — it never builds an index, so
+    index bugs (off-by-one positions, dropped duplicates) cannot
+    cancel out.
+    """
+    words = phrase.split(" ")
+    posting = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+        .filter(F.col("tok").isin(words))
+    )
+    starts = posting.filter(F.col("tok") == words[0]).select("doc_id", "pos")
+    for i, wd in enumerate(words[1:], start=1):
+        nxt = posting.filter(F.col("tok") == wd).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        starts = starts.join(nxt, ["doc_id", "pos"])
+    return (
+        starts.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def PHRASE_MATCH_SQL(phrase: str = PHRASE_QUERY) -> str:
+    """INDEPENDENT oracle: per-row token-array slide, no index."""
+    m = len(phrase.split(" "))
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+hits AS (
+    SELECT doc_id, u.i
+    FROM tk, UNNEST(range(1, len(tk) - {m} + 2)) AS u(i)
+    WHERE array_to_string(tk[i:i+{m - 1}], ' ') = '{phrase}'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""

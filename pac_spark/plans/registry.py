@@ -292,6 +292,11 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - phrase_match_docs (operators/text.py, positional-inverted-
+    #   index exact phrase retrieval with overlapping occurrence
+    #   counts; INDEPENDENT per-row array-slide oracle
+    #   text.PHRASE_MATCH_SQL, green at 3 SFs + overlap/chain
+    #   crafted test)
     # - prefix_filter_neardup_pairs (operators/dedup.py, PPJoin-style
     #   prefix-filter tier — complete exact-Jaccard candidates from a
     #   ~(1−τ)-fraction index, no df cap needed; oracle is the

@@ -1241,6 +1241,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         relational.user_growth_accounting,
         curation.priority_sample_docs,
         dedup_mod.prefix_filter_neardup_pairs,
+        text.phrase_match_docs,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
@@ -3318,3 +3319,43 @@ def test_prefix_filter_adversarial_common_overlap(spark, tmp_path):
     want = ngram_jaccard_pairs(spark, str(tmp_path)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in got)
+
+
+def test_phrase_match_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: positional-index phrase retrieval vs the
+    INDEPENDENT per-row array-slide oracle."""
+    from pac_spark.operators.text import PHRASE_MATCH_SQL, phrase_match_docs
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(phrase_match_docs(spark, sf_dir), duck.sql(PHRASE_MATCH_SQL()))
+
+
+def test_phrase_match_crafted(spark, tmp_path):
+    """Overlap + chain semantics pinned: 'batch batch batch batch'
+    holds the 2-gram THREE times (overlapping) and a 3-word chain
+    twice; a doc with the words present but never consecutive must
+    not match."""
+    import pandas as pd
+
+    rows = [
+        (0, "x batch batch batch batch y", "en", "s", 1),
+        (1, "batch x batch y batch z", "en", "s", 1),  # words, no run
+        (2, "a b batch batch", "en", "s", 1),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import phrase_match_docs
+
+    two = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_match_docs(spark, str(tmp_path), "batch batch").collect()
+    }
+    assert two == {0: (3, 1), 2: (1, 2)}
+    three = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_match_docs(
+            spark, str(tmp_path), "batch batch batch"
+        ).collect()
+    }
+    assert three == {0: (2, 1)}
