@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
 from pac_spark.functions.exact import money_sum
@@ -31,6 +32,8 @@ __all__ = [
     "key_skew_report",
     "compaction_roundtrip",
     "zorder_roundtrip",
+    "clustering_depth",
+    "clustering_depth_events",
     "bloom_pruned_orders_join",
 ]
 
@@ -333,4 +336,118 @@ def bloom_pruned_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(disc_price, scale=4).alias("revenue"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# file count for the range-clustered audit layout; matches _Z_FILES so
+# the two clustered layouts are comparable in the depth report
+_CLUSTER_FILES = 16
+
+
+def clustering_depth(
+    spark: SparkSession, path: str, layout: str, cols: list[str]
+) -> DataFrame:
+    """Zone-map quality audit for one parquet layout: per column, how
+    many files' [min, max] ranges overlap — the metric deciding
+    whether footer statistics can prune a scan (Snowflake publishes
+    the same idea as *clustering depth*). depth_f = number of files
+    whose range covers file f's minimum (itself included), read off a
+    sweep line: (+1 at lo, −1 after hi) events, one running sum in
+    (value, start-before-end, file) order — touching ranges count as
+    overlapping. A perfectly clustered column reports avg = 100
+    centi-depth (every file prunable independently); a hash/debris
+    layout reports depth ≈ n_files (statistics prune nothing).
+
+    Scale shape: the only full-data pass is the per-file min/max
+    aggregate (map-side-combined, keyed on ``input_file_name()`` —
+    at a deployment this reads footer metadata instead of data); all
+    sweep arithmetic runs over the files×cols interval frame, which
+    is metadata-sized.
+    """
+    from pac_spark.functions.exact import int_div
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"lo_{c}"))
+        aggs.append(F.max(c).cast("long").alias(f"hi_{c}"))
+    per_file = df.groupBy(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("f")
+    ).agg(*aggs)
+    quads = ", ".join(f"'{c}', lo_{c}, hi_{c}" for c in cols)
+    intervals = per_file.select(
+        "f", F.expr(f"stack({len(cols)}, {quads}) AS (col, lo, hi)")
+    )
+    events = intervals.select(
+        "f",
+        "col",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("v"), F.lit(0).alias("t")),
+                F.struct(F.col("hi").alias("v"), F.lit(1).alias("t")),
+            )
+        ).alias("e"),
+    ).select("f", "col", "e.v", "e.t", F.when(F.col("e.t") == 0, 1).otherwise(-1).alias("d"))
+    win = (
+        W.partitionBy("col")
+        .orderBy("v", "t", "f")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    depths = (
+        events.withColumn("depth", F.sum("d").over(win))
+        .filter(F.col("t") == 0)
+        .groupBy("col")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.max("depth").cast("long").alias("max_depth"),
+            int_div(F.sum("depth") * F.lit(100), F.count("*")).alias(
+                "avg_depth_centi"
+            ),
+        )
+    )
+    return depths.select(F.lit(layout).alias("layout"), "col", "n_files", "max_depth", "avg_depth_centi")
+
+
+def clustering_depth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth report over the two maintained events layouts: the
+    AQE-compacted debris rewrite (hash order — expect depth ≈
+    n_files on every column) and a range-clustered rewrite on
+    ``event_id`` (expect exact centi-depth 100 there and debris-grade
+    depth on the non-cluster column). The numbers quantify what the
+    compaction family's pruning tests show qualitatively: range
+    clustering is what makes footer statistics worth reading.
+
+    Layout builds share the write-once sidecar-fingerprint discipline
+    (``compaction_roundtrip`` ensures the compacted copy; the
+    clustered copy is ensured here the same way).
+    """
+    from pac_spark.sources.compaction import compact_clustered
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    warehouse = os.path.join(_REPO_ROOT, "spark-warehouse")
+    comp_dir = os.path.join(warehouse, f"pac_compact_events_{tag}")
+    clus_dir = os.path.join(warehouse, f"pac_cluster_events_{tag}")
+
+    # ensure the compacted copy (lazy result discarded; the rewrite
+    # inside is an eager write action, the returned plan is not run)
+    compaction_roundtrip(spark, sf_dir)
+
+    spec = {
+        "kind": "range_clustered",
+        "cols": ["event_id"],
+        "n_files": _CLUSTER_FILES,
+        "source": source_fingerprint(catalog.table_path(sf_dir, "events")),
+    }
+    if not layout_intact(clus_dir, spec):
+        events = catalog.load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        compact_clustered(events, clus_dir, ["event_id"], _CLUSTER_FILES)
+        write_sidecar(clus_dir, spec)
+
+    cols = ["event_id", "user_id"]
+    return (
+        clustering_depth(spark, comp_dir, "compacted", cols)
+        .unionByName(clustering_depth(spark, clus_dir, "range_clustered", cols))
+        .orderBy("layout", "col")
     )

@@ -137,3 +137,96 @@ def test_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
     assert r_hit == r_total, (r_hit, r_total)
     # Morton layout: a strict minority of files can contain low values
     assert z_hit <= z_total // 2, f"z-order pruned nothing: {z_hit}/{z_total}"
+
+
+def test_clustering_depth_report_and_duckdb_mirror(spark, duck, sf_dir):
+    """The depth audit quantifies zone-map quality: the range-clustered
+    layout reports EXACT centi-depth 100 / max 1 on its cluster key
+    (every file independently prunable) while the hash-debris
+    compacted layout reports depth well above 1 on the same column;
+    a DuckDB read_parquet(filename=true) mirror of the identical
+    sweep-line metric agrees value-for-value."""
+    import os
+
+    from pac_spark.operators.scale import (
+        _CLUSTER_FILES,
+        _REPO_ROOT,
+        clustering_depth_events,
+    )
+
+    rows = {
+        (r["layout"], r["col"]): (
+            r["n_files"],
+            r["max_depth"],
+            r["avg_depth_centi"],
+        )
+        for r in clustering_depth_events(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("compacted", "event_id"),
+        ("compacted", "user_id"),
+        ("range_clustered", "event_id"),
+        ("range_clustered", "user_id"),
+    }
+    n_f, max_d, avg_c = rows[("range_clustered", "event_id")]
+    assert n_f == _CLUSTER_FILES and max_d == 1 and avg_c == 100, rows
+    # the non-cluster column stays unprunable
+    assert rows[("range_clustered", "user_id")][1] > 1
+    # the AQE-compacted copy can legitimately be ONE file at tiny SFs
+    # (depth trivially 1); the debris claim is only meaningful multi-file
+    if rows[("compacted", "event_id")][0] > 1:
+        assert rows[("compacted", "event_id")][2] > 100
+
+    tag = os.path.basename(str(sf_dir).rstrip("/")).replace(".", "_")
+    mirror_sql = """
+WITH per_file AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS f,
+           CAST(MIN(event_id) AS BIGINT) AS lo_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS hi_event_id,
+           CAST(MIN(user_id) AS BIGINT) AS lo_user_id,
+           CAST(MAX(user_id) AS BIGINT) AS hi_user_id
+    FROM read_parquet('{d}/*.parquet', filename=true) GROUP BY 1
+), intervals AS (
+    SELECT f, 'event_id' AS col, lo_event_id AS lo, hi_event_id AS hi FROM per_file
+    UNION ALL
+    SELECT f, 'user_id', lo_user_id, hi_user_id FROM per_file
+), ev AS (
+    SELECT f, col, lo AS v, 0 AS t, 1 AS d FROM intervals
+    UNION ALL
+    SELECT f, col, hi, 1, -1 FROM intervals
+), swept AS (
+    SELECT f, col, t,
+           SUM(d) OVER (PARTITION BY col ORDER BY v, t, f
+                        ROWS UNBOUNDED PRECEDING) AS depth
+    FROM ev
+)
+SELECT '{layout}' AS layout, col,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST((SUM(depth) * 100) // COUNT(*) AS BIGINT) AS avg_depth_centi
+FROM swept WHERE t = 0 GROUP BY col
+"""
+    # an explicit 8-file hash layout IS debris: depth must pile up
+    from pac_spark.operators.scale import clustering_depth
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        hash_dir = os.path.join(td, "hash_events")
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(8).write.parquet(
+            hash_dir
+        )
+        debris = {
+            r["col"]: (r["n_files"], r["max_depth"], r["avg_depth_centi"])
+            for r in clustering_depth(spark, hash_dir, "hash", ["event_id"]).collect()
+        }
+        assert debris["event_id"][0] == 8
+        assert debris["event_id"][1] == 8, debris  # every file overlaps
+        assert debris["event_id"][2] > 100
+
+    mirrors = []
+    for layout, d in (
+        ("compacted", f"{_REPO_ROOT}/spark-warehouse/pac_compact_events_{tag}"),
+        ("range_clustered", f"{_REPO_ROOT}/spark-warehouse/pac_cluster_events_{tag}"),
+    ):
+        mirrors += duck.sql(mirror_sql.format(d=d, layout=layout)).fetchall()
+    assert {(m[0], m[1]): (m[2], m[3], m[4]) for m in mirrors} == rows
