@@ -60,6 +60,7 @@ __all__ = [
     "rolling_1h_user_stats",
     "daily_user_accounting",
     "user_growth_accounting",
+    "user_growth_from_days",
     "GROWTH_SQL",
     "user_day_accounting",
     "skyline_suppliers",
@@ -1026,6 +1027,14 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
     )
+    return user_growth_from_days(days)
+
+
+def user_growth_from_days(days: DataFrame) -> DataFrame:
+    """Growth-accounting read-off over a DISTINCT (user_id, day) frame
+    — shared by the batch operator above and the streaming IVM twin
+    (``streaming.stateful.streaming_growth_accounting``), the same
+    split as :func:`user_day_accounting`."""
     w = W.partitionBy("user_id").orderBy("day")
     # lag + lead in ONE window pass; each row then emits its own
     # (day, state) plus — when a gap opens after it — a (day+1,

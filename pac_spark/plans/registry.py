@@ -292,6 +292,10 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - streaming_growth_accounting (streaming/stateful.py, the
+    #   distinct (user, day) IVM fold read off through the SHARED
+    #   relational.user_growth_from_days; oracle relational.GROWTH_SQL,
+    #   green at 3 SFs)
     # - phrase_match_docs (operators/text.py, positional-inverted-
     #   index exact phrase retrieval with overlapping occurrence
     #   counts; INDEPENDENT per-row array-slide oracle

@@ -59,6 +59,7 @@ __all__ = [
     "streaming_ivm_user_value",
     "STREAMING_IVM_ORACLE",
     "streaming_user_accounting",
+    "streaming_growth_accounting",
     "streaming_ohlc_bars",
 ]
 
@@ -599,6 +600,32 @@ def streaming_user_accounting(spark, sf_dir: str):
         return view.unionByName(delta).distinct()
 
     return user_day_accounting(_run_ivm_fold(ev, partial, merge))
+
+
+def streaming_growth_accounting(spark, sf_dir: str):
+    """Four-state growth accounting maintained incrementally: the SAME
+    distinct (user_id, day) IVM fold as
+    :func:`streaming_user_accounting` (idempotent distinct-union merge
+    — late or replayed batches harmless), read off through the SAME
+    :func:`~pac_spark.operators.relational.user_growth_from_days` the
+    batch operator uses, so stream and batch can only drift if the
+    maintained state itself drifts. Oracle: the batch GROWTH_SQL over
+    the full table."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.relational import user_growth_from_days
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+
+    def partial(batch_df):
+        return batch_df.distinct()
+
+    def merge(view, delta):
+        return view.unionByName(delta).distinct()
+
+    return user_growth_from_days(_run_ivm_fold(ev, partial, merge))
 
 
 def _ewma_partial(batch_df):

@@ -3359,3 +3359,16 @@ def test_phrase_match_crafted(spark, tmp_path):
         ).collect()
     }
     assert three == {0: (2, 1)}
+
+
+def test_streaming_growth_accounting_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: the streamed IVM fold of the (user, day) set
+    read off as four-state growth accounting must hash-match the
+    batch oracle over the full table."""
+    from pac_spark.operators.relational import GROWTH_SQL
+    from pac_spark.streaming.stateful import streaming_growth_accounting
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_growth_accounting(spark, sf_dir), duck.sql(GROWTH_SQL)
+    )
