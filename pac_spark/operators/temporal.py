@@ -27,6 +27,8 @@ from pyspark.sql.window import Window as W
 from pac_spark import catalog
 
 __all__ = [
+    "user_daily_features",
+    "FEATURES_SQL",
     "asof_join_purchase_click",
     "range_band_join_quantity",
     "interval_overlap_join",
@@ -1423,4 +1425,99 @@ SELECT user_id,
        CAST(num AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twa_value
 FROM agg WHERE span_us > 0
 ORDER BY user_id
+"""
+
+
+def user_daily_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-feature assembly — the feature-store read every
+    churn/propensity model starts from: one row per (user, active
+    day) with calendar features, exact rolling-7-day windows, the
+    previous-day lag, and the NEXT-day purchase label. Leakage-safe
+    by construction: every feature is drawn from day ``d`` and
+    earlier, the label strictly from ``d+1``.
+
+    Plan: one (user, day) aggregate over the scan, then a single
+    user-partitioned day-ordered window pass computing all three
+    temporal features — the 7-day sums use a RANGE frame over the
+    integer day number (true calendar days, not "last 7 active
+    rows"), the lag/lead features gate on ``datediff == 1`` so gaps
+    read as zero/no-label rather than leaking across them. Exact
+    integer cents everywhere; day-of-week is ``day_num % 7``
+    (epoch-anchored, identical in both engines — no locale-dependent
+    calendar function). Output value columns return to dollars only
+    at the plan top.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.sum("cents").alias("cents"),
+    ).withColumn("day_num", F.datediff("day", F.lit("1970-01-01")).cast("long"))
+    w_ord = W.partitionBy("user_id").orderBy("day_num")
+    w_7d = w_ord.rangeBetween(-6, 0)
+    prev_day = F.lag("day_num").over(w_ord)
+    next_day = F.lead("day_num").over(w_ord)
+    return daily.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        (F.col("day_num") % 7).alias("dow"),
+        "n_events",
+        "n_purchases",
+        (F.col("cents") / 100.0).cast("double").alias("day_value"),
+        F.sum("n_events").over(w_7d).alias("r7_events"),
+        (F.sum("cents").over(w_7d) / 100.0).cast("double").alias("r7_value"),
+        (
+            F.when(prev_day == F.col("day_num") - 1, F.lag("cents").over(w_ord))
+            .otherwise(F.lit(0))
+            / 100.0
+        )
+        .cast("double")
+        .alias("lag1_value"),
+        F.when(
+            (next_day == F.col("day_num") + 1)
+            & (F.lead("n_purchases").over(w_ord) > 0),
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("label_next_day_purchase"),
+    ).orderBy("user_id", "day")
+
+
+FEATURES_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+    FROM events GROUP BY 1, 2
+), dn AS (
+    SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num FROM daily
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(day_num % 7 AS BIGINT) AS dow,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(CAST(cents AS DOUBLE) / 100.0 AS DOUBLE) AS day_value,
+       CAST(SUM(n_events) OVER w7 AS BIGINT) AS r7_events,
+       CAST(CAST(SUM(cents) OVER w7 AS DOUBLE) / 100.0 AS DOUBLE) AS r7_value,
+       CAST(CAST(CASE WHEN LAG(day_num) OVER wo = day_num - 1
+                      THEN LAG(cents) OVER wo ELSE 0 END AS DOUBLE)
+            / 100.0 AS DOUBLE) AS lag1_value,
+       CAST(CASE WHEN LEAD(day_num) OVER wo = day_num + 1
+                      AND LEAD(n_purchases) OVER wo > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS label_next_day_purchase
+FROM dn
+WINDOW w7 AS (PARTITION BY user_id ORDER BY day_num
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wo AS (PARTITION BY user_id ORDER BY day_num)
+ORDER BY user_id, day
 """

@@ -292,6 +292,11 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - user_daily_features (operators/temporal.py, leakage-safe
+    #   per-user-day training feature matrix: calendar-RANGE 7d
+    #   windows, gap-gated lag, next-day label; oracle
+    #   temporal.FEATURES_SQL, green at 3 SFs + gap-semantics
+    #   crafted test)
     # - streaming_growth_accounting (streaming/stateful.py, the
     #   distinct (user, day) IVM fold read off through the SHARED
     #   relational.user_growth_from_days; oracle relational.GROWTH_SQL,

@@ -1242,6 +1242,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         curation.priority_sample_docs,
         dedup_mod.prefix_filter_neardup_pairs,
         text.phrase_match_docs,
+        temporal.user_daily_features,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
@@ -3372,3 +3373,49 @@ def test_streaming_growth_accounting_oracle(spark, duck, sf_dir):
     assert_oracle_match(
         streaming_growth_accounting(spark, sf_dir), duck.sql(GROWTH_SQL)
     )
+
+
+def test_user_daily_features_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: leakage-safe daily training features vs the
+    identical calendar-RANGE-window oracle."""
+    from pac_spark.operators.temporal import FEATURES_SQL, user_daily_features
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(user_daily_features(spark, sf_dir), duck.sql(FEATURES_SQL))
+
+
+def test_user_daily_features_crafted(spark, tmp_path):
+    """Semantics pinned on a gap-rich user: the 7-day window is
+    CALENDAR days (a 10-day-old row contributes nothing even if it is
+    the previous active row), lag reads zero across gaps, and the
+    label fires only when day+1 itself has a purchase."""
+    import pandas as pd
+
+    t = lambda d, h=9: pd.Timestamp(f"2024-01-{d:02d} {h:02d}:00:00")
+    rows = [
+        (1, t(1), 7, "view", 10.0),
+        (2, t(2), 7, "purchase", 20.0),
+        (3, t(8), 7, "view", 40.0),   # 6 days after day 2 -> within RANGE 6
+        (4, t(12), 7, "view", 80.0),  # gap: lag1 = 0; day 8 still in r7
+        (5, t(13), 7, "view", 1.0),   # day after 12 but no purchase
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import user_daily_features
+
+    got = {
+        r["day"]: (
+            r["n_events"],
+            r["day_value"],
+            r["r7_value"],
+            r["lag1_value"],
+            r["label_next_day_purchase"],
+        )
+        for r in user_daily_features(spark, str(tmp_path)).collect()
+    }
+    assert got["2024-01-01"] == (1, 10.0, 10.0, 0.0, 1)   # next day purchases
+    assert got["2024-01-02"] == (1, 20.0, 30.0, 10.0, 0)
+    assert got["2024-01-08"] == (1, 40.0, 60.0, 0.0, 0)   # day 2 in range, day 1 out
+    assert got["2024-01-12"] == (1, 80.0, 120.0, 0.0, 0)
+    assert got["2024-01-13"] == (1, 1.0, 121.0, 80.0, 0)
