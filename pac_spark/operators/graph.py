@@ -117,43 +117,65 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     # 10 pure-overhead jobs. |src set| vs |node set| — one count on the
     # (pinned, tiny) degree frame the loop needs anyway, no extra join.
     has_dangling = deg.count() < n_nodes
-    ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
-    for i in range(iterations):
-        contrib = (
-            edged.join(ranks, edged.src == ranks.node)
-            .select("dst", F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("mass"))
-        )
-        updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
-        if has_dangling:
-            dangling = ranks.join(srcs, ranks.node == srcs.src, "left_anti").agg(
-                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
+    # Loop parallelism follows the MEASURED node count, not the
+    # session default: every frame inside the loop is node-sized (the
+    # per-edge volume collapses in the map-side-combined groupBy), so
+    # a corpus-tuned spark.sql.shuffle.partitions pays pure task-
+    # scheduling overhead per iteration — ~250k nodes per task keeps
+    # partitions real, floored at 4 for parallel head and capped at
+    # the session default so big graphs keep full parallelism.
+    # Measured at sf0.1 (16k nodes): 32 -> 4 partitions is ~7.5s ->
+    # ~5.2s warm for the 10-iteration loop. Set/restore discipline as
+    # in sources.compaction.compact; results are partition-count-
+    # invariant (integer arithmetic, property-tested).
+    spark = edges.sparkSession
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(int(prev_parts), max(4, -(-n_nodes // 250_000)))
+    spark.conf.set(parts_key, str(loop_parts))
+    try:
+        ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
+        for i in range(iterations):
+            contrib = (
+                edged.join(ranks, edged.src == ranks.node)
+                .select("dst", F.expr("rank div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("mass"))
             )
-            updated = updated.crossJoin(F.broadcast(dangling))
-        else:
-            updated = updated.withColumn("dmass", F.lit(0).cast("long"))
-        next_ranks = updated.select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(
-                    f"({DAMPING_PCT} * (coalesce(mass, 0L)"
-                    f" + dmass div {n_nodes}L)) div 100"
+            updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
+            if has_dangling:
+                dangling = ranks.join(srcs, ranks.node == srcs.src, "left_anti").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
                 )
-            ).alias("rank"),
-        )
-        # checkpoint every SECOND round (and always the last): lineage
-        # depth 2 keeps the plan bounded while halving the number of
-        # forced materializations — measured 12.6s → 8.3s on the
-        # sf0.1 trade graph; depth 5 loses the win again to analyzer/
-        # plan growth. Results are unchanged at any cadence (integer
-        # arithmetic; the checkpoint is purely a lineage cut).
-        ranks = (
-            checkpoint(next_ranks)
-            if i % 2 == 1 or i == iterations - 1
-            else next_ranks
-        )
+                updated = updated.crossJoin(F.broadcast(dangling))
+            else:
+                updated = updated.withColumn("dmass", F.lit(0).cast("long"))
+            next_ranks = updated.select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({DAMPING_PCT} * (coalesce(mass, 0L)"
+                        f" + dmass div {n_nodes}L)) div 100"
+                    )
+                ).alias("rank"),
+            )
+            # checkpoint every SECOND round (and always the last):
+            # lineage depth 2 keeps the plan bounded while halving the
+            # number of forced materializations. Results are unchanged
+            # at any cadence (integer arithmetic; the checkpoint is
+            # purely a lineage cut).
+            # the final round always checkpoints, and checkpoint() is
+            # EAGER — the loop's last materialization happens inside
+            # the scoped partition setting; after restore only reads
+            # of the checkpointed blocks remain
+            ranks = (
+                checkpoint(next_ranks)
+                if i % 2 == 1 or i == iterations - 1
+                else next_ranks
+            )
+    finally:
+        spark.conf.set(parts_key, prev_parts)
     return ranks
 
 
