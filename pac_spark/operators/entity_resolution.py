@@ -358,6 +358,40 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
     checksum = _checksum(labels)
 
+    # Loop parallelism follows the MEASURED endpoint count (cheap
+    # count on the already-checkpointed round-0 frame), same move as
+    # operators.graph.pagerank: every frame in the propagation loop is
+    # endpoint-sized, so a corpus-tuned shuffle partition count pays
+    # pure task-scheduling overhead per round. ~250k endpoints/task,
+    # floor 4, capped at the session default; results are partition-
+    # count-invariant (min-label algebra, checksum-converged).
+    spark = edges.sparkSession
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(
+        int(prev_parts), max(4, -(-labels.count() // 250_000))
+    )
+    spark.conf.set(parts_key, str(loop_parts))
+    try:
+        converged, labels, checksum = _propagate(und, labels, checksum, _checksum)
+    finally:
+        spark.conf.set(parts_key, prev_parts)
+    if not converged:
+        raise RuntimeError(
+            "connected_components did not converge within the round cap"
+        )
+    # isolated nodes: own component — anti-join against the (small,
+    # materialized) endpoint labels, which the planner broadcasts
+    isolated = nodes.join(labels, "id", "left_anti").select(
+        "id", F.col("id").alias("label")
+    )
+    return labels.union(isolated)
+
+
+def _propagate(und, labels, checksum, _checksum):
+    """The min-label propagation rounds of :func:`connected_components`
+    (split out so the partition-scoped setting wraps exactly the loop).
+    Returns (converged, labels, checksum)."""
     converged = False
     for rnd in range(24):  # doubling: covers diameter ~2^22 chains
         stepped = (
@@ -388,16 +422,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             converged = True
             break
         checksum = stepped_sum
-    if not converged:
-        raise RuntimeError(
-            "connected_components did not converge within the round cap"
-        )
-    # isolated nodes: own component — anti-join against the (small,
-    # materialized) endpoint labels, which the planner broadcasts
-    isolated = nodes.join(labels, "id", "left_anti").select(
-        "id", F.col("id").alias("label")
-    )
-    return labels.union(isolated)
+    return converged, labels, checksum
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
