@@ -28,6 +28,8 @@ from pac_spark import catalog
 
 __all__ = [
     "user_daily_features",
+    "conversion_latency_by_hour",
+    "CONVERSION_LATENCY_SQL",
     "FEATURES_SQL",
     "asof_join_purchase_click",
     "range_band_join_quantity",
@@ -1520,4 +1522,66 @@ WINDOW w7 AS (PARTITION BY user_id ORDER BY day_num
               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
        wo AS (PARTITION BY user_id ORDER BY day_num)
 ORDER BY user_id, day
+"""
+
+
+def conversion_latency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact percentiles of the
+    click→purchase latency (whole minutes, floored) per purchase
+    hour-of-day — the conversion-funnel readout marketing dashboards
+    chart, composed from two existing pieces: the as-of pairing
+    (:func:`asof_join_purchase_click`, one user-keyed carried window,
+    no range join) and the histogram percentile read-off
+    (:func:`~pac_spark.operators.stats.group_percentiles_disc` —
+    bounded by the latency-minute DOMAIN per hour, never buffering
+    conversions). Unconverted purchases (no prior click) are excluded
+    — this charts the latency of conversions that happened.
+    """
+    from pac_spark.functions.exact import int_div
+    from pac_spark.operators.stats import group_percentiles_disc
+
+    pairs = asof_join_purchase_click(spark, sf_dir).filter(
+        F.col("click_id").isNotNull()
+    )
+    d = pairs.select(
+        F.substring("purchase_ts", 12, 2).cast("int").alias("hour"),
+        int_div(
+            F.col("gap_micros").cast("long"), F.lit(60_000_000).cast("long")
+        ).alias("latency_min"),
+    )
+    return (
+        group_percentiles_disc(d, ["hour"], "latency_min")
+        .withColumnRenamed("n_values", "n_conversions")
+        .orderBy("hour")
+    )
+
+
+def CONVERSION_LATENCY_SQL() -> str:
+    from pac_spark.operators.stats import PCTS
+
+    reads = ",\n       ".join(
+        f"MIN(CASE WHEN cum * 100 >= {p} * n THEN latency_min END) AS p{p}"
+        for p in PCTS
+    )
+    return f"""
+WITH pairs AS ({ASOF_ORACLE}),
+conv AS (
+    SELECT CAST(substring(purchase_ts, 12, 2) AS INT) AS hour,
+           CAST(gap_micros AS BIGINT) // 60000000 AS latency_min
+    FROM pairs WHERE click_id IS NOT NULL
+),
+hist AS (
+    SELECT hour, latency_min, COUNT(*) AS c FROM conv GROUP BY 1, 2
+),
+cum AS (
+    SELECT hour, latency_min, c,
+           SUM(c) OVER (PARTITION BY hour ORDER BY latency_min
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY hour) AS n
+    FROM hist
+)
+SELECT hour,
+       CAST(MAX(n) AS BIGINT) AS n_conversions,
+       {reads}
+FROM cum GROUP BY hour ORDER BY hour
 """

@@ -292,6 +292,11 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - conversion_latency_by_hour (operators/temporal.py, exact
+    #   click->purchase time-to-convert percentiles per hour — the
+    #   as-of pairing composed with the histogram read-off; oracle
+    #   temporal.CONVERSION_LATENCY_SQL, green at 3 SFs + floor/
+    #   equal-ts/unconverted crafted test)
     # - user_daily_features (operators/temporal.py, leakage-safe
     #   per-user-day training feature matrix: calendar-RANGE 7d
     #   windows, gap-gated lag, next-day label; oracle

@@ -1243,6 +1243,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         dedup_mod.prefix_filter_neardup_pairs,
         text.phrase_match_docs,
         temporal.user_daily_features,
+        temporal.conversion_latency_by_hour,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
@@ -3419,3 +3420,45 @@ def test_user_daily_features_crafted(spark, tmp_path):
     assert got["2024-01-08"] == (1, 40.0, 60.0, 0.0, 0)   # day 2 in range, day 1 out
     assert got["2024-01-12"] == (1, 80.0, 120.0, 0.0, 0)
     assert got["2024-01-13"] == (1, 1.0, 121.0, 80.0, 0)
+
+
+def test_conversion_latency_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: click->purchase latency percentiles per hour
+    vs the composed lateral-asof + histogram read-off oracle."""
+    from pac_spark.operators.temporal import (
+        CONVERSION_LATENCY_SQL,
+        conversion_latency_by_hour,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        conversion_latency_by_hour(spark, sf_dir),
+        duck.sql(CONVERSION_LATENCY_SQL()),
+    )
+
+
+def test_conversion_latency_crafted(spark, tmp_path):
+    """Semantics pinned: 90s latency floors to 1 minute, an equal-ts
+    click converts at 0 minutes, and a purchase with no prior click is
+    excluded entirely."""
+    import pandas as pd
+
+    t = pd.Timestamp("2024-01-01 09:00:00")
+    m = pd.Timedelta
+    rows = [
+        (1, t, 7, "click", 1.0),
+        (2, t + m(seconds=90), 7, "purchase", 5.0),
+        (3, t + m(hours=1), 8, "purchase", 5.0),  # equal-ts click below
+        (4, t + m(hours=1), 8, "click", 1.0),
+        (5, t + m(hours=2), 9, "purchase", 5.0),  # never clicked
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import conversion_latency_by_hour
+
+    got = {
+        r["hour"]: (r["n_conversions"], r["p50"])
+        for r in conversion_latency_by_hour(spark, str(tmp_path)).collect()
+    }
+    assert got == {9: (1, 1), 10: (1, 0)}
