@@ -335,13 +335,16 @@ def all_specs() -> list[QuerySpec]:
     #   watermarked LEFT OUTER stream-stream join over the matured
     #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at
     #   3 SFs + unattributed-emission test)
-    # With 32 staged operators the r7 cap cannot hold all of these plus
-    # the 12 r6-first-green keeps: prioritize the keeps, then stage
-    # registrations by family diversity (streaming_ivm, dup_span,
-    # triangle, ohlc pair, stats quartet, contrastive, chi2,
-    # expectations first — they have been staged longest), and roll
-    # the remainder (this block's eight) into r8 if slots run out;
-    # all of them stay under the local 3-SF gate either way.
+    # With ~73 staged operators (final r6 count of the bullets above)
+    # the r7 cap cannot hold even half of these plus the ~12
+    # r6-first-green keeps: prioritize the keeps, then stage
+    # registrations by (a) staging age — the r6-early block
+    # (streaming_ivm, dup_span, triangle, ohlc pair, stats quartet,
+    # contrastive, chi2, expectations) has waited longest — and
+    # (b) family diversity per round; roll the remainder into r8/r9.
+    # Every staged operator stays under the local 3-SF oracle gate
+    # (tests/test_staged_specs.py) every round either way, so nothing
+    # is unverified while it waits for driver evidence.
     hoist = [
         # --- 16 keeps: only career hash-green is r5; need the second ---
         "funnel_view_click_purchase",
