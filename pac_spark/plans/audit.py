@@ -1,0 +1,85 @@
+"""Plan auditor: a structured scale-legality readout over a
+DataFrame's physical plan.
+
+The repo's plan-shape tests assert scale claims (pushed filters,
+broadcast vs shuffle joins, bounded exchange counts, no cartesian
+products) by grepping ``executedPlan`` text ad hoc; this module makes
+that a first-class engine surface a USER can call on their own query —
+"is this plan still scale-legal?" — and gives the tests one shared
+vocabulary. Counters, not judgments: the caller decides what is
+acceptable for its operator (an iterative loop legitimately shows more
+exchanges than a projection).
+
+Text-parsing a plan string is deliberate: it works on any Spark
+version's physical tree without touching private planner APIs beyond
+``queryExecution`` (the same surface ``df.explain()`` prints).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = ["PlanAudit", "plan_audit", "assert_scale_legal"]
+
+
+@dataclass(frozen=True)
+class PlanAudit:
+    scans: int                 # parquet file scans (corpus passes)
+    exchanges: int             # shuffle boundaries
+    broadcast_joins: int
+    sortmerge_joins: int
+    cartesian_products: int    # > 0 is almost always a bug at scale
+    window_group_limits: int   # partial top-k heaps before a window
+    wholestage_spans: int      # codegen regions (JVM-side hot path)
+    pushed_filters: bool       # any predicate reached a scan footer
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+def plan_audit(df: DataFrame) -> PlanAudit:
+    """Counters over the EXECUTED physical plan of ``df`` (the plan
+    ``df.explain()`` prints; AQE-finalized nodes appear once a query
+    has run — audits of unexecuted frames see the initial physical
+    plan, which is the honest pre-runtime claim)."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    return PlanAudit(
+        # "Scan parquet" is a substring of "FileScan parquet", so one
+        # count covers both spellings without double-counting
+        scans=plan.count("Scan parquet"),
+        exchanges=plan.count("Exchange "),
+        broadcast_joins=plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        sortmerge_joins=plan.count("SortMergeJoin"),
+        cartesian_products=plan.count("CartesianProduct"),
+        window_group_limits=plan.count("WindowGroupLimit"),
+        wholestage_spans=plan.count("WholeStageCodegen"),
+        pushed_filters="PushedFilters: [" in qe.toString().replace(
+            "PushedFilters: []", ""
+        ),
+    )
+
+
+def assert_scale_legal(
+    df: DataFrame,
+    max_scans: int | None = None,
+    max_exchanges: int | None = None,
+    require_window_group_limit: bool = False,
+) -> PlanAudit:
+    """Raise AssertionError when ``df``'s plan violates the caller's
+    scale budget; always rejects cartesian products. Returns the audit
+    so callers can assert further fields."""
+    a = plan_audit(df)
+    assert a.cartesian_products == 0, f"cartesian product in plan: {a}"
+    if max_scans is not None:
+        assert a.scans <= max_scans, f"{a.scans} scans > {max_scans}: {a}"
+    if max_exchanges is not None:
+        assert a.exchanges <= max_exchanges, (
+            f"{a.exchanges} exchanges > {max_exchanges}: {a}"
+        )
+    if require_window_group_limit:
+        assert a.window_group_limits > 0, f"no WindowGroupLimit: {a}"
+    return a

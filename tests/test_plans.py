@@ -665,3 +665,41 @@ def test_prefix_filter_plan_and_index_reduction(spark, sf_dir):
         .count()
     )
     assert n_prefix < 0.35 * total, (n_prefix, total)
+
+
+def test_plan_audit_counters_on_known_plans(spark, sf_dir):
+    """The audit module's counters agree with the ad-hoc grep
+    assertions above on plans whose shape is already pinned, and the
+    four newest staged operators get their scale budgets enforced
+    through it."""
+    from pac_spark.operators.curation import priority_sample_docs
+    from pac_spark.operators.relational import q6_forecast_revenue
+    from pac_spark.operators.temporal import (
+        conversion_latency_by_hour,
+        user_daily_features,
+    )
+    from pac_spark.operators.text import phrase_match_docs
+    from pac_spark.operators.stats import weighted_percentiles_price_by_flag
+    from pac_spark.plans.audit import assert_scale_legal, plan_audit
+
+    q6 = plan_audit(q6_forecast_revenue(spark, sf_dir))
+    assert q6.scans == 1 and q6.cartesian_products == 0
+    assert q6.pushed_filters  # same claim as test_q6_filters_reach_parquet_scan
+
+    ps = assert_scale_legal(
+        priority_sample_docs(spark, sf_dir), require_window_group_limit=True
+    )
+    assert ps.broadcast_joins == 2
+
+    # one corpus pass each: feature matrix, weighted percentiles
+    assert_scale_legal(user_daily_features(spark, sf_dir), max_scans=1,
+                       max_exchanges=3)
+    assert_scale_legal(weighted_percentiles_price_by_flag(spark, sf_dir),
+                       max_scans=1, max_exchanges=4)
+    # phrase match: m+0 posting scans (one per chained word is fine at
+    # m=2 — the filter is pushed), no cartesian
+    pm = assert_scale_legal(phrase_match_docs(spark, sf_dir))
+    assert pm.pushed_filters
+    # latency percentiles: asof window + histogram — bounded exchanges
+    assert_scale_legal(conversion_latency_by_hour(spark, sf_dir),
+                       max_scans=1, max_exchanges=4)
