@@ -32,6 +32,8 @@ __all__ = [
     "unigram_prob_score",
     "doc_repetition_signals",
     "corr_quality_tokens_by_lang",
+    "spearman_quality_tokens_by_lang",
+    "SPEARMAN_SQL_TAIL",
     "chi2_terms_by_source",
     "CHI2_SQL",
     "bm25_topk_docs",
@@ -595,13 +597,20 @@ def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
     num = n * sxy - sx * sy
     den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # zero-variance groups (all values tied) and singleton groups:
+    # ANSI Spark throws DIVIDE_BY_ZERO where DuckDB's division yields
+    # NULL — guard explicitly so both engines state NULL (caught by
+    # the spearman crafted corpus's all-tied group, r6)
+    null_d = F.lit(None).cast("double")
     return agg.select(
         "lang",
         F.col("n").alias("n_docs"),
-        (num / den).alias("corr_quality_tokens"),
-        (num / (n * (n - F.lit(1.0)) * F.lit(float(QUALITY_SCALE)))).alias(
-            "cov_quality_tokens"
+        F.when(den == 0, null_d).otherwise(num / den).alias(
+            "corr_quality_tokens"
         ),
+        F.when(n == 1, null_d)
+        .otherwise(num / (n * (n - F.lit(1.0)) * F.lit(float(QUALITY_SCALE))))
+        .alias("cov_quality_tokens"),
     ).orderBy("lang")
 
 
@@ -1269,4 +1278,105 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
        CAST(MIN(i) - 1 AS BIGINT) AS first_pos
 FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def spearman_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language SPEARMAN rank correlation between quality score
+    and token count — the robust companion to
+    :func:`corr_quality_tokens_by_lang`: monotone-but-nonlinear
+    dependence reads as ±1 here while Pearson under-reports it, and
+    outliers move one rank instead of a squared moment.
+
+    Exact by the doubled-average-rank trick: each value's average tie
+    rank is ``rank() + (cnt−1)/2``; doubling it (``2·rank + cnt − 1``)
+    keeps it an exact integer, and Pearson over the doubled ranks
+    equals Pearson over the ranks (correlation is scale-invariant).
+    So the whole statistic is integer moments in decimal(38,0) (the
+    proven ``corr`` idiom) and one double formula, identical in both
+    engines; groups with zero rank variance (all-tied) yield NULL —
+    guarded explicitly, Spark ANSI mode would otherwise throw where
+    DuckDB yields NULL.
+
+    Plan: ONE lang-partitioned exchange feeding two in-partition
+    sorts (the two rank orders share the partitioning), then one
+    map-side-combined moment aggregate.
+    """
+    stats = stats_frame(catalog.load(spark, sf_dir, "documents"))
+    base = stats.select(
+        "lang",
+        F.round(F.col("quality_score") * QUALITY_SCALE).cast("long").alias("xv"),
+        F.col("n_tokens").cast("long").alias("yv"),
+    )
+    dx = (
+        2 * F.rank().over(W.partitionBy("lang").orderBy("xv"))
+        + F.count("*").over(W.partitionBy("lang", "xv"))
+        - 1
+    ).cast("long")
+    dy = (
+        2 * F.rank().over(W.partitionBy("lang").orderBy("yv"))
+        + F.count("*").over(W.partitionBy("lang", "yv"))
+        - 1
+    ).cast("long")
+    dec = "decimal(38,0)"
+    m = (
+        base.select("lang", dx.alias("dx"), dy.alias("dy"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("dx").cast(dec)).alias("sx"),
+            F.sum(F.col("dy").cast(dec)).alias("sy"),
+            F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
+            F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
+            F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+        )
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    rho = F.when(
+        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+    ).otherwise(num / (F.sqrt(vx) * F.sqrt(vy)))
+    return m.select(
+        "lang", F.col("n").alias("n_docs"), rho.alias("spearman_rho")
+    ).orderBy("lang")
+
+
+def SPEARMAN_SQL_TAIL() -> str:
+    """Oracle tail: compose as ``WITH stats AS (<_TEXT_STATS>)`` +
+    this (the stats CTE lives with the other document oracles in
+    ``plans.llm_plans``)."""
+    return f""",
+xy AS (
+    SELECT lang,
+           CAST(ROUND(quality_score * {QUALITY_SCALE}) AS BIGINT) AS xv,
+           CAST(n_tokens AS BIGINT) AS yv
+    FROM stats
+),
+ranked AS (
+    SELECT lang,
+           2 * RANK() OVER (PARTITION BY lang ORDER BY xv)
+             + COUNT(*) OVER (PARTITION BY lang, xv) - 1 AS dx,
+           2 * RANK() OVER (PARTITION BY lang ORDER BY yv)
+             + COUNT(*) OVER (PARTITION BY lang, yv) - 1 AS dy
+    FROM xy
+),
+m AS (
+    SELECT lang, COUNT(*) AS n,
+           SUM(dx) AS sx, SUM(dy) AS sy,
+           SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy, SUM(dx * dy) AS sxy
+    FROM ranked GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS spearman_rho
+FROM m ORDER BY lang
 """

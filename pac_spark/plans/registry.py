@@ -292,6 +292,12 @@ def all_specs() -> list[QuerySpec]:
     #   blocked radius self-join with exact integer geometry; oracle
     #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
     #   tie crafted test + no-cartesian plan assertion)
+    # - spearman_quality_tokens_by_lang (operators/text.py, exact
+    #   rank correlation via doubled average tie ranks + integer
+    #   moments; oracle = stats CTE composed with
+    #   text.SPEARMAN_SQL_TAIL, green at 3 SFs + monotone-nonlinear/
+    #   all-tied crafted test — which also caught and fixed the
+    #   registered Pearson op's ANSI /0 throw on zero-variance groups)
     # - conversion_latency_by_hour (operators/temporal.py, exact
     #   click->purchase time-to-convert percentiles per hour — the
     #   as-of pairing composed with the histogram read-off; oracle

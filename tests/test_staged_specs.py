@@ -1244,6 +1244,7 @@ def test_staged_operators_survive_empty_tables(spark, sf_dir, tmp_path):
         text.phrase_match_docs,
         temporal.user_daily_features,
         temporal.conversion_latency_by_hour,
+        text.spearman_quality_tokens_by_lang,
     ]
     for op in ops:
         rows = op(spark, str(tmp_path)).collect()
@@ -3462,3 +3463,64 @@ def test_conversion_latency_crafted(spark, tmp_path):
         for r in conversion_latency_by_hour(spark, str(tmp_path)).collect()
     }
     assert got == {9: (1, 1), 10: (1, 0)}
+
+
+def test_spearman_oracle(spark, duck, sf_dir):
+    """Staged for r7/r8: Spearman rank correlation (doubled average
+    tie ranks, exact integer moments) vs the composed stats + rank
+    oracle."""
+    from pac_spark.operators.text import (
+        SPEARMAN_SQL_TAIL,
+        spearman_quality_tokens_by_lang,
+    )
+    from pac_spark.plans.llm_plans import _TEXT_STATS
+    from tests.conftest import assert_oracle_match
+
+    sql = f"WITH stats AS ({_TEXT_STATS.strip()}){SPEARMAN_SQL_TAIL()}"
+    assert_oracle_match(
+        spearman_quality_tokens_by_lang(spark, sf_dir), duck.sql(sql)
+    )
+
+
+def test_spearman_crafted_monotone_and_ties(spark, tmp_path):
+    """Monotone-nonlinear dependence must read rho = 1.0 exactly
+    (quality and token count increase together doc-by-doc while
+    Pearson on the raw values is < 1), and an all-tied group yields
+    NULL, not a division error."""
+    import pandas as pd
+
+    rows = []
+    # en: quality strictly increasing with token count but CONVEXLY
+    # bent by a duplicate-token schedule (unique_ratio drops for the
+    # longer docs, staying under the 100-token saturation): ranks
+    # align perfectly (rho = 1) while the value relation is nonlinear
+    # (Pearson < 1)
+    dups = [0, 0, 0, 1, 3, 6, 10, 15]
+    for i in range(8):
+        n_i = 10 + 10 * i
+        uniq = [f"w{i}x{j}" for j in range(n_i - dups[i])]
+        words = " ".join(uniq + [uniq[0]] * dups[i])
+        rows.append((i, words, "en", "s", len(words)))
+    # zh: four identical docs -> zero rank variance -> NULL rho
+    for i in range(8, 12):
+        rows.append((i, "same same same", "zh", "s", 14))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import (
+        corr_quality_tokens_by_lang,
+        spearman_quality_tokens_by_lang,
+    )
+
+    got = {
+        r["lang"]: (r["n_docs"], r["spearman_rho"])
+        for r in spearman_quality_tokens_by_lang(spark, str(tmp_path)).collect()
+    }
+    assert got["en"][0] == 8 and abs(got["en"][1] - 1.0) < 1e-12
+    assert got["zh"] == (4, None)
+    [p] = [
+        r
+        for r in corr_quality_tokens_by_lang(spark, str(tmp_path)).collect()
+        if r["lang"] == "en"
+    ]
+    assert p["corr_quality_tokens"] < 1.0 - 1e-9  # Pearson under-reports
