@@ -27,7 +27,9 @@ __all__ = ["PlanAudit", "plan_audit", "assert_scale_legal"]
 @dataclass(frozen=True)
 class PlanAudit:
     scans: int                 # parquet file scans (corpus passes)
-    exchanges: int             # shuffle boundaries
+    exchanges: int             # shuffle boundaries (Exchange only)
+    broadcast_exchanges: int   # small-side replications, not shuffles
+    reused_exchanges: int      # dedup'd references to a prior exchange
     broadcast_joins: int
     sortmerge_joins: int
     cartesian_products: int    # > 0 is almost always a bug at scale
@@ -46,11 +48,19 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     plan, which is the honest pre-runtime claim)."""
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
+    broadcast_ex = plan.count("BroadcastExchange ")
+    reused_ex = plan.count("ReusedExchange ")
     return PlanAudit(
         # "Scan parquet" is a substring of "FileScan parquet", so one
         # count covers both spellings without double-counting
         scans=plan.count("Scan parquet"),
-        exchanges=plan.count("Exchange "),
+        # "Exchange " is likewise a substring of "BroadcastExchange "
+        # and "ReusedExchange " — subtract both so this field counts
+        # only true shuffle boundaries, as documented (they get their
+        # own counters below)
+        exchanges=plan.count("Exchange ") - broadcast_ex - reused_ex,
+        broadcast_exchanges=broadcast_ex,
+        reused_exchanges=reused_ex,
         broadcast_joins=plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         sortmerge_joins=plan.count("SortMergeJoin"),

@@ -112,6 +112,13 @@ class _SynthReader(DataSourceReader):
         return [_DayPartition(d) for d in range(self.lo, self.hi)]
 
     def read(self, partition: _DayPartition):
+        # Pushed filters can prune the day range to EMPTY (e.g.
+        # day_num >= n_days, or contradictory bounds). partitions()
+        # then returns [], and PySpark's plan_data_source_read
+        # substitutes the single sentinel partition ``None`` — so an
+        # empty result must be produced here, not an AttributeError.
+        if partition is None:
+            return
         d = partition.day
         for i in range(self.per_day):
             h = _h(self.seed, d, i)

@@ -149,8 +149,11 @@ class UpsertTable:
     snapshot vs the batch's keys) plus an append of the batch rows —
     unmatched rows pass through untouched; pair with the bucketed
     layout to plan it exchange-free. Within a batch, last-wins per key
-    under the caller's ``order_col`` (deterministic total order via
-    the key tie-break). The ledger is O(versions) tiny JSON files;
+    under the caller's ``order_col``; ties on (key, order_col) break
+    on a content hash of the full row, so the winner is deterministic
+    across retries and shuffles even for duplicate-timestamp input
+    (exact duplicate ROWS are interchangeable either way). The ledger
+    is O(versions) tiny JSON files;
     compaction of old snapshots is a deployment-policy deletion of
     ``v{k}`` dirs below the retention horizon (their markers say so).
     """
@@ -208,8 +211,16 @@ class UpsertTable:
         commits = self._commits()
         if str(batch_id) in set(commits.values()):
             return False
+        # inside a per-key partition the key itself cannot break ties,
+        # so duplicate (key, order_col) rows need a real secondary
+        # order: a content hash over every column (name-sorted, so
+        # column order is irrelevant) makes the elected winner a
+        # deterministic function of the row VALUES
+        row_hash = F.xxhash64(
+            *[F.col(c) for c in sorted(batch_df.columns)]
+        )
         w = W.partitionBy(self.key).orderBy(
-            F.desc(self.order_col), F.desc(self.key)
+            F.desc(self.order_col), F.desc(row_hash)
         )
         dedup = (
             batch_df.withColumn("_rn", F.row_number().over(w))

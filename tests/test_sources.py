@@ -236,3 +236,39 @@ def test_python_datasource_pushdown_prunes_partitions(spark):
     rows = df.collect()
     assert len(rows) == 60
     assert {r["day_num"] for r in rows} == {3, 4, 5}
+
+
+def test_python_datasource_empty_pruned_range_returns_empty(spark):
+    """Filters that prune the day range to NOTHING (beyond n_days, or
+    contradictory bounds) must yield an empty result, not crash:
+    partitions() returns [] and PySpark then calls read(None) with a
+    sentinel partition (ADVICE r6 #1)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from pac_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+        _SynthReader,
+    )
+
+    # unit level: empty plan + sentinel read
+    r = _SynthReader({"n_days": "5"})
+    list(r.pushFilters([GreaterThanOrEqual(("day_num",), 5)]))
+    assert r.partitions() == []
+    assert list(r.read(None)) == []
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
+    base = (
+        spark.read.format("pac_synth_events")
+        .option("n_days", 5)
+        .option("events_per_day", 10)
+        .load()
+    )
+    # beyond the last day
+    assert base.filter(F.col("day_num") >= 5).count() == 0
+    # contradictory bounds
+    assert (
+        base.filter((F.col("day_num") >= 4) & (F.col("day_num") < 2)).count()
+        == 0
+    )

@@ -43,8 +43,7 @@ def test_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
 
 def test_upsert_table_batch_semantics_and_time_travel(spark, tmp_path):
     """Inserts + updates land last-wins per key; old snapshots stay
-    readable (time travel); the in-batch tie is broken by order_col
-    then key descending, deterministically."""
+    readable (time travel); in-batch last-wins follows order_col."""
     from pac_spark.sources.sinks import UpsertTable
 
     t = UpsertTable(spark, str(tmp_path / "tbl"), key="k", order_col="ts")
@@ -150,3 +149,26 @@ def test_upsert_table_streaming_foreach_batch(spark, sf_dir, tmp_path):
     # restart: offsets say done -> no new commits
     drain()
     assert t.versions() == versions
+
+
+def test_upsert_table_duplicate_order_ties_break_deterministically(
+    spark, tmp_path
+):
+    """Duplicate (key, order_col) rows elect the SAME winner no matter
+    the input order or partitioning: the tie falls through to a
+    content hash of the row (ADVICE r6 #3 — inside a per-key window
+    the key itself can never break a tie)."""
+    from pac_spark.sources.sinks import UpsertTable
+
+    rows = [(1, 10, "x"), (1, 10, "y"), (1, 10, "z"), (2, 5, "a")]
+    winners = set()
+    for i, perm in enumerate((rows, rows[::-1], rows[2:] + rows[:2])):
+        t = UpsertTable(
+            spark, str(tmp_path / f"tbl{i}"), key="k", order_col="ts"
+        )
+        df = spark.createDataFrame(perm, ["k", "ts", "v"]).repartition(7)
+        assert t.upsert(df, "b0") is True
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got[2] == "a"
+        winners.add(got[1])
+    assert len(winners) == 1, f"nondeterministic tie winner: {winners}"
