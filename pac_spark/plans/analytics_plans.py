@@ -66,4 +66,8 @@ SELECT c_nationkey,
 FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     ),
+    # registered in the r7 rotation after a round staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("triangle_top_parts", G.triangle_top_parts, G.TRIANGLE_SQL()),
+    QuerySpec("expectations_orders", P.expectations_orders, P.EXPECTATIONS_SQL()),
 ]

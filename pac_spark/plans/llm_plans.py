@@ -1177,6 +1177,11 @@ SPECS = [
     # gates (test_staged_specs.py / test_multimodal_multibyte.py)
     QuerySpec("pq_topk", S.pq_topk, _pq_topk_sql()),
     QuerySpec("pcm_audio_features", MM.pcm_audio_features, MM.PCM_AUDIO_SQL),
+    # registered in the r7 rotation after a round staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("dup_span_coverage", D.dup_span_coverage, _dup_span_sql()),
+    QuerySpec("contrastive_negatives", CU.contrastive_negatives, CU.NEGATIVES_SQL()),
+    QuerySpec("chi2_terms_by_source", TX.chi2_terms_by_source, TX.CHI2_SQL()),
 ]
 
 

@@ -55,365 +55,83 @@ def all_specs() -> list[QuerySpec]:
     specs += streaming_plans.SPECS
     specs += relational_plans.SPECS
 
-    # cross-module priority overrides, revised per round: HOIST names
-    # claim the driver cap. R6 executes the rotation r5 scheduled
-    # (VERDICT r5 next-#1..#4): the hoist list below IS the 50-row cap
-    # — the 16 specs whose ONLY career hash-green is r5 stay for their
-    # second consecutive green; the three r5-staged operators
-    # (pq_topk, pcm_audio_features, zorder_roundtrip) gain their first
-    # driver rows; approx_distinct_parts returns to the cap because
-    # tightening the tail policy to hash-greens-only (VERDICT r5
-    # wrong-#1) exposes its single career hash-green (r3); 8 slots go
-    # to the brand-new r6 operators (fresh evidence on new code beats
-    # re-greening rows that already hold two consecutive greens); and
-    # every remaining slot refreshes the stalest tail (all 17 r2-last-
-    # green specs + 5 of the r3-last-green family). The r4-new 30 now
-    # hold r4+r5 consecutive greens and ride the tail, which
-    # tests/test_registry_policy.py proves holds only specs with two
-    # consecutive driver HASH-greens.
-    #
-    # R7 ROTATION PLAN (for whoever opens the next round): the 50
-    # below all gain a green in r6 if CORRECTNESS_r06 is clean; keep
-    # whichever then still lack two CONSECUTIVE hash-greens — that is
-    # the 12 r6-first-green specs (pq_topk, pcm_audio_features,
-    # zorder_roundtrip, approx_distinct_parts rejoins with r3+r6
-    # non-consecutive so KEEP it, plus the 8 r6-new:
-    # streaming_cms_heavy_hitters, butterfly_supplier_pairs,
-    # sequence_packing, ivm_nation_balance, bloom_pruned_orders_join,
-    # percentiles_price_by_flag, rfm_customer_segments,
-    # timeseries_gapfill_hourly) — register the TEN staged operators
-    # listed below (they claim ~13 slots), and fill the remaining ~25
-    # with the then-stalest tail (after this rotation: the r3-last-green
-    # remainder — dedup_exact_docs, flagship_company_positions,
-    # issues_count_validation, er_candidate_pairs/_consolidated/_links,
-    # er_records_stringified, q6/q18, pivot, grouping_sets,
-    # range_band_join_quantity, asof_join_purchase_click,
-    # streaming_purchase_click_join, q22_idle_customers,
-    # company_issue_summary, export_envelope, er_approved, the
-    # streaming_* r3 family — then the r4-green llm family). Operators
-    # STAGED for r7 registration (local gates in
-    # tests/test_staged_specs.py):
-    # - streaming_ivm_user_value (streaming/stateful.py,
-    #   per-micro-batch IVM folding == batch aggregate)
-    # - dup_span_coverage (operators/dedup.py, substring-tier dedup
-    #   signal; oracle llm_plans._dup_span_sql, green at 3 SFs)
-    # - triangle_top_parts (operators/graph.py, top-K co-purchase
-    #   motif counts; oracle graph.TRIANGLE_SQL, green at 3 SFs)
-    # - ohlc_bars_hourly (operators/temporal.py, order-sensitive
-    #   candlestick bars; oracle temporal.OHLC_SQL, green at 3 SFs)
-    # - welch_ab_value_by_hour (operators/stats.py, two-sample A/B
-    #   readout; oracle stats.WELCH_AB_SQL, green at 3 SFs)
-    # - cusum_user_value_shift (operators/stats.py, CUSUM level-shift
-    #   detection; oracle stats.CUSUM_SQL, green at 3 SFs)
-    # - winsorized_price_stats_by_flag (operators/stats.py,
-    #   percentile-clipped means; oracle stats.WINSOR_SQL, green at
-    #   3 SFs)
-    # - streaming_ohlc_bars (streaming/stateful.py, monoid-merged
-    #   candlestick maintenance; oracle temporal.OHLC_SQL, green at
-    #   3 SFs + out-of-order multi-batch chaos test)
-    # - contrastive_negatives (operators/curation.py, deterministic
-    #   negative sampling; oracle curation.NEGATIVES_SQL, green at
-    #   3 SFs)
-    # - chi2_terms_by_source (operators/text.py, discriminative-term
-    #   feature selection; oracle text.CHI2_SQL, green at 3 SFs)
-    # - seasonal_anomaly_days (operators/stats.py, day-of-week
-    #   adjusted anomalies; oracle stats.SEASONAL_SQL, green at 3 SFs)
-    # - trend_slope_by_type (operators/stats.py, exact-moment
-    #   regression trend; oracle stats.TREND_SQL, green at 3 SFs)
-    # - expectations_orders (operators/profile.py, declarative
-    #   data-quality gate; oracle profile.EXPECTATIONS_SQL, green at
-    #   3 SFs)
-    # - peak_concurrent_sessions (operators/temporal.py, sweep line
-    #   over a two-phase global prefix sum — functions/prefix.py;
-    #   oracle temporal.PEAK_CONCURRENCY_SQL, green at 3 SFs)
-    # - ks_test_price_by_flag (operators/stats.py, exact integer-ECDF
-    #   two-sample KS; oracle stats.KS_SQL, green at 3 SFs)
-    # - bm25_topk_docs (operators/text.py, fixed-point BM25 retrieval;
-    #   oracle text.BM25_SQL, green at 3 SFs)
-    # - top_session_paths (operators/temporal.py, session journey
-    #   prefixes; oracle temporal.SESSION_PATHS_SQL, green at 3 SFs)
-    # - user_activity_streaks (operators/temporal.py, day-axis gaps &
-    #   islands; oracle temporal.STREAKS_SQL, green at 3 SFs)
-    # - source_overlap_matrix (operators/curation.py, pairwise source
-    #   shingle Jaccard; oracle curation.SOURCE_OVERLAP_SQL, green at
-    #   3 SFs)
-    # - token_gini_by_source (operators/text.py, rational Gini
-    #   diversity; oracle text.TOKEN_GINI_SQL, green at 3 SFs)
-    # - two_hop_reach_top_customers (operators/graph.py, anchored
-    #   ego-network reach; oracle graph.TWO_HOP_SQL, green at 3 SFs)
-    # - daily_user_accounting (operators/relational.py, active/new/
-    #   cumulative users; oracle relational.DAILY_USERS_SQL, green at
-    #   3 SFs)
-    # - budget_allocation_by_nation (operators/stats.py, exact
-    #   largest-remainder split; oracle stats.ALLOC_SQL, green at
-    #   3 SFs + sum-exactness property)
-    # - streaming_user_accounting (streaming/stateful.py, IVM fold of
-    #   the distinct (user, day) set + the batch read-off; oracle
-    #   relational.DAILY_USERS_SQL, green at 3 SFs)
-    # - funnel_within_1h_view_click_purchase (operators/temporal.py,
-    #   greedy conversion-window funnel; oracle
-    #   temporal.FUNNEL_WITHIN_SQL, green at 3 SFs + greedy-semantics
-    #   crafted test)
-    # - skyline_suppliers (operators/relational.py, Pareto frontier
-    #   via two-phase prefix max; oracle relational.SKYLINE_SQL is the
-    #   INDEPENDENT NOT-EXISTS dominance formulation, green at 3 SFs
-    #   + dominance-semantics crafted test)
-    # - embedding_dim_stats (operators/similarity.py, per-dimension
-    #   fixed-point moments + histogram percentiles; oracle
-    #   similarity.DIM_STATS_SQL, green at 3 SFs)
-    # - hll_distinct_customers_by_priority (operators/sketch.py,
-    #   from-scratch HyperLogLog with exact-integer harmonic sums;
-    #   oracle sketch.HLL_SQL, green at 3 SFs + error-envelope and
-    #   partition-invariance tests)
-    # - daily_coverage_us (operators/temporal.py, hour-sharded
-    #   interval-union coverage; oracle temporal.COVERAGE_SQL, green
-    #   at 3 SFs + union-semantics crafted test)
-    # - rolling_7d_distinct_users_hll (operators/sketch.py, window-
-    #   merged daily HLL sketches + exact companion; oracle
-    #   sketch.ROLLING_HLL_SQL, green at 3 SFs + merge==sketch-of-
-    #   union property test)
-    # - percentiles_cont_price_by_flag (operators/stats.py,
-    #   interpolated percentile_cont from the same histogram; oracle
-    #   stats.PCT_CONT_SQL, green at 3 SFs + numpy-equivalence test)
-    # - kmv_nation_part_overlap (operators/sketch.py, KMV/theta
-    #   sketch distinct + intersection estimates; oracle
-    #   sketch.KMV_SQL, green at 3 SFs)
-    # - association_rules_parts + item_item_similar_parts
-    #   (operators/recommend.py, co-occurrence recommenders; oracles
-    #   recommend.ASSOC_RULES_SQL / ITEM_ITEM_SQL, green at 3 SFs)
-    # - ewma_user_value (operators/stats.py, power-of-two EWMA
-    #   smoothing; oracle stats.EWMA_SQL, green at 3 SFs)
-    # - streaming_ewma_user_value (streaming/stateful.py, monoid
-    #   top-SPAN state fold; same oracle stats.EWMA_SQL, green at
-    #   3 SFs + out-of-order chaos test)
-    # - attribution_last_touch (operators/temporal.py, last-touch
-    #   revenue attribution; oracle temporal.ATTRIBUTION_SQL, green
-    #   at 3 SFs)
-    # - bpe_learn_merges (operators/text.py, BPE tokenizer-training
-    #   merge induction; oracle text.BPE_SQL, green at 3 SFs)
-    # - auc_value_predicts_purchase + decile_lift_value_purchase
-    #   (operators/evaluate.py, offline eval metrics; oracles
-    #   evaluate.AUC_SQL / DECILE_LIFT_SQL, green at 3 SFs)
-    # - kcore_parts (operators/graph.py, synchronous 2-core peel;
-    #   oracle graph.KCORE_SQL, green at 3 SFs)
-    # - dedup_canonical_docs (operators/dedup.py, per-cluster
-    #   canonical election over dup components; oracle
-    #   llm_plans.CANONICAL_SQL, green at 3 SFs)
-    # - degree_assortativity (operators/graph.py, exact-moment
-    #   Newman assortativity; oracle graph.ASSORTATIVITY_SQL, green
-    #   at 3 SFs + star-graph r=-1 crafted test)
-    # - table_fingerprint_by_nation (operators/profile.py, order-
-    #   independent modular content checksum; oracle
-    #   profile.FINGERPRINT_SQL, green at 3 SFs + permutation/
-    #   sensitivity crafted test)
-    # - levenshtein_neardup_pairs (operators/dedup.py, prefix-blocked
-    #   edit-distance tier, ASCII-projected for cross-engine char/byte
-    #   parity; oracle dedup.LEVENSHTEIN_SQL, green at 3 SFs +
-    #   substitution/blind-spot crafted test)
-    # - containment_neardup_pairs (operators/dedup.py, asymmetric
-    #   subset-duplication tier |A∩B|/min(|A|,|B|) with the adaptive
-    #   hot-shingle bounds; oracle dedup.CONTAINMENT_SQL, green at
-    #   3 SFs + excerpt-vs-jaccard and hot-branch crafted tests)
-    # - sssp_from_hub (operators/graph.py, hop-bounded min-plus
-    #   Bellman-Ford from the max-degree node; oracle graph.SSSP_SQL
-    #   (same unrolled relaxations), green at 3 SFs + crafted
-    #   detour/hop-bound/hub-selection test)
-    # - quantile_normalized_quality (operators/text.py, cross-source
-    #   quantile normalization to the pooled distribution via the
-    #   two-phase prefix scan; oracle llm_plans.QNORM_SQL, green at
-    #   3 SFs + identity/textbook-example crafted tests + plan test)
-    # - streaming_bitmap_distinct_users (streaming/stateful.py,
-    #   bit_or-monoid fold of the bitmap words — order-free AND
-    #   replay-idempotent; oracle sketch.BITMAP_DISTINCT_SQL
-    #   (INDEPENDENT COUNT(DISTINCT)), green at 3 SFs + replay test)
-    # - fd_profile_orders (operators/profile.py, functional-dependency
-    #   audit with exact g3 error; oracle profile.FD_SQL, green at
-    #   3 SFs + majority-count crafted test)
-    # - time_weighted_value_by_user (operators/temporal.py, exact
-    #   step-function integral in decimal(38,0) cents·micros; oracle
-    #   temporal.TWA_SQL, green at 3 SFs + integral-semantics crafted
-    #   test)
-    # - ams_f2_user_activity (operators/sketch.py, AMS ±1 second-
-    #   moment sketch + exact F2 companion — self-join-size
-    #   estimation; oracle sketch.AMS_SQL, green at 3 SFs +
-    #   zero-error single-key crafted test)
-    # - epoch_interleave_positions (operators/curation.py,
-    #   deterministic epoch shuffle + round-robin source interleave,
-    #   dense rank via the two-phase prefix scan; INDEPENDENT naive
-    #   global-ROW_NUMBER oracle curation.EPOCH_INTERLEAVE_SQL, green
-    #   at 3 SFs + hash-independent interleave crafted test + plan
-    #   test)
-    # - ams_join_size_orders_events (operators/sketch.py, cross-sketch
-    #   inner-product join-cardinality estimate + exact join-count
-    #   companion; oracle sketch.AMS_JOIN_SQL, green at 3 SFs +
-    #   zero-error matched-sign crafted test)
-    # - kcenter_diverse_embeddings (operators/similarity.py, greedy
-    #   farthest-point diversity sampling in exact integer d² with
-    #   per-round eager checkpoints; oracle similarity.KCENTER_SQL
-    #   (same unrolled rounds), green at 3 SFs + 1-D greedy-trace
-    #   crafted test)
-    # - streaming_kmv_distinct_users (streaming/stateful.py, min-k
-    #   monoid fold of the KMV sketch — order-free, replay-idempotent,
-    #   k-bounded state; oracle stateful.STREAMING_KMV_SQL (one-shot
-    #   SQL sketch rebuild), green at 3 SFs + reverse/replay merge
-    #   test)
-    # - cramers_v_lang_source (operators/stats.py, R×C chi-square /
-    #   Cramér's V with fixed-point cell terms + explicit empty cells;
-    #   oracle stats.CRAMERS_V_SQL, green at 3 SFs + determined/
-    #   balanced limit-case crafted test)
-    # - mann_kendall_by_type + acf_daily_revenue (operators/stats.py,
-    #   MK trend significance + calendar-lag ACF; oracles
-    #   stats.MANN_KENDALL_SQL / ACF_SQL, green at 3 SFs + crafted
-    #   monotone/numpy-equivalence tests)
-    # - ivm_join_nation_revenue (operators/scd.py, delta-JOIN view
-    #   maintenance with the signed cross term; INDEPENDENT full-
-    #   recompute oracle scd.IVM_JOIN_SQL, green at 3 SFs +
-    #   cross-term cancellation crafted test)
-    # - daily_event_mix_drift (operators/stats.py, rational TV-
-    #   distance composition drift; oracle stats.MIX_DRIFT_SQL,
-    #   green at 3 SFs + disjoint-mix crafted test)
-    # - bitmap_distinct_users_daily (operators/sketch.py, bitmap-word
-    #   exact distinct; INDEPENDENT COUNT(DISTINCT) oracle
-    #   sketch.BITMAP_DISTINCT_SQL, green at 3 SFs + bit-63 crafted)
-    # - benford_price_audit (operators/profile.py, first-digit fraud
-    #   screen; oracle profile.BENFORD_SQL, green at 3 SFs +
-    #   missing-digit crafted test)
-    # - pattern_runs_view_click_purchase (operators/temporal.py,
-    #   MATCH_RECOGNIZE-style A+B+C+ run pattern; oracle
-    #   temporal.PATTERN_RUNS_SQL, green at 3 SFs + adjacency
-    #   crafted test)
-    # - theilsen_trend_by_type (operators/stats.py, median-of-slopes
-    #   robust trend; oracle stats.THEILSEN_SQL, green at 3 SFs +
-    #   outlier-immunity crafted test)
-    # - k_anonymity_customer_qi (operators/profile.py, privacy
-    #   governance audit; oracle profile.K_ANONYMITY_SQL, green at
-    #   3 SFs + threshold-edge crafted test)
-    # - spatial_customer_neighbors (operators/spatial.py, grid-
-    #   blocked radius self-join with exact integer geometry; oracle
-    #   spatial.SPATIAL_NEIGHBORS_SQL, green at 3 SFs + boundary/
-    #   tie crafted test + no-cartesian plan assertion)
-    # - spearman_quality_tokens_by_lang (operators/text.py, exact
-    #   rank correlation via doubled average tie ranks + integer
-    #   moments; oracle = stats CTE composed with
-    #   text.SPEARMAN_SQL_TAIL, green at 3 SFs + monotone-nonlinear/
-    #   all-tied crafted test — which also caught and fixed the
-    #   registered Pearson op's ANSI /0 throw on zero-variance groups)
-    # - conversion_latency_by_hour (operators/temporal.py, exact
-    #   click->purchase time-to-convert percentiles per hour — the
-    #   as-of pairing composed with the histogram read-off; oracle
-    #   temporal.CONVERSION_LATENCY_SQL, green at 3 SFs + floor/
-    #   equal-ts/unconverted crafted test)
-    # - user_daily_features (operators/temporal.py, leakage-safe
-    #   per-user-day training feature matrix: calendar-RANGE 7d
-    #   windows, gap-gated lag, next-day label; oracle
-    #   temporal.FEATURES_SQL, green at 3 SFs + gap-semantics
-    #   crafted test)
-    # - streaming_growth_accounting (streaming/stateful.py, the
-    #   distinct (user, day) IVM fold read off through the SHARED
-    #   relational.user_growth_from_days; oracle relational.GROWTH_SQL,
-    #   green at 3 SFs)
-    # - phrase_match_docs (operators/text.py, positional-inverted-
-    #   index exact phrase retrieval with overlapping occurrence
-    #   counts; INDEPENDENT per-row array-slide oracle
-    #   text.PHRASE_MATCH_SQL, green at 3 SFs + overlap/chain
-    #   crafted test)
-    # - prefix_filter_neardup_pairs (operators/dedup.py, PPJoin-style
-    #   prefix-filter tier — complete exact-Jaccard candidates from a
-    #   ~(1−τ)-fraction index, no df cap needed; oracle is the
-    #   INDEPENDENT full-inverted-index llm_plans._NGRAM_JACCARD,
-    #   green at 3 SFs + cross-tier equality + adversarial
-    #   common-overlap crafted test + plan/index-reduction test)
-    # - priority_sample_docs (operators/curation.py, Duffield-Lund-
-    #   Thorup weighted priority sample + subset-sum total estimator,
-    #   WindowGroupLimit partial top-k heaps; oracle
-    #   curation.PRIORITY_SAMPLE_SQL (HUGEINT mirror), green at 3 SFs
-    #   + INDEPENDENT pure-hashlib reference test + plan test)
-    # - user_growth_accounting (operators/relational.py, four-state
-    #   new/retained/resurrected/churned lifecycle readout, single-
-    #   scan explode-marker plan; oracle relational.GROWTH_SQL, green
-    #   at 3 SFs + flow-identity property + crafted lifecycle test +
-    #   plan test)
-    # - weighted_percentiles_price_by_flag (operators/stats.py,
-    #   quantity-weighted discrete percentiles via the weighted
-    #   histogram read-off; oracle stats.WEIGHTED_PCT_SQL, green at
-    #   3 SFs + 97-unit-line weighting crafted test)
-    # - streaming_purchase_click_left_join (streaming/stream_exec.py,
-    #   watermarked LEFT OUTER stream-stream join over the matured
-    #   prefix; oracle stream_exec.STREAM_PC_LEFT_ORACLE, green at
-    #   3 SFs + unattributed-emission test)
-    # With ~73 staged operators (final r6 count of the bullets above)
-    # the r7 cap cannot hold even half of these plus the ~12
-    # r6-first-green keeps: prioritize the keeps, then stage
-    # registrations by (a) staging age — the r6-early block
-    # (streaming_ivm, dup_span, triangle, ohlc pair, stats quartet,
-    # contrastive, chi2, expectations) has waited longest — and
-    # (b) family diversity per round; roll the remainder into r8/r9.
-    # Every staged operator stays under the local 3-SF oracle gate
-    # (tests/test_staged_specs.py) every round either way, so nothing
-    # is unverified while it waits for driver evidence.
+    # cross-module priority overrides: HOIST names claim the driver
+    # cap. Since r7 the list is GENERATED, not hand-curated — run
+    # ``python -m pac_spark.plans.rotation`` and paste its output;
+    # tests/test_registry_policy.py asserts the committed list equals
+    # the tool's output, so a stale or hand-drifted edit fails the
+    # build (VERDICT r6 next-#3). Policy (see rotation.py docstring):
+    # (1) every spec lacking two CONSECUTIVE career driver hash-greens
+    # is mandatory — that is new registrations and non-consecutive
+    # histories; (2) rotation.FORCE_HOIST carries specs whose
+    # implementation changed this round; (3) remaining slots refresh
+    # the stalest tail, oldest-last-green first, name-alphabetical
+    # within a round. Operators waiting for a registration slot are
+    # queued in rotation.STAGED_QUEUE (staging-age order) with their
+    # local 3-SF oracle gates in tests/test_staged_specs.py — r7
+    # registered the first 13 (streaming_ivm_user_value,
+    # dup_span_coverage, triangle_top_parts, ohlc_bars_hourly,
+    # streaming_ohlc_bars, welch/cusum/winsorized/seasonal/trend,
+    # contrastive_negatives, chi2_terms_by_source,
+    # expectations_orders); r8+ drains the queue head at ~13/round
+    # while every queued operator stays under the identical local
+    # value-hash gate.
     hoist = [
-        # --- 16 keeps: only career hash-green is r5; need the second ---
-        "funnel_view_click_purchase",
-        "corr_quality_tokens_by_lang",
-        "profile_orders",
-        "referential_integrity_report",
-        "pagerank_trade_graph",
-        "scd2_customer_diff",
-        "cohort_retention",
-        "key_skew_report",
-        "rolling_1h_user_stats",
-        "event_transition_matrix",
-        "streaming_user_lifetime_stats",
-        "basket_part_pairs",
-        "compaction_roundtrip",
-        "cms_user_heavy_hitters",
-        "window_distribution_stats",
-        "ann_ivf_topk",
-        # --- 3 registrations: staged through r5's local gates ---
-        "pq_topk",
-        "pcm_audio_features",
-        "zorder_roundtrip",
-        # --- policy refresh: one career hash-green (r3), previously
-        #     tail-legal only via the no_oracle loophole ---
         "approx_distinct_parts",
-        # --- 17 stalest tail specs: last driver green r2 ---
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier",
-        "top_customers_by_revenue",
-        "window_rank_orders",
-        "window_running_events",
-        "rollup_region_nation",
-        "cube_flag_status",
-        "set_ops_customers",
-        "semi_anti_customers",
-        "distinct_counts_by_segment",
-        "json_events_extract",
-        "scalar_functions_showcase",
-        "er_records",
-        "events_tumbling_1h",
-        "events_sliding_1h_30m",
-        "events_sessions_10m",
-        # --- 1 stale refresh: last driver green r3 ---
-        "er_clusters",
-        # --- implementation changed this round (ensure_bucketed grew
-        #     the sidecar validation/re-ingest path) — changed code
-        #     never rides the tail ---
-        "bucketed_orders_join",
-        # --- 11 brand-new r6 operators: first driver evidence now ---
-        "scd2_pointintime_customer",
-        "scd2_history_customer",
-        "mad_outliers_by_flag",
-        "streaming_cms_heavy_hitters",
-        "butterfly_supplier_pairs",
-        "sequence_packing",
-        "ivm_nation_balance",
         "bloom_pruned_orders_join",
+        "butterfly_supplier_pairs",
+        "chi2_terms_by_source",
+        "contrastive_negatives",
+        "cusum_user_value_shift",
+        "dup_span_coverage",
+        "expectations_orders",
+        "ivm_nation_balance",
+        "mad_outliers_by_flag",
+        "ohlc_bars_hourly",
+        "pcm_audio_features",
         "percentiles_price_by_flag",
+        "pq_topk",
         "rfm_customer_segments",
+        "scd2_history_customer",
+        "scd2_pointintime_customer",
+        "seasonal_anomaly_days",
+        "sequence_packing",
+        "streaming_cms_heavy_hitters",
+        "streaming_ivm_user_value",
+        "streaming_ohlc_bars",
         "timeseries_gapfill_hourly",
+        "trend_slope_by_type",
+        "triangle_top_parts",
+        "welch_ab_value_by_hour",
+        "winsorized_price_stats_by_flag",
+        "zorder_roundtrip",
+        "asof_join_purchase_click",
+        "company_issue_summary",
+        "dedup_exact_docs",
+        "er_approved",
+        "er_candidate_pairs",
+        "er_consolidated",
+        "er_links",
+        "er_records_stringified",
+        "export_envelope",
+        "flagship_company_positions",
+        "flagship_roles_resolved",
+        "grouping_sets_revenue",
+        "interval_overlap_join",
+        "issues_count_validation",
+        "pivot_daily_event_counts",
+        "q18_large_orders",
+        "q22_idle_customers",
+        "q6_forecast_revenue",
+        "range_band_join_quantity",
+        "streaming_dedup_events",
+        "streaming_purchase_click_join",
+        "streaming_sessions_10m",
     ]
-    by_priority = [s for s in specs if s.name in hoist] + [
+    by_name = {s.name: s for s in specs}
+    # head follows the hoist list's own order so the committed cap is
+    # byte-comparable to the rotation tool's output
+    by_priority = [by_name[h] for h in hoist] + [
         s for s in specs if s.name not in hoist
     ]
     names = [s.name for s in by_priority]

@@ -1,0 +1,206 @@
+"""Mechanized driver-cap rotation (VERDICT r6 next-#3).
+
+The external driver hash-checks exactly the FIRST ``DRIVER_CAP`` specs
+of :func:`registry.all_specs` each round, so the hoist list IS the
+round's driver-evidence budget. Through r6 that list was hand-curated
+from a 260-line comment; this module derives it from the recorded
+evidence itself (``CORRECTNESS_r*.json``), and
+``tests/test_registry_policy.py`` asserts the committed hoist equals
+this tool's output — a drifting or stale hand edit now fails the
+build.
+
+Policy, in priority order (all deterministic):
+
+1. **Mandatory**: every registered spec WITHOUT two consecutive career
+   driver hash-greens. This automatically captures brand-new
+   registrations (zero greens) and specs whose only greens are
+   non-consecutive — exactly the set the tail-legality test
+   (``test_tail_specs_have_two_consecutive_driver_greens``) would
+   reject from the tail.
+2. **Forced**: specs whose implementation materially changed this
+   round ("changed code never rides the tail"). Evidence files cannot
+   know this, so it is the one hand-maintained input
+   (:data:`FORCE_HOIST`), reset each round.
+3. **Staleness fill**: remaining slots go to tail-legal specs ordered
+   by (oldest last-green round, name) — the spec whose newest
+   evidence is oldest refreshes first, ties broken alphabetically so
+   reruns are reproducible.
+
+Run ``python -m pac_spark.plans.rotation`` to print the list for the
+next round's registry edit, plus a staleness report.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+__all__ = [
+    "FORCE_HOIST",
+    "STAGED_QUEUE",
+    "career_greens",
+    "compute_hoist",
+    "has_two_consecutive",
+]
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# Hand-maintained per round: registered specs whose IMPLEMENTATION
+# changed since their tail evidence was recorded (the r6
+# bucketed_orders_join case). Correctness history cannot see code
+# churn, so this stays an explicit input. r7: no registered query's
+# implementation changed — the round's code deltas (pydatasource empty
+# range, plan-audit counters, UpsertTable tie-break) are all outside
+# the registered query surface.
+FORCE_HOIST: tuple[str, ...] = ()
+
+# Implemented operators WAITING for a registration slot, in
+# registration-priority order (staging age, oldest first — the r6
+# bullets' order). Each has its identical local 3-SF value-hash
+# oracle gate in tests/test_staged_specs.py every round while it
+# waits. A round's registration step = pop the head (~13 names the
+# cap can absorb), add their QuerySpecs to the owning plans module,
+# and delete them here; test_registry_policy.py asserts the queue and
+# the registry never overlap. r7 registered the first 13 (through
+# expectations_orders).
+STAGED_QUEUE: tuple[str, ...] = (
+    "peak_concurrent_sessions",
+    "ks_test_price_by_flag",
+    "bm25_topk_docs",
+    "top_session_paths",
+    "user_activity_streaks",
+    "source_overlap_matrix",
+    "token_gini_by_source",
+    "two_hop_reach_top_customers",
+    "daily_user_accounting",
+    "budget_allocation_by_nation",
+    "streaming_user_accounting",
+    "funnel_within_1h_view_click_purchase",
+    "skyline_suppliers",
+    "embedding_dim_stats",
+    "hll_distinct_customers_by_priority",
+    "daily_coverage_us",
+    "rolling_7d_distinct_users_hll",
+    "percentiles_cont_price_by_flag",
+    "kmv_nation_part_overlap",
+    "association_rules_parts",
+    "item_item_similar_parts",
+    "ewma_user_value",
+    "streaming_ewma_user_value",
+    "attribution_last_touch",
+    "bpe_learn_merges",
+    "auc_value_predicts_purchase",
+    "decile_lift_value_purchase",
+    "kcore_parts",
+    "dedup_canonical_docs",
+    "degree_assortativity",
+    "table_fingerprint_by_nation",
+    "levenshtein_neardup_pairs",
+    "containment_neardup_pairs",
+    "sssp_from_hub",
+    "quantile_normalized_quality",
+    "streaming_bitmap_distinct_users",
+    "fd_profile_orders",
+    "time_weighted_value_by_user",
+    "ams_f2_user_activity",
+    "epoch_interleave_positions",
+    "ams_join_size_orders_events",
+    "kcenter_diverse_embeddings",
+    "streaming_kmv_distinct_users",
+    "cramers_v_lang_source",
+    "mann_kendall_by_type",
+    "acf_daily_revenue",
+    "ivm_join_nation_revenue",
+    "daily_event_mix_drift",
+    "bitmap_distinct_users_daily",
+    "benford_price_audit",
+    "pattern_runs_view_click_purchase",
+    "theilsen_trend_by_type",
+    "k_anonymity_customer_qi",
+    "spatial_customer_neighbors",
+    "spearman_quality_tokens_by_lang",
+    "conversion_latency_by_hour",
+    "user_daily_features",
+    "streaming_growth_accounting",
+    "phrase_match_docs",
+    "prefix_filter_neardup_pairs",
+    "priority_sample_docs",
+    "user_growth_accounting",
+    "weighted_percentiles_price_by_flag",
+    "streaming_purchase_click_left_join",
+)
+
+
+def career_greens(repo: str = _REPO) -> dict[str, list[int]]:
+    """Per-spec sorted list of rounds with a driver HASH-green.
+
+    Rows-only passes (``err=no_oracle``) deliberately do not count —
+    the r5 approx_distinct_parts lesson (VERDICT r5 wrong-#1).
+    """
+    greens: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, res in rows.items():
+            if res.get("hash_match"):
+                greens.setdefault(name, []).append(rnd)
+    return {k: sorted(v) for k, v in greens.items()}
+
+
+def has_two_consecutive(rounds: list[int]) -> bool:
+    return any(b - a == 1 for a, b in zip(rounds, rounds[1:]))
+
+
+def compute_hoist(
+    spec_names: list[str],
+    cap: int,
+    repo: str = _REPO,
+    force: tuple[str, ...] = FORCE_HOIST,
+) -> list[str]:
+    """The driver-cap hoist list for the CURRENT round, derived from
+    the evidence history in ``repo`` (see module docstring for the
+    policy tiers)."""
+    greens = career_greens(repo)
+    mandatory = sorted(
+        n for n in spec_names if not has_two_consecutive(greens.get(n, []))
+    )
+    unknown = set(force) - set(spec_names)
+    assert not unknown, f"FORCE_HOIST names not in registry: {sorted(unknown)}"
+    forced = sorted(set(force) - set(mandatory))
+    assert len(mandatory) + len(forced) <= cap, (
+        f"{len(mandatory)} under-evidenced + {len(forced)} forced specs "
+        f"exceed the driver cap {cap} — registration pace must slow down"
+    )
+    chosen = mandatory + forced
+    fill = sorted(
+        (n for n in spec_names if n not in set(chosen)),
+        key=lambda n: (max(greens.get(n, [0])), n),
+    )
+    return chosen + fill[: cap - len(chosen)]
+
+
+def _main() -> None:
+    from pac_spark.plans.registry import DRIVER_CAP, all_specs
+
+    names = [s.name for s in all_specs()]
+    greens = career_greens()
+    hoist = compute_hoist(names, DRIVER_CAP)
+    print(f"# hoist ({len(hoist)} = DRIVER_CAP):")
+    for n in hoist:
+        print(f'        "{n}",')
+    latest = max((r for v in greens.values() for r in v), default=0)
+    stale = sorted(
+        ((max(greens.get(n, [0])), n) for n in names if n not in set(hoist)),
+        key=lambda t: t,
+    )
+    print(f"\n# tail staleness (last green, of r{latest}):")
+    for rnd, n in stale[:20]:
+        print(f"#   r{rnd}  {n}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -144,4 +144,15 @@ SPECS = [
     ),
     QuerySpec("rfm_customer_segments", ST.rfm_customer_segments, _RFM),
     QuerySpec("mad_outliers_by_flag", ST.mad_outliers_by_flag, _MAD),
+    # registered in the r7 rotation after a round staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("welch_ab_value_by_hour", ST.welch_ab_value_by_hour, ST.WELCH_AB_SQL()),
+    QuerySpec("cusum_user_value_shift", ST.cusum_user_value_shift, ST.CUSUM_SQL()),
+    QuerySpec(
+        "winsorized_price_stats_by_flag",
+        ST.winsorized_price_stats_by_flag,
+        ST.WINSOR_SQL(),
+    ),
+    QuerySpec("seasonal_anomaly_days", ST.seasonal_anomaly_days, ST.SEASONAL_SQL()),
+    QuerySpec("trend_slope_by_type", ST.trend_slope_by_type, ST.TREND_SQL()),
 ]

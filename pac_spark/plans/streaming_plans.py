@@ -8,6 +8,14 @@ from pac_spark.plans.spec import QuerySpec
 from pac_spark.streaming import stateful, stream_exec, windows
 
 
+def _ohlc_sql() -> str:
+    # deferred import: temporal is an operator module streaming_plans
+    # otherwise never needs
+    from pac_spark.operators.temporal import OHLC_SQL
+
+    return OHLC_SQL()
+
+
 def _cms_hh_sql() -> str:
     from pac_spark.operators.sketch import CMS_HH_SQL
 
@@ -193,5 +201,20 @@ SPECS = [
         "streaming_cms_heavy_hitters",
         stream_exec.streaming_cms_heavy_hitters,
         _cms_hh_sql(),
+    ),
+    # registered in the r7 rotation after a round staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "streaming_ivm_user_value",
+        stateful.streaming_ivm_user_value,
+        stateful.STREAMING_IVM_ORACLE,
+    ),
+    # the oracle is deliberately the BATCH candlestick oracle
+    # (temporal.OHLC_SQL): hash equality proves the monoid-merged
+    # micro-batch maintenance equals the one-shot window build
+    QuerySpec(
+        "streaming_ohlc_bars",
+        stateful.streaming_ohlc_bars,
+        _ohlc_sql(),
     ),
 ]

@@ -183,4 +183,7 @@ SPECS = [
     QuerySpec("range_band_join_quantity", T.range_band_join_quantity, _RANGE_BAND),
     # promoted from the r4 queue in the r5 rotation (VERDICT r4 next-#1)
     QuerySpec("funnel_view_click_purchase", T.funnel_view_click_purchase, _FUNNEL),
+    # registered in the r7 rotation after a round staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py)
+    QuerySpec("ohlc_bars_hourly", T.ohlc_bars_hourly, T.OHLC_SQL()),
 ]

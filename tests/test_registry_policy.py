@@ -53,3 +53,33 @@ def test_registry_names_unique_and_cap_meaningful():
     names = [s.name for s in all_specs()]
     assert len(names) == len(set(names))
     assert len(names) > DRIVER_CAP, "policy test is vacuous under the cap"
+
+
+def test_committed_hoist_matches_rotation_tool():
+    """The hoist list in registry.all_specs is GENERATED (VERDICT r6
+    next-#3): re-derive it from the CORRECTNESS_r*.json history via
+    the rotation policy and require exact equality, so a hand edit,
+    a forgotten refresh, or an aging spec fails the build instead of
+    silently shipping a stale cap."""
+    from pac_spark.plans.rotation import compute_hoist
+
+    names = [s.name for s in all_specs()]
+    want = compute_hoist(names, DRIVER_CAP, repo=_REPO)
+    got = names[:DRIVER_CAP]
+    assert got == want, (
+        "committed hoist != rotation tool output; regenerate with "
+        "`python -m pac_spark.plans.rotation`.\n"
+        f"missing from cap: {sorted(set(want) - set(got))}\n"
+        f"extra in cap:    {sorted(set(got) - set(want))}"
+    )
+
+
+def test_staged_queue_disjoint_from_registry():
+    """Registering an operator must also pop it from
+    rotation.STAGED_QUEUE (and vice versa) — overlap means the queue
+    bookkeeping drifted; duplicates mean a paste error."""
+    from pac_spark.plans.rotation import STAGED_QUEUE
+
+    assert len(STAGED_QUEUE) == len(set(STAGED_QUEUE))
+    overlap = set(STAGED_QUEUE) & {s.name for s in all_specs()}
+    assert not overlap, f"staged AND registered: {sorted(overlap)}"
