@@ -37,6 +37,80 @@ CORE15 = [
     "multimodal_byte_features",
 ]
 
+# the r5 headline set, frozen (VERDICT r6 wrong-#1: the grand total
+# stopped being a comparable series when the set grew — every
+# historical set keeps its own named subtotal instead)
+CORE20 = [
+    "flagship_company_positions",
+    "company_issue_summary",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q21_last_to_ship",
+    "window_rank_orders",
+    "events_sessions_10m",
+    "streaming_tumbling_1h",
+    "streaming_neardup_admission",
+    "er_candidate_pairs",
+    "er_candidate_pairs_lsh",
+    "er_clusters",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_pairs",
+    "incremental_neardup_filter",
+    "knn_bruteforce",
+    "text_stats",
+    "multimodal_byte_features",
+]
+
+# per-query family labels: the JSON emits one subtotal per family so a
+# regression localizes at a glance (VERDICT r6 next-#5)
+FAMILY = {
+    "flagship_company_positions": "relational",
+    "company_issue_summary": "relational",
+    "q1_pricing_summary": "relational",
+    "q3_shipping_priority": "relational",
+    "q5_local_supplier": "relational",
+    "q9_product_profit": "relational",
+    "q21_last_to_ship": "relational",
+    "bloom_pruned_orders_join": "relational",
+    "window_rank_orders": "windows",
+    "window_distribution_stats": "windows",
+    "events_sessions_10m": "streaming",
+    "streaming_tumbling_1h": "streaming",
+    "streaming_neardup_admission": "streaming",
+    "streaming_ivm_user_value": "streaming",
+    "streaming_ohlc_bars": "streaming",
+    "er_candidate_pairs": "er",
+    "er_candidate_pairs_lsh": "er",
+    "er_clusters": "er",
+    "minhash_lsh_dedup": "dedup",
+    "ngram_jaccard_pairs": "dedup",
+    "incremental_neardup_filter": "dedup",
+    "dup_span_coverage": "dedup",
+    "knn_bruteforce": "llm",
+    "text_stats": "llm",
+    "multimodal_byte_features": "llm",
+    "chi2_terms_by_source": "llm",
+    "contrastive_negatives": "llm",
+    "sequence_packing": "llm",
+    "pagerank_trade_graph": "graph",
+    "triangle_top_parts": "graph",
+    "scd2_customer_diff": "analytics",
+    "cms_user_heavy_hitters": "analytics",
+    "ivm_nation_balance": "analytics",
+    "expectations_orders": "analytics",
+    "percentiles_price_by_flag": "stats",
+    "rfm_customer_segments": "stats",
+    "welch_ab_value_by_hour": "stats",
+    "cusum_user_value_shift": "stats",
+    "winsorized_price_stats_by_flag": "stats",
+    "seasonal_anomaly_days": "stats",
+    "trend_slope_by_type": "stats",
+    "timeseries_gapfill_hourly": "temporal",
+    "ohlc_bars_hourly": "temporal",
+}
+
 # headline set: one representative per operator family (relational
 # core, windows, streaming, ER, dedup, similarity, text, multimodal),
 # plus the r4-new heavy hitters (VERDICT r4 next-#5: regressions in
@@ -77,6 +151,20 @@ BENCH_QUERIES = [
     "timeseries_gapfill_hourly",
     "ivm_nation_balance",
     "sequence_packing",
+    # r7-registered operators, benched from birth
+    "welch_ab_value_by_hour",
+    "cusum_user_value_shift",
+    "winsorized_price_stats_by_flag",
+    "seasonal_anomaly_days",
+    "trend_slope_by_type",
+    "ohlc_bars_hourly",
+    "streaming_ohlc_bars",
+    "streaming_ivm_user_value",
+    "dup_span_coverage",
+    "contrastive_negatives",
+    "chi2_terms_by_source",
+    "triangle_top_parts",
+    "expectations_orders",
 ]
 
 
@@ -144,19 +232,38 @@ def main() -> None:
             release_caches(all_generations=True)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    families: dict[str, float] = {}
+    for q, t in timings.items():
+        fam = FAMILY.get(q, "other")
+        families[fam] = round(families.get(fam, 0.0) + t, 3)
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
-                "value": round(sum(timings.values()), 3),
+                # pagerank is reported separately (VERDICT r6 wrong-#2):
+                # at ~28% of the aggregate its fixed iterative cost
+                # drowned every other query's signal in the total
+                "value": round(
+                    sum(
+                        t
+                        for q, t in timings.items()
+                        if q != "pagerank_trade_graph"
+                    ),
+                    3,
+                ),
                 "unit": "sec",
                 "queries": timings,
+                "pagerank_sec": timings.get("pagerank_trade_graph"),
                 # the r1-r4 15-query subtotal: compare THIS against the
-                # 26.48 s r1 baseline / 18.3-21.7 s r3-r4 totals — the
-                # grand total covers 5 more queries since r5
+                # 26.48 s r1 baseline / 18.3-21.7 s r3-r4 totals
                 "core15_sec": round(
                     sum(t for q, t in timings.items() if q in CORE15), 3
                 ),
+                # the frozen r5 20-query set (r5: 32.3 s total)
+                "core20_sec": round(
+                    sum(t for q, t in timings.items() if q in CORE20), 3
+                ),
+                "families_sec": dict(sorted(families.items())),
                 "sf": float(sf) if sf else None,
             }
         )

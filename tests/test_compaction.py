@@ -230,3 +230,101 @@ FROM swept WHERE t = 0 GROUP BY col
     ):
         mirrors += duck.sql(mirror_sql.format(d=d, layout=layout)).fetchall()
     assert {(m[0], m[1]): (m[2], m[3], m[4]) for m in mirrors} == rows
+
+
+def test_layout_caches_rebuild_when_source_regenerates(spark, tmp_path, monkeypatch):
+    """End-to-end chaos sweep over ALL THREE layout caches (VERDICT r6
+    next-#7): run bucketed / compacted / z-ordered queries against a
+    private source copy, prove repeat runs serve the cached layouts
+    byte-untouched, then regenerate the source parquet IN PLACE and
+    prove every cache detects the fingerprint mismatch, rebuilds, and
+    answers from the NEW data — the sidecar logic (ADVICE r5 #2/#3)
+    integration-proven, not just unit-tested per cache."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pac_spark.functions.exact import money_sum
+    from pac_spark.operators import scale
+
+    src = tmp_path / "sfchaos"
+    src.mkdir()
+    for t in ("orders", "lineitem", "events"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet", src / f"{t}.parquet"
+        )
+    monkeypatch.setattr(scale, "_REPO_ROOT", str(tmp_path))
+    wh = tmp_path / "spark-warehouse"
+    sf_dir = str(src)
+
+    def run_all():
+        return (
+            sorted(map(tuple, scale.bucketed_orders_join(spark, sf_dir).collect())),
+            sorted(map(tuple, scale.compaction_roundtrip(spark, sf_dir).collect())),
+            sorted(map(tuple, scale.zorder_roundtrip(spark, sf_dir).collect())),
+        )
+
+    def snapshot():
+        out = {}
+        for p in sorted(wh.rglob("*")):
+            if p.is_file():
+                st = p.stat()
+                out[str(p.relative_to(wh))] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    def sidecar_sources():
+        return {
+            str(p.parent.name): json.loads(p.read_text()).get("source")
+            for p in wh.rglob("_pac_layout.json")
+        }
+
+    first = run_all()
+    snap1, sides1 = snapshot(), sidecar_sources()
+    assert len(sides1) == 4  # b_orders, b_lineitem, compacted, zordered
+
+    # repeat run: cache hit — identical answers, zero bytes rewritten
+    assert run_all() == first
+    assert snapshot() == snap1
+
+    # regenerate the source IN PLACE (half the rows survive)
+    for t, key in (
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+        ("events", "event_id"),
+    ):
+        kept = spark.read.parquet(f"{sf_dir}/{t}.parquet").filter(
+            (F.col(key) % 2) == 0
+        )
+        staged = tmp_path / f"staged_{t}"
+        kept.write.mode("overwrite").parquet(str(staged))
+        (src / f"{t}.parquet").unlink()
+        shutil.move(str(staged), str(src / f"{t}.parquet"))
+
+    bucketed3, compacted3, zordered3 = run_all()
+    sides3 = sidecar_sources()
+    assert set(sides3) == set(sides1)
+    changed = {k for k in sides1 if sides1[k] != sides3[k]}
+    assert changed == set(sides1), f"stale sidecars survived: {sides1.keys() - changed}"
+
+    # every answer now reflects the regenerated data, via plain-plan mirrors
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    want_b = sorted(
+        map(
+            tuple,
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"), money_sum(disc, scale=4).alias("revenue"))
+            .orderBy("o_orderpriority")
+            .collect(),
+        )
+    )
+    assert bucketed3 == want_b and bucketed3 != first[0]
+    assert sum(r[1] for r in compacted3) == events.count()
+    box = F.col("user_id").between(scale._ZBOX_USER_LO, scale._ZBOX_USER_HI) & F.col(
+        "value"
+    ).between(scale._ZBOX_VALUE_LO, scale._ZBOX_VALUE_HI)
+    assert sum(r[1] for r in zordered3) == events.filter(box).count()
