@@ -83,3 +83,46 @@ def test_staged_queue_disjoint_from_registry():
     assert len(STAGED_QUEUE) == len(set(STAGED_QUEUE))
     overlap = set(STAGED_QUEUE) & {s.name for s in all_specs()}
     assert not overlap, f"staged AND registered: {sorted(overlap)}"
+
+
+def test_compute_hoist_policy_invariants(tmp_path):
+    """The rotation tool's three policy tiers pinned on a synthetic
+    history: under-evidenced specs are always in (new = zero greens,
+    non-consecutive greens too), forced specs ride along, and the
+    remaining slots go stalest-first with alphabetical ties."""
+    import json as _json
+
+    from pac_spark.plans.rotation import compute_hoist
+
+    hist = {
+        1: {"a": True, "b": True, "c": True, "d": True, "e": False},
+        2: {"a": True, "b": True, "c": False, "d": True, "e": True},
+        3: {"a": True, "b": False, "c": True, "d": False, "e": False},
+    }
+    for rnd, rows in hist.items():
+        (tmp_path / f"CORRECTNESS_r0{rnd}.json").write_text(
+            _json.dumps(
+                {n: {"hash_match": g} for n, g in rows.items()}
+            )
+        )
+    # careers: a=[1,2,3] b=[1,2] c=[1,3] d=[1,2] e=[2]; f brand-new
+    names = ["f", "e", "d", "c", "b", "a"]
+    got = compute_hoist(names, cap=4, repo=str(tmp_path), force=())
+    # mandatory: c (non-consecutive), e (single green), f (no green)
+    assert got[:3] == ["c", "e", "f"]
+    # fill: stalest last-green first → b (r2) before a (r3)
+    assert got[3] == "b"
+
+    # forced spec claims a slot ahead of the staleness fill
+    forced = compute_hoist(names, cap=4, repo=str(tmp_path), force=("a",))
+    assert forced == ["c", "e", "f", "a"]
+
+    # a forced name that is already mandatory is not double-counted
+    same = compute_hoist(names, cap=4, repo=str(tmp_path), force=("c",))
+    assert same == got
+
+    # cap smaller than the mandatory set must refuse, not truncate
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        compute_hoist(names, cap=2, repo=str(tmp_path), force=())
