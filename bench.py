@@ -234,6 +234,8 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     families: dict[str, float] = {}
     for q, t in timings.items():
+        if q == "pagerank_trade_graph":
+            continue  # own field below — would drown the graph family
         fam = FAMILY.get(q, "other")
         families[fam] = round(families.get(fam, 0.0) + t, 3)
     print(

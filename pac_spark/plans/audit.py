@@ -17,9 +17,14 @@ version's physical tree without touching private planner APIs beyond
 
 from __future__ import annotations
 
+import re
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame
+
+# first operator token on a physical-plan line, past tree characters
+# (":  +- ") and the whole-stage-codegen star prefix ("*(3) ")
+_NODE_NAME = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
 
 __all__ = ["PlanAudit", "plan_audit", "assert_scale_legal"]
 
@@ -48,19 +53,25 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     plan, which is the honest pre-runtime claim)."""
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
-    broadcast_ex = plan.count("BroadcastExchange ")
-    reused_ex = plan.count("ReusedExchange ")
+    # exchange kinds must be told apart by each line's NODE name, not
+    # substring counts: "Exchange " is a substring of the other two
+    # spellings, AND a ReusedExchange line EMBEDS its referenced
+    # exchange's own text ("ReusedExchange [...], Exchange
+    # hashpartitioning(...)"), so substring arithmetic over-counts by
+    # one per reuse. The node name is the first word after the
+    # tree-drawing/codegen prefix ("+- ", ": ", "*(3) ").
+    nodes = [
+        m.group(1)
+        for m in (_NODE_NAME.match(line) for line in plan.splitlines())
+        if m
+    ]
     return PlanAudit(
         # "Scan parquet" is a substring of "FileScan parquet", so one
         # count covers both spellings without double-counting
         scans=plan.count("Scan parquet"),
-        # "Exchange " is likewise a substring of "BroadcastExchange "
-        # and "ReusedExchange " — subtract both so this field counts
-        # only true shuffle boundaries, as documented (they get their
-        # own counters below)
-        exchanges=plan.count("Exchange ") - broadcast_ex - reused_ex,
-        broadcast_exchanges=broadcast_ex,
-        reused_exchanges=reused_ex,
+        exchanges=nodes.count("Exchange"),
+        broadcast_exchanges=nodes.count("BroadcastExchange"),
+        reused_exchanges=nodes.count("ReusedExchange"),
         broadcast_joins=plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         sortmerge_joins=plan.count("SortMergeJoin"),

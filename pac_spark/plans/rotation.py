@@ -168,13 +168,19 @@ def compute_hoist(
     mandatory = sorted(
         n for n in spec_names if not has_two_consecutive(greens.get(n, []))
     )
+    # operational validation, not debug checks: explicit raises so
+    # python -O cannot strip them into a silent over-cap list
     unknown = set(force) - set(spec_names)
-    assert not unknown, f"FORCE_HOIST names not in registry: {sorted(unknown)}"
+    if unknown:
+        raise ValueError(
+            f"FORCE_HOIST names not in registry: {sorted(unknown)}"
+        )
     forced = sorted(set(force) - set(mandatory))
-    assert len(mandatory) + len(forced) <= cap, (
-        f"{len(mandatory)} under-evidenced + {len(forced)} forced specs "
-        f"exceed the driver cap {cap} — registration pace must slow down"
-    )
+    if len(mandatory) + len(forced) > cap:
+        raise ValueError(
+            f"{len(mandatory)} under-evidenced + {len(forced)} forced specs "
+            f"exceed the driver cap {cap} — registration pace must slow down"
+        )
     chosen = mandatory + forced
     fill = sorted(
         (n for n in spec_names if n not in set(chosen)),

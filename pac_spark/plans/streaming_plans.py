@@ -5,15 +5,8 @@ from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.plans.spec import QuerySpec
+from pac_spark.operators.temporal import OHLC_SQL
 from pac_spark.streaming import stateful, stream_exec, windows
-
-
-def _ohlc_sql() -> str:
-    # deferred import: temporal is an operator module streaming_plans
-    # otherwise never needs
-    from pac_spark.operators.temporal import OHLC_SQL
-
-    return OHLC_SQL()
 
 
 def _cms_hh_sql() -> str:
@@ -215,6 +208,6 @@ SPECS = [
     QuerySpec(
         "streaming_ohlc_bars",
         stateful.streaming_ohlc_bars,
-        _ohlc_sql(),
+        OHLC_SQL(),
     ),
 ]

@@ -150,9 +150,10 @@ class UpsertTable:
     unmatched rows pass through untouched; pair with the bucketed
     layout to plan it exchange-free. Within a batch, last-wins per key
     under the caller's ``order_col``; ties on (key, order_col) break
-    on a content hash of the full row, so the winner is deterministic
-    across retries and shuffles even for duplicate-timestamp input
-    (exact duplicate ROWS are interchangeable either way). The ledger
+    on the remaining columns (name-sorted, descending), so the winner
+    is a deterministic function of the row values across retries and
+    shuffles even for duplicate-timestamp input (exact duplicate ROWS
+    are interchangeable either way). The ledger
     is O(versions) tiny JSON files;
     compaction of old snapshots is a deployment-policy deletion of
     ``v{k}`` dirs below the retention horizon (their markers say so).
@@ -213,14 +214,15 @@ class UpsertTable:
             return False
         # inside a per-key partition the key itself cannot break ties,
         # so duplicate (key, order_col) rows need a real secondary
-        # order: a content hash over every column (name-sorted, so
-        # column order is irrelevant) makes the elected winner a
-        # deterministic function of the row VALUES
-        row_hash = F.xxhash64(
-            *[F.col(c) for c in sorted(batch_df.columns)]
-        )
+        # order: every column, name-sorted, descending — a total order
+        # over the row VALUES, so the elected winner is deterministic
+        # across retries/shuffles. (A hash tie-break is NOT enough:
+        # xxhash64 skips NULL inputs, so rows with the same non-null
+        # values permuted across columns would collide.) Exact
+        # duplicate rows remain interchangeable, which is harmless.
         w = W.partitionBy(self.key).orderBy(
-            F.desc(self.order_col), F.desc(row_hash)
+            F.desc(self.order_col),
+            *[F.desc(c) for c in sorted(batch_df.columns)],
         )
         dedup = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -124,5 +124,7 @@ def test_compute_hoist_policy_invariants(tmp_path):
     # cap smaller than the mandatory set must refuse, not truncate
     import pytest as _pytest
 
-    with _pytest.raises(AssertionError):
+    with _pytest.raises(ValueError):
         compute_hoist(names, cap=2, repo=str(tmp_path), force=())
+    with _pytest.raises(ValueError):
+        compute_hoist(names, cap=6, repo=str(tmp_path), force=("nope",))

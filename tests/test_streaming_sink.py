@@ -155,20 +155,31 @@ def test_upsert_table_duplicate_order_ties_break_deterministically(
     spark, tmp_path
 ):
     """Duplicate (key, order_col) rows elect the SAME winner no matter
-    the input order or partitioning: the tie falls through to a
-    content hash of the row (ADVICE r6 #3 — inside a per-key window
-    the key itself can never break a tie)."""
+    the input order or partitioning: the tie falls through to the
+    remaining columns' values (ADVICE r6 #3 — inside a per-key window
+    the key itself can never break a tie). The NULL-permuted pair
+    pins why a hash tie-break was not enough: xxhash64 skips NULLs,
+    so (None, 'q') and ('q', None) would have collided."""
     from pac_spark.sources.sinks import UpsertTable
 
-    rows = [(1, 10, "x"), (1, 10, "y"), (1, 10, "z"), (2, 5, "a")]
+    rows = [
+        (1, 10, "x", "m"),
+        (1, 10, "y", "n"),
+        (1, 10, "z", "o"),
+        (2, 5, "a", "p"),
+        (3, 7, None, "q"),
+        (3, 7, "q", None),
+    ]
     winners = set()
-    for i, perm in enumerate((rows, rows[::-1], rows[2:] + rows[:2])):
+    for i, perm in enumerate((rows, rows[::-1], rows[3:] + rows[:3])):
         t = UpsertTable(
             spark, str(tmp_path / f"tbl{i}"), key="k", order_col="ts"
         )
-        df = spark.createDataFrame(perm, ["k", "ts", "v"]).repartition(7)
+        df = spark.createDataFrame(
+            perm, "k long, ts long, v string, w string"
+        ).repartition(7)
         assert t.upsert(df, "b0") is True
-        got = {r["k"]: r["v"] for r in t.read().collect()}
-        assert got[2] == "a"
-        winners.add(got[1])
+        got = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+        assert got[2] == ("a", "p")
+        winners.add((got[1], got[3]))
     assert len(winners) == 1, f"nondeterministic tie winner: {winners}"
