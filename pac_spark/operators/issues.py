@@ -250,7 +250,12 @@ def export_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("as_of")
     )
     avg = (
-        (F.col("total_issues").cast("double") / F.col("total_companies"))
+        # empty-corpus guard: 0 companies → NULL average, not an ANSI
+        # divide-by-zero throw (DuckDB yields NULL for 0/0 already)
+        F.when(
+            F.col("total_companies") > 0,
+            F.col("total_issues").cast("double") / F.col("total_companies"),
+        )
         .cast("decimal(18,2)")
         .cast("string")
     )

@@ -66,7 +66,11 @@ def _guard_ghost_range(new: DataFrame, n_offsets: int = 1) -> DataFrame:
         new.join(F.broadcast(bound))
         .filter(
             F.assert_true(
-                F.col("_max_key") < GHOST_OFFSET,
+                # NULL max = EMPTY table, which trivially satisfies the
+                # bound; without the coalesce, Catalyst pushes this
+                # broadcast-side-only predicate down to the 1-row bound
+                # frame and assert_true(NULL) throws on empty input
+                F.coalesce(F.col("_max_key") < GHOST_OFFSET, F.lit(True)),
                 F.lit(
                     f"c_custkey reached GHOST_OFFSET={GHOST_OFFSET} "
                     f"(x{n_offsets} ghost ranges); raise it"

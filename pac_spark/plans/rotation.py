@@ -51,11 +51,12 @@ _REPO = os.path.dirname(
 # Hand-maintained per round: registered specs whose IMPLEMENTATION
 # changed since their tail evidence was recorded (the r6
 # bucketed_orders_join case). Correctness history cannot see code
-# churn, so this stays an explicit input. r7: no registered query's
-# implementation changed — the round's code deltas (pydatasource empty
-# range, plan-audit counters, UpsertTable tie-break) are all outside
-# the registered query surface.
-FORCE_HOIST: tuple[str, ...] = ()
+# churn, so this stays an explicit input. r7: scd2_customer_diff —
+# the shared ghost-range guard gained an empty-table NULL coalesce
+# (no-op on real data, but changed code never rides the tail); its
+# cap siblings (scd2_history/pointintime, ivm_nation_balance) are
+# mandatory this round anyway.
+FORCE_HOIST: tuple[str, ...] = ("scd2_customer_diff",)
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6
