@@ -22,14 +22,21 @@ __all__ = ["money_sum", "money_sum_sql", "exact_avg", "exact_avg_sql", "int_div"
 
 
 def int_div(a: Column, b: Column) -> Column:
-    """Exact integer division of non-negative long Columns. The
-    remainder is subtracted FIRST (long arithmetic, exact), so the one
-    double division is of an exact multiple of ``b`` — IEEE
-    correctly-rounded division returns the integer quotient exactly
-    for any multiple below 2^53, far past any group size. No value
-    ever sits near a floor boundary (ADVICE r5 #4: a plain
-    ``floor(a / b)`` form could floor across a boundary on a
-    pathological near-integer double quotient). DuckDB mirror: the
+    """Exact integer division of long Columns with TRUNCATION-toward-
+    zero semantics for a negative numerator (``b`` must be positive).
+    The remainder is subtracted FIRST (long arithmetic, exact; Spark's
+    ``%`` follows the dividend sign, so ``a - a%b`` is the trunc
+    multiple for either sign), so the one double division is of an
+    exact multiple of ``b`` — IEEE correctly-rounded division returns
+    the integer quotient exactly for any multiple below 2^53 in
+    magnitude, far past any group size. No value ever sits near a
+    floor boundary (ADVICE r5 #4: a plain ``floor(a / b)`` form could
+    floor across a boundary on a pathological near-integer double
+    quotient — and would also be FLOOR, not trunc, for negatives).
+    The trunc-for-negatives guarantee is load-bearing: Theil–Sen and
+    Mann–Kendall feed negative slope numerators and DuckDB's BIGINT
+    ``//`` truncates toward zero identically (verified: -7//2 = -3);
+    any rewrite of this helper must preserve it. DuckDB mirror: the
     ``//`` integer-division operator on BIGINT operands.
 
     HARD CONTRACT: the NUMERATOR ``a - a%b`` must stay below 2^53 —

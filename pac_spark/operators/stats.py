@@ -85,6 +85,7 @@ def group_percentiles_disc(
     value: str,
     pcts: tuple[int, ...] = PCTS,
     weight: Column | None = None,
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Exact discrete percentiles of ``value`` per group, histogram
     route. Output: group cols + ``n_values`` + one ``p{p}`` column per
@@ -96,28 +97,52 @@ def group_percentiles_disc(
     discrete percentiles ARE the count read-off over the weighted
     histogram (each row standing for ``weight`` unit rows).
 
+    NULL measurements are EXCLUDED, matching SQL aggregate semantics —
+    counting them into ``n`` while never being selectable would shift
+    every threshold, and the two engines disagree on NULL sort order
+    (Spark NULLS FIRST vs DuckDB NULLS LAST), so any other treatment
+    is engine-divergent. Oracles over possibly-NULL columns must state
+    the same ``WHERE v IS NOT NULL``.
+
     The window partitions by the group key over DISTINCT values — the
     one structural cost; its input is the histogram, whose size per
     group is bounded by the value domain. For unbounded-domain values
     at extreme scale, the same read-off works on a two-level histogram
     (coarse bucket pass then in-bucket pass, as
     ``text.lang_quality_quantiles`` does approximately); this operator
-    keeps single-level exactness.
+    keeps single-level exactness. For an UNGROUPED call pass
+    ``bucket`` (any Column monotone in ``value``): the cumulative
+    counts then ride the two-phase global prefix scan
+    (:func:`pac_spark.functions.prefix.global_running_sums`) instead
+    of a single-task unpartitioned window over the histogram.
     """
-    hist = df.groupBy(*group_cols, value).agg(
-        (F.count("*") if weight is None else F.sum(weight)).alias("_c")
+    hist = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(*group_cols, value)
+        .agg((F.count("*") if weight is None else F.sum(weight)).alias("_c"))
     )
-    cum_w = (
-        W.partitionBy(*group_cols)
-        .orderBy(value)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    with_cum = hist.select(
-        *group_cols,
-        F.col(value),
-        F.sum("_c").over(cum_w).alias("_cum"),
-        F.sum("_c").over(W.partitionBy(*group_cols)).alias("_n"),
-    )
+    if bucket is not None and not group_cols:
+        from pac_spark.functions.prefix import global_running_sums
+
+        run = global_running_sums(hist, value, ["_c"], bucket)
+        total = hist.agg(F.sum("_c").alias("_n"))
+        with_cum = run.join(F.broadcast(total)).select(
+            F.col(value),
+            F.col("run__c").alias("_cum"),
+            "_n",
+        )
+    else:
+        cum_w = (
+            W.partitionBy(*group_cols)
+            .orderBy(value)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        with_cum = hist.select(
+            *group_cols,
+            F.col(value),
+            F.sum("_c").over(cum_w).alias("_cum"),
+            F.sum("_c").over(W.partitionBy(*group_cols)).alias("_n"),
+        )
     aggs = [F.max("_n").alias("n_values")] + [
         F.min(
             F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_n"), F.col(value))
@@ -150,10 +175,22 @@ def _quartile_bounds(df: DataFrame, metric: Column, name: str) -> DataFrame:
     """1-row frame of the p25/p50/p75 discrete boundaries of a metric —
     :func:`group_percentiles_disc` with an empty group key (ONE
     implementation of the cum*100 >= p*n read-off, not a parallel
-    copy; code-review r6 #6), outputs renamed to ``{name}_q1..q3``."""
+    copy; code-review r6 #6), outputs renamed to ``{name}_q1..q3``.
+
+    The monetary metric's histogram is ~|customers| rows (lifetime
+    cents are near-unique), so the ungrouped cumulative rides the
+    two-phase prefix scan via ``bucket`` — a single-task window over
+    per-customer cardinality is exactly the scale-killer
+    ``functions/prefix.py`` exists for (code-review r7). The bucket
+    width is harmless for the small-domain metrics (days, order
+    counts): one bucket ≡ one domain-bounded in-bucket window."""
     pcts = (25, 50, 75)
     bounds = group_percentiles_disc(
-        df.select(metric.alias("_v")), [], "_v", pcts
+        df.select(metric.cast("long").alias("_v")),
+        [],
+        "_v",
+        pcts,
+        bucket=int_div(F.col("_v"), F.lit(1_000_000)),
     )
     return bounds.select(
         *[
@@ -292,7 +329,6 @@ def mad_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(
                 F.when(F.col("_cum") * 100 >= 50 * F.col("_n"), F.col(value))
             ).alias(f"med_{value}"),
-            F.max("_n").alias("_n"),
         )
 
     med = p50(hist, "cents")
@@ -648,8 +684,12 @@ def winsorized_price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.when(F.col("v") > F.col("hi"), F.col("c")).otherwise(F.lit(0)))
         .cast("long")
         .alias("n_clipped_high"),
-        F.sum(F.col("c") * F.col("v")).alias("raw_sum"),
-        F.sum(F.col("c") * clipped).alias("win_sum"),
+        # decimal(38,0) accumulators like the rest of the file: c·v is
+        # total group cents, which outgrows a long at the design scale
+        # and would throw under ANSI while DuckDB silently promotes to
+        # HUGEINT (the welch lesson)
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("v")).alias("raw_sum"),
+        F.sum(F.col("c").cast("decimal(38,0)") * clipped).alias("win_sum"),
     )
     n = F.col("n_values").cast("double")
     return agg.select(
@@ -696,8 +736,8 @@ agg AS (
            MAX(hi) AS hi,
            CAST(SUM(CASE WHEN v < lo THEN c ELSE 0 END) AS BIGINT) AS n_clipped_low,
            CAST(SUM(CASE WHEN v > hi THEN c ELSE 0 END) AS BIGINT) AS n_clipped_high,
-           SUM(c * v) AS raw_sum,
-           SUM(c * GREATEST(lo, LEAST(hi, v))) AS win_sum
+           SUM(CAST(c AS HUGEINT) * v) AS raw_sum,
+           SUM(CAST(c AS HUGEINT) * GREATEST(lo, LEAST(hi, v))) AS win_sum
     FROM hist h JOIN bounds USING (l_returnflag)
     GROUP BY h.l_returnflag
 )
@@ -765,9 +805,12 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("day_n").alias("n_events"),
         (F.col("day_sum").cast("double") / 100.0).alias("day_value"),
-        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
-            "seasonal_ratio"
-        ),
+        # a zero-sum baseline (all-zero or net-refund day group) makes
+        # den = 0: NULL ratio like the oracle's /0, not an ANSI throw
+        F.when(
+            F.col("den") != 0,
+            F.col("num").cast("double") / F.col("den").cast("double"),
+        ).alias("seasonal_ratio"),
         (high | low).alias("is_anomalous"),
     ).orderBy("event_type", "day")
 
@@ -996,9 +1039,12 @@ def ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_r",
             F.col("ks_num").cast("long").alias("ks_num"),
-            (
+            # an empty arm makes n_a·n_r = 0: NULL statistic like the
+            # oracle's 0/0, not an ANSI divide-by-zero throw
+            F.when(
+                F.col("n_a") * F.col("n_r") > 0,
                 F.col("ks_num").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_r").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_r").cast("double")),
             ).alias("ks_stat"),
             "at_price",
         )
@@ -1088,15 +1134,14 @@ def budget_allocation_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             dec(F.col("t")),
         ).alias("base"),
+        # decimal % is exact and states the same quantity the oracle's
+        # `% CAST(t AS HUGEINT)` does — not a second copy of the
+        # quotient expression that could drift from `base`
         (
-            dec(F.lit(ALLOC_BUDGET)) * dec(F.col("revenue_cents"))
-            - dec(F.col("t"))
-            * int_div(
-                (dec(F.lit(ALLOC_BUDGET)) * dec(F.col("revenue_cents"))).cast(
-                    "decimal(38,0)"
-                ),
-                dec(F.col("t")),
+            (dec(F.lit(ALLOC_BUDGET)) * dec(F.col("revenue_cents"))).cast(
+                "decimal(38,0)"
             )
+            % dec(F.col("t"))
         ).alias("rem"),
     )
     leftover = based.agg(
@@ -1693,7 +1738,6 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     den = centered.agg(
         F.sum((F.col("c") * F.col("c")).cast(dec)).alias("den"),
-        F.first("n").alias("n_days"),
     )
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     a = centered.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
@@ -1769,8 +1813,18 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid contribute e = r·c/n (o = 0), so the grid is the explicit
     marginal cross join — tiny (languages × sources), broadcast —
     LEFT-joined to observed counts, never just the observed cells.
+
+    NULL categories are EXCLUDED up front (both engines state the
+    same filter): a NULL marginal row can never equi-join its observed
+    cell (NULL ≠ NULL), which would inflate χ² with a phantom empty
+    cell while countDistinct excluded it from the dof — an
+    engine-consistent wrongness no oracle hash could catch.
     """
-    d = catalog.load(spark, sf_dir, "documents").select("lang", "source")
+    d = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
+    )
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     rmar = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_r"))
     cmar = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
@@ -1821,7 +1875,8 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def CRAMERS_V_SQL() -> str:
     """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
     return """
-WITH d AS (SELECT lang, source FROM documents),
+WITH d AS (SELECT lang, source FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL),
 obs AS (SELECT lang, source, COUNT(*) AS o FROM d GROUP BY 1, 2),
 rmar AS (SELECT lang, COUNT(*) AS n_r FROM d GROUP BY 1),
 cmar AS (SELECT source, COUNT(*) AS n_c FROM d GROUP BY 1),

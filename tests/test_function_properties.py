@@ -241,3 +241,24 @@ def test_combinations_expr_matches_itertools(spark):
         want = list(combinations(range(100, 100 + r["n"]), 2))
         have = [(p["a"], p["b"]) for p in r["pairs"]]
         assert have == want, (r["n"], have, want)
+
+
+def test_int_div_truncates_toward_zero_like_duckdb(spark, duck):
+    """int_div's trunc-for-negative-numerator guarantee is load-bearing
+    (Theil–Sen / Mann–Kendall slopes): pin Spark's value against
+    DuckDB's BIGINT `//` — the oracle-side mirror — across signs,
+    boundaries, and exact multiples."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.functions.exact import int_div
+
+    cases = [(a, b) for a in (-7, -6, -1, 0, 1, 6, 7, 10**15, -(10**15))
+             for b in (1, 2, 3, 1_000_000)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["q"]
+        for r in df.select("a", "b", int_div(F.col("a"), F.col("b")).alias("q")).collect()
+    }
+    for (a, b), q in got.items():
+        want = duck.sql(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT) AS q").fetchone()[0]
+        assert q == want, (a, b, q, want)

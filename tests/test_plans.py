@@ -703,3 +703,18 @@ def test_plan_audit_counters_on_known_plans(spark, sf_dir):
     # latency percentiles: asof window + histogram — bounded exchanges
     assert_scale_legal(conversion_latency_by_hour(spark, sf_dir),
                        max_scans=1, max_exchanges=4)
+
+
+def test_rfm_no_global_data_window(spark, sf_dir):
+    """The monetary quartile boundaries ride the two-phase prefix scan
+    (code-review r7): lifetime-cents histograms are ~|customers| rows,
+    so SinglePartition exchanges may only feed aggregate-sized frames
+    (bucket totals / boundary read-offs), never a raw histogram
+    window."""
+    from pac_spark.operators.stats import rfm_customer_segments
+
+    plan = _exec_plan(rfm_customer_segments(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        head = chunk.split("Exchange")[0]
+        assert "HashAggregate" in head or "HashAggregate" in chunk
