@@ -463,7 +463,7 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def NEGATIVES_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py):
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py):
     identical double-salted bucket/rank md5 arithmetic, digit-wise
     (emitted by the same ``functions.hashing`` module the Spark side
     uses, so the two forms cannot drift)."""

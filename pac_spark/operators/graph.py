@@ -417,7 +417,7 @@ def triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def TRIANGLE_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return f"""
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
 pairs AS (

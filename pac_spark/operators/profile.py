@@ -277,7 +277,7 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def EXPECTATIONS_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py).
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py).
     Each rule restated as the same not-TRUE violation count over one
     aggregate; NULL predicates count as violations on both engines
     (CASE WHEN p THEN 0 ELSE 1 END)."""

@@ -448,7 +448,7 @@ def welch_ab_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def WELCH_AB_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return f"""
 WITH e AS (
     SELECT EXTRACT(hour FROM ts) AS hour_of_day,
@@ -580,7 +580,7 @@ def cusum_user_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def CUSUM_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return f"""
 WITH e AS (
     SELECT user_id, ts, event_id,
@@ -705,7 +705,7 @@ def winsorized_price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def WINSOR_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return f"""
 WITH li AS (
     SELECT l_returnflag,
@@ -816,7 +816,7 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def SEASONAL_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return f"""
 WITH e AS (
     SELECT event_type,
@@ -922,7 +922,7 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def TREND_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return """
 WITH e AS (
     SELECT event_type,

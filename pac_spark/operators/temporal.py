@@ -189,25 +189,19 @@ ATTRIBUTION_PAD_MIN = 30
 
 
 def _type_sessions(ev: DataFrame, event_type: str, prefix: str) -> DataFrame:
-    """Per-user activity intervals for one event type: 10-minute-gap
-    sessionization (gaps-and-islands — lag flag + running sum, one
-    shuffle on user_id)."""
-    typed = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
-    w = W.partitionBy("user_id").orderBy("ts")
-    flagged = typed.withColumn(
-        "new_sess",
-        F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-            > SESSION_GAP_MIN * 60 * 1_000_000,
-            1,
-        )
-        .otherwise(0)
-        .cast("long"),
-    ).withColumn(
-        "sess",
-        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    """Per-user activity intervals for one event type, via THE
+    canonical 10-minute-gap sessionizer
+    (:func:`pac_spark.streaming.windows.with_session_ids`) — this was
+    a fourth drifting private copy of the gaps-and-islands logic
+    (ts-only ordering vs the canonical (ts, event_id) total order;
+    output-invariant, but exactly the drift class code-review r6
+    collapsed the other three copies for)."""
+    from pac_spark.streaming.windows import with_session_ids
+
+    typed = ev.filter(F.col("event_type") == event_type).select(
+        "user_id", "ts", "event_id"
     )
-    return flagged.groupBy("user_id", "sess").agg(
+    return with_session_ids(typed).groupBy("user_id", "sid").agg(
         F.min("ts").alias(f"{prefix}_start"), F.max("ts").alias(f"{prefix}_end")
     )
 
@@ -393,8 +387,13 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``last_value IGNORE NULLS``, so hash equality proves the
     gap-fill semantics, not just the rollup.
     """
+    from pac_spark.cache import pin
+
     ev = catalog.load(spark, sf_dir, "events").select("user_id", "ts", "value")
-    hourly = (
+    # pinned: the rollup feeds BOTH the span bounds and the grid join
+    # — without it the events scan + aggregate execute once per
+    # consumer (the repo's standard multi-consumer discipline)
+    hourly = pin(
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
         .agg(
             F.count("*").alias("n"),
@@ -496,7 +495,7 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def OHLC_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return """
 WITH e AS (
     SELECT event_type,
@@ -1003,10 +1002,17 @@ def daily_coverage_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("island"),
     )
-    islands = flagged.groupBy("h", "island").agg(
-        F.min("cs").alias("i_start"),
-        F.max("ce").alias("i_end"),
-        (F.max("ce") - F.min("cs")).alias("covered"),
+    from pac_spark.cache import pin
+
+    # pinned: islands feeds BOTH cell_ends and the flagged join below
+    # — unpinned, the sessionize-explode-window pipeline above would
+    # re-execute per consumer (the peak_concurrent_sessions precedent)
+    islands = pin(
+        flagged.groupBy("h", "island").agg(
+            F.min("cs").alias("i_start"),
+            F.max("ce").alias("i_end"),
+            (F.max("ce") - F.min("cs")).alias("covered"),
+        )
     )
     # an island whose start sits exactly on its cell boundary continues
     # a stretch from the previous cell iff that cell has coverage
@@ -1164,20 +1170,17 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("touch_type"),
     )
     cutoff_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    # ONE qualification predicate and ONE delta expression shared by
+    # both output branches — channel and delta_us must never disagree
+    # about what "inside the lookback" means (code-review r7)
+    delta = F.unix_micros("ts") - F.unix_micros("touch_ts")
+    qualifies = F.col("touch_ts").isNotNull() & (delta <= cutoff_us)
     purchases = carried.filter(F.col("event_type") == "purchase").select(
         "cents",
-        F.when(
-            F.col("touch_ts").isNotNull()
-            & (F.unix_micros("ts") - F.unix_micros("touch_ts") <= cutoff_us),
-            F.col("touch_type"),
-        )
+        F.when(qualifies, F.col("touch_type"))
         .otherwise(F.lit("unattributed"))
         .alias("channel"),
-        F.when(
-            F.col("touch_ts").isNotNull()
-            & (F.unix_micros("ts") - F.unix_micros("touch_ts") <= cutoff_us),
-            F.unix_micros("ts") - F.unix_micros("touch_ts"),
-        ).alias("delta_us"),
+        F.when(qualifies, delta).alias("delta_us"),
     )
     return (
         purchases.groupBy("channel")
@@ -1290,7 +1293,10 @@ def pattern_runs_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .select(
             "user_id",
-            F.col("rstart").alias("match_start"),
+            # string-format like every other spec in this module: the
+            # driver hash compares rendered values, and raw timestamp
+            # rendering is an engine choice
+            F.date_format("rstart", _TS6).alias("match_start"),
             F.col("rlen").alias("n_views"),
             F.col("l1").alias("n_clicks"),
             F.col("l2").alias("n_purchases"),
@@ -1329,7 +1335,7 @@ led AS (
     FROM runs
     WINDOW w AS (PARTITION BY user_id ORDER BY run_idx)
 )
-SELECT user_id, rstart AS match_start,
+SELECT user_id, strftime(rstart, '%Y-%m-%d %H:%M:%S.%f') AS match_start,
        rlen AS n_views, l1 AS n_clicks, l2 AS n_purchases
 FROM led
 WHERE rtype = 'view' AND t1 = 'click' AND t2 = 'purchase'

@@ -704,7 +704,7 @@ def chi2_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def CHI2_SQL() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py)."""
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py)."""
     return f"""
 WITH presence AS (
     SELECT DISTINCT doc_id, source, term

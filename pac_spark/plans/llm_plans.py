@@ -1116,7 +1116,7 @@ ORDER BY s.doc_id
 
 
 def _dup_span_sql() -> str:
-    """STAGED for the r7 rotation (gate: tests/test_staged_specs.py —
+    """Registered in the r7 rotation (gate: tests/test_staged_specs.py —
     see the R7 plan in plans/registry.py): duplicated-span coverage,
     positioned (non-distinct) 5-gram rows keyed by md5 exactly as the
     Spark side, dup = gram present in >= 2 distinct docs, basis points

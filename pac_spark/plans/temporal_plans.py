@@ -72,20 +72,20 @@ _TS6 = "%Y-%m-%d %H:%M:%S.%f"
 def _sessions_cte(event_type: str, name: str, prefix: str) -> str:
     return f"""
 {name}_flagged AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                      - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
                      > {T.SESSION_GAP_MIN} * 60 * 1000000
                 THEN 1 ELSE 0 END AS new_sess
     FROM events WHERE event_type = '{event_type}'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 {name} AS (
     SELECT user_id,
            MIN(ts) - INTERVAL {T.ATTRIBUTION_PAD_MIN} MINUTE AS {prefix}_start,
            MAX(ts) + INTERVAL {T.ATTRIBUTION_PAD_MIN} MINUTE AS {prefix}_end
     FROM (
-        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sess
         FROM {name}_flagged
     )

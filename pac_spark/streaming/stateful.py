@@ -387,7 +387,7 @@ FROM w GROUP BY user_id ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
-# Streaming incremental view maintenance (STAGED for the r7 rotation;
+# Streaming incremental view maintenance (Registered in the r7 rotation;
 # local oracle gate in tests/test_staged_specs.py): the batch IVM
 # operator (operators/scd.maintain_sum_count) applied per micro-batch
 # through foreachBatch — the nightly-changeset pattern compressed to
