@@ -513,8 +513,14 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pac_spark.operators.text_core import shingles_of_tokens
 
-    docs = catalog.load(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("__toks")
+    # NULL-text docs are dropped on BOTH sides: the oracle's unnest
+    # CTE never emits them, and a row of NULL metrics would diverge
+    # (code-review r7 — the one registered text spec whose NULL paths
+    # disagreed)
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens(F.col("text")).alias("__toks"))
     )
     arrays = docs.select(
         "doc_id",
@@ -1161,21 +1167,73 @@ def _quantile_normalize(d: DataFrame) -> DataFrame:
     pooled distribution (a web-crawl source whose classifier runs hot
     stops dominating a books source in downstream threshold gates).
 
-    Scale shape: within-source rank/size are ordinary PARTITIONed
-    windows; the global order statistics come from the two-phase
-    prefix scan (``functions/prefix.py``) over the composite key
-    ``q_fp·2³⁴ + doc_id`` — never a single-task global window — and
-    the read-off is one hash join on the target position. Target
+    Scale shape: BOTH rank phases are two-phase prefix scans — the
+    global order statistics via ``functions/prefix.py`` over the
+    composite key ``q_fp·2³⁴ + doc_id``, and the within-source ranks
+    via the same decomposition partitioned by (source, bucket) with
+    per-source bucket offsets (code-review r7: a plain
+    ``row_number() OVER (PARTITION BY source)`` put each source's
+    ENTIRE document set in one sort task — a web-crawl source is most
+    of the corpus, so that was the single-hot-task shape moved from 1
+    partition to n_sources partitions, not removed). Source sizes
+    come from a groupBy broadcast, not a full-frame count window. The
+    read-off is one hash join on the target position. Target
     positions use Spark's integral ``div`` (exact at any magnitude;
-    r·N fits a long up to ~3·10⁹ docs).
+    r·N fits a long up to ~3·10⁹ docs). The composite key packs
+    doc_id into 34 bits — ENFORCED with a runtime assert (the
+    ghost-range-guard pattern), not trusted: a doc_id past 2³⁴ would
+    bleed into the next q_fp's key range and silently shift ranks.
     """
-    ws = W.partitionBy("source").orderBy("q_fp", "doc_id")
-    ranked = d.select(
+    from pac_spark.cache import pin
+
+    bound = d.agg(F.max("doc_id").alias("_max_id"))
+    d = pin(
+        d.join(F.broadcast(bound))
+        .filter(
+            F.assert_true(
+                # NULL max = empty frame, trivially inside the bound
+                # (the predicate is broadcast-side-only, so Catalyst
+                # pushes it into the 1-row frame — the scd lesson)
+                F.coalesce(F.col("_max_id") < F.lit(2**34), F.lit(True)),
+                F.lit("doc_id reached 2^34; widen the composite key"),
+            ).isNull()
+        )
+        .drop("_max_id")
+    )
+    qb = F.shiftright("q_fp", 17)
+    n_s = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    b = d.withColumn("_qb", qb)
+    in_w = W.partitionBy("source", "_qb").orderBy("q_fp", "doc_id")
+    rn_in = b.select(
         "doc_id",
         "source",
         "q_fp",
-        F.row_number().over(ws).cast("long").alias("r"),
-        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_s"),
+        "_qb",
+        F.row_number().over(in_w).cast("long").alias("_r_in"),
+    )
+    btot = b.groupBy("source", "_qb").agg(
+        F.count(F.lit(1)).cast("long").alias("_bt")
+    )
+    # sources × buckets rows: the running offset window is over a
+    # domain-bounded frame, never the documents
+    off_w = (
+        W.partitionBy("source")
+        .orderBy("_qb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = btot.select(
+        "source", "_qb", (F.sum("_bt").over(off_w) - F.col("_bt")).alias("_off")
+    )
+    ranked = (
+        rn_in.join(F.broadcast(offs), ["source", "_qb"])
+        .join(F.broadcast(n_s), "source")
+        .select(
+            "doc_id",
+            "source",
+            "q_fp",
+            (F.col("_r_in") + F.col("_off")).alias("r"),
+            "n_s",
+        )
     )
     g = d.select(
         "q_fp",
@@ -1295,52 +1353,82 @@ def spearman_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
     So the whole statistic is integer moments in decimal(38,0) (the
     proven ``corr`` idiom) and one double formula, identical in both
     engines; groups with zero rank variance (all-tied) yield NULL —
-    guarded explicitly, Spark ANSI mode would otherwise throw where
-    DuckDB yields NULL.
+    the guard compares the EXACT decimal moments (a double-rounded
+    comparison diverges from the oracle's exact HUGEINT test for
+    all-tied groups past ~2·10⁵ docs — code-review r7).
 
-    Plan: ONE lang-partitioned exchange feeding two in-partition
-    sorts (the two rank orders share the partitioning), then one
-    map-side-combined moment aggregate.
+    Plan (code-review r7 rewrote the per-row rank windows away): the
+    doubled average tie rank of a value is a pure function of its
+    HISTOGRAM position — ``2·cum − cnt + 1`` over the per-language
+    (value, count) table — so ranks come from two domain-bounded
+    histogram windows, never a sort of the documents themselves (the
+    lang-partitioned full-frame sort was the exact VERDICT r3 #2
+    single-hot-task shape), and the moments are count-weighted sums
+    over the joint (xv, yv) histogram with every factor cast to
+    decimal BEFORE multiplying (per-row long products overflow once
+    doubled ranks pass 2³¹·5). The oracle deliberately keeps the
+    RANK()-window formulation — formulation-diverse proof.
     """
+    from pac_spark.cache import pin
+
     stats = stats_frame(catalog.load(spark, sf_dir, "documents"))
     base = stats.select(
         "lang",
         F.round(F.col("quality_score") * QUALITY_SCALE).cast("long").alias("xv"),
         F.col("n_tokens").cast("long").alias("yv"),
     )
-    dx = (
-        2 * F.rank().over(W.partitionBy("lang").orderBy("xv"))
-        + F.count("*").over(W.partitionBy("lang", "xv"))
-        - 1
-    ).cast("long")
-    dy = (
-        2 * F.rank().over(W.partitionBy("lang").orderBy("yv"))
-        + F.count("*").over(W.partitionBy("lang", "yv"))
-        - 1
-    ).cast("long")
+    joint = pin(
+        base.groupBy("lang", "xv", "yv").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def _ranks(val: str, out: str) -> DataFrame:
+        h = joint.groupBy("lang", val).agg(F.sum("c").alias("_hc"))
+        cum = F.sum("_hc").over(
+            W.partitionBy("lang")
+            .orderBy(val)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        # doubled average tie rank: 2·rank + cnt − 1 with
+        # rank = cum − cnt + 1  ⇒  2·cum − cnt + 1
+        return h.select(
+            "lang", val, (2 * cum - F.col("_hc") + 1).alias(out)
+        )
+
     dec = "decimal(38,0)"
-    m = (
-        base.select("lang", dx.alias("dx"), dy.alias("dy"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("dx").cast(dec)).alias("sx"),
-            F.sum(F.col("dy").cast(dec)).alias("sy"),
-            F.sum((F.col("dx") * F.col("dx")).cast(dec)).alias("sxx"),
-            F.sum((F.col("dy") * F.col("dy")).cast(dec)).alias("syy"),
-            F.sum((F.col("dx") * F.col("dy")).cast(dec)).alias("sxy"),
+    j = (
+        joint.join(_ranks("xv", "dx"), ["lang", "xv"])
+        .join(_ranks("yv", "dy"), ["lang", "yv"])
+        .select(
+            "lang",
+            F.col("c").cast(dec).alias("c"),
+            F.col("dx").cast(dec).alias("dx"),
+            F.col("dy").cast(dec).alias("dy"),
         )
     )
+    m = j.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("dx")).alias("sx"),
+        F.sum(F.col("c") * F.col("dy")).alias("sy"),
+        F.sum(F.col("c") * F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("c") * F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("c") * F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    # exact decimal variance test (matches the oracle's HUGEINT test);
+    # the double formula below is the oracle's expression shape
+    vx_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy_exact = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
     num = n * sxy - sx * sy
     rho = F.when(
-        (vx == 0) | (vy == 0), F.lit(None).cast("double")
+        (vx_exact == 0) | (vy_exact == 0), F.lit(None).cast("double")
     ).otherwise(num / (F.sqrt(vx) * F.sqrt(vy)))
     return m.select(
-        "lang", F.col("n").alias("n_docs"), rho.alias("spearman_rho")
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        rho.alias("spearman_rho"),
     ).orderBy("lang")
 
 

@@ -1035,13 +1035,18 @@ xy AS (
     FROM stats
 ),
 m AS (
+    -- moment sums stay HUGEINT (DuckDB's SUM(BIGINT) result type):
+    -- narrowing through BIGINT threw a conversion error exactly in
+    -- the >2^63 regime the Spark side's decimal(38,0) accumulators
+    -- were built for (code-review r7 — reproduced live); they are CTE
+    -- intermediates, never output columns, so no pandas-type concern
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * x) AS BIGINT) AS sxx,
-           CAST(SUM(y * y) AS BIGINT) AS syy,
-           CAST(SUM(x * y) AS BIGINT) AS sxy
+           SUM(x) AS sx,
+           SUM(y) AS sy,
+           SUM(x * x) AS sxx,
+           SUM(y * y) AS syy,
+           SUM(x * y) AS sxy
     FROM xy GROUP BY lang
 )
 SELECT lang, n AS n_docs,

@@ -51,12 +51,29 @@ _REPO = os.path.dirname(
 # Hand-maintained per round: registered specs whose IMPLEMENTATION
 # changed since their tail evidence was recorded (the r6
 # bucketed_orders_join case). Correctness history cannot see code
-# churn, so this stays an explicit input. r7: scd2_customer_diff —
-# the shared ghost-range guard gained an empty-table NULL coalesce
-# (no-op on real data, but changed code never rides the tail); its
-# cap siblings (scd2_history/pointintime, ivm_nation_balance) are
-# mandatory this round anyway.
-FORCE_HOIST: tuple[str, ...] = ("scd2_customer_diff",)
+# churn, so this stays an explicit input. r7, three entries (each a
+# review-driven change to code or oracle that must not ride the
+# tail on pre-change evidence):
+# - scd2_customer_diff: the shared ghost-range guard gained an
+#   empty-table NULL coalesce (its cap siblings scd2_history/
+#   pointintime + ivm_nation_balance are mandatory anyway);
+# - corr_quality_tokens_by_lang: the ORACLE's moment sums no longer
+#   narrow through BIGINT (reproduced DuckDB conversion error past
+#   ~sf0.1 group sizes — the Spark side was already decimal(38,0));
+# - doc_repetition_signals: NULL-text docs now dropped on both
+#   sides (the oracle's unnest already dropped them).
+FORCE_HOIST: tuple[str, ...] = (
+    "scd2_customer_diff",
+    "corr_quality_tokens_by_lang",
+    "doc_repetition_signals",
+)
+
+# Queued tail work for r8 (apply the fix THEN force-hoist the spec in
+# that round — doing it now would evict further stale-tail refreshes):
+# - unigram_prob_score: total token count should be SUM over the
+#   already-built vocab-sized tf frame, not a second tokenize-explode
+#   pass of the corpus; pin the thrice-consumed toks frame
+#   (code-review r7 finding, perf-only, values unchanged).
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6
