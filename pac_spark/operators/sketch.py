@@ -361,9 +361,13 @@ def rolling_7d_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from pac_spark.functions.hashing import md5_u60
 
-    events = catalog.load(spark, sf_dir, "events").select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+    # pinned: feeds both the daily register table and the exact
+    # explode companion — one scan, two consumers
+    events = pin(
+        catalog.load(spark, sf_dir, "events").select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+        )
     )
     h = md5_u60(F.concat(F.lit("hll1|"), F.col("user_id").cast("string")))
     daily = pin(
@@ -547,7 +551,10 @@ def kmv_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
     sup = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = catalog.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    np_pairs = (
+    # pinned: the three-table join feeds BOTH the sketch build and the
+    # exact-intersection companion — the file's most expensive shared
+    # stage, recomputed per consumer otherwise (code-review r7)
+    np_pairs = pin(
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("l_partkey").alias("part"))
@@ -629,9 +636,7 @@ def kmv_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from pac_spark.functions.hashing import md5_u60_sql as _md5_u60_sql_  # noqa: E402
-
-_H_PART = _md5_u60_sql_("'kmv1|' || CAST(part AS VARCHAR)")
+_H_PART = _md5_u60_sql("'kmv1|' || CAST(part AS VARCHAR)")
 
 KMV_SQL = f"""
 WITH np AS (
@@ -740,20 +745,26 @@ def bitmap_day_words(ev: DataFrame) -> DataFrame:
 
 
 def bitmap_day_counts(words: DataFrame) -> DataFrame:
-    """Popcount read-off of a (day, word, bits) frame."""
+    """Popcount read-off of a (day, word, bits) frame. A day whose
+    events all carry NULL user_id has one all-NULL word group — its
+    count must read 0, matching COUNT(DISTINCT)'s NULL-exclusion in
+    the independent oracle, not NULL (code-review r7)."""
     return (
         words.groupBy("day")
-        .agg(F.sum(F.expr("bit_count(bits)")).alias("n_distinct_users"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("bit_count(bits)")), F.lit(0)
+            ).alias("n_distinct_users")
+        )
         .orderBy("day")
     )
 
 
-def BITMAP_DISTINCT_SQL() -> str:
-    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py).
-
-    The independent spec: no bitmaps anywhere — COUNT(DISTINCT).
-    """
-    return """
+# STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py).
+# The independent spec: no bitmaps anywhere — COUNT(DISTINCT). A plain
+# module string like HLL_SQL so QuerySpec registration cannot
+# accidentally pass a callable (the BM25_SQL regression class).
+BITMAP_DISTINCT_SQL = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
 FROM events GROUP BY 1 ORDER BY day
@@ -791,7 +802,9 @@ def ams_f2_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pac_spark.functions.hashing import md5_bucket
 
-    ev = catalog.load(spark, sf_dir, "events").select("user_id")
+    # pinned: the projection feeds the sketch aggregate AND the exact
+    # per-key companion
+    ev = pin(catalog.load(spark, sf_dir, "events").select("user_id"))
 
     def sign(j: int):
         b = md5_bucket(
@@ -812,7 +825,13 @@ def ams_f2_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("c").cast(dec) * F.col("c")).cast(dec)).alias("f2_exact"),
         )
     )
-    est = sum(F.col(f"s{j}") * F.col(f"s{j}") for j in range(AMS_DEPTH))
+    # square in decimal, not long: s_j approaches ±n_rows under a
+    # skewed key, so the long multiply overflows (ANSI throw) exactly
+    # where the oracle's HUGEINT succeeds (code-review r7)
+    est = sum(
+        F.col(f"s{j}").cast(dec) * F.col(f"s{j}").cast(dec)
+        for j in range(AMS_DEPTH)
+    )
     return sk.crossJoin(F.broadcast(exact)).select(
         "n_rows",
         "n_keys",
@@ -821,19 +840,26 @@ def ams_f2_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def AMS_SQL() -> str:
-    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+def _ams_signs_sql(col: str, alias: str) -> str:
     from pac_spark.functions.hashing import md5_bucket_sql
 
-    signs = ", ".join(
+    return ", ".join(
         "SUM(CAST("
-        + md5_bucket_sql(f"'ams{j}|' || CAST(user_id AS VARCHAR)", 2)
-        + f" * 2 - 1 AS BIGINT)) AS s{j}"
+        + md5_bucket_sql(f"'ams{j}|' || CAST({col} AS VARCHAR)", 2)
+        + f" * 2 - 1 AS BIGINT)) AS {alias}{j}"
         for j in range(AMS_DEPTH)
     )
-    est = " + ".join(f"s{j} * s{j}" for j in range(AMS_DEPTH))
-    return f"""
-WITH sk AS (SELECT COUNT(*) AS n_rows, {signs} FROM events),
+
+
+# STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py);
+# plain module strings for the same no-callable-oracle reason as
+# BITMAP_DISTINCT_SQL above. The sign sums are HUGEINT (DuckDB SUM of
+# BIGINT), so the squared estimator runs exact — mirrored by the
+# Spark side's decimal products.
+_AMS_SIGNS = _ams_signs_sql("user_id", "s")
+_AMS_EST = " + ".join(f"s{j} * s{j}" for j in range(AMS_DEPTH))
+AMS_SQL = f"""
+WITH sk AS (SELECT COUNT(*) AS n_rows, {_AMS_SIGNS} FROM events),
 ex AS (
     SELECT COUNT(*) AS n_keys,
            SUM(CAST(c AS HUGEINT) * c) AS f2_exact
@@ -842,7 +868,7 @@ ex AS (
 SELECT CAST(n_rows AS BIGINT) AS n_rows,
        CAST(n_keys AS BIGINT) AS n_keys,
        CAST(f2_exact AS BIGINT) AS f2_exact,
-       CAST({est} AS DOUBLE) / {float(AMS_DEPTH)} AS f2_estimate
+       CAST({_AMS_EST} AS DOUBLE) / {float(AMS_DEPTH)} AS f2_estimate
 FROM sk CROSS JOIN ex
 """
 
@@ -865,8 +891,10 @@ def ams_join_size_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = md5_bucket(F.concat(F.lit(f"ams{j}|"), F.col(col).cast("string")), 2)
         return (b * 2 - 1).cast("long")
 
-    o = catalog.load(spark, sf_dir, "orders").select("o_custkey")
-    e = catalog.load(spark, sf_dir, "events").select("user_id")
+    # pinned: each side feeds its sketch aggregate AND the exact
+    # join-count companion
+    o = pin(catalog.load(spark, sf_dir, "orders").select("o_custkey"))
+    e = pin(catalog.load(spark, sf_dir, "events").select("user_id"))
     sk_o = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
         *[F.sum(sign("o_custkey", j)).alias(f"a{j}") for j in range(AMS_DEPTH)],
@@ -884,7 +912,12 @@ def ams_join_size_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast(dec),
         ).alias("join_size_exact")
     )
-    est = sum(F.col(f"a{j}") * F.col(f"b{j}") for j in range(AMS_DEPTH))
+    # decimal products for the same overflow-margin reason as the F2
+    # estimator above
+    est = sum(
+        F.col(f"a{j}").cast(dec) * F.col(f"b{j}").cast(dec)
+        for j in range(AMS_DEPTH)
+    )
     return (
         sk_o.crossJoin(F.broadcast(sk_e))
         .crossJoin(F.broadcast(exact))
@@ -899,22 +932,10 @@ def ams_join_size_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def AMS_JOIN_SQL() -> str:
-    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
-    from pac_spark.functions.hashing import md5_bucket_sql
-
-    def signs(col: str, alias: str) -> str:
-        return ", ".join(
-            "SUM(CAST("
-            + md5_bucket_sql(f"'ams{j}|' || CAST({col} AS VARCHAR)", 2)
-            + f" * 2 - 1 AS BIGINT)) AS {alias}{j}"
-            for j in range(AMS_DEPTH)
-        )
-
-    est = " + ".join(f"a{j} * b{j}" for j in range(AMS_DEPTH))
-    return f"""
-WITH sko AS (SELECT COUNT(*) AS n_orders, {signs("o_custkey", "a")} FROM orders),
-ske AS (SELECT COUNT(*) AS n_events, {signs("user_id", "b")} FROM events),
+_AMS_JOIN_EST = " + ".join(f"a{j} * b{j}" for j in range(AMS_DEPTH))
+AMS_JOIN_SQL = f"""
+WITH sko AS (SELECT COUNT(*) AS n_orders, {_ams_signs_sql("o_custkey", "a")} FROM orders),
+ske AS (SELECT COUNT(*) AS n_events, {_ams_signs_sql("user_id", "b")} FROM events),
 ex AS (
     SELECT COALESCE(SUM(CAST(ac AS HUGEINT) * bc), 0) AS join_size_exact
     FROM (SELECT o_custkey AS k, COUNT(*) AS ac FROM orders GROUP BY 1) o
@@ -924,6 +945,6 @@ ex AS (
 SELECT CAST(n_orders AS BIGINT) AS n_orders,
        CAST(n_events AS BIGINT) AS n_events,
        CAST(join_size_exact AS BIGINT) AS join_size_exact,
-       CAST({est} AS DOUBLE) / {float(AMS_DEPTH)} AS join_size_estimate
+       CAST({_AMS_JOIN_EST} AS DOUBLE) / {float(AMS_DEPTH)} AS join_size_estimate
 FROM sko CROSS JOIN ske CROSS JOIN ex
 """

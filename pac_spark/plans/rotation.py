@@ -74,6 +74,8 @@ FORCE_HOIST: tuple[str, ...] = (
 #   already-built vocab-sized tf frame, not a second tokenize-explode
 #   pass of the corpus; pin the thrice-consumed toks frame
 #   (code-review r7 finding, perf-only, values unchanged).
+# - cms_user_heavy_hitters: pin the twice-consumed ev projection
+#   (sketch build + exact top-N) — same class, perf-only.
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6

@@ -2175,7 +2175,7 @@ def test_bitmap_distinct_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(
-        bitmap_distinct_users_daily(spark, sf_dir), duck.sql(BITMAP_DISTINCT_SQL())
+        bitmap_distinct_users_daily(spark, sf_dir), duck.sql(BITMAP_DISTINCT_SQL)
     )
 
 
@@ -2692,7 +2692,7 @@ def test_streaming_bitmap_distinct_oracle(spark, duck, sf_dir):
 
     assert_oracle_match(
         streaming_bitmap_distinct_users(spark, sf_dir),
-        duck.sql(BITMAP_DISTINCT_SQL()),
+        duck.sql(BITMAP_DISTINCT_SQL),
     )
 
 
@@ -2822,7 +2822,7 @@ def test_ams_f2_oracle(spark, duck, sf_dir):
     from pac_spark.operators.sketch import AMS_SQL, ams_f2_user_activity
     from tests.conftest import assert_oracle_match
 
-    assert_oracle_match(ams_f2_user_activity(spark, sf_dir), duck.sql(AMS_SQL()))
+    assert_oracle_match(ams_f2_user_activity(spark, sf_dir), duck.sql(AMS_SQL))
 
 
 def test_ams_f2_crafted(spark, tmp_path):
@@ -2895,7 +2895,7 @@ def test_ams_join_size_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(
-        ams_join_size_orders_events(spark, sf_dir), duck.sql(AMS_JOIN_SQL())
+        ams_join_size_orders_events(spark, sf_dir), duck.sql(AMS_JOIN_SQL)
     )
 
 
