@@ -231,20 +231,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared = (
         _pair_shared_counts(index)
         # docs absent from hot_docs carry no hot shingles -> n_hot = 0
+        # NOT broadcast: hot_docs is every doc containing any hot
+        # shingle — corpus-sized when one boilerplate shingle is
+        # ubiquitous, i.e. exactly when the skew path runs. AQE picks
+        # the join strategy from its measured size (code-review r7).
         .join(
-            F.broadcast(
-                hot_docs.select(
-                    F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("hot_a")
-                )
+            hot_docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("hot_a")
             ),
             "doc_a",
             "left",
         )
         .join(
-            F.broadcast(
-                hot_docs.select(
-                    F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("hot_b")
-                )
+            hot_docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("hot_b")
             ),
             "doc_b",
             "left",
@@ -715,6 +715,12 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ED_PREFIX = 16  # blocking prefix (ASCII-normalized)
 ED_MIN_LEN = 40  # docs whose ASCII projection is shorter are out of scope
 ED_SIM_NUM, ED_SIM_DEN = 1, 5  # near-dup iff dist * 5 <= max length
+# blocks (lang, prefix) holding more docs than this are skipped — one
+# hot boilerplate prefix would otherwise make the candidate set
+# quadratic with an O(L²) verify per pair (code-review r7), the exact
+# blow-up MAX_SHINGLE_DF prevents in the shingle tiers; an over-cap
+# prefix is template boilerplate and the shingle tiers' job
+ED_MAX_BLOCK = 50
 
 
 def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,15 +744,27 @@ def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII-projected text (identical bytes ≡ identical chars; measured
     live: 'héllo'→'hello' is 1 in Spark, 2 in DuckDB). Similarity
     publishes as exact milli-units by truncating integer division.
+
+    Blocks over ``ED_MAX_BLOCK`` docs are SKIPPED — stated semantics
+    in both engines, the shingle-tier df-cap discipline applied to the
+    blocking key (an uncapped hot prefix made the candidate set
+    quadratic with an O(L²) verify per pair — code-review r7).
     """
     t = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
-    docs = (
+    base = pin(
         catalog.load(spark, sf_dir, "documents")
         .select("doc_id", "lang", t.alias("t"))
         .withColumn("L", F.length("t"))
         .where(F.col("L") >= ED_MIN_LEN)
         .withColumn("pre", F.substring("t", 1, ED_PREFIX))
     )
+    blocks_ok = (
+        base.groupBy("lang", "pre")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= ED_MAX_BLOCK)
+        .select("lang", "pre")
+    )
+    docs = base.join(blocks_ok, ["lang", "pre"])
     a = docs.select(
         F.col("doc_id").alias("d1"), "lang", "pre",
         F.col("t").alias("t1"), F.col("L").alias("l1"),
@@ -756,23 +774,36 @@ def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t2"), F.col("L").alias("l2"),
     )
     max_l = F.greatest("l1", "l2")
-    dist = F.levenshtein("t1", "t2")
-    return (
+    # dist lands in a COLUMN before any predicate touches it: filtering
+    # on the raw expression re-evaluated the O(L²) levenshtein in both
+    # the Filter and the Project (subexpression elimination does not
+    # span that operator boundary — code-review r7)
+    cand = (
         a.join(b, ["lang", "pre"])
         .where(F.col("d1") < F.col("d2"))
         # length filter first: levenshtein >= |ΔL|, so pairs failing it
         # can never verify — and it is free, the verify is not
         .where(F.abs(F.col("l1") - F.col("l2")) * ED_SIM_DEN <= max_l)
-        .where(dist * ED_SIM_DEN <= max_l)
         .select(
             "d1",
             "d2",
             "lang",
-            dist.alias("dist"),
+            F.levenshtein("t1", "t2").alias("dist"),
             max_l.cast("long").alias("max_len"),
-            int_div((max_l - dist).cast("long") * 1000, max_l.cast("long")).alias(
-                "sim_milli"
-            ),
+        )
+    )
+    return (
+        cand.where(F.col("dist") * ED_SIM_DEN <= F.col("max_len"))
+        .select(
+            "d1",
+            "d2",
+            "lang",
+            "dist",
+            "max_len",
+            int_div(
+                (F.col("max_len") - F.col("dist")).cast("long") * 1000,
+                F.col("max_len"),
+            ).alias("sim_milli"),
         )
         .orderBy("d1", "d2")
     )
@@ -786,10 +817,15 @@ WITH a AS (
            regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
     FROM documents
 ),
-b AS (
+b0 AS (
     SELECT doc_id, lang, t, length(t) AS L, substring(t, 1, {ED_PREFIX}) AS pre
     FROM a WHERE length(t) >= {ED_MIN_LEN}
 ),
+ok AS (
+    SELECT lang, pre FROM b0 GROUP BY lang, pre
+    HAVING COUNT(*) <= {ED_MAX_BLOCK}
+),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (lang, pre)),
 p AS (
     SELECT x.doc_id AS d1, y.doc_id AS d2, x.lang,
            levenshtein(x.t, y.t) AS dist,
@@ -864,20 +900,20 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shared = (
         _pair_shared_counts(index)
+        # NOT broadcast: hot_docs is every doc containing any hot
+        # shingle — corpus-sized when one boilerplate shingle is
+        # ubiquitous, i.e. exactly when the skew path runs. AQE picks
+        # the join strategy from its measured size (code-review r7).
         .join(
-            F.broadcast(
-                hot_docs.select(
-                    F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("hot_a")
-                )
+            hot_docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("hot_a")
             ),
             "doc_a",
             "left",
         )
         .join(
-            F.broadcast(
-                hot_docs.select(
-                    F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("hot_b")
-                )
+            hot_docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("hot_b")
             ),
             "doc_b",
             "left",
@@ -928,17 +964,38 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def CONTAINMENT_SQL() -> str:
-    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py).
+
+    States the operator's ACTUAL candidate rule — pairs sharing at
+    least one sub-cap shingle, exact containment over the full sets —
+    not the uncapped self-join (code-review r7: a short all-boilerplate
+    doc, whose every shingle is corpus-hot, is out of this tier's
+    stated scope; the old full-join oracle emitted its pairs and would
+    hash-diverge on the first corpus containing one)."""
     from pac_spark.operators.text_core import SHINGLES_SQL
 
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents),
 {SHINGLES_SQL(3).strip()},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
+hot AS (
+    SELECT shingle FROM shingle_rows
+    GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}
+),
+rare AS (
+    SELECT * FROM shingle_rows
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM rare x
+    JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
 shared AS (
-    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
-    FROM shingle_rows x
-    JOIN shingle_rows y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM cand c
+    JOIN shingle_rows x ON x.doc_id = c.doc_a
+    JOIN shingle_rows y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
     GROUP BY 1, 2
 ),
 c AS (
@@ -1007,7 +1064,11 @@ def prefix_filter_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    sets = _shingle_sets(spark, sf_dir)
+    # rescore arrays rebuilt from the ALREADY-PINNED shingle rows (the
+    # ngram_jaccard rescore idiom) — a _shingle_sets call here ran the
+    # whole tokenize+shingle pass a second time and persisted a second
+    # copy of the shingle data (code-review r7)
+    sets = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
     shared = (
         cands.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

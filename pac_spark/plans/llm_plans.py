@@ -33,13 +33,59 @@ SELECT md5(text) AS text_hash,
 FROM documents GROUP BY 1 ORDER BY 1
 """
 
-_NGRAM_JACCARD = f"""
+# the FULL uncapped formulation: every pair sharing any shingle, exact
+# Jaccard. This is the oracle for the COMPLETE tiers (prefix_filter's
+# PPJoin candidates carry no df cap).
+_NGRAM_JACCARD_FULL = f"""
 {_DOCS_PRELUDE},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
 shared AS (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
     FROM shingle_rows x
     JOIN shingle_rows y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(shared / (sa.n + sb.n - shared), 8) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT * FROM j WHERE jaccard >= {D.JACCARD_THRESHOLD} ORDER BY doc_a, doc_b
+"""
+
+# oracle for the REGISTERED skew-guarded operator: candidate pairs must
+# share at least one sub-cap ("rare") shingle — the df ceiling is part
+# of ngram_jaccard_pairs' STATED semantics (a pair whose every shared
+# shingle is corpus-hot boilerplate is out of scope for this tier), so
+# the oracle states the identical candidate rule instead of silently
+# promising the full self-join the operator never runs (code-review
+# r7: the old full-join oracle would hash-diverge on the first corpus
+# containing an all-hot-shared pair). Values on every candidate pair
+# are EXACT over the full shingle sets, same as the operator's
+# certain/rescore branches.
+_NGRAM_JACCARD = f"""
+{_DOCS_PRELUDE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
+hot AS (
+    SELECT shingle FROM shingle_rows
+    GROUP BY shingle HAVING COUNT(*) > {D.MAX_SHINGLE_DF}
+),
+rare AS (
+    SELECT * FROM shingle_rows
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM rare x
+    JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+shared AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM cand c
+    JOIN shingle_rows x ON x.doc_id = c.doc_a
+    JOIN shingle_rows y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
     GROUP BY 1, 2
 ),
 j AS (

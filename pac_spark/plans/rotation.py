@@ -61,11 +61,16 @@ _REPO = os.path.dirname(
 #   narrow through BIGINT (reproduced DuckDB conversion error past
 #   ~sf0.1 group sizes — the Spark side was already decimal(38,0));
 # - doc_repetition_signals: NULL-text docs now dropped on both
-#   sides (the oracle's unnest already dropped them).
+#   sides (the oracle's unnest already dropped them);
+# - ngram_jaccard_pairs: the oracle now states the operator's ACTUAL
+#   candidate rule (pairs sharing ≥1 sub-cap shingle, exact values)
+#   instead of the full self-join the skew path never runs, and the
+#   corpus-sized hot_docs frames are no longer force-broadcast.
 FORCE_HOIST: tuple[str, ...] = (
     "scd2_customer_diff",
     "corr_quality_tokens_by_lang",
     "doc_repetition_signals",
+    "ngram_jaccard_pairs",
 )
 
 # Queued tail work for r8 (apply the fix THEN force-hoist the spec in
@@ -76,6 +81,12 @@ FORCE_HOIST: tuple[str, ...] = (
 #   (code-review r7 finding, perf-only, values unchanged).
 # - cms_user_heavy_hitters: pin the twice-consumed ev projection
 #   (sketch build + exact top-N) — same class, perf-only.
+# - incremental_neardup_filter: pin the bands frame — new_bands and
+#   hist_bands recompute all 8 row-local minhash signature columns
+#   over the whole corpus twice (code-review r7, perf-only).
+# - minhash_signatures: _shingle_sets' unconditional pin is
+#   single-consumer there — move the pin to the multi-consumer
+#   callers (code-review r7, perf-only).
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6

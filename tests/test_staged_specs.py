@@ -3274,11 +3274,11 @@ def test_prefix_filter_neardup_oracle(spark, duck, sf_dir):
     INDEPENDENT full-inverted-index exact-Jaccard oracle (which knows
     nothing about prefixes — an incomplete filter loses rows here)."""
     from pac_spark.operators.dedup import prefix_filter_neardup_pairs
-    from pac_spark.plans.llm_plans import _NGRAM_JACCARD
+    from pac_spark.plans.llm_plans import _NGRAM_JACCARD_FULL
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(
-        prefix_filter_neardup_pairs(spark, sf_dir), duck.sql(_NGRAM_JACCARD)
+        prefix_filter_neardup_pairs(spark, sf_dir), duck.sql(_NGRAM_JACCARD_FULL)
     )
 
 
