@@ -350,11 +350,13 @@ def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: sign-LSH bucket join + exact rescoring.
 
-    Each vector hashes to a signature of sign bits against N_PLANES
-    fixed hyperplanes; candidates share a signature prefix bucket
-    (first 6 bits). Exact cosine is computed only inside buckets.
-    Approximate → rows-only driver check; recall vs brute force is
-    property-tested.
+    Each vector hashes to a 6-bit sign signature against the first 6
+    fixed hyperplanes, and the bucket IS that signature — there is no
+    longer hidden signature this is a prefix of (code-review r7
+    corrected the docstring: N_PLANES sizes the shared plane table,
+    not this operator's index). Exact cosine is computed only inside
+    buckets. Approximate → rows-only driver check; recall vs brute
+    force is property-tested.
     """
     emb = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v"), "label"
@@ -456,11 +458,17 @@ def _argmin_code(cents_col: str, vec_expr: str) -> Column:
         f"aggregate(zip_with({vec_expr}, ct.c, (x, y) -> (x - y) * (x - y)), "
         "cast(0.0 as double), (acc, d) -> acc + d)"
     )
+    # distances are materialized ONCE by the transform, then the fold
+    # compares structs — splicing {sq} into both arms of the if made
+    # Spark evaluate the 64-dim fold twice whenever a new minimum won
+    # (code-review r7; this runs in the hot full-corpus IVF-assign and
+    # PQ-encode passes). Same arithmetic, same strict-< first-minimum
+    # tie-break, so oracle parity is untouched.
     return F.expr(
-        f"aggregate({cents_col}, "
+        f"aggregate(transform({cents_col}, "
+        f"ct -> named_struct('d', {sq}, 'id', ct.centroid_id)), "
         "named_struct('d', cast('Infinity' as double), 'id', -1), "
-        f"(acc, ct) -> if({sq} < acc.d, "
-        f"named_struct('d', {sq}, 'id', ct.centroid_id), acc)).id"
+        "(acc, x) -> if(x.d < acc.d, x, acc)).id"
     )
 
 
@@ -495,8 +503,6 @@ def _ivf_centroids(
     the same bounded-iteration materialization discipline
     ``connected_components`` applies.
     """
-    from pac_spark.cache import pin
-
     h = F.md5(
         F.encode(
             F.concat(F.col("vec_id").cast("string"), F.lit(":" + init_salt)),
@@ -567,8 +573,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally asserts every returned score equals the brute-force
     score for that pair.
     """
-    from pac_spark.cache import pin
-
     emb = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v"), "label"
     )
@@ -592,7 +596,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    centroids = cents
     queries = assigned.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -602,7 +605,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny — the cross join is queries x nlist rows, then a top-n window)
     probe_w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.crossJoin(F.broadcast(cents))
         .withColumn(
             "dist",
             F.expr(
@@ -665,8 +668,6 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the M Lloyd loops (staged for the r6 rotation; local gate
     in ``tests/test_oracle_parity_staged.py``).
     """
-    from pac_spark.cache import pin
-
     emb = catalog.load(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("v"), "label"
     )
@@ -699,6 +700,11 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(f"code_{m}", _argmin_code(f"cents_{m}", _pq_subv("v", m)))
             .drop(f"cents_{m}")
         )
+
+    # pinned: the encoded table feeds the query extraction, the ADC
+    # scan, AND the bounded rescore join-back — unpinned, the M
+    # argmin-encode passes would re-run per consumer
+    enc = pin(enc)
 
     queries = enc.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
@@ -734,15 +740,22 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = F.expr(
         " + ".join(f"element_at(element_at(dt, {m + 1}), code_{m} + 1)" for m in range(PQ_M))
     )
+    # only scalar columns travel through the rank window: the raw
+    # vector, its norm, the dt arrays, and the code columns stayed in
+    # the shuffled row before (code-review r7 — ~800 extra bytes per
+    # candidate row, defeating the "search scans codes, never raw
+    # vectors" claim); the bounded top-k joins the vectors back from
+    # the pinned encode table for the exact rescore
     scored = (
         enc.crossJoin(F.broadcast(qdt))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("approx_dist", adc)
+        .select("query_id", "vec_id", "label", adc.alias("approx_dist"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
     topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+        .join(enc.select("vec_id", "v", "nv"), "vec_id")
     )
     cos = _dot("v", "qv") / (F.col("nv") * F.col("nq"))
     return (
@@ -826,7 +839,10 @@ WITH fp AS (
     SELECT dim, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
     FROM fp GROUP BY dim
 ), h AS (
-    SELECT dim, v, COUNT(*) AS c FROM fp GROUP BY dim, v
+    -- NULL elements are excluded like the Spark side's
+    -- group_percentiles_disc (its docstring: oracles over
+    -- possibly-NULL columns must state the same filter)
+    SELECT dim, v, COUNT(*) AS c FROM fp WHERE v IS NOT NULL GROUP BY dim, v
 ), w AS (
     SELECT dim, v,
            SUM(c) OVER (PARTITION BY dim ORDER BY v
@@ -941,13 +957,18 @@ def kcenter_diverse_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "radius",
             )
         )
-        md = checkpoint(
-            md.crossJoin(F.broadcast(pick.select("cv"))).select(
-                "vec_id",
-                "v",
-                F.least(F.col("d"), _d2_expr("v", "cv")).alias("d"),
+        # the update feeds the NEXT round's argmax — after the final
+        # pick there is no next round, and the eager checkpoint would
+        # materialize a full corpus-sized distance pass nothing reads
+        # (code-review r7)
+        if j < KCENTER_K:
+            md = checkpoint(
+                md.crossJoin(F.broadcast(pick.select("cv"))).select(
+                    "vec_id",
+                    "v",
+                    F.least(F.col("d"), _d2_expr("v", "cv")).alias("d"),
+                )
             )
-        )
     out = trace[0]
     for t in trace[1:]:
         out = out.unionByName(t)

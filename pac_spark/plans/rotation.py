@@ -87,6 +87,14 @@ FORCE_HOIST: tuple[str, ...] = (
 # - minhash_signatures: _shingle_sets' unconditional pin is
 #   single-consumer there — move the pin to the multi-consumer
 #   callers (code-review r7, perf-only).
+# - embedding_similar_pairs + semantic_dedup: restate the oracles as
+#   banded-candidate + exact-rescore (the minhash_lsh oracle pattern)
+#   instead of the exhaustive within-label enumeration — the banding
+#   is md5-deterministic so both engines can compute the identical
+#   candidate set; the current exhaustive oracle passes only because
+#   the fixed fixtures happen to contain no all-bands-missed pair
+#   (code-review r7; cannot fire this round on frozen sf data). Pin
+#   the multi-consumer banded/normed frames at the same time.
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6
