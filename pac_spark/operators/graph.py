@@ -288,8 +288,6 @@ def butterfly_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    from pac_spark.cache import pin
-
     ps = pin(ps)
     deg = ps.groupBy("p").agg(F.count("*").alias("deg"))
     eligible = ps.join(
@@ -348,6 +346,25 @@ TRIANGLE_TOP_EDGES = 5000  # strongest co-purchase edges kept in the motif graph
 TRIANGLE_TOP_N = 100  # reported parts
 
 
+def _co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counted co-purchase part pairs (pa < pb, cnt = co-order count):
+    the bounded basket self-join shared by the triangle and k-core
+    motif operators (code-review r7 — they carried two near-identical
+    copies; any future skew cap must exist exactly once)."""
+    op = pin(
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation counts over the TOP-K co-purchase graph:
     parts are nodes, the K strongest "ordered together" edges (by
@@ -375,18 +392,8 @@ def triangle_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (edges already satisfy pa<pb, so e1(a,b)⋈e2(b,c)⋈e3(a,c) with the
     join keys enforcing a<b<c), then unpivoted to per-node counts.
     """
-    op = pin(
-        catalog.load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = op.alias("a")
-    b = op.alias("b")
     edges = pin(
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count("*").alias("cnt"))
+        _co_purchase_pairs(spark, sf_dir)
         .orderBy(F.desc("cnt"), "pa", "pb")
         .limit(TRIANGLE_TOP_EDGES)
         .select("pa", "pb")
@@ -466,8 +473,6 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor cut is TakeOrdered under the total (degree desc, node)
     order.
     """
-    from pac_spark.cache import pin
-
     # pinned: the join+distinct edge derivation feeds THREE consumers
     # (degrees, hop 1, hop 2) — ReuseExchange shares only identical
     # exchange subtrees, not the aggregates above them
@@ -553,17 +558,10 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes; the edge frame re-checkpoints each round to cut lineage.
     Degrees are exact (edges are distinct pairs by construction).
     """
-    op = pin(
-        catalog.load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count("*").alias("cnt"))
+    # pinned: the union's two branches otherwise each re-run the
+    # corpus-scale pair aggregation (code-review r7)
+    pairs = pin(
+        _co_purchase_pairs(spark, sf_dir)
         .filter(F.col("cnt") >= KCORE_MIN_COOCCUR)
         .select("pa", "pb")
     )
@@ -751,13 +749,18 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_quantity"
     )
-    pairs = (
+    # floor() in BOTH engines: a bare cast-to-long truncates in Spark
+    # but CAST(... AS BIGINT) ROUNDS in DuckDB, so a fractional
+    # quantity would diverge (code-review r7; TPC-H quantities are
+    # integral, so values are unchanged). pin: the union's two
+    # branches otherwise re-run the join+aggregate.
+    pairs = pin(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(
             (F.col("o_custkey") + F.lit(10**9)).alias("cust"),
             (F.col("l_suppkey") + F.lit(2 * 10**9)).alias("supp"),
         )
-        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+        .agg(F.min(F.floor("l_quantity").cast("long")).alias("w"))
     )
     edges = pin(
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"), "w")
@@ -801,7 +804,7 @@ d{i} AS MATERIALIZED (
 WITH pairs AS (
     SELECT o_custkey + 1000000000 AS cust,
            l_suppkey + 2000000000 AS supp,
-           MIN(CAST(l_quantity AS BIGINT)) AS w
+           MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS w
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1, 2
 ),

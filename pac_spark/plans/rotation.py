@@ -51,7 +51,7 @@ _REPO = os.path.dirname(
 # Hand-maintained per round: registered specs whose IMPLEMENTATION
 # changed since their tail evidence was recorded (the r6
 # bucketed_orders_join case). Correctness history cannot see code
-# churn, so this stays an explicit input. r7, three entries (each a
+# churn, so this stays an explicit input. r7, four entries (each a
 # review-driven change to code or oracle that must not ride the
 # tail on pre-change evidence):
 # - scd2_customer_diff: the shared ghost-range guard gained an
@@ -95,6 +95,19 @@ FORCE_HOIST: tuple[str, ...] = (
 #   the fixed fixtures happen to contain no all-bands-missed pair
 #   (code-review r7; cannot fire this round on frozen sf data). Pin
 #   the multi-consumer banded/normed frames at the same time.
+# - pagerank_trade_graph (one batch, update PAGERANK_SQL + the staged
+#   TWO_HOP_SQL/ASSORTATIVITY_SQL identically): (a) replace the
+#   additive node-id encode (cust+1e9 / supp+2e9 — collides once
+#   custkey >= 1e9) with role-multiplicative key*4+role; (b) scale
+#   the loop partition heuristic by EDGES too (the in-loop join probe
+#   is edge-sized, nodes/250k alone collapses parallelism on dense
+#   graphs); (c) pin trade_edges' pairs frame (union branches re-run
+#   the aggregate) and the non-checkpoint-round ranks on the dangling
+#   path; (d) assert n_nodes against RANK_SCALE resolution (1e12 is
+#   a fixed dial — document/guard, or scale it with measured n and
+#   mirror the factor in the oracle). All code-review r7; none can
+#   fire at driver SFs, so the batch waits for its own round of local
+#   gates rather than landing late in r7.
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6
