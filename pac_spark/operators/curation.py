@@ -275,6 +275,26 @@ N_TRAINING_SHARDS = 32
 SHARD_SALT = "training_shards_v1"
 
 
+def _with_shard_layout(docs: DataFrame) -> DataFrame:
+    """Append the deterministic shard layout columns ``_h`` (salted
+    md5 of doc_id) and ``shard_id`` — ONE spelling of the hash both
+    :func:`training_shards` and :func:`sequence_packing` order by
+    (code-review r7: they carried byte-identical copies whose
+    required equality was only a comment). The per-shard order is
+    (_h, doc_id); editing this function changes BOTH layouts
+    together, which is the contract."""
+    h = F.md5(
+        F.encode(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHARD_SALT)),
+            "UTF-8",
+        )
+    )
+    return docs.withColumn("_h", h).withColumn(
+        "shard_id",
+        (F.conv(F.substring("_h", 1, 4), 16, 10).cast("int") % N_TRAINING_SHARDS),
+    )
+
+
 def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-ready shard layout: assign every document a
     deterministic shard and a deterministic position within it — the
@@ -290,16 +310,7 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard count scales with the cluster, so no task ever holds more
     than (corpus / shards) rows."""
     docs = catalog.load(spark, sf_dir, "documents")
-    h = F.md5(
-        F.encode(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHARD_SALT)),
-            "UTF-8",
-        )
-    )
-    with_hash = docs.select("doc_id", "lang", "source", h.alias("_h")).withColumn(
-        "shard_id",
-        (F.conv(F.substring("_h", 1, 4), 16, 10).cast("int") % N_TRAINING_SHARDS),
-    )
+    with_hash = _with_shard_layout(docs.select("doc_id", "lang", "source"))
     order = W.partitionBy("shard_id").orderBy("_h", "doc_id")
     return (
         with_hash.withColumn("position", F.row_number().over(order).cast("int"))
@@ -332,21 +343,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.operators.text_core import tokens
 
     docs = catalog.load(spark, sf_dir, "documents")
-    h = F.md5(
-        F.encode(
-            F.concat(F.col("doc_id").cast("string"), F.lit(":" + SHARD_SALT)),
-            "UTF-8",
-        )
-    )
-    with_hash = (
+    with_hash = _with_shard_layout(
         docs.select(
             "doc_id",
             F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
-            h.alias("_h"),
-        )
-        .withColumn(
-            "shard_id",
-            (F.conv(F.substring("_h", 1, 4), 16, 10).cast("int") % N_TRAINING_SHARDS),
         )
     )
     run = (
@@ -534,9 +534,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog.load(spark, sf_dir, "documents")
     # pinned: the data-sized distinct feeds sizes AND both self-join
     # sides — without the pin the shingle scan runs three times
+    # explode_outer, not explode: plain explode over the attribute
+    # makes Catalyst infer size(sh) > 0 and push it below the
+    # projection with the whole shingle expression re-inlined — every
+    # row would tokenize+shingle twice (the dedup._doc_shingles
+    # lesson; code-review r7 caught this copy missing it)
     sh = pin(
         distinct_shingled(docs.select("source", "text"), "text")
-        .select("source", F.explode("sh").alias("shingle"))
+        .select("source", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
@@ -726,19 +732,21 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.octet_length(F.coalesce("text", F.lit(""))).cast("long").alias("w"),
     )
+    from pac_spark.cache import pin
+
+    # pinned: the projection feeds the exact totals AND the top-(k+1)
+    # window scan (code-review r7 — one parquet pass, two consumers)
+    docs = pin(docs)
     totals = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("w").alias("total_bytes")
     )
     dec = "decimal(38,0)"
-    h = F.conv(
-        F.substring(
-            F.md5(F.encode(F.concat(F.lit("ps|"), F.col("doc_id").cast("string")), "UTF-8")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # the ONE engine-wide 60-bit md5 (functions.hashing — its SQL
+    # emitter builds the oracle side, so the pair cannot drift; this
+    # operator had inlined a private copy, code-review r7)
+    from pac_spark.functions.hashing import md5_u60
+
+    h = md5_u60(F.concat(F.lit("ps|"), F.col("doc_id").cast("string")))
     num = F.col("w").cast(dec) * F.expr(_P60)
     den = (h + F.lit(1)).cast(dec)
     q = ((num - num % den) / den).cast(dec)

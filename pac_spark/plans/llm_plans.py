@@ -789,13 +789,32 @@ SELECT doc_id,
 FROM s ORDER BY doc_id
 """
 
+# the losers CTE states ngram_jaccard_pairs' ACTUAL candidate rule —
+# pairs sharing >=1 sub-cap shingle, exact Jaccard over full sets —
+# exactly like the standalone _NGRAM_JACCARD above (code-review r7:
+# the composed curation oracle had kept the uncapped self-join the
+# operator's skew path never runs)
 _CURATION = f"""
 {_DOCS_PRELUDE},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM shingle_rows GROUP BY doc_id),
+hot AS (
+    SELECT shingle FROM shingle_rows
+    GROUP BY shingle HAVING COUNT(*) > {D.MAX_SHINGLE_DF}
+),
+rare AS (
+    SELECT * FROM shingle_rows
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM rare x
+    JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
 shared AS (
-    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
-    FROM shingle_rows x
-    JOIN shingle_rows y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM cand c
+    JOIN shingle_rows x ON x.doc_id = c.doc_a
+    JOIN shingle_rows y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
     GROUP BY 1, 2
 ),
 losers AS (

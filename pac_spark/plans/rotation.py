@@ -65,12 +65,20 @@ _REPO = os.path.dirname(
 # - ngram_jaccard_pairs: the oracle now states the operator's ACTUAL
 #   candidate rule (pairs sharing ≥1 sub-cap shingle, exact values)
 #   instead of the full self-join the skew path never runs, and the
-#   corpus-sized hot_docs frames are no longer force-broadcast.
+#   corpus-sized hot_docs frames are no longer force-broadcast;
+# - corpus_curation: its composed losers oracle gets the same
+#   capped-candidate restatement (it still embedded the uncapped
+#   self-join the ngram fix removed);
+# - training_shards: the salted shard-layout hash now lives in ONE
+#   helper (_with_shard_layout) shared with sequence_packing — the
+#   two byte-identical copies were only comment-coupled.
 FORCE_HOIST: tuple[str, ...] = (
     "scd2_customer_diff",
     "corr_quality_tokens_by_lang",
     "doc_repetition_signals",
     "ngram_jaccard_pairs",
+    "corpus_curation",
+    "training_shards",
 )
 
 # Queued tail work for r8 (apply the fix THEN force-hoist the spec in
@@ -81,6 +89,9 @@ FORCE_HOIST: tuple[str, ...] = (
 #   (code-review r7 finding, perf-only, values unchanged).
 # - cms_user_heavy_hitters: pin the twice-consumed ev projection
 #   (sketch build + exact top-N) — same class, perf-only.
+# - token_budget_mix: pin the corpus-sized binned frame (tokenize +
+#   quality scan) consumed by bin_agg/kept_full/kept_boundary — same
+#   class, perf-only (code-review r7).
 # - incremental_neardup_filter: pin the bands frame — new_bands and
 #   hist_bands recompute all 8 row-local minhash signature columns
 #   over the whole corpus twice (code-review r7, perf-only).
