@@ -134,9 +134,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue by nation where the supplier is in the
     customer's nation, region-restricted.
 
-    region/nation/supplier are bounded dims → explicit broadcast; the
+    region/nation are bounded dims → explicit broadcast; supplier
+    SCALES with SF (~1B rows at the 100 TB point), so it gets no
+    broadcast hint — AQE broadcasts it while it measures small and
+    shuffles it when it does not (code-review r7: the old forced hint
+    would hit the 8 GB broadcast hard limit exactly at scale). The
     orders⋈lineitem fact join shuffles on orderkey and is the only
-    large exchange in the plan.
+    always-large exchange in the plan.
     """
     region = catalog.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = catalog.load(spark, sf_dir, "nation")
@@ -151,7 +155,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .filter(customer.c_nationkey == supplier.s_nationkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -212,7 +216,7 @@ def window_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.date_format("ts", _TS6).alias("ts_str"),
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
@@ -242,8 +246,10 @@ def _ntile4(r, n):
     big_span = (base + 1) * rem
     in_big = _idiv(r - 1, base + 1) + 1
     # the divide-by-base expression is only SELECTED when r > big_span
-    # (which implies base >= 1); Spark's non-ANSI x/0 yields NULL, not
-    # an error, so the unselected branch is inert for n < 4
+    # (which implies base >= 1); the protection for n < 4 groups is
+    # F.when's BRANCH LAZINESS — under Spark 4's default ANSI mode a
+    # hoisted/eager evaluation of this expression would throw
+    # DIVIDE_BY_ZERO (code-review r7 corrected the old non-ANSI claim)
     in_small = rem + _idiv(r - big_span - 1, base) + 1
     return F.when(base == F.lit(0), r).otherwise(
         F.when(r <= big_span, in_big).otherwise(in_small)
@@ -582,12 +588,16 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     by status alone, and grand total — strictly the groups asked for,
     unlike CUBE which would also compute (priority)."""
     catalog.load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    from pac_spark.functions.exact import money_sum_sql
+
+    # the exact-cents sum comes from the shared emitter (valid in both
+    # Spark SQL and DuckDB — the oracle composes the same call), so
+    # the pattern cannot drift between the two engines
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-                   AS sum_price
+               {money_sum_sql("o_totalprice")} AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -1011,16 +1021,17 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow identity ``active(d) − active(d−1) = new + resurrected −
     churned`` holding exactly on every row.
 
-    Plan: one distinct over (user, day), then two per-user day-ordered
-    windows — ``lag(day)`` classifies the state, ``lead(day)`` emits
-    the churn day (the day AFTER a gap opens, including the day after
-    a user's last activity) — and a per-day conditional-sum aggregate.
-    The windows partition by user (bounded by a user's own day count,
-    never calendar-wide), so the only shuffles are the distinct and
-    the two user-keyed windows sharing one partitioning; the final
-    day-axis frame is calendar-sized. Churn days land via a full-outer
-    day join so a day with zero activity but positive churn (everyone
-    left) still appears, zero-filled.
+    Plan (shared with the streaming twin via
+    :func:`user_growth_from_days`): one distinct over (user, day),
+    then ONE per-user day-ordered window computing ``lag(day)`` (state
+    classification) and ``lead(day)`` together; churn days are emitted
+    as exploded marker rows from that same pass — NO day-axis outer
+    join exists (the plan-shape test pins exactly that: single scan,
+    no outer join, bounded exchanges). A day with zero activity but
+    positive churn still appears because its churn markers are rows
+    of the same aggregate input. (Code-review r7 rewrote this
+    paragraph — it described a two-window + full-outer-join plan that
+    was never the shipped shape.)
     """
     days = (
         catalog.load(spark, sf_dir, "events")

@@ -311,7 +311,7 @@ ORDER BY event_id
 # (q22 recency cutoff, approx_distinct hybrid oracle) come first; the
 # tail holds only queries that are unchanged and were driver-green in
 # both previous rounds (still locally oracle-checked every pytest run).
-_WINDOW_DIST = """
+_WINDOW_DIST = f"""
 WITH w AS (
     SELECT o_orderpriority, o_orderkey, o_totalprice,
            CAST(ROW_NUMBER() OVER win AS INT) AS rn,
@@ -328,7 +328,7 @@ WITH w AS (
                     ORDER BY o_totalprice DESC, o_orderkey ASC
                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
 )
-SELECT * FROM w WHERE rn <= 20 ORDER BY o_orderpriority, rn
+SELECT * FROM w WHERE rn <= {R.WINDOW_DIST_TOP} ORDER BY o_orderpriority, rn
 """
 
 SPECS = [

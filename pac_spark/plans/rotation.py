@@ -92,6 +92,10 @@ FORCE_HOIST: tuple[str, ...] = (
 # - token_budget_mix: pin the corpus-sized binned frame (tokenize +
 #   quality scan) consumed by bin_agg/kept_full/kept_boundary — same
 #   class, perf-only (code-review r7).
+# - q17_small_quantity_revenue: left_semi the fact against the
+#   broadcast brand part list BEFORE the per-part threshold aggregate
+#   — the current shape aggregates every part then discards ~96% in
+#   the join (code-review r7, perf-only, bit-identical results).
 # - incremental_neardup_filter: pin the bands frame — new_bands and
 #   hist_bands recompute all 8 row-local minhash signature columns
 #   over the whole corpus twice (code-review r7, perf-only).
