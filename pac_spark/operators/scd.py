@@ -53,15 +53,20 @@ GHOST_OFFSET = 10**7  # synthetic delete keys live far above real keys
 _COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 
-def _guard_ghost_range(new: DataFrame, n_offsets: int = 1) -> DataFrame:
+def _guard_ghost_range(
+    new: DataFrame, n_offsets: int = 1, key: str = "c_custkey"
+) -> DataFrame:
     """Enforce (not trust) the ghost-key assumption: real keys must
     stay below GHOST_OFFSET so derived ghost ranges (up to
     ``n_offsets`` · GHOST_OFFSET above) cannot collide with them. A
     collision would silently misclassify deletes (diff), corrupt
     version chains (history), or shift group sums (IVM) — this turns
     it into a clear runtime error instead (code-review r6 #5: only
-    scd2_customer_diff carried the assert)."""
-    bound = new.agg(F.max("c_custkey").alias("_max_key"))
+    scd2_customer_diff carried the assert). ``key`` names the guarded
+    column — orders keys outgrow GHOST_OFFSET ~40x sooner than
+    customer keys, so the join-IVM guards both sides (code-review
+    r7: hardcoding c_custkey had left new_o unguardABLE)."""
+    bound = new.agg(F.max(key).alias("_max_key"))
     return (
         new.join(F.broadcast(bound))
         .filter(
@@ -72,7 +77,7 @@ def _guard_ghost_range(new: DataFrame, n_offsets: int = 1) -> DataFrame:
                 # frame and assert_true(NULL) throws on empty input
                 F.coalesce(F.col("_max_key") < GHOST_OFFSET, F.lit(True)),
                 F.lit(
-                    f"c_custkey reached GHOST_OFFSET={GHOST_OFFSET} "
+                    f"{key} reached GHOST_OFFSET={GHOST_OFFSET} "
                     f"(x{n_offsets} ghost ranges); raise it"
                 ),
             ).isNull()
@@ -92,6 +97,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     for c in cols:
         d = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         differs = d if differs is None else (differs | d)
+    if differs is None:
+        # key-only frames (membership CDC): no payload can differ, so
+        # rows classify as insert/delete/unchanged only — without this
+        # F.when(None, ...) raised a TypeError (code-review r7)
+        differs = F.lit(False)
     change = (
         F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
         .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
@@ -106,7 +116,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
             *[F.col(f"n.{c}").alias(f"new_{c}") for c in cols],
         )
         .filter(F.col("change_type") != "unchanged")
-        .orderBy(key)
+        # no ordering here: diffs usually feed joins/aggregates that
+        # discard it, and a pin() downstream would materialize the
+        # useless global sort (code-review r7) — the registry entry
+        # whose OUTPUT is the diff sorts explicitly
     )
 
 
@@ -140,10 +153,17 @@ def scd2_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision would silently misclassify deletes as updates, so the
     assumption is enforced with a runtime assert_true on the real key
     maximum rather than trusted."""
-    new = _guard_ghost_range(
-        catalog.load(spark, sf_dir, "customer").select(*_COLS)
+    from pac_spark.cache import pin
+
+    # pinned: the guarded frame feeds the derived-old base, its ghost
+    # mirror, AND the new side of the full-outer diff — unpinned, the
+    # customer scan + guard ran once per consumer (code-review r7)
+    new = pin(
+        _guard_ghost_range(catalog.load(spark, sf_dir, "customer").select(*_COLS))
     )
-    return snapshot_diff(_old_snapshot(new), new, "c_custkey")
+    return snapshot_diff(_old_snapshot(new), new, "c_custkey").orderBy(
+        "c_custkey"
+    )
 
 
 def SCD2_SQL() -> str:
@@ -203,8 +223,6 @@ def merge_changeset(
     rather than resolving silently (an unmatched key with a bad op
     would otherwise emit a null-payload row).
     """
-    from pyspark.sql import functions as F
-
     from pac_spark.cache import pin
 
     # pin: the changeset is often itself a join (snapshot_diff output)
@@ -212,7 +230,13 @@ def merge_changeset(
     # unpinned it would recompute per consumer. Both contract checks
     # ride ONE aggregation job over the per-key counts.
     changes = pin(changes)
-    bad_op = ~F.col(op_col).isin("insert", "update", "delete")
+    # NULL is a bad op too: ~NULL.isin(...) is NULL, which F.sum
+    # skips — the guard would pass and a NULL-op row for an absent key
+    # would emit the very null-payload row it exists to prevent
+    # (code-review r7)
+    bad_op = F.col(op_col).isNull() | ~F.col(op_col).isin(
+        "insert", "update", "delete"
+    )
     chk = (
         changes.groupBy(key)
         .agg(
@@ -757,19 +781,24 @@ def ivm_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measure, and inserts/deletes hit both sides — every
     interleaving the rule must absorb.
 
-    Scale shape: the two changesets are small by assumption (that is
-    the IVM premise); both ΔO and ΔC travel as broadcasts, so the
-    only full-table touches are one scan of O_old (pre-filtered by
-    the broadcast ΔC hash) and one of C_old for ΔO's lookups — no
+    Scale shape: the changesets join WITHOUT forced broadcast hints —
+    when they are genuinely small (the nightly-IVM premise) AQE
+    broadcasts them from measured sizes, and when a changeset is a
+    large fraction of its base (this demo's derived deltas are) the
+    joins shuffle safely instead of OOMing the driver. The only
+    full-table touches are one scan of O_old and one of C_old — no
     O⋈C rejoin anywhere. The maintained view then folds
     |V| + |contributions| rows. The oracle aggregates the NEW join
     directly, so hash equality proves maintenance ≡ full recompute.
     """
     new_c = _guard_ghost_range(catalog.load(spark, sf_dir, "customer").select(*_COLS))
-    new_o = catalog.load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    new_o = _guard_ghost_range(
+        catalog.load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        key="o_orderkey",
     )
     from pac_spark.cache import pin
 
@@ -807,8 +836,12 @@ def maintain_join_nation_revenue(
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("_dn"), F.sum("cents").alias("_dc"))
     )
+    # deltas are NOT force-broadcast: the derived changesets are
+    # constant FRACTIONS of the base tables (~57% of orders, ~45% of
+    # customers), not bounded frames — AQE broadcasts them while they
+    # measure small and shuffles them at scale (code-review r7)
     t1 = (
-        F.broadcast(d_o)
+        d_o
         .join(c_old, d_o["o_custkey"] == c_old["c_custkey"])
         .select(
             "c_nationkey",
@@ -817,7 +850,7 @@ def maintain_join_nation_revenue(
         )
     )
     t2 = (
-        o_old.join(F.broadcast(d_c), o_old["o_custkey"] == d_c["c_custkey"])
+        o_old.join(d_c, o_old["o_custkey"] == d_c["c_custkey"])
         .select(
             "c_nationkey",
             F.col("sign").alias("_dn"),
@@ -825,9 +858,9 @@ def maintain_join_nation_revenue(
         )
     )
     t3 = (
-        F.broadcast(d_o.withColumnRenamed("sign", "s_o"))
+        d_o.withColumnRenamed("sign", "s_o")
         .join(
-            F.broadcast(d_c.withColumnRenamed("sign", "s_c")),
+            d_c.withColumnRenamed("sign", "s_c"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
