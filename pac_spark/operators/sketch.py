@@ -515,9 +515,16 @@ def _kmv_sketches(rows: DataFrame, group: str, key: str) -> DataFrame:
 
     h = md5_u60(F.concat(F.lit("kmv1|"), F.col(key).cast("string")))
     b = md5_bucket(F.concat(F.lit("kmvb|"), F.col(key).cast("string")), 32)
-    hashed = rows.select(
-        F.col(group).alias("g"), h.alias("h"), b.alias("b")
-    ).distinct()
+    # NULL keys hash to NULL and are excluded (a NULL member adds
+    # nothing to a distinct estimate, matching COUNT(DISTINCT)) —
+    # kept in, the NULL h would sort FIRST in Spark and LAST in
+    # DuckDB, displacing the k-th hash differently per engine
+    # (code-review r7)
+    hashed = (
+        rows.filter(F.col(key).isNotNull())
+        .select(F.col(group).alias("g"), h.alias("h"), b.alias("b"))
+        .distinct()
+    )
     phase1 = (
         hashed.withColumn(
             "rn", F.row_number().over(W.partitionBy("g", "b").orderBy("h"))
@@ -531,6 +538,23 @@ def _kmv_sketches(rows: DataFrame, group: str, key: str) -> DataFrame:
         )
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
+    )
+
+
+def kmv_theta(sk: DataFrame) -> DataFrame:
+    """(g, theta) from a (g, h) KMV sample: theta = h_k in the full
+    regime, else the whole hash range — ONE spelling of the uniform
+    formulation shared by the batch overlap tier and the streaming
+    fold (code-review r7: they carried byte-identical copies)."""
+    return (
+        sk.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_max"))
+        .select(
+            "g",
+            F.when(F.col("n_sk") >= KMV_K, F.col("h_max"))
+            .otherwise(F.lit(_KMV_RANGE))
+            .alias("theta"),
+        )
     )
 
 
@@ -560,14 +584,7 @@ def kmv_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("l_partkey").alias("part"))
     )
     sk = pin(_kmv_sketches(np_pairs, "nation", "part"))
-    theta = sk.groupBy("g").agg(
-        F.count("*").alias("n_sk"), F.max("h").alias("h_max")
-    ).select(
-        "g",
-        F.when(F.col("n_sk") >= KMV_K, F.col("h_max"))
-        .otherwise(F.lit(_KMV_RANGE))
-        .alias("theta"),
-    )
+    theta = kmv_theta(sk)
     # sample = h < theta (drops the k-th value itself in the full regime)
     samples = sk.join(F.broadcast(theta), "g").filter(F.col("h") < F.col("theta"))
     per_g = samples.groupBy("g", "theta").agg(F.count("*").alias("n_below"))

@@ -110,6 +110,15 @@ FORCE_HOIST: tuple[str, ...] = (
 #   the fixed fixtures happen to contain no all-bands-missed pair
 #   (code-review r7; cannot fire this round on frozen sf data). Pin
 #   the multi-consumer banded/normed frames at the same time.
+# - streaming hardening batch (stateful.py, code-review r7): add the
+#   lifetime-style cross-batch (ts, event_id) monotonicity assert to
+#   _sessionize (streaming_user_sessions_custom — the sessionizer
+#   silently mis-sessions on out-of-order delivery where the lifetime
+#   fold refuses); harden _ts_to_us to parse ns/us/ms/s resolutions
+#   or raise (affects streaming_user_lifetime_stats too); replace
+#   _lifetime_fold's dead min/max first/last branches with plain
+#   assignments + an accurate refused-not-tolerated comment; share
+#   cache.checkpoint's RDD-handle capture with _rotate_view.
 # - pagerank_trade_graph (one batch, update PAGERANK_SQL + the staged
 #   TWO_HOP_SQL/ASSORTATIVITY_SQL identically): (a) replace the
 #   additive node-id encode (cust+1e9 / supp+2e9 — collides once

@@ -61,6 +61,10 @@ __all__ = [
     "streaming_user_accounting",
     "streaming_growth_accounting",
     "streaming_ohlc_bars",
+    "streaming_ewma_user_value",
+    "streaming_bitmap_distinct_users",
+    "streaming_kmv_distinct_users",
+    "STREAMING_KMV_SQL",
 ]
 
 GAP_SECONDS = 600
@@ -570,6 +574,26 @@ def streaming_ohlc_bars(spark, sf_dir: str):
     ).orderBy("event_type", "hour_ts")
 
 
+def _day_activity_view(spark, sf_dir: str):
+    """The distinct (user_id, day) IVM fold both growth twins read off
+    (code-review r7: they carried copy-paste projections and closures
+    differing only in the final read-off). distinct-union merge is
+    idempotent, so late or replayed batches are harmless."""
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+
+    def partial(batch_df):
+        return batch_df.distinct()
+
+    def merge(view, delta):
+        return view.unionByName(delta).distinct()
+
+    return _run_ivm_fold(ev, partial, merge)
+
+
 def streaming_user_accounting(spark, sf_dir: str):
     """Maintain the growth-accounting state — the distinct
     (user_id, day) activity set — incrementally over the event stream,
@@ -589,17 +613,7 @@ def streaming_user_accounting(spark, sf_dir: str):
 
     from pac_spark.operators.relational import user_day_accounting
 
-    ev = stream_events(spark, sf_dir).select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-
-    def partial(batch_df):
-        return batch_df.distinct()
-
-    def merge(view, delta):
-        return view.unionByName(delta).distinct()
-
-    return user_day_accounting(_run_ivm_fold(ev, partial, merge))
+    return user_day_accounting(_day_activity_view(spark, sf_dir))
 
 
 def streaming_growth_accounting(spark, sf_dir: str):
@@ -611,21 +625,9 @@ def streaming_growth_accounting(spark, sf_dir: str):
     batch operator uses, so stream and batch can only drift if the
     maintained state itself drifts. Oracle: the batch GROWTH_SQL over
     the full table."""
-    from pyspark.sql import functions as F
-
     from pac_spark.operators.relational import user_growth_from_days
 
-    ev = stream_events(spark, sf_dir).select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-
-    def partial(batch_df):
-        return batch_df.distinct()
-
-    def merge(view, delta):
-        return view.unionByName(delta).distinct()
-
-    return user_growth_from_days(_run_ivm_fold(ev, partial, merge))
+    return user_growth_from_days(_day_activity_view(spark, sf_dir))
 
 
 def _ewma_partial(batch_df):
@@ -766,9 +768,19 @@ def streaming_kmv_distinct_users(spark, sf_dir: str):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
-    from pac_spark.operators.sketch import KMV_K, _KMV_RANGE, _kmv_sketches
+    from pac_spark.operators.sketch import (
+        KMV_K,
+        _KMV_RANGE,
+        _kmv_sketches,
+        kmv_theta,
+    )
 
-    ev = stream_events(spark, sf_dir).select("event_type", "user_id")
+    # NULL user_id excluded in both engines — see _streaming_kmv_sql
+    ev = (
+        stream_events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
 
     def partial(batch_df):
         return _kmv_sketches(batch_df, "event_type", "user_id")
@@ -783,14 +795,7 @@ def streaming_kmv_distinct_users(spark, sf_dir: str):
         )
 
     sk = _run_ivm_fold(ev, partial, merge)
-    theta = sk.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("h_max")
-    ).select(
-        "g",
-        F.when(F.col("n_sk") >= KMV_K, F.col("h_max"))
-        .otherwise(F.lit(_KMV_RANGE))
-        .alias("theta"),
-    )
+    theta = kmv_theta(sk)
     return (
         sk.join(F.broadcast(theta), "g")
         .filter(F.col("h") < F.col("theta"))
@@ -809,14 +814,19 @@ def streaming_kmv_distinct_users(spark, sf_dir: str):
     )
 
 
-def STREAMING_KMV_SQL() -> str:
-    """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
+def _streaming_kmv_sql() -> str:
     from pac_spark.functions.hashing import md5_u60_sql
     from pac_spark.operators.sketch import KMV_K, _KMV_RANGE
 
+    # NULL user_id is excluded in BOTH engines (a NULL member
+    # contributes nothing to a distinct estimate, matching
+    # COUNT(DISTINCT)); without the filter Spark's orderBy('h') puts
+    # the NULL hash FIRST while DuckDB's ROW_NUMBER sorts it LAST —
+    # an engine-divergent k-th hash (code-review r7)
     h = md5_u60_sql("'kmv1|' || CAST(user_id AS VARCHAR)")
     return f"""
-WITH hashed AS (SELECT DISTINCT event_type AS g, {h} AS h FROM events),
+WITH hashed AS (SELECT DISTINCT event_type AS g, {h} AS h
+                FROM events WHERE user_id IS NOT NULL),
 sk AS (
     SELECT g, h FROM (
         SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
@@ -838,3 +848,9 @@ WHERE sk.h < t.theta
 GROUP BY sk.g
 ORDER BY event_type
 """
+
+
+# STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py); a
+# plain module string like sketch.KMV_SQL so QuerySpec registration
+# cannot accidentally pass a callable (the BM25_SQL regression class).
+STREAMING_KMV_SQL = _streaming_kmv_sql()

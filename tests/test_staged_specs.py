@@ -2985,7 +2985,7 @@ def test_streaming_kmv_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_oracle_match
 
     assert_oracle_match(
-        streaming_kmv_distinct_users(spark, sf_dir), duck.sql(STREAMING_KMV_SQL())
+        streaming_kmv_distinct_users(spark, sf_dir), duck.sql(STREAMING_KMV_SQL)
     )
 
 
