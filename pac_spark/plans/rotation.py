@@ -110,6 +110,24 @@ FORCE_HOIST: tuple[str, ...] = (
 #   the fixed fixtures happen to contain no all-bands-missed pair
 #   (code-review r7; cannot fire this round on frozen sf data). Pin
 #   the multi-consumer banded/normed frames at the same time.
+# - streaming_neardup_admission: replace the inline tokenize/shingle
+#   copy (hardcoded n=3) with text_core.distinct_shingled so stream
+#   band keys can never drift off the stored index's shingling
+#   (code-review r7).
+# - streaming_purchase_click_join + _left_join: factor the shared
+#   purchases/clicks projections + interval condition into one
+#   builder parameterized by join type (the copies differ in one
+#   column; code-review r7).
+# - streaming_dedup_events: decide/record the duplicate-horizon
+#   contract — dropDuplicatesWithinWatermark dedups within 1h while
+#   the oracle is a global DISTINCT; today equal because event_ids
+#   are globally unique (code-review r7 — document or restate).
+# - stream_events + catalog.load: share one normalize_events_ts
+#   helper (the nanos-as-bigint div-1000 logic exists twice;
+#   code-review r7).
+# - cms_user_heavy_hitters (with the pin above): also factor the
+#   top-N + estimate/overcount report tail shared verbatim with
+#   streaming_cms_heavy_hitters into sketch.py (code-review r7).
 # - streaming hardening batch (stateful.py, code-review r7): add the
 #   lifetime-style cross-batch (ts, event_id) monotonicity assert to
 #   _sessionize (streaming_user_sessions_custom — the sessionizer

@@ -389,7 +389,8 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # delay + delay + window = 60 + 60 + 30 = 150 minutes, which is what
 # this constant states — keep the arithmetic and the constant in sync
 # when tuning either delay or the window.
-_OUTER_MATURITY = "INTERVAL 150 MINUTES"
+_OUTER_MATURITY_MIN = 150  # one integer, interpolated into BOTH engines
+_OUTER_MATURITY = f"INTERVAL {_OUTER_MATURITY_MIN} MINUTES"
 
 
 def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,8 +408,6 @@ def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> Data
     the tail's withheld NULL rows would differ from batch semantics by
     construction, not by bug.
     """
-    from pac_spark import catalog
-
     ev = stream_events(spark, sf_dir)
     # the cutoff scalar comes from a BATCH read of the same files (a
     # streaming frame cannot be collected). CRITICAL: it is applied to
@@ -416,13 +415,23 @@ def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> Data
     # stream would lower that side's own watermark (watermarks combine
     # as the min across sides), shrinking the emission horizon by
     # exactly the amount filtered and withholding the newest matured
-    # NULL row again, recursively (observed live on sf0.001).
+    # NULL row again, recursively (observed live on sf0.001). The
+    # anchor is LEAST(max purchase ts, max click ts): watermarks are
+    # assigned AFTER the event_type filters, so the engine's global
+    # watermark is driven by the earlier-finishing SIDE, not the
+    # corpus max — anchoring at MAX(ts) over all events could demand
+    # rows past the true NULL-emission horizon (code-review r7;
+    # measured 2h25m of slack at sf0.001 where clicks stop early).
+    batch_ev = catalog.load(spark, sf_dir, "events")
+    side_max = lambda t: F.max(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
     bound = (
-        catalog.load(spark, sf_dir, "events")
-        .agg(
+        batch_ev.agg(
             F.date_format(
-                F.max("ts") - F.expr(_OUTER_MATURITY),
-                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+                F.least(side_max("purchase"), side_max("click"))
+                - F.expr(_OUTER_MATURITY),
+                _TS6,
             ).alias("cutoff")
         )
         .collect()[0]["cutoff"]
@@ -467,9 +476,15 @@ def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-STREAM_PC_LEFT_ORACLE = """
+STREAM_PC_LEFT_ORACLE = f"""
 WITH mx AS (
-    SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 150 MINUTE AS cutoff FROM events
+    SELECT LEAST(
+               MAX(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END),
+               MAX(CASE WHEN event_type = 'click'
+                        THEN CAST(ts AS TIMESTAMP) END)
+           ) - INTERVAL {_OUTER_MATURITY_MIN} MINUTE AS cutoff
+    FROM events
 ), p AS (
     SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
     FROM events, mx
