@@ -51,35 +51,11 @@ _REPO = os.path.dirname(
 # Hand-maintained per round: registered specs whose IMPLEMENTATION
 # changed since their tail evidence was recorded (the r6
 # bucketed_orders_join case). Correctness history cannot see code
-# churn, so this stays an explicit input. r7, four entries (each a
-# review-driven change to code or oracle that must not ride the
-# tail on pre-change evidence):
-# - scd2_customer_diff: the shared ghost-range guard gained an
-#   empty-table NULL coalesce (its cap siblings scd2_history/
-#   pointintime + ivm_nation_balance are mandatory anyway);
-# - corr_quality_tokens_by_lang: the ORACLE's moment sums no longer
-#   narrow through BIGINT (reproduced DuckDB conversion error past
-#   ~sf0.1 group sizes — the Spark side was already decimal(38,0));
-# - doc_repetition_signals: NULL-text docs now dropped on both
-#   sides (the oracle's unnest already dropped them);
-# - ngram_jaccard_pairs: the oracle now states the operator's ACTUAL
-#   candidate rule (pairs sharing ≥1 sub-cap shingle, exact values)
-#   instead of the full self-join the skew path never runs, and the
-#   corpus-sized hot_docs frames are no longer force-broadcast;
-# - corpus_curation: its composed losers oracle gets the same
-#   capped-candidate restatement (it still embedded the uncapped
-#   self-join the ngram fix removed);
-# - training_shards: the salted shard-layout hash now lives in ONE
-#   helper (_with_shard_layout) shared with sequence_packing — the
-#   two byte-identical copies were only comment-coupled.
-FORCE_HOIST: tuple[str, ...] = (
-    "scd2_customer_diff",
-    "corr_quality_tokens_by_lang",
-    "doc_repetition_signals",
-    "ngram_jaccard_pairs",
-    "corpus_curation",
-    "training_shards",
-)
+# churn, so this stays an explicit input. Reset to () at the top of
+# r8 (the r7 forced six all re-proved hash-green in
+# CORRECTNESS_r07.json); r8 entries are added as the queued fixes
+# below land.
+FORCE_HOIST: tuple[str, ...] = ()
 
 # Queued tail work for r8 (apply the fix THEN force-hoist the spec in
 # that round — doing it now would evict further stale-tail refreshes):
