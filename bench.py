@@ -109,6 +109,19 @@ FAMILY = {
     "trend_slope_by_type": "stats",
     "timeseries_gapfill_hourly": "temporal",
     "ohlc_bars_hourly": "temporal",
+    "peak_concurrent_sessions": "temporal",
+    "top_session_paths": "temporal",
+    "user_activity_streaks": "temporal",
+    "funnel_within_1h_view_click_purchase": "temporal",
+    "ks_test_price_by_flag": "stats",
+    "budget_allocation_by_nation": "stats",
+    "bm25_topk_docs": "llm",
+    "token_gini_by_source": "llm",
+    "source_overlap_matrix": "llm",
+    "two_hop_reach_top_customers": "graph",
+    "daily_user_accounting": "relational",
+    "skyline_suppliers": "relational",
+    "streaming_user_accounting": "streaming",
 }
 
 # headline set: one representative per operator family (relational
@@ -165,6 +178,20 @@ BENCH_QUERIES = [
     "chi2_terms_by_source",
     "triangle_top_parts",
     "expectations_orders",
+    # r8-registered operators, benched from birth
+    "peak_concurrent_sessions",
+    "top_session_paths",
+    "user_activity_streaks",
+    "funnel_within_1h_view_click_purchase",
+    "ks_test_price_by_flag",
+    "budget_allocation_by_nation",
+    "bm25_topk_docs",
+    "token_gini_by_source",
+    "source_overlap_matrix",
+    "two_hop_reach_top_customers",
+    "daily_user_accounting",
+    "skyline_suppliers",
+    "streaming_user_accounting",
 ]
 
 

@@ -70,4 +70,11 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     # identical local 3-SF oracle gates (tests/test_staged_specs.py)
     QuerySpec("triangle_top_parts", G.triangle_top_parts, G.TRIANGLE_SQL()),
     QuerySpec("expectations_orders", P.expectations_orders, P.EXPECTATIONS_SQL()),
+    # registered in the r8 rotation after two rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "two_hop_reach_top_customers",
+        G.two_hop_reach_top_customers,
+        G.TWO_HOP_SQL,
+    ),
 ]

@@ -1252,6 +1252,13 @@ SPECS = [
     QuerySpec("dup_span_coverage", D.dup_span_coverage, _dup_span_sql()),
     QuerySpec("contrastive_negatives", CU.contrastive_negatives, CU.NEGATIVES_SQL()),
     QuerySpec("chi2_terms_by_source", TX.chi2_terms_by_source, TX.CHI2_SQL()),
+    # registered in the r8 rotation after two rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("bm25_topk_docs", TX.bm25_topk_docs, TX.BM25_SQL),
+    QuerySpec("token_gini_by_source", TX.token_gini_by_source, TX.TOKEN_GINI_SQL),
+    QuerySpec(
+        "source_overlap_matrix", CU.source_overlap_matrix, CU.SOURCE_OVERLAP_SQL
+    ),
 ]
 
 

@@ -355,4 +355,8 @@ SPECS = [
     QuerySpec("set_ops_customers", R.set_ops_customers, _SET_OPS),
     QuerySpec("semi_anti_customers", R.semi_anti_customers, _SEMI_ANTI),
     QuerySpec("distinct_counts_by_segment", R.distinct_counts_by_segment, _DISTINCT_COUNTS),
+    # registered in the r8 rotation after two rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("daily_user_accounting", R.daily_user_accounting, R.DAILY_USERS_SQL),
+    QuerySpec("skyline_suppliers", R.skyline_suppliers, R.SKYLINE_SQL),
 ]

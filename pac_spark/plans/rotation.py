@@ -135,21 +135,8 @@ FORCE_HOIST: tuple[str, ...] = ()
 # cap can absorb), add their QuerySpecs to the owning plans module,
 # and delete them here; test_registry_policy.py asserts the queue and
 # the registry never overlap. r7 registered the first 13 (through
-# expectations_orders).
+# expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    "peak_concurrent_sessions",
-    "ks_test_price_by_flag",
-    "bm25_topk_docs",
-    "top_session_paths",
-    "user_activity_streaks",
-    "source_overlap_matrix",
-    "token_gini_by_source",
-    "two_hop_reach_top_customers",
-    "daily_user_accounting",
-    "budget_allocation_by_nation",
-    "streaming_user_accounting",
-    "funnel_within_1h_view_click_purchase",
-    "skyline_suppliers",
     "embedding_dim_stats",
     "hll_distinct_customers_by_priority",
     "daily_coverage_us",

@@ -155,4 +155,12 @@ SPECS = [
     ),
     QuerySpec("seasonal_anomaly_days", ST.seasonal_anomaly_days, ST.SEASONAL_SQL()),
     QuerySpec("trend_slope_by_type", ST.trend_slope_by_type, ST.TREND_SQL()),
+    # registered in the r8 rotation after two rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("ks_test_price_by_flag", ST.ks_test_price_by_flag, ST.KS_SQL),
+    QuerySpec(
+        "budget_allocation_by_nation",
+        ST.budget_allocation_by_nation,
+        ST.ALLOC_SQL,
+    ),
 ]

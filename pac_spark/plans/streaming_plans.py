@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.plans.spec import QuerySpec
+from pac_spark.operators.relational import DAILY_USERS_SQL
 from pac_spark.operators.temporal import OHLC_SQL
 from pac_spark.streaming import stateful, stream_exec, windows
 
@@ -209,5 +210,15 @@ SPECS = [
         "streaming_ohlc_bars",
         stateful.streaming_ohlc_bars,
         OHLC_SQL(),
+    ),
+    # registered in the r8 rotation after a round staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py).
+    # The oracle is deliberately the BATCH growth-accounting oracle
+    # (relational.DAILY_USERS_SQL): hash equality proves the per-micro-
+    # batch state fold equals the one-shot day-over-day read-off
+    QuerySpec(
+        "streaming_user_accounting",
+        stateful.streaming_user_accounting,
+        DAILY_USERS_SQL,
     ),
 ]

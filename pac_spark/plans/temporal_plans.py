@@ -186,4 +186,18 @@ SPECS = [
     # registered in the r7 rotation after a round staged behind the
     # identical local 3-SF oracle gate (tests/test_staged_specs.py)
     QuerySpec("ohlc_bars_hourly", T.ohlc_bars_hourly, T.OHLC_SQL()),
+    # registered in the r8 rotation after two rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "peak_concurrent_sessions",
+        T.peak_concurrent_sessions,
+        T.PEAK_CONCURRENCY_SQL,
+    ),
+    QuerySpec("top_session_paths", T.top_session_paths, T.SESSION_PATHS_SQL),
+    QuerySpec("user_activity_streaks", T.user_activity_streaks, T.STREAKS_SQL),
+    QuerySpec(
+        "funnel_within_1h_view_click_purchase",
+        T.funnel_within_1h_view_click_purchase,
+        T.FUNNEL_WITHIN_SQL,
+    ),
 ]
