@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pin", "checkpoint", "release_caches"]
+__all__ = ["pin", "checkpoint", "checkpoint_with_handles", "release_caches"]
 
 _LIVE_DFS: list[DataFrame] = []
 # JavaRDD handles backing localCheckpoints, two generations deep:
@@ -46,23 +46,30 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
-def checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint with tracked block lifecycle.
+def checkpoint_with_handles(df: DataFrame) -> tuple[DataFrame, list]:
+    """Eager localCheckpoint + the JVM RDD handles it created.
 
     ``localCheckpoint`` caches the materialized partitions but offers
     no public handle to free them; they normally live until the JVM
     garbage-collects the RDD. The persistent-RDD id diff around the
-    call captures exactly the block this checkpoint created so
-    :func:`release_caches` can free it deterministically.
+    call captures exactly the blocks this checkpoint created. Shared
+    by :func:`checkpoint` and the streaming IVM view rotation
+    (``streaming.stateful._rotate_view``) — the diff idiom exists
+    ONCE (code-review r7).
     """
     sc = df.sparkSession.sparkContext
-    jmap = sc._jsc.getPersistentRDDs()
-    before = set(jmap.keys())
+    before = set(sc._jsc.getPersistentRDDs().keys())
     out = df.localCheckpoint(eager=True)
     jmap = sc._jsc.getPersistentRDDs()
-    for rid in jmap.keys():
-        if rid not in before:
-            _CKPT_CUR.append(jmap[rid])
+    return out, [jmap[rid] for rid in jmap.keys() if rid not in before]
+
+
+def checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with tracked block lifecycle: the created
+    blocks register for :func:`release_caches` to free
+    deterministically."""
+    out, handles = checkpoint_with_handles(df)
+    _CKPT_CUR.extend(handles)
     return out
 
 

@@ -22,6 +22,7 @@ __all__ = [
     "TABLES",
     "load",
     "load_all",
+    "normalize_events_ts",
     "register_views",
     "resolve_table",
     "table_path",
@@ -65,15 +66,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``CAST(ts AS TIMESTAMP)``.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import TimestampNTZType
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division — double math would lose precision on 1e18 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
+def normalize_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events table's ``ts`` physical-type drift to a
+    microsecond TimestampType — ONE definition shared by the batch
+    scan (:func:`load`) and the streaming source
+    (``streaming.stream_exec.stream_events``), so the nanos-as-bigint
+    div-1000 logic can never drift between them (code-review r7).
+    Integer division: double math would lose precision on 1e18 nanos.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    t = df.schema[col].dataType
+    if isinstance(t, LongType):  # parquet TIMESTAMP(NANOS) as raw nanos
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(t, TimestampNTZType):  # MICROS w/o UTC flag; session tz UTC
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -138,7 +138,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.cache import pin
     from pac_spark.operators.dedup import _shingle_sets
 
-    sets = _shingle_sets(spark, sf_dir)
+    sets = pin(_shingle_sets(spark, sf_dir))
     is_eval = F.col("doc_id") % EVAL_SET_MOD == 0
     train = sets.filter(~is_eval).filter(F.size("sh") > 0)
     eval_shingles = pin(
@@ -200,11 +200,16 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive spec, so the hash check proves the scale-safe plan
     implements it exactly.
     """
+    from pac_spark.cache import pin
+
     budget = F.lit(TOKEN_BUDGET_PER_LANG)
     stats = stats_frame(
         catalog.load(spark, sf_dir, "documents")
     ).select("doc_id", "lang", "n_tokens", "quality_score")
-    binned = stats.withColumn("qbin", F.round("quality_score", 2))
+    # pinned: the tokenize+quality scan feeds THREE consumers (the bin
+    # aggregate, the funded-bin semi-join, the boundary resolve) —
+    # without the pin each one re-runs the corpus scan (code-review r7)
+    binned = pin(stats.withColumn("qbin", F.round("quality_score", 2)))
 
     bin_agg = binned.groupBy("lang", "qbin").agg(
         F.sum("n_tokens").alias("bin_tokens")

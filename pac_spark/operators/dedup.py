@@ -83,15 +83,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<string>) distinct shingle sets, persisted —
-    the one shingling pass every dedup tier derives from. Unsorted:
+    """(doc_id, sh: array<string>) distinct shingle sets — the one
+    shingling pass every dedup tier derives from. Unsorted:
     array_intersect / explode don't care, and sorting 100-element
-    arrays per doc is pure overhead."""
-    return pin(
-        distinct_shingled(
-            catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
-        ).select("doc_id", "sh")
-    )
+    arrays per doc is pure overhead. NOT pinned here: single-consumer
+    callers (minhash_signatures) would pay a wasted materialization —
+    each multi-consumer caller pins at its own site (code-review r7).
+    """
+    return distinct_shingled(
+        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "sh")
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,7 +432,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted set arrays, so the only shuffles left are the band
     bucket join and the candidate rescoring joins.
     """
-    doc_sets = _shingle_sets(spark, sf_dir)
+    doc_sets = pin(_shingle_sets(spark, sf_dir))
     candidates = _lsh_candidates(_band_rows(_rowlocal_signatures(doc_sets)))
     paired = (
         candidates.join(doc_sets.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -467,7 +468,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would pay 16 md5s per shingle); the band candidates ride the
     zero-shuffle row-local signature path off the same pinned sets.
     """
-    doc_sets = _shingle_sets(spark, sf_dir)
+    doc_sets = pin(_shingle_sets(spark, sf_dir))
     sh = doc_sets.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
         F.col("shingle").isNotNull()
     )
@@ -536,8 +537,12 @@ def incremental_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude smaller than history, so the band join broadcasts the
     new side and never reshuffles the index.
     """
-    doc_sets = _shingle_sets(spark, sf_dir)
-    bands = _band_rows(_rowlocal_signatures(doc_sets))
+    doc_sets = pin(_shingle_sets(spark, sf_dir))
+    # pinned too: the band frame feeds BOTH the new-side and the
+    # hist-side filters — unpinned, each side re-computes all 8
+    # row-local signature columns over the whole corpus
+    # (code-review r7)
+    bands = pin(_band_rows(_rowlocal_signatures(doc_sets)))
     is_new = (F.col("doc_id") % 10) >= NEW_BATCH_MOD
     new_bands = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_key"

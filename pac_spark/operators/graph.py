@@ -61,15 +61,21 @@ DAMPING_PCT = 85  # 0.85 damping as an integer percentage
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (random-walk) edges: customer c traded with supplier s
     iff some lineitem of c's order was supplied by s. Distinct pairs,
-    both directions; node ids are disambiguated by role prefix
-    (customers 1xxxx, suppliers 2xxxx) since TPC-H key spaces overlap."""
+    both directions; node ids are disambiguated MULTIPLICATIVELY by
+    role (``key*4 + role``, customer=1 / supplier=2) since TPC-H key
+    spaces overlap. The earlier additive prefix (cust+1e9 / supp+2e9)
+    silently COLLIDED once custkey >= 1e9 — the multiplicative encode
+    is injective for every key below 2^61 and decodes with one
+    ``% 4`` / ``div 4`` pair."""
     orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    # pinned: the distinct pair aggregate feeds BOTH union branches —
+    # without it each direction re-runs the orders ⋈ lineitem shuffle
+    pairs = pin(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            (F.col("o_custkey") + F.lit(10**9)).alias("cust"),
-            (F.col("l_suppkey") + F.lit(2 * 10**9)).alias("supp"),
+            (F.col("o_custkey") * 4 + F.lit(1)).alias("cust"),
+            (F.col("l_suppkey") * 4 + F.lit(2)).alias("supp"),
         )
         .distinct()
     )
@@ -105,6 +111,19 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     n_nodes = nodes.count()  # one small scalar; fixes N for the formula
     if n_nodes == 0:
         raise ValueError("pagerank needs a non-empty edge set")
+    # RANK_SCALE is a fixed resolution dial: init = RANK_SCALE div N
+    # must keep enough micro-units that per-edge integer division
+    # still discriminates ranks. Guard rather than silently degrade —
+    # past ~RANK_SCALE/1e4 nodes every rank would collapse into a few
+    # thousand distinct values and the total order stops meaning
+    # anything. Raising RANK_SCALE requires the SAME factor in
+    # PAGERANK_SQL (the oracle unrolls the identical constant).
+    if n_nodes > RANK_SCALE // 10_000:
+        raise ValueError(
+            f"{n_nodes} nodes exceed RANK_SCALE={RANK_SCALE} resolution "
+            "(init rank would drop below 10^4 micro-units); raise "
+            "RANK_SCALE in graph.py AND its oracle PAGERANK_SQL together"
+        )
     deg = pin(edges.groupBy("src").agg(F.count("*").alias("deg")))
     edged = pin(edges.join(deg, "src"))
     srcs = deg.select("src")  # deg keys ARE the distinct out-edge sources
@@ -117,21 +136,29 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     # 10 pure-overhead jobs. |src set| vs |node set| — one count on the
     # (pinned, tiny) degree frame the loop needs anyway, no extra join.
     has_dangling = deg.count() < n_nodes
-    # Loop parallelism follows the MEASURED node count, not the
-    # session default: every frame inside the loop is node-sized (the
-    # per-edge volume collapses in the map-side-combined groupBy), so
-    # a corpus-tuned spark.sql.shuffle.partitions pays pure task-
-    # scheduling overhead per iteration — ~250k nodes per task keeps
-    # partitions real, floored at 4 for parallel head and capped at
-    # the session default so big graphs keep full parallelism.
-    # Measured at sf0.1 (16k nodes): 32 -> 4 partitions is ~7.5s ->
-    # ~5.2s warm for the 10-iteration loop. Set/restore discipline as
-    # in sources.compaction.compact; results are partition-count-
-    # invariant (integer arithmetic, property-tested).
+    # Loop parallelism follows the MEASURED graph size, not the
+    # session default: a corpus-tuned spark.sql.shuffle.partitions
+    # pays pure task-scheduling overhead per iteration on small
+    # graphs. The per-iteration working set has TWO scales — the
+    # rank/update frames are node-sized, but the join probe and the
+    # pre-combine groupBy input are EDGE-sized, so nodes/250k alone
+    # collapses parallelism on dense graphs (1M nodes with 100 edges
+    # each is 100M join rows in 4 tasks). Size by whichever is
+    # larger: ~250k nodes or ~1M edge rows per task; floored at 4 for
+    # a parallel head and capped at the session default so big graphs
+    # keep full parallelism. Measured at sf0.1 (16k nodes): 32 -> 4
+    # partitions is ~7.5s -> ~5.2s warm for the 10-iteration loop.
+    # Set/restore discipline as in sources.compaction.compact; results
+    # are partition-count-invariant (integer arithmetic,
+    # property-tested). edges.count() reads the already-pinned frame.
+    n_edges = edges.count()
     spark = edges.sparkSession
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(int(prev_parts), max(4, -(-n_nodes // 250_000)))
+    loop_parts = min(
+        int(prev_parts),
+        max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
+    )
     spark.conf.set(parts_key, str(loop_parts))
     try:
         ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
@@ -168,12 +195,17 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
             # the final round always checkpoints, and checkpoint() is
             # EAGER — the loop's last materialization happens inside
             # the scoped partition setting; after restore only reads
-            # of the checkpointed blocks remain
-            ranks = (
-                checkpoint(next_ranks)
-                if i % 2 == 1 or i == iterations - 1
-                else next_ranks
-            )
+            # of the checkpointed blocks remain. On the dangling path
+            # the NEXT iteration reads ranks TWICE (contribution join
+            # + dangling-mass aggregate), so non-checkpoint rounds pin
+            # there — otherwise the whole two-iteration lineage runs
+            # twice per round.
+            if i % 2 == 1 or i == iterations - 1:
+                ranks = checkpoint(next_ranks)
+            elif has_dangling:
+                ranks = pin(next_ranks)
+            else:
+                ranks = next_ranks
     finally:
         spark.conf.set(parts_key, prev_parts)
     return ranks
@@ -182,12 +214,10 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
 def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: PageRank over the trade graph, ranked output."""
     ranks = pagerank(trade_edges(spark, sf_dir))
-    role = F.when(F.col("node") >= 2 * 10**9, F.lit("supplier")).otherwise(
+    role = F.when(F.col("node") % 4 == 2, F.lit("supplier")).otherwise(
         F.lit("customer")
     )
-    key = F.when(
-        F.col("node") >= 2 * 10**9, F.col("node") - F.lit(2 * 10**9)
-    ).otherwise(F.col("node") - F.lit(10**9))
+    key = F.expr("node div 4")
     return ranks.select(
         role.alias("role"),
         key.alias("entity_key"),
@@ -200,8 +230,8 @@ def PAGERANK_SQL(iterations: int = PR_ITERATIONS) -> str:
     CTEs (pr0..prN)."""
     parts = [
         f"""WITH pairs AS MATERIALIZED (
-    SELECT DISTINCT o_custkey + 1000000000 AS cust,
-                    l_suppkey + 2000000000 AS supp
+    SELECT DISTINCT o_custkey * 4 + 1 AS cust,
+                    l_suppkey * 4 + 2 AS supp
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 edges AS (
@@ -242,9 +272,8 @@ pr{i + 1} AS MATERIALIZED (
         )
     parts.append(
         f"""
-SELECT CASE WHEN node >= 2000000000 THEN 'supplier' ELSE 'customer' END AS role,
-       CAST(CASE WHEN node >= 2000000000 THEN node - 2000000000
-                 ELSE node - 1000000000 END AS BIGINT) AS entity_key,
+SELECT CASE WHEN node % 4 = 2 THEN 'supplier' ELSE 'customer' END AS role,
+       CAST(node // 4 AS BIGINT) AS entity_key,
        rank AS rank_micro
 FROM pr{iterations}
 ORDER BY rank_micro DESC, role, entity_key"""
@@ -479,7 +508,7 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pin(trade_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     anchors = (
-        deg.filter((F.col("src") >= 10**9) & (F.col("src") < 2 * 10**9))
+        deg.filter(F.col("src") % 4 == 1)
         .orderBy(F.desc("degree"), F.asc("src"))
         .limit(REACH_TOP_K)
         .select(F.col("src").alias("anchor"), "degree")
@@ -494,7 +523,7 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         hop2.groupBy("anchor", "degree")
         .agg(F.countDistinct("dst").alias("n_two_hop"))
         .select(
-            (F.col("anchor") - 10**9).alias("custkey"),
+            F.expr("anchor div 4").alias("custkey"),
             F.col("degree").cast("long").alias("degree"),
             F.col("n_two_hop").cast("long").alias("n_two_hop"),
         )
@@ -504,8 +533,8 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TWO_HOP_SQL = f"""
 WITH pairs AS (
-    SELECT DISTINCT o_custkey + 1000000000 AS cust,
-           l_suppkey + 2000000000 AS supp
+    SELECT DISTINCT o_custkey * 4 + 1 AS cust,
+           l_suppkey * 4 + 2 AS supp
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ), edges AS (
     SELECT cust AS src, supp AS dst FROM pairs
@@ -515,7 +544,7 @@ WITH pairs AS (
     SELECT src, COUNT(*) AS degree FROM edges GROUP BY src
 ), anchors AS (
     SELECT src AS anchor, degree FROM deg
-    WHERE src >= 1000000000 AND src < 2000000000
+    WHERE src % 4 = 1
     ORDER BY degree DESC, src LIMIT {REACH_TOP_K}
 ), hop2 AS (
     SELECT a.anchor, a.degree, e2.dst
@@ -524,7 +553,7 @@ WITH pairs AS (
     JOIN edges e2 ON e2.src = e1.dst
     WHERE e2.dst <> a.anchor
 )
-SELECT CAST(anchor - 1000000000 AS BIGINT) AS custkey,
+SELECT CAST(anchor // 4 AS BIGINT) AS custkey,
        CAST(degree AS BIGINT) AS degree,
        CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_two_hop
 FROM hop2
@@ -683,8 +712,8 @@ def ASSORTATIVITY_SQL() -> str:
     """STAGED for the r7/r8 rotation (gate: tests/test_staged_specs.py)."""
     return """
 WITH pairs AS (
-    SELECT DISTINCT o.o_custkey + 1000000000 AS cust,
-           l.l_suppkey + 2000000000 AS supp
+    SELECT DISTINCT o.o_custkey * 4 + 1 AS cust,
+           l.l_suppkey * 4 + 2 AS supp
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ),
 edges AS (
@@ -757,8 +786,8 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pin(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(
-            (F.col("o_custkey") + F.lit(10**9)).alias("cust"),
-            (F.col("l_suppkey") + F.lit(2 * 10**9)).alias("supp"),
+            (F.col("o_custkey") * 4 + F.lit(1)).alias("cust"),
+            (F.col("l_suppkey") * 4 + F.lit(2)).alias("supp"),
         )
         .agg(F.min(F.floor("l_quantity").cast("long")).alias("w"))
     )
@@ -802,8 +831,8 @@ d{i} AS MATERIALIZED (
 )""")
     return f"""
 WITH pairs AS (
-    SELECT o_custkey + 1000000000 AS cust,
-           l_suppkey + 2000000000 AS supp,
+    SELECT o_custkey * 4 + 1 AS cust,
+           l_suppkey * 4 + 2 AS supp,
            MIN(CAST(FLOOR(l_quantity) AS BIGINT)) AS w
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1, 2

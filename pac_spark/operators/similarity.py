@@ -232,7 +232,11 @@ def similar_pairs_banded(
             for b in range(bands)
         ]
     )
-    banded = (
+    # pinned: the band frame is BOTH sides of the self-join, and the
+    # normed frame below feeds both rescore joins — unpinned, each
+    # consumer re-runs the 32 plane dots / the norm over the corpus
+    # (code-review r7)
+    banded = pin(
         emb.withColumn("planes", plane_arr)
         .withColumn("bits", sig)
         .select("vec_id", "label", F.explode(bands_arr).alias("band"))
@@ -255,7 +259,7 @@ def similar_pairs_banded(
         )
         .distinct()
     )
-    normed = emb.withColumn("nv", F.sqrt(_dot("v", "v")))
+    normed = pin(emb.withColumn("nv", F.sqrt(_dot("v", "v"))))
     va = normed.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nv").alias("n_va")
     )

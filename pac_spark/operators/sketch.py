@@ -39,6 +39,7 @@ __all__ = [
     "CMS_WIDTH",
     "cms_build",
     "cms_estimate",
+    "cms_top_report",
     "cms_user_heavy_hitters",
     "CMS_HH_SQL",
     "hll_distinct_customers_by_priority",
@@ -131,28 +132,35 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: str) -> DataFrame:
     )
 
 
+def cms_top_report(sketch: DataFrame, counts: DataFrame, key: str) -> DataFrame:
+    """Shared report tail for the batch AND streaming heavy-hitter
+    rows: cut ``counts`` (key, n_rows) to the exact top-``CMS_TOP_N``,
+    probe the sketch, report estimate vs truth. One definition so the
+    two registered queries cannot drift (code-review r7 — the tails
+    were verbatim copies)."""
+    top = counts.orderBy(F.desc("n_rows"), key).limit(CMS_TOP_N)
+    est = cms_estimate(sketch, top, key)
+    return est.select(
+        key,
+        "n_rows",
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("n_rows")).alias("overcount"),
+    ).orderBy(F.desc("n_rows"), key)
+
+
 def cms_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: build the events→user_id count-min sketch, then
     estimate the exact top-``CMS_TOP_N`` keys and report estimate vs
     truth. ``overcount = est - n_rows >= 0`` always (the CMS
     guarantee, also property-tested); the driver hash-checks the
     estimates themselves because the whole sketch is deterministic.
+    The projected events frame is pinned — it feeds both the sketch
+    build and the exact-count side (code-review r7).
     """
-    ev = catalog.load(spark, sf_dir, "events").select("user_id")
+    ev = pin(catalog.load(spark, sf_dir, "events").select("user_id"))
     sketch = pin(cms_build(ev, "user_id"))
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("n_rows"))
-        .orderBy(F.desc("n_rows"), "user_id")
-        .limit(CMS_TOP_N)
-    )
-    est = cms_estimate(sketch, top, "user_id")
-    return est.select(
-        "user_id",
-        "n_rows",
-        F.col("est").alias("cms_estimate"),
-        (F.col("est") - F.col("n_rows")).alias("overcount"),
-    ).orderBy(F.desc("n_rows"), "user_id")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    return cms_top_report(sketch, counts, "user_id")
 
 
 def CMS_HH_SQL() -> str:

@@ -434,13 +434,20 @@ def unigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: tokenize → corpus term counts (one wordcount shuffle) →
     re-join tokens to counts on term → per-doc integer mass sum →
-    one double division against the 1-row broadcast total.
+    one double division against the 1-row broadcast total. The
+    tokenized frame is pinned (it feeds the wordcount AND the re-join)
+    and the corpus token total is a SUM over the vocab-sized tf frame,
+    not a second tokenize-explode pass of the corpus (code-review r7).
     """
-    toks = catalog.load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    from pac_spark.cache import pin
+
+    toks = pin(
+        catalog.load(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
     )
-    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("_total_tokens"))
+    tf = pin(toks.groupBy("term").agg(F.count("*").alias("cnt")))
+    total = tf.agg(F.sum("cnt").alias("_total_tokens"))
     return (
         toks.join(tf, "term")
         .groupBy("doc_id")

@@ -301,14 +301,73 @@ _COS_AB = (
     f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')}))"
 )
 
-_SIMILAR_PAIRS = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+
+def _plane_dot_sql(p: list[float]) -> str:
+    """Left-fold dot of column ``v`` against one hyperplane literal —
+    shortest-round-trip float literals parse to identical doubles, so
+    the sign test matches Spark bit-for-bit."""
+    lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len(v)), i -> v[i] * ({lit})[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sign_bits_sql(planes: list[list[float]]) -> str:
+    """Concatenated per-plane sign bits over column ``v`` — the SQL
+    twin of ``similarity.similar_pairs_banded``'s signature (and of
+    the ANN bucket, which is its 6-plane prefix)."""
+    return " || ".join(
+        f"(CASE WHEN {_plane_dot_sql(p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _banded_pair_ctes(threshold: float) -> str:
+    """The banded-candidate + exact-rescore CTE chain shared by the
+    embedding_similar_pairs and semantic_dedup oracles: candidates
+    are pairs sharing (label, band_idx, band_key) for >= 1 band —
+    the SAME deterministic md5-seeded hyperplane banding the Spark
+    plan computes, so the oracle states the operator's ACTUAL
+    candidate rule instead of an exhaustive within-label enumeration
+    that only coincided because the frozen fixtures contained no
+    all-bands-missed pair (code-review r7 / VERDICT r7 wrong-#2; the
+    minhash_lsh_dedup oracle is the pattern). Every surfaced pair is
+    rescored with the exact cosine. Produces ``scored(label, vec_a,
+    vec_b, score)``."""
+    from pac_spark.operators.similarity import (
+        EMB_PAIR_BANDS,
+        EMB_PAIR_BITS,
+        _hyperplanes,
+    )
+
+    bits = _sign_bits_sql(_hyperplanes(EMB_PAIR_BITS * EMB_PAIR_BANDS))
+    return f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, label, {bits} AS bits FROM e),
+bands AS (
+    SELECT vec_id, label, band_idx,
+           substr(bits, band_idx * {EMB_PAIR_BITS} + 1, {EMB_PAIR_BITS}) AS band_key
+    FROM sig, (SELECT UNNEST(generate_series(0, {EMB_PAIR_BANDS - 1})) AS band_idx)
+),
+cand AS (
+    SELECT DISTINCT ba.label, ba.vec_id AS vec_a, bb.vec_id AS vec_b
+    FROM bands ba JOIN bands bb
+      ON ba.label = bb.label AND ba.band_idx = bb.band_idx
+     AND ba.band_key = bb.band_key
+    WHERE ba.vec_id < bb.vec_id
+),
 scored AS (
-    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_COS_AB}, 8) AS score
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT * FROM scored WHERE score >= 0.35 ORDER BY label, vec_a, vec_b
+    SELECT c.label, c.vec_a, c.vec_b, ROUND({_COS_AB}, 8) AS score
+    FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
+    WHERE ROUND({_COS_AB}, 8) >= {threshold}
+)"""
+
+
+def _similar_pairs_sql(threshold: float = 0.35) -> str:
+    return f"""
+WITH {_banded_pair_ctes(threshold)}
+SELECT label, vec_a, vec_b, score FROM scored ORDER BY label, vec_a, vec_b
 """
 
 def _sqdist_sql(a: str, b: str) -> str:
@@ -529,19 +588,7 @@ def _ann_lsh_sql() -> str:
     shortest-round-trip float literals parse to identical doubles."""
     from pac_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes()[:6]
-
-    def plane_dot(p: list[float]) -> str:
-        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
-        return (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, len(v)), i -> v[i] * ({lit})[i])), "
-            f"(acc, x) -> acc + x)"
-        )
-
-    bucket = " || ".join(
-        f"(CASE WHEN {plane_dot(p)} >= 0 THEN '1' ELSE '0' END)" for p in planes
-    )
+    bucket = _sign_bits_sql(_hyperplanes()[:6])
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (
@@ -568,14 +615,9 @@ FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank
 
 
 _SEMANTIC_DEDUP = f"""
-WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-scored AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({_COS_AB}, 8) >= 0.35
-),
-und AS (SELECT id_a AS a, id_b AS b FROM scored
-        UNION ALL SELECT id_b, id_a FROM scored),
+WITH RECURSIVE {_banded_pair_ctes(0.35)},
+und AS (SELECT vec_a AS a, vec_b AS b FROM scored
+        UNION ALL SELECT vec_b, vec_a FROM scored),
 walk(node, lbl) AS (
     SELECT vec_id, vec_id FROM e
     UNION
@@ -1214,7 +1256,7 @@ SPECS = [
     QuerySpec("simhash_neardup", D.simhash_neardup, _SIMHASH),
     QuerySpec("knn_bruteforce", S.knn_bruteforce, _KNN),
     QuerySpec("knn_rerank", S.knn_rerank, _KNN_RERANK),
-    QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _SIMILAR_PAIRS),
+    QuerySpec("embedding_similar_pairs", S.embedding_similar_pairs, _similar_pairs_sql()),
     QuerySpec("ann_lsh_topk", S.ann_lsh_topk, _ann_lsh_sql()),
     QuerySpec("ann_ivf_topk", S.ann_ivf_topk, _ann_ivf_sql()),
     QuerySpec("text_stats", TX.text_stats, _TEXT_STATS),

@@ -52,10 +52,58 @@ _REPO = os.path.dirname(
 # changed since their tail evidence was recorded (the r6
 # bucketed_orders_join case). Correctness history cannot see code
 # churn, so this stays an explicit input. Reset to () at the top of
-# r8 (the r7 forced six all re-proved hash-green in
-# CORRECTNESS_r07.json); r8 entries are added as the queued fixes
-# below land.
-FORCE_HOIST: tuple[str, ...] = ()
+# r8, then re-grown as the queued r7-review fixes landed — each entry
+# is a spec with a MATERIAL plan change this round whose cap slot the
+# history would not otherwise grant (specs the r8 fill already covers
+# — two_hop_reach_top_customers, streaming_purchase_click_join,
+# streaming_dedup_events, streaming_user_sessions_custom — are
+# deliberately NOT repeated here). The
+# equivalence-preserving refactors of shared substrate
+# (catalog.normalize_events_ts, cache.checkpoint_with_handles) ride
+# the full local oracle gate instead — forcing every downstream spec
+# of catalog.load would evict the whole stale fill.
+# r8 entries:
+# - pagerank_trade_graph: role-multiplicative node encode (key*4+role
+#   — the additive cust+1e9 encode collided at custkey >= 1e9),
+#   edge-scaled loop partitions, dangling-path pins, RANK_SCALE
+#   resolution guard;
+# - q17_small_quantity_revenue: brand semi-join pushed below the
+#   per-part threshold aggregate + pinned brand slice;
+# - unigram_prob_score: corpus token total now SUMs the vocab-sized
+#   tf frame; toks/tf pinned;
+# - cms_user_heavy_hitters + streaming_cms_heavy_hitters: shared
+#   cms_top_report tail; batch ev projection pinned;
+# - incremental_neardup_filter: bands + doc_sets pinned;
+# - minhash_signatures / minhash_lsh_dedup / simhash_neardup:
+#   _shingle_sets pin moved to multi-consumer call sites;
+# - streaming_neardup_admission: stream shingling now goes through
+#   text_core.distinct_shingled (drift-proof vs the stored index);
+# - streaming_user_lifetime_stats: hardened _ts_to_us (explicit
+#   ns/us/ms/s or raise) + plain first/last assignments under the
+#   refuse-out-of-order guard;
+# - embedding_similar_pairs + semantic_dedup: oracles restated as
+#   banded-candidate + exact-rescore (the stated candidate rule —
+#   VERDICT r7 wrong-#2) + pinned banded/normed frames; adversarial
+#   all-bands-missed test added (test_properties.py);
+# - token_budget_mix: corpus-sized binned frame pinned (3 consumers);
+# - decontaminate: shingle-set frame pinned (train + eval consumers).
+FORCE_HOIST: tuple[str, ...] = (
+    "pagerank_trade_graph",
+    "q17_small_quantity_revenue",
+    "unigram_prob_score",
+    "cms_user_heavy_hitters",
+    "streaming_cms_heavy_hitters",
+    "incremental_neardup_filter",
+    "minhash_signatures",
+    "minhash_lsh_dedup",
+    "simhash_neardup",
+    "streaming_neardup_admission",
+    "streaming_user_lifetime_stats",
+    "embedding_similar_pairs",
+    "semantic_dedup",
+    "token_budget_mix",
+    "decontaminate",
+)
 
 # Queued tail work for r8 (apply the fix THEN force-hoist the spec in
 # that round — doing it now would evict further stale-tail refreshes):

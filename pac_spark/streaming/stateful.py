@@ -83,11 +83,14 @@ OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# open-session state: (start_us, last_us, n, cents)
+# open-session state: (start_us, last_us, last_eid, n, cents) —
+# last_eid exists ONLY for the cross-batch full-sort-key monotonicity
+# assert (the lifetime fold's discipline; r8)
 STATE_SCHEMA = StructType(
     [
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
         StructField("n", LongType()),
         StructField("cents", LongType()),
     ]
@@ -96,11 +99,22 @@ STATE_SCHEMA = StructType(
 
 def _ts_to_us(col: pd.Series) -> pd.Series:
     """Timestamps → integer epoch microseconds regardless of the
-    pandas datetime resolution Arrow happened to pick."""
+    pandas datetime resolution Arrow happened to pick. All four
+    pandas resolutions are handled EXPLICITLY; an unrecognized dtype
+    raises instead of being silently treated as micros (the pre-r8
+    else-branch would have mis-scaled ms/s data by 10^3/10^6 —
+    code-review r7)."""
+    dtype = str(col.dtype)
     ints = col.astype("int64")
-    if str(col.dtype).endswith("[ns]"):
+    if dtype.endswith("[ns]"):
         return ints // 1_000
-    return ints
+    if dtype.endswith("[us]"):
+        return ints
+    if dtype.endswith("[ms]"):
+        return ints * 1_000
+    if dtype.endswith("[s]"):
+        return ints * 1_000_000
+    raise TypeError(f"unsupported timestamp dtype for _ts_to_us: {dtype}")
 
 
 def _fmt_us(us: int) -> str:
@@ -125,10 +139,25 @@ def _sessionize(
     )
 
     if state.exists:
-        start_us, last_us, n, cents = state.get
+        start_us, last_us, last_eid, n, cents = state.get
     else:
-        start_us = last_us = 0
+        start_us = last_us = last_eid = 0
         n = cents = 0
+
+    # gap-or-cap sessionization is order-sensitive, and only
+    # WITHIN-batch order is restored by the sort above; across batches
+    # the source must deliver (event time, event_id) monotonically per
+    # key. REFUSE out-of-order delivery rather than silently
+    # mis-sessioning — the same discipline _lifetime_fold applies
+    # (code-review r7: the sessionizer used to fold it silently).
+    if state.exists and len(batch):
+        head = (int(batch["_us"].iloc[0]), int(batch["event_id"].iloc[0]))
+        if head <= (last_us, last_eid):
+            raise RuntimeError(
+                f"user {user_id}: cross-batch (ts, event_id) regression "
+                f"({head} <= {(last_us, last_eid)}); the order-sensitive "
+                "sessionizer cannot fold this batch correctly"
+            )
 
     closed: list[tuple[int, str, str, int, float, str]] = []
 
@@ -144,20 +173,20 @@ def _sessionize(
             )
         )
 
-    for us, value in zip(batch["_us"], batch["value"]):
+    for us, eid, value in zip(batch["_us"], batch["event_id"], batch["value"]):
         if n > 0 and us - last_us > GAP_SECONDS * 1_000_000:
             close("gap")
             n = cents = 0
         if n == 0:
             start_us = us
-        last_us = us
+        last_us, last_eid = int(us), int(eid)
         n += 1
         cents += _cents(value)
         if n == SESSION_CAP:
             close("cap")
             n = cents = 0
 
-    state.update((start_us, last_us, n, cents))
+    state.update((start_us, last_us, last_eid, n, cents))
     yield pd.DataFrame(closed, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
 
@@ -312,11 +341,14 @@ def _lifetime_fold(
         c = _cents(value)
         if n > 0 and c * n > 3 * cents:
             n_anom += 1
-        # first/last via min/max so they stay correct even if a later
-        # micro-batch carries earlier events (order-insensitive)
-        first_us = int(_us) if n == 0 else min(first_us, int(_us))
-        if (int(_us), int(eid)) > (last_us, last_eid):
-            last_us, last_eid = int(_us), int(eid)
+        # plain assignments: rows arrive in (ts, event_id) order BY
+        # CONSTRUCTION — the within-batch sort plus the cross-batch
+        # regression guard above, which REFUSES (not tolerates)
+        # out-of-order delivery. A min/max here would imply tolerance
+        # the anomaly rule cannot actually extend (code-review r7).
+        if n == 0:
+            first_us = int(_us)
+        last_us, last_eid = int(_us), int(eid)
         n += 1
         cents += c
     state.update((n, cents, n_anom, first_us, last_us, last_eid))
@@ -446,15 +478,16 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
-def _rotate_view(state: dict, merged, spark_context) -> None:
+def _rotate_view(state: dict, merged) -> None:
     """Checkpoint ``merged`` as the new running view and free the
     superseded view's blocks immediately (shared by the foreachBatch
     IVM folds; see the lineage/residency notes in
-    ``streaming_ivm_user_value``)."""
-    before = set(spark_context._jsc.getPersistentRDDs().keys())
-    state["view"] = merged.localCheckpoint(eager=True)
-    jmap = spark_context._jsc.getPersistentRDDs()
-    fresh = [jmap[r] for r in jmap.keys() if r not in before]
+    ``streaming_ivm_user_value``). The checkpoint + handle capture is
+    ``cache.checkpoint_with_handles`` — the same id-diff idiom
+    ``cache.checkpoint`` uses, defined once."""
+    from pac_spark.cache import checkpoint_with_handles
+
+    state["view"], fresh = checkpoint_with_handles(merged)
     for h in state["handles"]:
         h.unpersist()
     state["handles"] = fresh
@@ -478,7 +511,7 @@ def _run_ivm_fold(ev_stream, partial_fn, merge_fn):
         delta = partial_fn(batch_df)
         view = state["view"]
         merged = delta if view is None else merge_fn(view, delta)
-        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+        _rotate_view(state, merged)
 
     q = (
         ev_stream.writeStream.foreachBatch(fold)

@@ -51,12 +51,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes)["ts"]
-    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":  # MICROS w/o UTC flag; session tz is UTC
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # ts physical-type normalization is SHARED with the batch scan —
+    # one definition in catalog.py so the two paths cannot drift
+    return catalog.normalize_events_ts(stream)
 
 
 def run_to_memory(
@@ -170,6 +167,18 @@ def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame
     condition the state would grow forever. Append mode: a joined pair
     is emitted exactly once, when both sides have arrived.
     """
+    out = _purchase_click_joined(spark, sf_dir, "inner")
+    return run_to_memory(spark, out, "stream_pc_join", "append").orderBy(
+        "purchase_id", "click_id"
+    )
+
+
+def _purchase_click_joined(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared builder for the inner AND left-outer purchase←click
+    interval joins: identical side projections, watermarks, and time-
+    range condition, parameterized only by join type — one definition
+    so the two registered streams cannot drift (code-review r7; the
+    copies differed in exactly the join-type string)."""
     ev = stream_events(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -194,24 +203,40 @@ def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
+        how,
     )
-    out = joined.select(
+    return joined.select(
         "purchase_id",
         "user_id",
         F.date_format("p_ts", _TS6).alias("purchase_ts"),
         "click_id",
         F.date_format("c_ts", _TS6).alias("click_ts"),
     )
-    return run_to_memory(spark, out, "stream_pc_join", "append").orderBy(
-        "purchase_id", "click_id"
-    )
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming deduplication on event_id within the
     watermark horizon (``dropDuplicatesWithinWatermark``) followed by a
-    per-type count — the streaming twin of exact dedup."""
+    per-type count — the streaming twin of exact dedup.
+
+    CONTRACT (decision record, SURVEY §2.9): the duplicate horizon is
+    the 1-hour watermark delay — that is the STATED semantics, not an
+    approximation of global dedup. ``dropDuplicatesWithinWatermark``
+    keeps an event_id's state only until the watermark passes it, so
+    two occurrences more than the delay apart (by event time) may BOTH
+    survive; within the horizon, exactly one survives. This is the
+    only dedup a stream can afford — global dedup needs unbounded
+    state. The registered oracle states global DISTINCT, which
+    coincides exactly when event_ids never recur beyond the horizon;
+    the events fixture satisfies the stronger precondition (event_ids
+    globally unique), asserted by
+    ``tests/test_watermark.py::test_streaming_dedup_horizon_contract``,
+    which also pins the horizon boundary on crafted multi-run data:
+    an in-horizon redelivery is dropped by dedup, a beyond-horizon
+    one (with a fresh event time) is re-emitted after state eviction,
+    and a redelivery whose event time is behind the watermark is
+    dropped as LATE DATA before dedup ever sees it.
+    """
     events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     deduped = events.dropDuplicatesWithinWatermark(["event_id"])
     out = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
@@ -259,10 +284,10 @@ def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rowlocal_signatures,
         _shingle_sets,
     )
-    from pac_spark.operators.text_core import shingles_of_tokens, tokens
+    from pac_spark.operators.text_core import distinct_shingled
 
     # ---- static side: the standing corpus's band index + shingle sets
-    doc_sets = _shingle_sets(spark, sf_dir)
+    doc_sets = pin(_shingle_sets(spark, sf_dir))
     is_hist = (F.col("doc_id") % 10) < NEW_BATCH_MOD
     hist_sets = doc_sets.filter(is_hist).select(
         F.col("doc_id").alias("hist_id"), F.col("sh").alias("sh_hist")
@@ -280,14 +305,13 @@ def admission_stream_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    new = (
-        stream.filter((F.col("doc_id") % 10) >= NEW_BATCH_MOD)
-        .select("doc_id", "lang", "source", tokens(F.col("text")).alias("__toks"))
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.array_distinct(shingles_of_tokens("__toks", 3)).alias("sh"),
+    # shingling goes through the SAME text_core.distinct_shingled the
+    # stored index was built from — an inline copy (the pre-r8 shape,
+    # hardcoded n=3) could silently drift the stream's band keys off
+    # the index it must collide with (code-review r7)
+    new = distinct_shingled(
+        stream.filter((F.col("doc_id") % 10) >= NEW_BATCH_MOD).select(
+            "doc_id", "lang", "source", "text"
         )
     )
     # signature + band-key encodings come from dedup.py so the stream
@@ -358,7 +382,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what a 100 TB/day firehose can afford to keep hot.
     """
     from pac_spark.cache import pin
-    from pac_spark.operators.sketch import CMS_TOP_N, cms_build, cms_estimate
+    from pac_spark.operators.sketch import cms_build, cms_top_report
 
     ev = stream_events(spark, sf_dir).select("user_id")
     sketch = pin(
@@ -370,14 +394,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_cms_counts",
         "complete",
     )
-    top = counts.orderBy(F.desc("n_rows"), "user_id").limit(CMS_TOP_N)
-    est = cms_estimate(sketch, top, "user_id")
-    return est.select(
-        "user_id",
-        "n_rows",
-        F.col("est").alias("cms_estimate"),
-        (F.col("est") - F.col("n_rows")).alias("overcount"),
-    ).orderBy(F.desc("n_rows"), "user_id")
+    return cms_top_report(sketch, counts, "user_id")
 
 
 # maturity horizon for the LEFT OUTER stream-stream join. A purchase's
@@ -408,7 +425,6 @@ def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> Data
     the tail's withheld NULL rows would differ from batch semantics by
     construction, not by bug.
     """
-    ev = stream_events(spark, sf_dir)
     # the cutoff scalar comes from a BATCH read of the same files (a
     # streaming frame cannot be collected). CRITICAL: it is applied to
     # the drained RESULT, never to the purchase stream — filtering the
@@ -436,38 +452,8 @@ def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> Data
         )
         .collect()[0]["cutoff"]
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "left_outer",
-    )
-    out = joined.select(
-        "purchase_id",
-        "user_id",
-        F.date_format("p_ts", _TS6).alias("purchase_ts"),
-        "click_id",
-        F.date_format("c_ts", _TS6).alias("click_ts"),
-        F.col("click_id").isNull().alias("unattributed"),
+    out = _purchase_click_joined(spark, sf_dir, "left_outer").withColumn(
+        "unattributed", F.col("click_id").isNull()
     )
     return (
         run_to_memory(spark, out, "stream_pc_left_join", "append")

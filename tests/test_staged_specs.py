@@ -365,7 +365,7 @@ def test_streaming_ohlc_merge_is_order_free(spark, tmp_path):
         delta = _ohlc_partial(batch_df)
         view = state["view"]
         merged = delta if view is None else _ohlc_merge(view, delta)
-        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+        _rotate_view(state, merged)
 
     q = (
         spark.readStream.schema(schema)
@@ -1892,7 +1892,7 @@ def test_ewma_state_merge_is_order_free(spark, tmp_path):
         delta = _ewma_partial(batch_df)
         view = state["view"]
         merged = delta if view is None else _ewma_merge(view, delta)
-        _rotate_view(state, merged, batch_df.sparkSession.sparkContext)
+        _rotate_view(state, merged)
 
     q = (
         spark.readStream.schema(schema)
@@ -2626,11 +2626,11 @@ def test_sssp_crafted_semantics(spark, tmp_path):
     from tests.conftest import assert_oracle_match
 
     got = sssp_from_hub(spark, str(tmp_path))
-    C, S = 10**9, 2 * 10**9
+    C, S = (lambda k: k * 4 + 1), (lambda k: k * 4 + 2)
     expect = {
-        C + 1: 0, C + 2: 2, C + 3: 2, C + 4: 4, C + 5: 6,
-        S + 1: 3, S + 2: 1, S + 3: 1, S + 4: 3, S + 5: 5, S + 6: 40,
-        **{S + s: 50 for s in range(10, 16)},
+        C(1): 0, C(2): 2, C(3): 2, C(4): 4, C(5): 6,
+        S(1): 3, S(2): 1, S(3): 1, S(4): 3, S(5): 5, S(6): 40,
+        **{S(s): 50 for s in range(10, 16)},
     }
     assert {r["node"]: r["dist"] for r in got.collect()} == expect
 
