@@ -387,21 +387,24 @@ def timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``last_value IGNORE NULLS``, so hash equality proves the
     gap-fill semantics, not just the rollup.
     """
-    from pac_spark.cache import pin
-
     ev = catalog.load(spark, sf_dir, "events").select("user_id", "ts", "value")
-    # pinned: the rollup feeds BOTH the span bounds and the grid join
-    # — without it the events scan + aggregate execute once per
-    # consumer (the repo's standard multi-consumer discipline)
-    hourly = pin(
-        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-        )
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
-    spans = hourly.groupBy("user_id").agg(
-        F.min("hour").alias("_lo"), F.max("hour").alias("_hi")
+    # The span bounds come straight off the events scan, NOT via the
+    # rollup: the r7 pin of the twice-consumed rollup was MEASURED at
+    # sf0.1 (r8, 3-run min, warm): pinned 1.15 s vs unpinned 0.37 s —
+    # materializing the (user, hour) rollup costs ~3x more than the
+    # second scan it saves, and Catalyst cannot ReuseExchange the two
+    # consumers anyway (their column prunings differ). This branch is
+    # the cheaper of the two consumers made cheaper still: a 2-column
+    # pruned scan into a map-side-combined per-user min/max — |users|
+    # rows shuffled, identical values (min hour over raw events ==
+    # min hour over the rollup).
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("_lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("_hi"),
     )
     grid = spans.select(
         "user_id",

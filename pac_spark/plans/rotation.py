@@ -86,7 +86,11 @@ _REPO = os.path.dirname(
 #   VERDICT r7 wrong-#2) + pinned banded/normed frames; adversarial
 #   all-bands-missed test added (test_properties.py);
 # - token_budget_mix: corpus-sized binned frame pinned (3 consumers);
-# - decontaminate: shingle-set frame pinned (train + eval consumers).
+# - decontaminate: shingle-set frame pinned (train + eval consumers);
+# - timeseries_gapfill_hourly: r7 rollup pin REMOVED on measurement
+#   (VERDICT r7 next-#6: sf0.1 3-run min 1.15 s pinned vs 0.37 s
+#   unpinned) — span bounds now come straight off the pruned events
+#   scan; measured 0.475 s after the change.
 FORCE_HOIST: tuple[str, ...] = (
     "pagerank_trade_graph",
     "q17_small_quantity_revenue",
@@ -103,6 +107,7 @@ FORCE_HOIST: tuple[str, ...] = (
     "semantic_dedup",
     "token_budget_mix",
     "decontaminate",
+    "timeseries_gapfill_hourly",
 )
 
 # Queued tail work for r8 (apply the fix THEN force-hoist the spec in
