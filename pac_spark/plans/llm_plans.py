@@ -344,7 +344,7 @@ def _banded_pair_ctes(threshold: float) -> str:
 
     bits = _sign_bits_sql(_hyperplanes(EMB_PAIR_BITS * EMB_PAIR_BANDS))
     return f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-sig AS (SELECT vec_id, label, {bits} AS bits FROM e),
+sig AS MATERIALIZED (SELECT vec_id, label, {bits} AS bits FROM e),
 bands AS (
     SELECT vec_id, label, band_idx,
            substr(bits, band_idx * {EMB_PAIR_BITS} + 1, {EMB_PAIR_BITS}) AS band_key
@@ -358,9 +358,11 @@ cand AS (
     WHERE ba.vec_id < bb.vec_id
 ),
 scored AS (
-    SELECT c.label, c.vec_a, c.vec_b, ROUND({_COS_AB}, 8) AS score
-    FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
-    WHERE ROUND({_COS_AB}, 8) >= {threshold}
+    SELECT label, vec_a, vec_b, score FROM (
+        SELECT c.label, c.vec_a, c.vec_b, ROUND({_COS_AB}, 8) AS score
+        FROM cand c JOIN e a ON a.vec_id = c.vec_a
+                    JOIN e b ON b.vec_id = c.vec_b
+    ) WHERE score >= {threshold}
 )"""
 
 
