@@ -110,75 +110,19 @@ FORCE_HOIST: tuple[str, ...] = (
     "timeseries_gapfill_hourly",
 )
 
-# Queued tail work for r8 (apply the fix THEN force-hoist the spec in
-# that round — doing it now would evict further stale-tail refreshes):
-# - unigram_prob_score: total token count should be SUM over the
-#   already-built vocab-sized tf frame, not a second tokenize-explode
-#   pass of the corpus; pin the thrice-consumed toks frame
-#   (code-review r7 finding, perf-only, values unchanged).
-# - cms_user_heavy_hitters: pin the twice-consumed ev projection
-#   (sketch build + exact top-N) — same class, perf-only.
-# - token_budget_mix: pin the corpus-sized binned frame (tokenize +
-#   quality scan) consumed by bin_agg/kept_full/kept_boundary — same
-#   class, perf-only (code-review r7).
-# - q17_small_quantity_revenue: left_semi the fact against the
-#   broadcast brand part list BEFORE the per-part threshold aggregate
-#   — the current shape aggregates every part then discards ~96% in
-#   the join (code-review r7, perf-only, bit-identical results).
-# - incremental_neardup_filter: pin the bands frame — new_bands and
-#   hist_bands recompute all 8 row-local minhash signature columns
-#   over the whole corpus twice (code-review r7, perf-only).
-# - minhash_signatures: _shingle_sets' unconditional pin is
-#   single-consumer there — move the pin to the multi-consumer
-#   callers (code-review r7, perf-only).
-# - embedding_similar_pairs + semantic_dedup: restate the oracles as
-#   banded-candidate + exact-rescore (the minhash_lsh oracle pattern)
-#   instead of the exhaustive within-label enumeration — the banding
-#   is md5-deterministic so both engines can compute the identical
-#   candidate set; the current exhaustive oracle passes only because
-#   the fixed fixtures happen to contain no all-bands-missed pair
-#   (code-review r7; cannot fire this round on frozen sf data). Pin
-#   the multi-consumer banded/normed frames at the same time.
-# - streaming_neardup_admission: replace the inline tokenize/shingle
-#   copy (hardcoded n=3) with text_core.distinct_shingled so stream
-#   band keys can never drift off the stored index's shingling
-#   (code-review r7).
-# - streaming_purchase_click_join + _left_join: factor the shared
-#   purchases/clicks projections + interval condition into one
-#   builder parameterized by join type (the copies differ in one
-#   column; code-review r7).
-# - streaming_dedup_events: decide/record the duplicate-horizon
-#   contract — dropDuplicatesWithinWatermark dedups within 1h while
-#   the oracle is a global DISTINCT; today equal because event_ids
-#   are globally unique (code-review r7 — document or restate).
-# - stream_events + catalog.load: share one normalize_events_ts
-#   helper (the nanos-as-bigint div-1000 logic exists twice;
-#   code-review r7).
-# - cms_user_heavy_hitters (with the pin above): also factor the
-#   top-N + estimate/overcount report tail shared verbatim with
-#   streaming_cms_heavy_hitters into sketch.py (code-review r7).
-# - streaming hardening batch (stateful.py, code-review r7): add the
-#   lifetime-style cross-batch (ts, event_id) monotonicity assert to
-#   _sessionize (streaming_user_sessions_custom — the sessionizer
-#   silently mis-sessions on out-of-order delivery where the lifetime
-#   fold refuses); harden _ts_to_us to parse ns/us/ms/s resolutions
-#   or raise (affects streaming_user_lifetime_stats too); replace
-#   _lifetime_fold's dead min/max first/last branches with plain
-#   assignments + an accurate refused-not-tolerated comment; share
-#   cache.checkpoint's RDD-handle capture with _rotate_view.
-# - pagerank_trade_graph (one batch, update PAGERANK_SQL + the staged
-#   TWO_HOP_SQL/ASSORTATIVITY_SQL identically): (a) replace the
-#   additive node-id encode (cust+1e9 / supp+2e9 — collides once
-#   custkey >= 1e9) with role-multiplicative key*4+role; (b) scale
-#   the loop partition heuristic by EDGES too (the in-loop join probe
-#   is edge-sized, nodes/250k alone collapses parallelism on dense
-#   graphs); (c) pin trade_edges' pairs frame (union branches re-run
-#   the aggregate) and the non-checkpoint-round ranks on the dangling
-#   path; (d) assert n_nodes against RANK_SCALE resolution (1e12 is
-#   a fixed dial — document/guard, or scale it with measured n and
-#   mirror the factor in the oracle). All code-review r7; none can
-#   fire at driver SFs, so the batch waits for its own round of local
-#   gates rather than landing late in r7.
+# The r7-review fix queue that lived here was fully drained in r8
+# (commits a106a9c..f79a2df): unigram/cms/token_budget/incremental/
+# minhash/banded pins, q17 semi-join pushdown, shared cms_top_report +
+# _purchase_click_joined + distinct_shingled + normalize_events_ts +
+# checkpoint_with_handles helpers, the stateful.py hardening batch
+# (_ts_to_us explicit resolutions, _sessionize order guard,
+# _lifetime_fold plain assignments), the pagerank batch (key*4+role
+# encode, edge-scaled loop partitions, dangling-path pins, RANK_SCALE
+# guard — TWO_HOP_SQL/ASSORTATIVITY_SQL/SSSP_SQL updated identically),
+# the banded-candidate oracle restatement (+ adversarial
+# all-bands-missed test), the streaming_dedup_events horizon decision
+# record (SURVEY §2.9 + test_watermark.py), and the measured gapfill
+# pin removal. Every touched registered spec is in FORCE_HOIST above.
 
 # Implemented operators WAITING for a registration slot, in
 # registration-priority order (staging age, oldest first — the r6
