@@ -260,8 +260,6 @@ def candidate_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rowlocal_signatures,
     )
 
-    from pac_spark.cache import pin
-
     # pinned: consumed three times below (shingle arrays + both sides
     # of the candidate rescoring join) — unpinned, the five-projection
     # union over customer×nation would replay per consumer
@@ -430,9 +428,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     blocked fuzzy-scoring self-join (the expensive stage), so they are
     persisted: consolidation consumes them twice (edges for CC, scores
     for confidence banding) and would otherwise run the scoring twice.
-    Labels are materialized by the checkpoint so callers can reuse them
-    freely."""
-    records = executive_records(spark, sf_dir)
+    The propagation labels are materialized by CC's checkpoints, but
+    the returned clusters frame also carries the isolated-node
+    anti-join against ``records`` — so records is pinned too: it feeds
+    CC's node set, that anti-join (replayed per clusters consumer —
+    er_consolidated reads clusters three times), and er_consolidated's
+    own record join, and each unpinned read would replay the
+    customer×nation 4-way projection union (code-review r8)."""
+    records = pin(executive_records(spark, sf_dir))
     pairs = pin(candidate_pairs(spark, sf_dir))
     edges = pairs.filter(F.col("overall_score") >= GROUP_THRESHOLD)
     labels = connected_components(
@@ -516,10 +519,14 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact_avg over the 6-decimal scores: order-independent, so the
     # cluster mean is bit-identical to the oracle's. Only pairs whose
-    # BOTH endpoints landed in the cluster contribute — a candidate
-    # pair that scored below the group threshold crosses clusters and
-    # must not contaminate either side's mean (ref averages in-group
-    # pairs only, executive_review_tool.py:347-377).
+    # BOTH endpoints landed in the same cluster contribute. NOTE:
+    # that is NOT the same set as pairs >= GROUP_THRESHOLD — a
+    # transitively-clustered pair can score BELOW the threshold (A-B
+    # 80, B-C 80, A-C 60: all one component, and A-C's 60 counts) and
+    # must still contribute, matching the reference's all-in-group-
+    # pairs average (executive_review_tool.py:347-377; code-review r8
+    # corrected the earlier comment that claimed sub-threshold pairs
+    # always cross clusters).
     pair_scores = (
         pairs.join(
             clusters.select(

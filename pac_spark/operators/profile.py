@@ -252,13 +252,30 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, object]]) -> DataFr
                 .alias(f"__v{i}")
             )
     one = df.agg(*aggs)
-    pairs = ", ".join(f"'{n}', __v{i}" for i, n in enumerate(names))
-    return (
-        one.select(
-            F.expr(f"stack({len(names)}, {pairs}) as (rule, violations)"),
-            F.col("__n").alias("n_rows"),
+    # the unpivot is built from TYPED literals (explode of an array of
+    # structs), never a stack() SQL string — a rule name containing a
+    # quote would break (or inject into) F.expr parsing (code-review
+    # r8); the physical shape is identical (one generator over the
+    # 1-row aggregate)
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("rule"),
+                    F.col(f"__v{i}").alias("violations"),
+                )
+                for i, n in enumerate(names)
+            ]
         )
-        .select("rule", "n_rows", "violations", (F.col("violations") == 0).alias("passed"))
+    ).alias("kv")
+    return (
+        one.select(kv, F.col("__n").alias("n_rows"))
+        .select(
+            F.col("kv.rule").alias("rule"),
+            "n_rows",
+            F.col("kv.violations").alias("violations"),
+            (F.col("kv.violations") == 0).alias("passed"),
+        )
         .orderBy("rule")
     )
 
@@ -422,9 +439,14 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_milli",
         )
     )
-    dev = F.col("n_obs") * 1000 - F.col("n") * F.col("p_milli")
-    chi = (dev * dev).cast("double") / (
-        (F.lit(1000) * F.col("n") * F.col("p_milli")).cast("double")
+    # the deviation is squared in DOUBLE: dev can reach ~954*n, so a
+    # BIGINT square overflows past ~3.2M rows on strongly non-Benford
+    # data — exactly the tables this audit exists to flag (ANSI mode
+    # would throw). The result feeds a double division anyway; the
+    # oracle mirrors the same cast-before-square (code-review r8).
+    dev = (F.col("n_obs") * 1000 - F.col("n") * F.col("p_milli")).cast("double")
+    chi = (dev * dev) / (
+        F.lit(1000.0) * F.col("n").cast("double") * F.col("p_milli").cast("double")
     )
     return j.select(
         "digit", "n_obs", "expected_milli", chi.alias("chi2_contrib")
@@ -453,9 +475,9 @@ j AS (
     FROM spine s LEFT JOIN c ON s.digit = c.digit CROSS JOIN t
 )
 SELECT digit, n_obs, expected_milli,
-       CAST((n_obs * 1000 - n * p_milli) * (n_obs * 1000 - n * p_milli)
-            AS DOUBLE)
-       / CAST(1000 * n * p_milli AS DOUBLE) AS chi2_contrib
+       (CAST(n_obs * 1000 - n * p_milli AS DOUBLE)
+        * CAST(n_obs * 1000 - n * p_milli AS DOUBLE))
+       / (1000.0 * CAST(n AS DOUBLE) * CAST(p_milli AS DOUBLE)) AS chi2_contrib
 FROM j ORDER BY digit
 """
 

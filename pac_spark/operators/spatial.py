@@ -28,7 +28,7 @@ The per-point nearest neighbor is an integer argmin over the packed
 value d2 * 2^24 + neighbor_key — exact while neighbor keys stay below
 2^24 (16.7M customers; repack wider before going past that). Packing
 cannot overflow: only pairs surviving the radius filter are packed,
-so d2 <= 2*R^2 = 2^33 and packed < 2^33 * 2^24 + 2^24 < 2^58,
+so d2 <= R^2 = 2^32 and packed < 2^32 * 2^24 + 2^24 < 2^57,
 comfortably BIGINT on both engines.
 """
 
@@ -59,7 +59,8 @@ __all__ = [
 GRID = 1 << 20
 CELL_SHIFT = 16
 RADIUS = 1 << 16
-PACK = 1 << 24  # argmin packing: d2 * PACK + neighbor key
+PACK_SHIFT = 24  # argmin packing: d2 * 2^PACK_SHIFT + neighbor key
+PACK = 1 << PACK_SHIFT
 
 
 def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,6 +91,13 @@ def neighbor_stats(pts: DataFrame) -> DataFrame:
     split out so crafted tests can pin the geometry semantics
     (boundary cells, just-inside/just-outside radius, argmin ties)
     on hand-placed points."""
+    from pac_spark.cache import pin
+
+    # pinned: pts is BOTH join sides (stencil probe + build), which
+    # are different subtrees — exchange reuse cannot apply, so the
+    # point derivation (scan + two md5 buckets per row) would run
+    # twice (code-review r8)
+    pts = pin(pts)
     # probe side: each point exploded to its 3x3 cell stencil
     stencil = F.array([F.lit(d) for d in (-1, 0, 1)])
     probe = (
@@ -136,7 +144,7 @@ def neighbor_stats(pts: DataFrame) -> DataFrame:
             F.col("a_key").alias("c_custkey"),
             "n_within",
             (F.col("packed") % F.lit(PACK)).alias("nearest_custkey"),
-            F.shiftright("packed", 24).alias("nearest_d2"),
+            F.shiftright("packed", PACK_SHIFT).alias("nearest_d2"),
         )
         .orderBy("c_custkey")
     )

@@ -87,6 +87,13 @@ _REPO = os.path.dirname(
 #   all-bands-missed test added (test_properties.py);
 # - token_budget_mix: corpus-sized binned frame pinned (3 consumers);
 # - decontaminate: shingle-set frame pinned (train + eval consumers);
+# - er_clusters + er_consolidated: _cluster_labels now pins records
+#   (the returned clusters frame carries an isolated-node anti-join
+#   that replayed the executive_records union per consumer;
+#   code-review r8);
+# - streaming_user_sessions_custom: in FORCE only because the r8
+#   forced set would otherwise evict it from the fill — its
+#   sessionizer gained the cross-batch order guard this round;
 # - timeseries_gapfill_hourly: r7 rollup pin REMOVED on measurement
 #   (VERDICT r7 next-#6: sf0.1 3-run min 1.15 s pinned vs 0.37 s
 #   unpinned) — span bounds now come straight off the pruned events
@@ -108,6 +115,9 @@ FORCE_HOIST: tuple[str, ...] = (
     "token_budget_mix",
     "decontaminate",
     "timeseries_gapfill_hourly",
+    "er_clusters",
+    "er_consolidated",
+    "streaming_user_sessions_custom",
 )
 
 # The r7-review fix queue that lived here was fully drained in r8
