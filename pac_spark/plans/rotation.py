@@ -55,9 +55,10 @@ _REPO = os.path.dirname(
 # r8, then re-grown as the queued r7-review fixes landed — each entry
 # is a spec with a MATERIAL plan change this round whose cap slot the
 # history would not otherwise grant (specs the r8 fill already covers
-# — two_hop_reach_top_customers, streaming_purchase_click_join,
-# streaming_dedup_events, streaming_user_sessions_custom — are
-# deliberately NOT repeated here). The
+# — two_hop_reach_top_customers and the mandatory-tier r8
+# registrations — are deliberately NOT repeated here;
+# streaming_dedup_events took a docstring-only contract record this
+# round, so it legitimately rides the tail). The
 # equivalence-preserving refactors of shared substrate
 # (catalog.normalize_events_ts, cache.checkpoint_with_handles) ride
 # the full local oracle gate instead — forcing every downstream spec
@@ -87,6 +88,12 @@ _REPO = os.path.dirname(
 #   all-bands-missed test added (test_properties.py);
 # - token_budget_mix: corpus-sized binned frame pinned (3 consumers);
 # - decontaminate: shingle-set frame pinned (train + eval consumers);
+# - bucketed_orders_join + compaction_roundtrip + zorder_roundtrip:
+#   sources/ review batch (catalog entry validated against location +
+#   bucket spec before the ensure_bucketed early return; DDL quoting;
+#   Z-order bucket fold uses __-prefixed lambda vars + backticked
+#   column + finite-boundary guard; source_fingerprint raises on a
+#   nonexistent path — code-review r8);
 # - er_clusters + er_consolidated: _cluster_labels now pins records
 #   (the returned clusters frame carries an isolated-node anti-join
 #   that replayed the executive_records union per consumer;
@@ -118,6 +125,10 @@ FORCE_HOIST: tuple[str, ...] = (
     "er_clusters",
     "er_consolidated",
     "streaming_user_sessions_custom",
+    "bucketed_orders_join",
+    "compaction_roundtrip",
+    "zorder_roundtrip",
+    "streaming_purchase_click_join",
 )
 
 # The r7-review fix queue that lived here was fully drained in r8

@@ -94,23 +94,66 @@ def ensure_bucketed(
         "source": fingerprint,
     }
     intact = layout_intact(path, spec)
-    exists = spark.catalog.tableExists(table)
+    # the catalog entry is trusted only if it actually DESCRIBEs to
+    # this path + bucket spec — a same-named table registered earlier
+    # over a different location/key/count would otherwise early-return
+    # and silently serve the old layout's rows (code-review r8); a
+    # shadowing temp view can never satisfy this (DESCRIBE shows no
+    # Location), so it falls through to re-registration below
+    exists = spark.catalog.tableExists(table) and _entry_matches(
+        spark, table, path, key, n_buckets
+    )
     if exists and intact:
         return
-    if exists:
-        spark.sql(f"DROP TABLE `{table}`")
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE IF EXISTS {_bt(table)}")
     if intact:
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
+        loc = path.replace("'", "''")  # single quotes escaped for DDL
         spark.sql(
-            f"CREATE TABLE `{table}` ({cols}) USING parquet "
+            f"CREATE TABLE {_bt(table)} ({cols}) USING parquet "
             f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
-            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
         )
         return
     write_bucketed(df, table, path, key, n_buckets)
     write_sidecar(path, spec)
+
+
+def _bt(table: str) -> str:
+    """Backtick-quote a possibly schema-qualified table name part by
+    part (a dotted name quoted whole would be one literal identifier;
+    code-review r8)."""
+    return ".".join("`" + p.replace("`", "``") + "`" for p in table.split("."))
+
+
+def _entry_matches(
+    spark: SparkSession, table: str, path: str, key: str, n_buckets: int
+) -> bool:
+    """True iff the catalog's ``table`` is a real (non-temp) table
+    whose DESCRIBE EXTENDED location and bucket spec equal what the
+    caller is requesting."""
+    import os
+
+    try:
+        meta = {
+            r["col_name"]: (r["data_type"] or "")
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {_bt(table)}").collect()
+            if r["col_name"]
+        }
+    except Exception:
+        return False
+    loc = meta.get("Location", "")
+    if not loc:
+        return False  # temp view or non-file table
+    norm = lambda p: os.path.abspath(p.removeprefix("file:"))  # noqa: E731
+    return (
+        norm(loc) == norm(path)
+        and meta.get("Num Buckets", "").strip() == str(n_buckets)
+        and key in meta.get("Bucket Columns", "")
+    )
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

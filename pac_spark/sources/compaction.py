@@ -26,6 +26,8 @@ of the engine's ops surface for the driver-contract extension.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 
 __all__ = ["compact", "compact_clustered", "compact_zordered"]
@@ -117,12 +119,27 @@ def compact_zordered(
     bounds_a, bounds_b = df.approxQuantile([col_a, col_b], qs, 0.001)
 
     def bucket(col: str, bounds: list) -> object:
+        # non-finite boundaries cannot be rendered as SQL literals
+        # (repr(inf) -> unresolved identifier); a quantile boundary is
+        # only non-finite when the column itself holds inf/nan, which
+        # no meaningful Z-clustering can bucket anyway
+        if not all(math.isfinite(float(b)) for b in bounds):
+            raise ValueError(
+                f"{col}: non-finite quantile boundary — Z-order "
+                "clustering needs finite values"
+            )
         arr = "array(" + ", ".join(repr(float(b)) for b in bounds) + ")"
         # bucket = number of boundaries <= x, a fold over the literal
-        # boundary array (15 comparisons at the default 4 bits)
+        # boundary array (15 comparisons at the default 4 bits).
+        # Lambda vars are __-prefixed and the column is backtick-quoted:
+        # a column literally named `b`/`acc` would otherwise be
+        # SHADOWED by the lambda parameter (comparison silently becomes
+        # boundary >= boundary), and names needing quoting would throw
+        # (code-review r8).
+        ident = "`" + col.replace("`", "``") + "`"
         return F.expr(
-            f"aggregate({arr}, 0L, (acc, b) -> "
-            f"acc + if(cast({col} as double) >= b, 1L, 0L))"
+            f"aggregate({arr}, 0L, (__acc, __b) -> "
+            f"__acc + if(cast({ident} as double) >= __b, 1L, 0L))"
         )
 
     ba = bucket(col_a, bounds_a)

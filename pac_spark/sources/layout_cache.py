@@ -66,6 +66,12 @@ def source_fingerprint(*paths: str) -> str:
         elif os.path.exists(p):
             st = os.stat(p)
             entries.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+        else:
+            # a nonexistent source must ERROR, not hash to the stable
+            # empty fingerprint — a typo'd path would otherwise match
+            # its sidecar forever and keep serving a stale layout, the
+            # exact hazard this module exists to detect (code-review r8)
+            raise FileNotFoundError(f"source_fingerprint: {p} does not exist")
     entries.sort()
     h = hashlib.sha256(json.dumps(entries).encode())
     return h.hexdigest()[:16]

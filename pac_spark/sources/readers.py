@@ -146,8 +146,17 @@ def read_jdbc(
     4-partition bounded-range read-back → pushdown asserted in the
     plan. A Snowflake/MySQL deployment swaps the url + driver only.
     """
+    # the main load quotes the table EXACTLY like the bounds probe
+    # (_quote_ident) — asymmetric quoting made auto-bounds unusable
+    # for case-preserved tables: the probe resolved "MixedCase" while
+    # the unquoted dbtable case-folded past it (code-review r8).
+    # Spark's own JDBC writer creates quoted identifiers, and the
+    # dialect quotes partitionColumn in the generated ranges, so
+    # quoting here closes the loop.
     reader = (
-        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", _quote_ident(table))
     )
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:

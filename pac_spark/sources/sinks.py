@@ -63,6 +63,8 @@ def json_tree_write(
 ) -> WriteReport:
     """Write ``df`` as a keyed JSON tree under ``path``, overwriting
     only the keys present in ``df`` (dynamic partition overwrite)."""
+    from pac_spark.cache import pin
+
     keyed = df.withColumn("__key", sanitize_key(F.col(key_col).cast("string")))
 
     if dry_run:
@@ -78,17 +80,38 @@ def json_tree_write(
             preview=sample,
         )
 
+    # pinned: the keyed frame drives THREE actions (row count, key
+    # count, the write itself) — unpinned, an expensive upstream
+    # lineage executes three times, and a non-deterministic input
+    # could make the reported counts disagree with what was written
+    # (code-review r8)
+    keyed = pin(keyed)
     n_rows = keyed.count()
     n_keys = keyed.select("__key").distinct().count()
-    keyed.write.mode("overwrite").partitionBy("__key").json(path)
+    # the per-key-overwrite contract must not depend on session conf:
+    # an externally built session (the driver path — tune_runtime does
+    # not set partitionOverwriteMode) would otherwise STATIC-overwrite
+    # and wipe every key not present in this batch (code-review r8) —
+    # the writer-level option pins dynamic mode per write
+    (
+        keyed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__key")
+        .json(path)
+    )
 
     rows_back = keys_back = 0
     verified = False
-    if verify:
+    if verify and n_rows > 0:
+        # guarded on n_rows: a data-less tree (legal no-op write, e.g.
+        # an empty first foreachBatch) has no files for read.json to
+        # infer a schema from and would raise (code-review r8)
         back = spark.read.json(path)
         rows_back = back.count()
         keys_back = back.select("__key").distinct().count()
         verified = rows_back >= n_rows and keys_back >= n_keys
+    elif verify:
+        verified = True  # nothing was asked to be written
     return WriteReport(
         path=path,
         rows_written=n_rows,
@@ -178,9 +201,21 @@ class UpsertTable:
         out: dict[int, str] = {}
         cdir = os.path.join(self.path, "_commits")
         for name in os.listdir(cdir):
-            if name.endswith(".json"):
+            if not name.endswith(".json"):
+                continue
+            stem = name[:-5]
+            if not stem.isdigit():
+                continue  # foreign file in _commits — not a marker
+            try:
                 with open(os.path.join(cdir, name)) as fh:
-                    out[int(name[:-5])] = json.load(fh)["batch_id"]
+                    out[int(stem)] = json.load(fh)["batch_id"]
+            except (json.JSONDecodeError, KeyError, OSError):
+                # a truncated/corrupt marker is an UNCOMMITTED version
+                # (the tmp+rename in upsert makes this near-impossible,
+                # but a half-written marker must degrade to "that
+                # version never committed", not brick every read
+                # forever — code-review r8)
+                continue
         return out
 
     def versions(self) -> list[int]:
@@ -235,16 +270,28 @@ class UpsertTable:
             version = 0
         else:
             base = self.read(current)
+            # NULL-SAFE anti-join: a plain key equi-anti-join never
+            # matches NULL, so a null-key row would append every batch
+            # and never replace — inconsistent with the in-batch dedup
+            # window, which groups all NULLs as one key (code-review
+            # r8). <=> makes NULL a real (single) key under the same
+            # last-wins contract.
             merged = base.join(
-                dedup.select(self.key), self.key, "left_anti"
+                dedup.select(F.col(self.key).alias("__upsert_k")),
+                F.col(self.key).eqNullSafe(F.col("__upsert_k")),
+                "left_anti",
             ).unionByName(dedup)
             version = current + 1
         target = os.path.join(self.path, f"v{version}")
         merged.write.mode("overwrite").parquet(target)
-        # marker LAST: this rename-free single-file write is the commit
+        # marker LAST, via tmp + atomic rename: the rename is the
+        # commit point, so a crash mid-write leaves a .tmp file no
+        # reader parses — never a truncated marker (code-review r8)
         marker = os.path.join(self.path, "_commits", f"{version}.json")
-        with open(marker, "w") as fh:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"batch_id": str(batch_id), "version": version}, fh)
+        os.replace(tmp, marker)
         return True
 
     def foreach_batch(self):
