@@ -40,13 +40,28 @@ _DEFAULT_HASHES = 4
 
 
 class BloomFilter:
-    """Immutable bitmap + parameters, built by :func:`build_bloom`."""
+    """Immutable bitmap + parameters, built by :func:`build_bloom`.
 
-    def __init__(self, words: list[int], n_bits: int, n_hashes: int):
-        assert n_bits % 64 == 0 and len(words) == n_bits // 64
+    ``key_type`` records the BUILD column's dtype: xxhash64 is
+    type-sensitive (an INT and a BIGINT holding the same value hash
+    differently), so probing with a differently-typed column would
+    produce FALSE NEGATIVES — silently dropping matching rows before
+    the real join. :func:`bloom_might_contain` casts the probe column
+    to this recorded type (a no-op cast Catalyst removes when the
+    types already agree; code-review r8). A probe value outside the
+    build type's range fails that cast loudly under ANSI mode — safe
+    (never a silent wrong result) and a signal the filter was built
+    on the wrong key type."""
+
+    def __init__(
+        self, words: list[int], n_bits: int, n_hashes: int, key_type: str
+    ):
+        if n_bits % 64 != 0 or len(words) != n_bits // 64:
+            raise ValueError("bloom bitmap shape mismatch")
         self.words = words
         self.n_bits = n_bits
         self.n_hashes = n_hashes
+        self.key_type = key_type
 
 
 def _one_shifted_by(bits: Column) -> Column:
@@ -94,7 +109,8 @@ def build_bloom(
     words = [0] * (n_bits // 64)
     for r in word_rows:
         words[r["w"]] = r["mask"]
-    return BloomFilter(words, n_bits, n_hashes)
+    key_type = keys.schema[column].dataType.simpleString()
+    return BloomFilter(words, n_bits, n_hashes, key_type)
 
 
 def bloom_might_contain(bf: BloomFilter, col: Column) -> Column:
@@ -108,7 +124,10 @@ def bloom_might_contain(bf: BloomFilter, col: Column) -> Column:
     # scan); F.lit(list) ships the bitmap as a single constant
     bitmap = F.lit(bf.words)
     cond = None
-    for h in _positions(col, bf.n_bits, bf.n_hashes):
+    # cast to the BUILD column's dtype: xxhash64 is type-sensitive, so
+    # an untyped probe of e.g. BIGINT against an INT-built filter
+    # would hash to different positions and drop true matches
+    for h in _positions(col.cast(bf.key_type), bf.n_bits, bf.n_hashes):
         word = F.element_at(bitmap, F.shiftright(h, 6).cast("int") + F.lit(1))
         mask = _one_shifted_by(h.bitwiseAND(F.lit(63)))
         test = word.bitwiseAND(mask) != F.lit(0)

@@ -68,12 +68,20 @@ def token_sort_ratio(a: Column, b: Column) -> Column:
 
 def weighted_similarity(scores: dict[str, Column]) -> Column:
     """Blend per-field scores with reference weights, renormalizing over
-    the fields actually present (non-null on both sides), exactly like
-    executive_review_tool.py:233-242.
+    the fields actually present, like executive_review_tool.py:233-242.
 
     ``scores`` maps field role -> score Column (null when the field is
     absent for the pair). Returns a 0-100 double; null only if every
     field is absent.
+
+    CALLER CONTRACT (code-review r8): the reference treats EMPTY
+    STRINGS as absent too (``if name1 and name2:``), and this helper
+    does not — the caller must pass NULL scores for blank-on-either-
+    side fields (``_score_aliased_pairs`` does, via its trim != ''
+    guards). A raw ratio for an empty-vs-empty pair is 100 and would
+    inflate the blend toward auto-approval. Folding the blank rule in
+    here is queued for r9 (it changes the expression tree of every
+    tail-riding ER spec, which the full r8 cap cannot absorb).
     """
     num = None
     den = None

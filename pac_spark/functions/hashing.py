@@ -27,15 +27,23 @@ def md5_bucket(expr: Column, modulus: int) -> Column:
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % modulus).cast("int")
 
 
+def _md5_digits_sql(expr: str, n_digits: int) -> str:
+    """The ONE digit-wise md5-prefix-to-integer SQL emitter (DuckDB
+    has no base-16 ``conv``): sum of hex-digit values times descending
+    powers of 16. Shared by :func:`md5_bucket_sql` (8 digits) and
+    :func:`md5_u60_sql` (15 digits) so a decoding fix can never land
+    in one and not the other (code-review r8)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_digits - 1 - i)}"
+        for i in range(n_digits)
+    )
+
+
 def md5_bucket_sql(expr: str, modulus: int) -> str:
     """DuckDB text computing exactly what :func:`md5_bucket` computes,
-    digit-wise (DuckDB has no base-16 ``conv``)."""
-    digits = " + ".join(
-        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"CAST(({digits}) % {modulus} AS INT)"
+    digit-wise."""
+    return f"CAST(({_md5_digits_sql(expr, 8)}) % {modulus} AS INT)"
 
 
 def md5_u60(expr: Column) -> Column:
@@ -49,9 +57,4 @@ def md5_u60(expr: Column) -> Column:
 
 def md5_u60_sql(expr: str) -> str:
     """DuckDB text computing exactly :func:`md5_u60`, digit-wise."""
-    digits = " + ".join(
-        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (14 - i)}"
-        for i in range(15)
-    )
-    return f"CAST(({digits}) AS BIGINT)"
+    return f"CAST(({_md5_digits_sql(expr, 15)}) AS BIGINT)"

@@ -24,10 +24,15 @@ def normalize_string(col: Column) -> Column:
 
 
 def name_parts(col: Column) -> tuple[Column, Column]:
-    """(first_token, last_token) of a normalized name
-    (ref: executive_review_tool.py:177-187)."""
+    """(first_token, last_token) of a normalized name — a SINGLE-token
+    name yields ``(token, '')``, exactly the reference's
+    ``extract_name_parts`` (executive_review_tool.py:177-187, the
+    ``len(parts) == 1`` branch); the pre-r8 last-token read-off
+    returned the token twice, a live parity divergence on every
+    single-token name (code-review r8)."""
     arr = F.split(normalize_string(col), " ")
-    return F.element_at(arr, 1), F.element_at(arr, -1)
+    last = F.when(F.size(arr) >= 2, F.element_at(arr, -1)).otherwise(F.lit(""))
+    return F.element_at(arr, 1), last
 
 
 def sanitize_key(col: Column) -> Column:

@@ -54,7 +54,22 @@ def global_running_sums(
     order key -> same bucket, larger key -> same-or-larger bucket) and
     ``order_col`` must be distinct per row; both hold for the grouped
     event frames this repo feeds in.
+
+    NULL semantics match ``SUM(v) OVER (ORDER BY k)`` exactly: NULL
+    values are skipped, and the running sum is NULL only while the
+    global prefix holds no non-null value — the offset rides a
+    null-skipping SUM over an EXCLUSIVE bucket frame and the combine
+    treats each side's NULL as "empty prefix part", never as a
+    poisoning operand (code-review r8: the prior inclusive-minus-own
+    offset turned one all-NULL bucket into NULLs for the whole
+    bucket). Rows whose bucket expression is NULL are kept via a
+    null-safe offset join (they sort first, Spark NULLS FIRST).
     """
+    _guard_reserved(
+        df, ["_pb"]
+        + [f"_{t}_{v}" for v in value_cols for t in ("in", "tot", "off")]
+        + [f"{prefix}{v}" for v in value_cols],
+    )
     b = df.withColumn("_pb", bucket)
     in_w = (
         W.partitionBy("_pb")
@@ -68,28 +83,41 @@ def global_running_sums(
         *[F.sum(v).alias(f"_tot_{v}") for v in value_cols]
     )
     # one row per bucket: the unpartitioned window is over a
-    # calendar/domain-bounded frame, not the data
-    off_w = (
-        W.orderBy("_pb").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    # calendar/domain-bounded frame, not the data. Exclusive frame +
+    # null-skipping SUM: a bucket's offset is the sum over PRECEDING
+    # buckets' non-null totals, NULL only when every one is NULL.
+    off_w = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
     offsets = totals.select(
-        "_pb",
-        *[
-            (F.sum(f"_tot_{v}").over(off_w) - F.col(f"_tot_{v}")).alias(
-                f"_off_{v}"
-            )
-            for v in value_cols
-        ],
+        F.col("_pb").alias("_pb_off"),
+        *[F.sum(f"_tot_{v}").over(off_w).alias(f"_off_{v}") for v in value_cols],
     )
-    joined = run_in.join(F.broadcast(offsets), "_pb")
-    out = joined.select(
+    joined = run_in.join(
+        F.broadcast(offsets), F.col("_pb").eqNullSafe(F.col("_pb_off"))
+    )
+
+    def combine(v: str) -> Column:
+        i, o = F.col(f"_in_{v}"), F.col(f"_off_{v}")
+        return F.when(i.isNull() & o.isNull(), F.lit(None)).otherwise(
+            F.coalesce(i, F.lit(0)) + F.coalesce(o, F.lit(0))
+        )
+
+    return joined.select(
         *df.columns,
-        *[
-            (F.col(f"_in_{v}") + F.col(f"_off_{v}")).alias(f"{prefix}{v}")
-            for v in value_cols
-        ],
+        *[combine(v).alias(f"{prefix}{v}") for v in value_cols],
     )
-    return out
+
+
+def _guard_reserved(df: DataFrame, names: list[str]) -> None:
+    """Raise on internal-column collisions — ``withColumn`` would
+    silently REPLACE a same-named user column and the final
+    ``select(*df.columns)`` would emit scratch values under the user's
+    name (code-review r8; same contract as salting._SALT_COL)."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"global prefix scan reserves column names {clash}; "
+            "rename them in the input frame"
+        )
 
 
 def global_running_max(
@@ -111,6 +139,7 @@ def global_running_max(
     property dominance tests (skyline) need. Same contracts as the sum
     variant: bucket monotone in the order key, distinct order keys.
     """
+    _guard_reserved(df, ["_pb", "_in", "_tot", "_off", out])
     b = df.withColumn("_pb", bucket)
     hi = W.currentRow if inclusive else -1
     in_w = (
@@ -121,8 +150,14 @@ def global_running_max(
     # strictly-preceding buckets either way: the in-bucket part covers
     # the current bucket
     off_w = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
-    offsets = totals.select("_pb", F.max("_tot").over(off_w).alias("_off"))
-    joined = run_in.join(F.broadcast(offsets), "_pb")
+    offsets = totals.select(
+        F.col("_pb").alias("_pb_off"), F.max("_tot").over(off_w).alias("_off")
+    )
+    # null-safe: a NULL bucket row must get its offset (= NULL, it
+    # sorts first), not vanish through an equi-join (code-review r8)
+    joined = run_in.join(
+        F.broadcast(offsets), F.col("_pb").eqNullSafe(F.col("_pb_off"))
+    )
     # greatest() skips NULLs (empty in-bucket prefix / first bucket),
     # returning NULL only when both sides are empty — exactly the
     # empty-global-prefix case

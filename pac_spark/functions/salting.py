@@ -68,6 +68,11 @@ def salted_join(
         "leftanti",
         "anti",
     }
+    if isinstance(on, str):
+        # a bare str satisfies Sequence[str] and would iterate as
+        # CHARACTERS (join on single-letter column names) — accept it
+        # the way DataFrame.join does (code-review r8)
+        on = [on]
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join cannot preserve {how!r} semantics: unmatched "

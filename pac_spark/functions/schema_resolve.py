@@ -53,5 +53,9 @@ def project_roles(df: DataFrame, roles: dict[str, list[str]], substring: bool = 
         if phys is None:
             cols.append(F.lit(None).cast("string").alias(role))
         else:
-            cols.append(F.col(phys).alias(role))
+            # df[phys], not F.col(phys): a runtime-discovered name
+            # containing a dot would misparse as struct-field access
+            # in exactly the module built for arbitrary schemas
+            # (code-review r8)
+            cols.append(df[phys].alias(role))
     return df.select(*cols)

@@ -100,7 +100,8 @@ WITH fact AS (
     WHERE o_custkey IS NOT NULL
       AND o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
 ), dim AS (
-    SELECT c_custkey AS company_id, toks[1] AS name_first, toks[-1] AS name_last
+    SELECT c_custkey AS company_id, toks[1] AS name_first,
+           CASE WHEN len(toks) >= 2 THEN toks[-1] ELSE '' END AS name_last
     FROM (
         SELECT c_custkey,
                string_split(lower(trim(regexp_replace(c_name, '\\s+', ' ', 'g'))), ' ')

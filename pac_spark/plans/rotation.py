@@ -88,6 +88,11 @@ _REPO = os.path.dirname(
 #   all-bands-missed test added (test_properties.py);
 # - token_budget_mix: corpus-sized binned frame pinned (3 consumers);
 # - decontaminate: shingle-set frame pinned (train + eval consumers);
+# - flagship_roles_resolved: name_parts single-token parity fix —
+#   last token is now '' for one-token names, the reference's
+#   extract_name_parts len==1 branch (VALUE-changing on TPC-H c_name,
+#   which is always single-token; oracle restated identically;
+#   code-review r8);
 # - bucketed_orders_join + compaction_roundtrip + zorder_roundtrip:
 #   sources/ review batch (catalog entry validated against location +
 #   bucket spec before the ensure_bucketed early return; DDL quoting;
@@ -129,7 +134,26 @@ FORCE_HOIST: tuple[str, ...] = (
     "compaction_roundtrip",
     "zorder_roundtrip",
     "streaming_purchase_click_join",
+    "flagship_roles_resolved",
 )
+
+# Queued tail work for r9 (the r8 cap is FULL — 26 mandatory + 24
+# forced; apply the fix THEN force-hoist the spec in r9):
+# - normalize_string whitespace parity: the reference's str.split()
+#   collapses UNICODE whitespace (NBSP etc.) while the engine's \\s+
+#   regex is ASCII-only — restate both engines with the explicit
+#   Python-split whitespace character class. Touches every oracle
+#   mirroring the \\s+ regexp (er family + flagship), values unchanged
+#   on the ASCII fixtures (code-review r8).
+# - weighted_similarity: fold the reference's blank-as-absent field
+#   rule into the helper itself (callers currently guard at call
+#   sites; docstring states the contract — code-review r8).
+# - substrate hardenings that rode the local gates in r8 (values and
+#   plans unchanged for their registered consumers — salted_join str
+#   wrap, bloom key-type recording with identity cast, prefix-scan
+#   reserved-name guard + NULL semantics, shared _md5_digits_sql):
+#   nothing further queued; listed here so r9 knows they were
+#   deliberate non-forces.
 
 # The r7-review fix queue that lived here was fully drained in r8
 # (commits a106a9c..f79a2df): unigram/cms/token_budget/incremental/

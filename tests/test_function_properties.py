@@ -105,10 +105,12 @@ def test_normalize_and_sanitize_invariants(spark):
         assert "  " not in r["n1"] and r["n1"] == r["n1"].strip()
         # sink keys carry no spaces, commas, or dots
         assert " " not in r["k"] and "," not in r["k"] and "." not in r["k"]
-        # name parts are the first/last normalized tokens
+        # name parts are the first/last normalized tokens; a
+        # single-token name yields last='' — the reference's
+        # extract_name_parts len(parts)==1 branch (code-review r8)
         toks = r["n1"].split(" ")
         assert r["first"] == toks[0]
-        assert r["last"] == toks[-1]
+        assert r["last"] == (toks[-1] if len(toks) >= 2 else "")
 
 
 def test_weighted_similarity_renormalizes(spark):
