@@ -27,6 +27,8 @@ Every cache goes through this registry:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 __all__ = ["pin", "checkpoint", "checkpoint_with_handles", "release_caches"]
@@ -37,12 +39,19 @@ _LIVE_DFS: list[DataFrame] = []
 # most recent one (still potentially feeding an uncollected result).
 _CKPT_PREV: list = []
 _CKPT_CUR: list = []
+# registry mutations are lock-guarded: sweeps can run on driver pool
+# threads (see _jvm_alive), and two concurrent release_caches calls
+# racing on list.pop() / the generation rotation could drop a fresh
+# checkpoint one generation early or raise into an unrelated query
+# (code-review r8)
+_LOCK = threading.RLock()
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next release sweep."""
     df.persist()
-    _LIVE_DFS.append(df)
+    with _LOCK:
+        _LIVE_DFS.append(df)
     return df
 
 
@@ -69,7 +78,8 @@ def checkpoint(df: DataFrame) -> DataFrame:
     blocks register for :func:`release_caches` to free
     deterministically."""
     out, handles = checkpoint_with_handles(df)
-    _CKPT_CUR.extend(handles)
+    with _LOCK:
+        _CKPT_CUR.extend(handles)
     return out
 
 
@@ -106,36 +116,38 @@ def release_caches(all_generations: bool = False) -> int:
     re-raised, so a broken release path surfaces instead of silently
     leaving blocks resident."""
     global _CKPT_PREV, _CKPT_CUR
-    to_release = [_LIVE_DFS, _CKPT_PREV]
-    if all_generations:
-        to_release.append(_CKPT_CUR)
-    n = sum(len(live) for live in to_release)
-    if not _jvm_alive():
-        # blocks died with the JVM regardless of generation — drop ALL
-        # handles (keeping CUR would hand dead-gateway objects to a
-        # future sweep under a replacement JVM, which would re-raise
-        # their errors into an unrelated query)
-        for live in (_LIVE_DFS, _CKPT_PREV, _CKPT_CUR):
-            live.clear()
-        return n
+    with _LOCK:
+        to_release = [_LIVE_DFS, _CKPT_PREV]
+        if all_generations:
+            to_release.append(_CKPT_CUR)
+        n = sum(len(live) for live in to_release)
+        if not _jvm_alive():
+            # blocks died with the JVM regardless of generation — drop
+            # ALL handles (keeping CUR would hand dead-gateway objects
+            # to a future sweep under a replacement JVM, which would
+            # re-raise their errors into an unrelated query)
+            for live in (_LIVE_DFS, _CKPT_PREV, _CKPT_CUR):
+                live.clear()
+            return n
 
-    errors: list[Exception] = []
-    for live in to_release:
-        kept = []
-        while live:
-            handle = live.pop()
-            try:
-                handle.unpersist()
-            except Exception as exc:
-                if _jvm_alive():
-                    kept.append(handle)  # retryable at a later sweep
-                    errors.append(exc)
-                # else: JVM died mid-sweep; blocks are gone, drop handle
-        live.extend(kept)
-    if not all_generations:
-        # rotate: the just-swept (now mostly empty) PREV list becomes
-        # CUR, and CUR's checkpoints age into PREV for the next sweep
-        _CKPT_PREV, _CKPT_CUR = _CKPT_CUR, _CKPT_PREV
+        errors: list[Exception] = []
+        for live in to_release:
+            kept = []
+            while live:
+                handle = live.pop()
+                try:
+                    handle.unpersist()
+                except Exception as exc:
+                    if _jvm_alive():
+                        kept.append(handle)  # retryable at a later sweep
+                        errors.append(exc)
+                    # else: JVM died mid-sweep; blocks are gone, drop
+            live.extend(kept)
+        if not all_generations:
+            # rotate: the just-swept (now mostly empty) PREV list
+            # becomes CUR, and CUR's checkpoints age into PREV for the
+            # next sweep
+            _CKPT_PREV, _CKPT_CUR = _CKPT_CUR, _CKPT_PREV
     if errors:
         raise errors[0]
     return n

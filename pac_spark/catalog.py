@@ -114,10 +114,15 @@ def resolve_table(
     """Probe candidate table names and scan the first that exists.
 
     Spark-native analog of the reference's ``SHOW TABLES LIKE`` loop
-    (executive_review_tool.py:118-127).
+    (executive_review_tool.py:118-127). Resolution goes through
+    :func:`load`, not a raw parquet read, so a resolved ``events``
+    table gets the same ts/NTZ normalization every other scan gets —
+    a raw read would hand back nanos-as-BIGINT or NTZ columns that
+    ``window``/``unix_micros`` reject, re-opening the drift
+    ``normalize_events_ts`` was centralized to close (code-review r8).
     """
     for name in candidates:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            return name, spark.read.parquet(path)
+            return name, load(spark, sf_dir, name)
     raise FileNotFoundError(f"none of {candidates} exist under {sf_dir}")

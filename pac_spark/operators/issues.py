@@ -39,10 +39,13 @@ __all__ = [
     "company_issue_summary",
     "issue_count_validation",
     "company_positions_role_resolved",
+    "export_envelope",
     "position_expr",
 ]
 
-# o_orderstatus -> sentiment bucket (documented mapping, arbitrary but fixed)
+# o_orderstatus -> sentiment bucket (arbitrary but fixed); this dict
+# DRIVES the aggregation aliases below — it is the single source of
+# the mapping, not parallel documentation of one (code-review r8)
 STATUS_TO_BUCKET = {"F": "against", "P": "neutral", "O": "pro"}
 
 
@@ -98,9 +101,10 @@ def _issue_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         return money_sum(amt)
 
     agg = joined.groupBy("company_id", "company_name", "segment", "issue_name").agg(
-        bucket_sum("F").alias("against"),
-        bucket_sum("P").alias("neutral"),
-        bucket_sum("O").alias("pro"),
+        *[
+            bucket_sum(status).alias(bucket)
+            for status, bucket in STATUS_TO_BUCKET.items()
+        ]
     )
 
     total = (F.col("against") + F.col("neutral") + F.col("pro")).cast("double")

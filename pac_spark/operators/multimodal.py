@@ -74,7 +74,12 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        payloads = pdf["payload"]
+        # NULL payloads (a NULL-text document) compute as empty but
+        # report n_bytes NULL — matching the oracle's encode(NULL)
+        # row exactly; the pre-r8 code crashed the Python worker on
+        # len(None) where the oracle succeeded (code-review r8)
+        null_mask = [b is None for b in pdf["payload"]]
+        payloads = [b"" if b is None else b for b in pdf["payload"]]
         lengths = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
         flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
         offsets = np.zeros(len(lengths), dtype=np.int64)
@@ -93,7 +98,10 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": lengths.astype("int32"),
+                "n_bytes": pd.array(
+                    [None if m else int(n) for m, n in zip(null_mask, lengths)],
+                    dtype="Int32",
+                ),
                 "byte_sum": byte_sum,
                 "first_byte": first_byte,
                 "last_byte": last_byte,
@@ -132,14 +140,18 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": pdf["doc_id"], "n_frames": [], "first_frames": [], "mean_frame": []}
         for b in pdf["payload"]:
-            sampled = np.frombuffer(b, dtype=np.uint8)[::FRAME_STRIDE]
-            out["n_frames"].append(len(sampled))
+            # NULL payload: n_frames NULL (the oracle's len(NULL
+            # list)), empty frame string, NULL mean — not a worker
+            # crash (code-review r8)
+            sampled = np.frombuffer(b or b"", dtype=np.uint8)[::FRAME_STRIDE]
+            out["n_frames"].append(None if b is None else len(sampled))
             out["first_frames"].append(",".join(map(str, sampled[:8])))
             out["mean_frame"].append(
                 round(float(sampled.sum(dtype=np.int64)) / len(sampled), 8)
                 if len(sampled)
                 else None
             )
+        out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
         yield pd.DataFrame(out)
 
 
@@ -179,14 +191,17 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": pdf["doc_id"], "n_bytes": [], "resized": []}
         for b in pdf["payload"]:
-            arr = np.frombuffer(b, dtype=np.uint8)
+            # NULL payload: (NULL, NULL) like the oracle's NULL-text
+            # row, not a worker crash (code-review r8)
+            arr = np.frombuffer(b or b"", dtype=np.uint8)
             n = len(arr)
-            out["n_bytes"].append(n)
+            out["n_bytes"].append(None if b is None else n)
             if n == 0:
                 out["resized"].append(None)
             else:
                 src = (idx * n) // RESIZE_TARGET
                 out["resized"].append(",".join(map(str, arr[src])))
+        out["n_bytes"] = pd.array(out["n_bytes"], dtype="Int32")
         yield pd.DataFrame(out)
 
 
@@ -236,7 +251,13 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        payloads = [b[: len(b) - (len(b) % 2)] for b in pdf["payload"]]
+        # NULL payloads compute as empty but report n_samples NULL —
+        # the oracle's NULL-text row (code-review r8)
+        null_mask = [b is None for b in pdf["payload"]]
+        payloads = [
+            b"" if b is None else b[: len(b) - (len(b) % 2)]
+            for b in pdf["payload"]
+        ]
         lengths = np.fromiter(
             (len(b) // 2 for b in payloads), dtype=np.int64, count=len(payloads)
         )
@@ -268,7 +289,10 @@ def _pcm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_samples": lengths.astype("int32"),
+                "n_samples": pd.array(
+                    [None if m else int(n) for m, n in zip(null_mask, lengths)],
+                    dtype="Int32",
+                ),
                 "energy": energy,
                 "sum_amplitude": amp,
                 "peak": peak.astype("int32"),
@@ -304,8 +328,15 @@ def pcm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("rms", rms).orderBy("doc_id")
 
 
-PCM_AUDIO_SQL = """
-WITH hb AS (
+# The hex-dump byte-decode CTE shared by EVERY multimodal oracle —
+# the oracle must index BYTES, not characters (character semantics
+# agree only while every document is pure ASCII — ADVICE r3); DuckDB
+# has no blob indexing, so byte i = hexpair(2i-1, 2i) of
+# hex(encode(text)). ONE definition (plans/llm_plans re-exports it as
+# _BYTES_CTE for the byte/frame/resize oracles) so the intricate
+# strpos arithmetic can never drift between copies (code-review r8).
+BYTES_CTE = """
+hb AS (
     SELECT doc_id, hex(encode(text)) AS hx,
            CAST(octet_length(encode(text)) AS INT) AS n
     FROM documents
@@ -316,7 +347,11 @@ by AS (
                i -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1)
                   + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
     FROM hb
-),
+)
+"""
+
+PCM_AUDIO_SQL = f"""
+WITH {BYTES_CTE.strip()},
 pcm AS (
     SELECT doc_id,
            list_transform(generate_series(1, n // 2),

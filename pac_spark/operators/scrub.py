@@ -54,7 +54,15 @@ DENYLIST_TERMS: tuple[str, ...] = ("customer",)
 
 
 def _is_word_char(ch: str) -> bool:
-    return ch.isalnum() or ch == "_"
+    """ASCII word chars ONLY — the \\b of both execution engines
+    (Java regex and RE2) is ASCII [A-Za-z0-9_], while Python's
+    str.isalnum() is Unicode-aware. Anchoring on the Python notion
+    made any term with a non-ASCII edge letter (e.g. 'josé')
+    silently UNMATCHABLE in both engines — under-redaction, the
+    unsafe direction (code-review r8; demonstrated live in DuckDB).
+    Non-ASCII-edged terms now get no boundary and may substring-match
+    — over-redaction, the same safe trade symbol-edged terms take."""
+    return ("a" <= ch <= "z") or ("A" <= ch <= "Z") or ("0" <= ch <= "9") or ch == "_"
 
 
 def _denylist_pattern(terms: tuple[str, ...]) -> str:

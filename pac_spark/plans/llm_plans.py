@@ -787,24 +787,10 @@ FROM g ORDER BY lang
 
 # Payload-BYTE prelude for the multimodal oracles: the Spark side
 # resamples UTF-8 payload bytes (numpy over encode(text)), so the
-# oracle must index bytes, not characters — character semantics agree
-# only while every document is pure ASCII (ADVICE r3). DuckDB 1.0 has
-# no blob indexing, so bytes come off the hex dump: byte i =
-# hexpair(2i-1, 2i) of hex(encode(text)).
-_BYTES_CTE = """
-hb AS (
-    SELECT doc_id, hex(encode(text)) AS hx,
-           CAST(octet_length(encode(text)) AS INT) AS n
-    FROM documents
-),
-by AS (
-    SELECT doc_id, n,
-           list_transform(generate_series(1, n),
-               i -> 16 * (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1)
-                  + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
-    FROM hb
-)
-"""
+# the byte-decode CTE is owned by operators.multimodal (one
+# definition next to its PCM consumer; code-review r8) — re-exported
+# under the historical local name for the three oracles below
+_BYTES_CTE = MM.BYTES_CTE
 
 _BYTE_FEATURES = f"""
 WITH {_BYTES_CTE.strip()}

@@ -151,9 +151,15 @@ FORCE_HOIST: tuple[str, ...] = (
 # - substrate hardenings that rode the local gates in r8 (values and
 #   plans unchanged for their registered consumers — salted_join str
 #   wrap, bloom key-type recording with identity cast, prefix-scan
-#   reserved-name guard + NULL semantics, shared _md5_digits_sql):
-#   nothing further queued; listed here so r9 knows they were
-#   deliberate non-forces.
+#   reserved-name guard + NULL semantics, shared _md5_digits_sql,
+#   cache registry lock, resolve_table-through-load, the
+#   STATUS_TO_BUCKET-driven aliases, the shared BYTES_CTE move, scrub
+#   ASCII word-boundary rule (fixture denylist is ASCII), and the
+#   multimodal NULL-payload handling (fixtures carry no NULL text;
+#   parity pinned by the crafted NULL rows in
+#   test_multimodal_multibyte.py)): deliberate non-forces, r9 may
+#   force pii_scrub_docs + the multimodal family on their next natural
+#   staleness turn anyway (they are the r4-stale fill head).
 
 # The r7-review fix queue that lived here was fully drained in r8
 # (commits a106a9c..f79a2df): unigram/cms/token_budget/incremental/

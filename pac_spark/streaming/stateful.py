@@ -522,7 +522,8 @@ def _run_ivm_fold(ev_stream, partial_fn, merge_fn):
     q.awaitTermination()
     if state["view"] is None:
         raise RuntimeError("stream delivered no batches")
-    cache._CKPT_CUR.extend(state["handles"])
+    with cache._LOCK:
+        cache._CKPT_CUR.extend(state["handles"])
     return state["view"]
 
 

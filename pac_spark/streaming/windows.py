@@ -112,7 +112,15 @@ def session_windows_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session id. All integer-microsecond arithmetic — deterministic.
 
     The streaming twin is ``F.session_window(ts, '10 minutes')`` (see
-    stream_exec.session_stream); same sessions, incremental state.
+    stream_exec.session_stream) — same construction, incremental
+    state, but NOT bit-identical semantics at the exact-gap boundary:
+    this batch rule breaks on gap STRICTLY greater than 10 min while
+    ``session_window`` splits at gap >= 10 min (half-open windows), so
+    an event exactly 600s after its predecessor shares a session here
+    and starts a new one there. The two oracles deliberately encode
+    that difference ('>' vs '>='); do not "unify" one to the other
+    (code-review r8 — the earlier 'same sessions' wording invited
+    exactly that break).
     """
     events = catalog.load(spark, sf_dir, "events")
     with_session = with_session_ids(events, carry=("value",)).withColumnRenamed(

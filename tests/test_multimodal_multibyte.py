@@ -22,6 +22,10 @@ DOCS = [
     (3, "emoji 🚀 mix é 中", "en", "web", 15),
     (4, "", "en", "web", 0),
     (5, "plain ascii text", "en", "code", 16),
+    # NULL text: the oracles emit the encode(NULL) row (NULL counts,
+    # zero-fill sums, sentinel firsts); the UDFs must match instead of
+    # crashing the Python worker on len(None) (code-review r8)
+    (6, None, "en", "web", 0),
 ]
 
 
@@ -92,6 +96,7 @@ def test_pcm_audio_crafted_edges(spark, duck):
         (4, "abé"),              # multibyte char -> odd byte count
         (5, "hello world ÿÿ"),  # high bytes -> negative samples
         (6, "a0Z9a0Z9"),              # alternating values
+        (7, None),                    # NULL text -> oracle's NULL row
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     spark.createDataFrame(pdf).createOrReplaceTempView("pcm_docs")
