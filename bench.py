@@ -213,6 +213,12 @@ def main() -> None:
 
     spark = get_spark(app_name="pac_spark_bench")
     qs = queries()
+    # a renamed/dropped registry entry must fail LOUDLY, not silently
+    # shrink the trend series the bench exists to keep comparable — a
+    # vanished row reads as a phantom speedup (code-review r8)
+    missing = [q for q in BENCH_QUERIES if q not in qs]
+    if missing:
+        raise SystemExit(f"BENCH_QUERIES not in the registry: {missing}")
 
     # warm every benched plan once on the smallest SF so per-query
     # numbers measure steady-state execution (the cluster regime),
@@ -258,7 +264,13 @@ def main() -> None:
             # follows).
             release_caches(all_generations=True)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # sf is cosmetic metadata: a non-"sf<number>" data dir must not
+    # crash the final print and lose the whole run's timings
+    # (code-review r8) — emit null instead
+    import re as _re
+
+    m = _re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = m.group(1) if m else None
     families: dict[str, float] = {}
     for q, t in timings.items():
         if q == "pagerank_trade_graph":

@@ -367,16 +367,31 @@ def clustering_depth(
     from pac_spark.functions.exact import int_div
 
     df = spark.read.parquet(path)
+    # boundaries as DECIMAL(38,9): stack() needs one common type
+    # across audited columns, longs stay exact, and fractional
+    # boundaries survive (the pre-r8 cast-to-long truncated doubles,
+    # reporting disjoint ranges like [1.2,1.8]/[1.9,2.5] as
+    # overlapping — code-review r8). Aliases are INDEX-based and the
+    # source column is referenced via df[c], so arbitrary column
+    # names (dots, quotes, spaces) cannot break the generated SQL.
+    dec = "decimal(38,9)"
     aggs = []
-    for c in cols:
-        aggs.append(F.min(c).cast("long").alias(f"lo_{c}"))
-        aggs.append(F.max(c).cast("long").alias(f"hi_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.min(df[c]).cast(dec).alias(f"lo_{i}"))
+        aggs.append(F.max(df[c]).cast(dec).alias(f"hi_{i}"))
     per_file = df.groupBy(
         F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("f")
     ).agg(*aggs)
-    quads = ", ".join(f"'{c}', lo_{c}, hi_{c}" for c in cols)
+    quads = ", ".join(
+        "'{}', lo_{}, hi_{}".format(c.replace("'", "''"), i, i)
+        for i, c in enumerate(cols)
+    )
     intervals = per_file.select(
         "f", F.expr(f"stack({len(cols)}, {quads}) AS (col, lo, hi)")
+    ).filter(
+        # an all-NULL file has no range: it can never block pruning,
+        # and NULL sweep events would corrupt the running depth
+        F.col("lo").isNotNull()
     )
     events = intervals.select(
         "f",

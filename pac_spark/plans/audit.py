@@ -53,6 +53,14 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     plan, which is the honest pre-runtime claim)."""
     qe = df._jdf.queryExecution()
     plan = qe.executedPlan().toString()
+    # an AQE plan that has RUN prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections — counting the whole string would
+    # double every counter (and mix nodes from two different plans
+    # when AQE re-planned a join). Audit the final section only
+    # (code-review r8; reproduced: counters exactly doubled after
+    # collect()).
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
     # exchange kinds must be told apart by each line's NODE name, not
     # substring counts: "Exchange " is a substring of the other two
     # spellings, AND a ReusedExchange line EMBEDS its referenced
@@ -77,7 +85,11 @@ def plan_audit(df: DataFrame) -> PlanAudit:
         sortmerge_joins=plan.count("SortMergeJoin"),
         cartesian_products=plan.count("CartesianProduct"),
         window_group_limits=plan.count("WindowGroupLimit"),
-        wholestage_spans=plan.count("WholeStageCodegen"),
+        # codegen regions render as "*(n)" line prefixes in the plan
+        # string (the literal "WholeStageCodegen" never appears in
+        # simple mode — the old count was a dead always-0 readout;
+        # code-review r8): distinct region ids = distinct codegen spans
+        wholestage_spans=len(set(re.findall(r"\*\((\d+)\)", plan))),
         pushed_filters="PushedFilters: [" in qe.toString().replace(
             "PushedFilters: []", ""
         ),
@@ -92,15 +104,17 @@ def assert_scale_legal(
 ) -> PlanAudit:
     """Raise AssertionError when ``df``'s plan violates the caller's
     scale budget; always rejects cartesian products. Returns the audit
-    so callers can assert further fields."""
+    so callers can assert further fields. Explicit raises (not bare
+    asserts) so ``python -O`` cannot strip this user-facing contract
+    into a no-op — the same rotation/registry lesson (code-review r8).
+    """
     a = plan_audit(df)
-    assert a.cartesian_products == 0, f"cartesian product in plan: {a}"
-    if max_scans is not None:
-        assert a.scans <= max_scans, f"{a.scans} scans > {max_scans}: {a}"
-    if max_exchanges is not None:
-        assert a.exchanges <= max_exchanges, (
-            f"{a.exchanges} exchanges > {max_exchanges}: {a}"
-        )
-    if require_window_group_limit:
-        assert a.window_group_limits > 0, f"no WindowGroupLimit: {a}"
+    if a.cartesian_products != 0:
+        raise AssertionError(f"cartesian product in plan: {a}")
+    if max_scans is not None and a.scans > max_scans:
+        raise AssertionError(f"{a.scans} scans > {max_scans}: {a}")
+    if max_exchanges is not None and a.exchanges > max_exchanges:
+        raise AssertionError(f"{a.exchanges} exchanges > {max_exchanges}: {a}")
+    if require_window_group_limit and a.window_group_limits == 0:
+        raise AssertionError(f"no WindowGroupLimit: {a}")
     return a

@@ -287,8 +287,9 @@ def compute_hoist(
             f"exceed the driver cap {cap} — registration pace must slow down"
         )
     chosen = mandatory + forced
+    chosen_set = set(chosen)
     fill = sorted(
-        (n for n in spec_names if n not in set(chosen)),
+        (n for n in spec_names if n not in chosen_set),
         key=lambda n: (max(greens.get(n, [0])), n),
     )
     return chosen + fill[: cap - len(chosen)]
@@ -304,9 +305,9 @@ def _main() -> None:
     for n in hoist:
         print(f'        "{n}",')
     latest = max((r for v in greens.values() for r in v), default=0)
+    in_hoist = set(hoist)
     stale = sorted(
-        ((max(greens.get(n, [0])), n) for n in names if n not in set(hoist)),
-        key=lambda t: t,
+        (max(greens.get(n, [0])), n) for n in names if n not in in_hoist
     )
     print(f"\n# tail staleness (last green, of r{latest}):")
     for rnd, n in stale[:20]:

@@ -181,19 +181,21 @@ def test_clustering_depth_report_and_duckdb_mirror(spark, duck, sf_dir):
     mirror_sql = """
 WITH per_file AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS f,
-           CAST(MIN(event_id) AS BIGINT) AS lo_event_id,
-           CAST(MAX(event_id) AS BIGINT) AS hi_event_id,
-           CAST(MIN(user_id) AS BIGINT) AS lo_user_id,
-           CAST(MAX(user_id) AS BIGINT) AS hi_user_id
+           CAST(MIN(event_id) AS DECIMAL(38,9)) AS lo_event_id,
+           CAST(MAX(event_id) AS DECIMAL(38,9)) AS hi_event_id,
+           CAST(MIN(user_id) AS DECIMAL(38,9)) AS lo_user_id,
+           CAST(MAX(user_id) AS DECIMAL(38,9)) AS hi_user_id
     FROM read_parquet('{d}/*.parquet', filename=true) GROUP BY 1
 ), intervals AS (
     SELECT f, 'event_id' AS col, lo_event_id AS lo, hi_event_id AS hi FROM per_file
     UNION ALL
     SELECT f, 'user_id', lo_user_id, hi_user_id FROM per_file
+), nn AS (
+    SELECT * FROM intervals WHERE lo IS NOT NULL
 ), ev AS (
-    SELECT f, col, lo AS v, 0 AS t, 1 AS d FROM intervals
+    SELECT f, col, lo AS v, 0 AS t, 1 AS d FROM nn
     UNION ALL
-    SELECT f, col, hi, 1, -1 FROM intervals
+    SELECT f, col, hi, 1, -1 FROM nn
 ), swept AS (
     SELECT f, col, t,
            SUM(d) OVER (PARTITION BY col ORDER BY v, t, f
