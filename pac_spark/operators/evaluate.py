@@ -41,15 +41,36 @@ __all__ = [
 _DEC38 = "decimal(38,0)"
 
 
+def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cents, pos) pairs for evaluation: NULL scores excluded, NULL
+    event_type counted as negative — the shared contract of both
+    metrics (see the callers' docstrings)."""
+    return (
+        catalog.load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pos"),
+        )
+    )
+
+
 def auc_value_predicts_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row frame: how well ``value`` ranks purchase events above
     all other events (n_pos, n_neg, distinct scores, AUC, Gini).
     Degenerate label sets (no positives or no negatives) yield NULL
-    AUC instead of an ANSI divide-by-zero."""
-    ev = catalog.load(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.col("event_type") == "purchase").cast("long").alias("pos"),
-    )
+    AUC instead of an ANSI divide-by-zero.
+
+    NULL semantics (stated in BOTH engines): rows with a NULL score
+    are excluded — an unscored event cannot be ranked, and the engines
+    disagree on NULL sort order (Spark window NULLS FIRST vs DuckDB
+    NULLS LAST), so any other treatment is engine-divergent. A NULL
+    ``event_type`` counts as a negative (it is not a purchase), the
+    oracle's ``CASE ... ELSE 0`` — a bare ``(col == lit)`` cast would
+    silently drop the row from BOTH classes instead."""
+    ev = _scored_events(spark, sf_dir)
     hist = ev.groupBy("cents").agg(
         F.sum("pos").alias("n_pos"),
         F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
@@ -88,6 +109,7 @@ WITH ev AS (
     SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
     FROM events
+    WHERE value IS NOT NULL
 ), hist AS (
     SELECT cents, SUM(pos) AS n_pos, SUM(1 - pos) AS n_neg
     FROM ev GROUP BY cents
@@ -128,25 +150,38 @@ def decile_lift_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lower bucket (the `stats._score` convention), so with heavy
     ties deciles are unequal by construction — the deterministic
     cross-engine semantics, unlike a global NTILE which would also
-    serialize the table through one window task."""
+    serialize the table through one window task.
+
+    NULL semantics: identical to :func:`auc_value_predicts_purchase`
+    (NULL scores excluded in both engines, NULL event_type = negative).
+
+    Scale shape: ONE ``groupBy(cents)`` histogram is the only pass
+    over raw rows; the boundary read-off rides it via the weighted
+    percentile route and the per-decile counts are weighted sums over
+    the SAME pinned histogram — the raw table is never scanned twice."""
+    from pac_spark.cache import pin
     from pac_spark.operators.stats import group_percentiles_disc
 
-    ev = catalog.load(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    ev = _scored_events(spark, sf_dir)
+    hist = pin(
+        ev.groupBy("cents").agg(F.count("*").alias("_c"), F.sum("pos").alias("_np"))
     )
     bounds = group_percentiles_disc(
-        ev.select(F.col("cents").alias("_v")), [], "_v", DECILE_PCTS
+        hist.select(F.col("cents").alias("_v"), "_c"),
+        [],
+        "_v",
+        DECILE_PCTS,
+        weight=F.col("_c"),
     ).select(*[f"p{p}" for p in DECILE_PCTS])
     decile = sum(
         (F.when(F.col("cents") > F.col(f"p{p}"), 1).otherwise(0) for p in DECILE_PCTS),
         F.lit(1),
     ).cast("int")
     per = (
-        ev.crossJoin(F.broadcast(bounds))
-        .select(decile.alias("value_decile"), "pos")
+        hist.crossJoin(F.broadcast(bounds))
+        .select(decile.alias("value_decile"), "_c", "_np")
         .groupBy("value_decile")
-        .agg(F.count("*").alias("n_events"), F.sum("pos").alias("n_purchases"))
+        .agg(F.sum("_c").alias("n_events"), F.sum("_np").alias("n_purchases"))
     )
     totals = per.agg(
         F.sum("n_events").alias("n_total"), F.sum("n_purchases").alias("n_pos_total")
@@ -185,6 +220,7 @@ WITH ev AS (
     SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
     FROM events
+    WHERE value IS NOT NULL
 ), hist AS (
     SELECT cents, COUNT(*) AS c FROM ev GROUP BY cents
 ), cumh AS (

@@ -193,10 +193,12 @@ def company_positions_role_resolved(spark: SparkSession, sf_dir: str) -> DataFra
     fact = project_roles(
         phys,
         {
-            # candidate lists mirror the reference's synonym sets
+            # candidate lists mirror the reference's synonym sets; no
+            # role claims ORDER_STATE — unmatched physical columns are
+            # simply not projected (status bucketizing is the
+            # flagship's job, not this spec's)
             "company_id": ["ticker", "company_ticker", "symbol"],
             "issue_name": ["issue_name", "issue", "name"],
-            "status": ["status", "order_state", "state"],
             "amount": ["amount", "value", "total"],
         },
     ).filter(
@@ -271,7 +273,14 @@ def export_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_companies"),
                 F.col("total_issues"),
                 avg.alias("avg_issues_per_company"),
-            )
+            ),
+            # Spark's default ignoreNullFields=true OMITS null struct
+            # fields while DuckDB's to_json renders "key":null — on an
+            # empty corpus (as_of and the guarded average both NULL)
+            # the two engines would emit different JSON. Explicit
+            # null rendering keeps the envelope schema-stable too: a
+            # consumer always sees all five keys.
+            {"ignoreNullFields": "false"},
         ).alias("export_info")
     )
 

@@ -25,8 +25,12 @@ semi/anti join chains — preserved exactly. Each docstring names the
 preserved shape.
 
 Scale posture: every plan here is one-to-three keyed shuffles plus
-broadcasts of genuinely bounded dims (nation/region always; part and
-supplier only where the plan has already reduced them). No cartesian
+broadcasts of genuinely BOUNDED frames only — nation/region (fixed-
+cardinality dims) and 1-row scalar aggregates. part and supplier GROW
+with scale factor (~20B parts / ~1B suppliers at the 100 TB point), so
+they carry NO broadcast hint, ever — at test scale the planner's size
+statistics broadcast them anyway, and at 100 TB the same plan falls
+back to a shuffled join instead of an OOM. No cartesian
 products, no driver-side loops, no UDFs: everything stays inside
 whole-stage codegen, and all money arithmetic uses the exact-cents
 pattern (pac_spark.functions.exact) so results are bit-identical at
@@ -57,8 +61,6 @@ __all__ = [
     "q20_heavy_promo_suppliers",
     "q21_last_to_ship",
 ]
-
-_DATE = "yyyy-MM-dd"
 
 
 def _part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +95,7 @@ def q2_top_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = W.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"))
     return (
         ps.join(part, ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(supp, ps.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .withColumn("rnk", F.rank().over(best))
         .filter(F.col("rnk") == 1)
@@ -112,7 +114,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     specific pair vacuous); the join graph — lineitem ⋈ orders ⋈
     customer ⋈ supplier ⋈ nation×2 — and the year-extraction group
     keys are Q7's exactly. nation is broadcast twice under distinct
-    aliases; the fact joins shuffle on their natural keys."""
+    aliases; the fact and supplier joins shuffle on their natural
+    keys (supplier scales — no hint)."""
     li = catalog.load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
@@ -130,7 +133,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -180,11 +183,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
     ).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -222,9 +225,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.lit(0.5) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -274,7 +277,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = catalog.load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
     value_cents = F.round(F.col("l_extendedprice") * F.lit(100)).cast("long")
     per_part = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(value_cents).alias("_cents"))
     )
@@ -313,8 +316,11 @@ def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(bucket.alias("delay_bucket"))
         .agg(
-            F.sum(high.cast("long")).alias("high_line_count"),
-            F.sum((~high).cast("long")).alias("low_line_count"),
+            # the oracle's CASE WHEN high THEN 1 ELSE 0: a NULL
+            # priority counts as LOW in both engines — a bare
+            # high.cast(long) would skip the row from BOTH sums
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
         .orderBy("delay_bucket")
     )
@@ -323,7 +329,7 @@ def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): percentage of March-1996 revenue
     from PROMO-type parts. Exact shape — conditional numerator over a
-    part join, one row out; part side broadcast."""
+    part join, one row out; part scales, so no broadcast hint."""
     li = catalog.load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -333,7 +339,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
     ).cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", volume_cents).otherwise(F.lit(0))
@@ -370,7 +376,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
@@ -398,7 +404,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _part_supplier(spark, sf_dir)
     return (
         ps.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             ps.l_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
@@ -415,7 +421,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The join predicate is an equi join on partkey with the disjunctive
     residual — Catalyst keeps the equi key (no cartesian) and the
-    branches prune to a part-side filter union; part is broadcast."""
+    branches prune to a part-side filter union; part scales, so the
+    join strategy is the planner's call."""
     li = catalog.load(spark, sf_dir, "lineitem")
     part = catalog.load(spark, sf_dir, "part")
     branch = (
@@ -437,7 +444,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(money_sum(revenue, scale=4).alias("revenue"))
     )
@@ -465,7 +472,7 @@ def q20_heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = catalog.load(spark, sf_dir, "nation")
     qty_cents = F.round(F.col("l_quantity") * F.lit(100)).cast("long")
     per_supp = (
-        li.join(F.broadcast(promo_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(promo_parts, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(qty_cents).alias("_qty_cents"))
     )
@@ -524,10 +531,15 @@ def q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("_n_last_supp") == 1)
     )
     return (
+        # reduce per suppkey first (fact-sized -> supplier-sized),
+        # then re-aggregate on s_name: the oracle GROUPs BY s_name,
+        # and nothing makes supplier names unique — grouping only by
+        # key would emit two rows where the oracle merges them
         waiting.groupBy("l_suppkey")
-        .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_name", "numwait")
+        .agg(F.count("*").alias("_w"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("_w").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -139,6 +139,20 @@ FORCE_HOIST: tuple[str, ...] = (
 
 # Queued tail work for r9 (the r8 cap is FULL — 26 mandatory + 24
 # forced; apply the fix THEN force-hoist the spec in r9):
+# - ALREADY APPLIED in late r8 (code-review over tpch/issues/evaluate/
+#   recommend/quality), value-identical on driver fixtures, so they
+#   ride the tail this round but r9 SHOULD force-hoist the q-family
+#   batch on its next churn: tpch.py dropped every broadcast hint on
+#   part/supplier-derived frames (q2/q7/q8/q9/q11/q14/q15/q16/q19/
+#   q20 — those tables SCALE; join strategy cannot change values);
+#   q12 counts NULL priority as LOW in both engines (was: skipped
+#   from both sums in Spark only); q21 re-aggregates on s_name like
+#   its oracle (names are not schema-unique; key-only grouping emits
+#   split rows on duplicate names) -> FORCE q12_ship_delay_priority +
+#   q21_last_to_ship in r9; export_envelope now renders NULL JSON
+#   fields (ignoreNullFields=false, divergent only on an empty
+#   corpus — parity pinned by
+#   test_properties.py::test_export_envelope_empty_corpus_matches_oracle).
 # - normalize_string whitespace parity: the reference's str.split()
 #   collapses UNICODE whitespace (NBSP etc.) while the engine's \\s+
 #   regex is ASCII-only — restate both engines with the explicit

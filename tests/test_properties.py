@@ -1308,3 +1308,32 @@ def test_banded_oracle_states_actual_candidate_rule(spark, tmp_path):
     assert clusters == {0: 0, 1: 1, 2: 0}, clusters
     assert_oracle_match(sd, con.sql(_SEMANTIC_DEDUP))
     con.close()
+
+
+def test_export_envelope_empty_corpus_matches_oracle(spark, sf_dir, tmp_path):
+    """Empty corpus: every derived envelope field (as_of, the guarded
+    average) is NULL — Spark's to_json must RENDER the nulls like
+    DuckDB's to_json does, not omit the keys (Spark's default
+    ignoreNullFields=true). The registry-wide empty sweep only proves
+    the Spark side runs; this pins the cross-engine JSON bytes for the
+    one spec whose output embeds its own serialization."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pac_spark.operators.issues import export_envelope
+    from pac_spark.plans.issues_plans import _ENVELOPE_ORACLE
+    from tests.conftest import assert_oracle_match
+
+    con = duckdb.connect()
+    for name in ("orders", "customer"):
+        path = tmp_path / f"{name}.parquet"
+        pq.write_table(
+            pq.read_table(f"{sf_dir}/{name}.parquet").slice(0, 0), path
+        )
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    got = export_envelope(spark, str(tmp_path))
+    info = got.collect()[0]["export_info"]
+    # all five keys present, nulls rendered
+    assert '"as_of":null' in info and '"avg_issues_per_company":null' in info
+    assert_oracle_match(got, con.sql(_ENVELOPE_ORACLE))
+    con.close()
