@@ -193,6 +193,10 @@ def knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   sf0.001 recall property test plants near-dup vectors and asserts
 #   this dial loses none of them (test_properties.py).
 EMB_PAIR_BITS = 2
+
+# the registered diffuse cosine threshold — named once so the operator
+# defaults and BOTH oracle call sites (llm_plans) cannot drift apart
+DIFFUSE_PAIR_THRESHOLD = 0.35
 EMB_PAIR_BANDS = 16
 EMB_PAIR_BITS_PROD = 4
 EMB_PAIR_BANDS_PROD = 16
@@ -277,7 +281,7 @@ def similar_pairs_banded(
 
 
 def embedding_similar_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession, sf_dir: str, threshold: float = DIFFUSE_PAIR_THRESHOLD
 ) -> DataFrame:
     """Within-label similar pairs (cosine >= threshold) over the
     ``embeddings`` table, at the diffuse-threshold banding dial."""
@@ -288,7 +292,7 @@ def embedding_similar_pairs(
 
 
 def semantic_dedup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession, sf_dir: str, threshold: float = DIFFUSE_PAIR_THRESHOLD
 ) -> DataFrame:
     """Embedding-cosine near-dup groups (SemDeDup-style): vectors whose
     cosine reaches the threshold land in one cluster; keeper = minimum

@@ -110,7 +110,7 @@ def stats_frame(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
         F.round(stop_ratio, 8).alias("stopword_ratio"),
         F.round(unique_ratio, 8).alias("unique_ratio"),
         F.round(quality, 8).alias("quality_score"),
-        (n_tokens < 20).alias("is_short"),
+        (n_tokens < SHORT_DOC_TOKENS).alias("is_short"),
         *extra,
     )
 
@@ -567,6 +567,10 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_SCALE = 10**8  # quality_score carries 8 rounded decimals
+
+# docs under this token count are flagged is_short (and gated out of
+# curation); oracles interpolate it rather than re-hardcoding 20
+SHORT_DOC_TOKENS = 20
 
 
 def corr_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,11 +1275,23 @@ def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact fixed-point units (quality · 10⁸ as BIGINT, the
     ``corr_quality_tokens_by_lang`` idiom — float quality is rounded
     to 8 decimals upstream, so the fixed-point image is exact and
-    engine-portable)."""
-    d = stats_frame(catalog.load(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "source",
-        F.round(F.col("quality_score") * QUALITY_SCALE).cast("long").alias("q_fp"),
+    engine-portable).
+
+    NULL semantics (stated in BOTH engines): docs with a NULL quality
+    score (NULL text) are excluded — an unscored doc has no rank, and
+    the engines disagree on where NULL sorts (Spark window NULLS
+    FIRST vs DuckDB NULLS LAST), so any other treatment shifts every
+    other doc's rank differently per engine."""
+    d = (
+        stats_frame(catalog.load(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("quality_score") * QUALITY_SCALE)
+            .cast("long")
+            .alias("q_fp"),
+        )
+        .filter(F.col("q_fp").isNotNull())
     )
     return _quantile_normalize(d)
 

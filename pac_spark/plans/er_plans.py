@@ -228,14 +228,21 @@ _ER_CONSOLIDATED = f"{_CONSOLIDATED_BODY}\nORDER BY cluster_id"
 # P7 approved-group gate: semi-join against the deterministic approvals
 # set (high groups + every other uncertain group)
 _ER_APPROVED = f"""
-SELECT * FROM ({_CONSOLIDATED_BODY})
+WITH body AS MATERIALIZED (
+    {_CONSOLIDATED_BODY}
+)
+SELECT * FROM body
 WHERE cluster_id IN (
-    SELECT cluster_id FROM ({_CONSOLIDATED_BODY})
+    SELECT cluster_id FROM body
     WHERE confidence = 'high'
        OR (confidence = 'uncertain' AND (cluster_id // 10) % 2 = 0)
 )
 ORDER BY cluster_id
 """
+# ^ MATERIALIZED: the body embeds the full ER pipeline including the
+# recursive CC walk — inlining it once per reference (the old
+# double-derived-table form) ran the most expensive oracle in the
+# registry twice per gate (chained-CTE explosion lesson, pagerank d{{i}})
 
 _ER_LINKS = f"""
 {_PRELUDE},

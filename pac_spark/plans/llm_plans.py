@@ -108,8 +108,16 @@ sigs AS (SELECT doc_id, {_MH_COLS} FROM shingle_rows GROUP BY doc_id)
 SELECT * FROM sigs ORDER BY doc_id
 """
 
+# rows-per-band DERIVED from the constants (er_plans._LSH_BANDS form)
+# — a hardcoded 2 would silently key bands wrong if N_HASHES changed
+_BAND_ROWS = D.N_HASHES // D.N_BANDS
 _BAND_SELECTS = "\n    UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_key FROM sigs"
+    "SELECT doc_id, {b} AS band_idx, md5({key}) AS band_key FROM sigs".format(
+        b=b,
+        key=" || '|' || ".join(
+            f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
+        ),
+    )
     for b in range(D.N_BANDS)
 )
 
@@ -366,7 +374,7 @@ scored AS (
 )"""
 
 
-def _similar_pairs_sql(threshold: float = 0.35) -> str:
+def _similar_pairs_sql(threshold: float = S.DIFFUSE_PAIR_THRESHOLD) -> str:
     return f"""
 WITH {_banded_pair_ctes(threshold)}
 SELECT label, vec_a, vec_b, score FROM scored ORDER BY label, vec_a, vec_b
@@ -617,7 +625,7 @@ FROM r WHERE rank <= {S.TOP_K} ORDER BY query_id, rank
 
 
 _SEMANTIC_DEDUP = f"""
-WITH RECURSIVE {_banded_pair_ctes(0.35)},
+WITH RECURSIVE {_banded_pair_ctes(S.DIFFUSE_PAIR_THRESHOLD)},
 und AS (SELECT vec_a AS a, vec_b AS b FROM scored
         UNION ALL SELECT vec_b, vec_a FROM scored),
 walk(node, lbl) AS (
@@ -672,7 +680,7 @@ SELECT doc_id, lang, source, n_chars, n_chars_computed, n_tokens,
        ROUND(n_stopwords / n_tokens, 8) AS stopword_ratio,
        ROUND(n_unique_tokens / n_tokens, 8) AS unique_ratio,
        {_quality_sql("n_tokens", "n_unique_tokens", "n_stopwords")} AS quality_score,
-       n_tokens < 20 AS is_short
+       n_tokens < {TX.SHORT_DOC_TOKENS} AS is_short
 FROM m ORDER BY doc_id
 """
 
@@ -747,7 +755,7 @@ m AS (
 s AS (
     SELECT doc_id, lang, n_tokens,
            {_quality_sql("n_tokens", "n_unique_tokens", "n_stopwords")} AS quality_score,
-           n_tokens < 20 AS is_short
+           n_tokens < {TX.SHORT_DOC_TOKENS} AS is_short
     FROM m
 )
 SELECT lang,
@@ -871,7 +879,7 @@ stats AS (
 SELECT s.doc_id, s.lang, s.source, s.n_tokens, s.quality_score
 FROM stats s
 JOIN keepers k ON s.doc_id = k.doc_id
-WHERE s.quality_score >= 0.6 AND NOT (s.n_tokens < 20)
+WHERE s.quality_score >= {CU.CURATION_MIN_QUALITY} AND NOT (s.n_tokens < {TX.SHORT_DOC_TOKENS})
   AND s.doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY s.doc_id
 """
@@ -1301,9 +1309,13 @@ SPECS = [
 QNORM_SQL = f"""
 WITH stats AS ({_TEXT_STATS.strip().rstrip()}),
 d AS (
+    -- NULL-quality docs excluded in BOTH engines: Spark windows sort
+    -- NULLS FIRST, DuckDB NULLS LAST, so a ranked NULL would shift
+    -- every other doc's rank differently per engine
     SELECT doc_id, source,
            CAST(ROUND(quality_score * {TX.QUALITY_SCALE}) AS BIGINT) AS q_fp
     FROM stats
+    WHERE quality_score IS NOT NULL
 ),
 g AS (
     SELECT doc_id, source, q_fp,

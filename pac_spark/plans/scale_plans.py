@@ -46,7 +46,7 @@ ORDER BY event_type
 """
 
 # promoted from plans/queued.py in the r5 rotation (VERDICT r4 next-#1)
-_SKEW = """
+_SKEW = f"""
 WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
 t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
 SELECT user_id,
@@ -55,7 +55,7 @@ SELECT user_id,
        CAST((n_rows * 100) // (total // n_keys) AS BIGINT) AS uniform_ratio_pct
 FROM c, t
 ORDER BY n_rows DESC, user_id
-LIMIT 10
+LIMIT {SC.SKEW_TOP_N}
 """
 
 # same proof shape as _COMPACTION_ROUNDTRIP, but selective on the 2-D

@@ -4,16 +4,12 @@ true-streaming forms share oracles where the result is deterministic)."""
 from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
-from pac_spark.plans.spec import QuerySpec
 from pac_spark.operators.relational import DAILY_USERS_SQL
+from pac_spark.operators.sketch import CMS_HH_SQL
 from pac_spark.operators.temporal import OHLC_SQL
+from pac_spark.plans.llm_plans import _INCREMENTAL
+from pac_spark.plans.spec import QuerySpec
 from pac_spark.streaming import stateful, stream_exec, windows
-
-
-def _cms_hh_sql() -> str:
-    from pac_spark.operators.sketch import CMS_HH_SQL
-
-    return CMS_HH_SQL()
 
 __all__ = ["SPECS"]
 
@@ -81,7 +77,10 @@ ORDER BY user_id, session_id
 """
 
 # session_window semantics: end = last event + gap; merge while the next
-# event starts strictly before current end (gap-equal boundary merges)
+# event starts strictly before current end — so a gap-equal event
+# (exactly 600s) SPLITS, the half-open-window rule the `>=` below
+# encodes (windows.py docstring litigates this boundary; the batch
+# sessionizer's `>` rule is the deliberately-different twin)
 _SESSION_STREAM = f"""
 WITH e AS (
     SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -145,15 +144,6 @@ GROUP BY 1, 2
 ORDER BY window_start, segment
 """
 
-def _streaming_admission_sql() -> str:
-    """The streaming admission shares the batch incremental-dedup
-    oracle — Structured Streaming's exactly-once drain makes the
-    results identical."""
-    from pac_spark.plans.llm_plans import _INCREMENTAL
-
-    return _INCREMENTAL
-
-
 SPECS = [
     QuerySpec("events_tumbling_1h", windows.tumbling_1h_by_type, _TUMBLING),
     QuerySpec("events_sliding_1h_30m", windows.sliding_1h_30m_by_type, _SLIDING),
@@ -180,7 +170,10 @@ SPECS = [
     QuerySpec(
         "streaming_neardup_admission",
         stream_exec.streaming_neardup_admission,
-        _streaming_admission_sql(),
+        # the streaming admission shares the batch incremental-dedup
+        # oracle — Structured Streaming's exactly-once drain makes the
+        # results identical
+        _INCREMENTAL,
     ),
     # promoted from plans/queued.py in the r5 rotation (VERDICT r4 next-#1)
     QuerySpec(
@@ -194,7 +187,7 @@ SPECS = [
     QuerySpec(
         "streaming_cms_heavy_hitters",
         stream_exec.streaming_cms_heavy_hitters,
-        _cms_hh_sql(),
+        CMS_HH_SQL(),
     ),
     # registered in the r7 rotation after a round staged behind the
     # identical local 3-SF oracle gates (tests/test_staged_specs.py)

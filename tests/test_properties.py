@@ -1337,3 +1337,47 @@ def test_export_envelope_empty_corpus_matches_oracle(spark, sf_dir, tmp_path):
     assert '"as_of":null' in info and '"avg_issues_per_company":null' in info
     assert_oracle_match(got, con.sql(_ENVELOPE_ORACLE))
     con.close()
+
+
+def test_quantile_normalize_excludes_null_quality_in_both_engines(
+    spark, tmp_path
+):
+    """A NULL-text doc has NULL quality — Spark windows would rank it
+    FIRST, DuckDB LAST, shifting every other doc's rank differently
+    per engine. The stated contract excludes it from normalization on
+    BOTH sides; this pins the crafted divergence case the real
+    fixtures never exercise (they carry no NULL text)."""
+    import duckdb
+    import pandas as pd
+
+    from pac_spark.operators.text import quantile_normalized_quality
+    from pac_spark.plans.llm_plans import QNORM_SQL
+    from tests.conftest import assert_oracle_match
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta " * 4,
+        "one two three four five six seven eight nine ten " * 3,
+        None,  # the doc whose rank position the engines disagree on
+        "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5,
+        "red green blue yellow purple orange cyan magenta " * 2,
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["a", "a", "a", "b", "b"],
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    got = quantile_normalized_quality(spark, str(tmp_path))
+    ids = {r["doc_id"] for r in got.collect()}
+    assert 2 not in ids and len(ids) == 4, ids
+    assert_oracle_match(got, con.sql(QNORM_SQL))
+    con.close()
