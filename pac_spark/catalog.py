@@ -68,7 +68,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
@@ -122,7 +122,20 @@ def resolve_table(
     ``normalize_events_ts`` was centralized to close (code-review r8).
     """
     for name in candidates:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        # existence probe via the Hadoop FS API, not os.path — the
+        # module contract says sf_dir may be any URI Spark can scan
+        # (s3://, hdfs://); a local-only probe would refuse tables
+        # load() itself reads fine
+        if _exists(spark, table_path(sf_dir, name)):
             return name, load(spark, sf_dir, name)
     raise FileNotFoundError(f"none of {candidates} exist under {sf_dir}")
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on whatever filesystem owns it,
+    resolved through Spark's Hadoop configuration (local paths, s3a,
+    hdfs alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))

@@ -400,10 +400,16 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_without_orders"))
     )
+    # null-safe recombine: the oracle computes both counts in ONE
+    # grouped pass, so a NULL segment is a single row there — a plain
+    # full-outer USING join can never match NULL==NULL and would emit
+    # the NULL segment twice (once per side)
+    w = with_orders.withColumnRenamed("c_mktsegment", "_seg_w")
+    a = without_orders.withColumnRenamed("c_mktsegment", "_seg_a")
     return (
-        with_orders.join(without_orders, "c_mktsegment", "full_outer")
+        w.join(a, w["_seg_w"].eqNullSafe(a["_seg_a"]), "full_outer")
         .select(
-            "c_mktsegment",
+            F.coalesce("_seg_w", "_seg_a").alias("c_mktsegment"),
             F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
             F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
         )

@@ -305,9 +305,16 @@ def mad_outliers_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pac_spark.cache import pin
 
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        # NULL prices excluded in BOTH engines — a NULL cents group
+        # would ride the cumulative read-off NULLS FIRST here but
+        # NULLS LAST in DuckDB, moving the two medians oppositely
+        .filter(F.col("cents").isNotNull())
     )
     hist = pin(
         li.groupBy("l_returnflag", "cents").agg(F.count("*").alias("c"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
+from pac_spark.streaming.windows import SESSION_GAP_MIN as _SESSION_GAP_MIN
 
 __all__ = [
     "user_daily_features",
@@ -178,7 +179,10 @@ def _bands_values_sql() -> str:
     return f"(VALUES {rows}) AS bands(band, lo, hi)"
 
 
-SESSION_GAP_MIN = 10
+# re-export of the one session-gap source of truth (windows.py) —
+# oracles interpolate the minutes form, the sessionizer uses the us
+# form; deriving one from the other keeps them un-driftable
+SESSION_GAP_MIN = _SESSION_GAP_MIN
 # Attribution pad: each session interval is widened to
 # [start - pad, end + pad] before the overlap test. Besides being the
 # realistic ad-attribution semantics (a click "belongs" to a view that

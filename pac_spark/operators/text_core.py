@@ -28,7 +28,12 @@ def tokens(text: Column) -> Column:
 
 def shingles_of_tokens(toks_col: str, n: int = 3) -> Column:
     """Overlapping n-word shingles over an already-materialized token
-    array column; empty array when the document has fewer than n tokens.
+    array column; empty array when the document has fewer than n
+    tokens — INCLUDING a NULL token array (NULL text): without the
+    explicit isNull arm, ``size(NULL) < n`` is NULL, the when() falls
+    through, and the transform yields a NULL array — a row the SQL
+    mirror never materializes, so size()/is-empty consumers would
+    diverge from the oracle on NULL-text docs.
 
     ``toks_col`` MUST be a bound column (``.select(tokens(...).alias(
     "toks"))`` first): inlining ``split(text, ' ')`` here would
@@ -36,7 +41,8 @@ def shingles_of_tokens(toks_col: str, n: int = 3) -> Column:
     lambda — O(tokens²) per row instead of O(tokens)."""
     parts = ", ".join(f"{toks_col}[i + {k}]" for k in range(n))
     return F.when(
-        F.size(F.col(toks_col)) < n, F.array().cast("array<string>")
+        F.col(toks_col).isNull() | (F.size(F.col(toks_col)) < n),
+        F.array().cast("array<string>"),
     ).otherwise(
         F.expr(
             f"transform(sequence(0, size({toks_col}) - {n}), i -> concat_ws(' ', {parts}))"

@@ -305,12 +305,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 ORDER BY event_id
 """
 
-# Ordered by driver-verification priority (see registry.all_specs):
-# this module sits last in the registry, so only its head fits inside
-# the driver's 50-spec CORRECTNESS cap. Queries changed this round
-# (q22 recency cutoff, approx_distinct hybrid oracle) come first; the
-# tail holds only queries that are unchanged and were driver-green in
-# both previous rounds (still locally oracle-checked every pytest run).
+# NOTE (updated r8): module-internal SPECS order NO LONGER affects
+# driver-cap membership — since the r7 rotation, registry.all_specs()
+# reorders its head from the generated hoist (plans/rotation.py), so
+# to put a changed query inside the 50-spec CORRECTNESS cap you add
+# it to rotation.FORCE_HOIST, never by moving it up in this list.
+# Everything here is locally oracle-checked every pytest run either way.
 _WINDOW_DIST = f"""
 WITH w AS (
     SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -153,6 +153,17 @@ FORCE_HOIST: tuple[str, ...] = (
 #   fields (ignoreNullFields=false, divergent only on an empty
 #   corpus — parity pinned by
 #   test_properties.py::test_export_envelope_empty_corpus_matches_oracle).
+# - ALSO APPLIED late r8 (stats/relational/temporal-plans + substrate
+#   review), value-identical on fixtures, same non-force rationale:
+#   percentiles/MAD NULL-price exclusion stated in BOTH engines
+#   (fixture prices are non-null); semi_anti_customers null-safe
+#   full-outer recombine (fixture segments non-null); session-gap
+#   constant unified (windows.SESSION_GAP_MIN is the source,
+#   temporal re-exports); shingles_of_tokens NULL-toks -> empty
+#   array (fixture text non-null); catalog paths through
+#   table_path + Hadoop-FS existence probe; defensive
+#   SPARK_GRAFT_CPUS parse -> r9 may force mad_outliers_by_flag +
+#   semi_anti_customers on their next natural staleness turn.
 # - normalize_string whitespace parity: the reference's str.split()
 #   collapses UNICODE whitespace (NBSP etc.) while the engine's \\s+
 #   regex is ASCII-only — restate both engines with the explicit

@@ -19,8 +19,12 @@ _PCT_COLS = ",\n       ".join(
 
 _PERCENTILES = f"""
 WITH h AS (
+    -- NULL measurements excluded in BOTH engines (the
+    -- group_percentiles_disc contract): a counted-but-unselectable
+    -- NULL would shift every threshold, and the engines disagree on
+    -- NULL sort order
     SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS c
-    FROM lineitem GROUP BY 1, 2
+    FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
     SELECT l_returnflag, v,
@@ -88,9 +92,11 @@ ORDER BY custkey
 
 _MAD = f"""
 WITH hist AS (
+    -- NULL prices excluded in BOTH engines (same contract as the
+    -- percentile oracle above; the Spark side filters identically)
     SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
            COUNT(*) AS c
-    FROM lineitem GROUP BY 1, 2
+    FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ),
 hc AS (
     SELECT l_returnflag, cents,

@@ -21,7 +21,18 @@ from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "tune_runtime", "DEFAULT_SHUFFLE_PARTITIONS"]
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus() -> int:
+    """SPARK_GRAFT_CPUS, parsed defensively: a non-numeric or empty
+    value falls back to 32 instead of making the whole package (and
+    the plans registry behind it) unimportable."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return 32
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _cpus()
 
 
 def tune_runtime(spark: SparkSession) -> SparkSession:
@@ -72,10 +83,9 @@ def get_spark(
     initial number, so plans written here survive a 100x scale-up
     without retuning.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or f"local[{_cpus()}]")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

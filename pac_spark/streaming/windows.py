@@ -33,6 +33,7 @@ __all__ = [
     "sliding_1h_30m_by_type",
     "session_windows_10m",
     "with_session_ids",
+    "SESSION_GAP_MIN",
     "SESSION_GAP_US",
     "windowed_agg",
     "TS_FMT",
@@ -40,7 +41,11 @@ __all__ = [
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
-SESSION_GAP_US = 10 * 60 * 1_000_000
+# THE session-gap knob — temporal.SESSION_GAP_MIN re-exports this so
+# the batch sessionizer, the interval-overlap attribution join, and
+# every oracle interpolating the minutes form stay on one constant
+SESSION_GAP_MIN = 10
+SESSION_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
 
 def with_session_ids(events: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
