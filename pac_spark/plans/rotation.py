@@ -173,6 +173,13 @@ FORCE_HOIST: tuple[str, ...] = (
 # - weighted_similarity: fold the reference's blank-as-absent field
 #   rule into the helper itself (callers currently guard at call
 #   sites; docstring states the contract — code-review r8).
+# - PERF (pre-existing, spotted in the r8 full drives):
+#   er_candidate_pairs_lsh trips janino's 64 KB method limit in a
+#   hash-aggregate output ("Code grows beyond 64 KB" -> that stage
+#   runs INTERPRETED, correct but slow at scale). Likely the fuzzy
+#   scoring CASE chain x field count in one codegen span. r9: split
+#   the scoring expression with an intermediate projection (or
+#   pin a pre-scored frame) and force-hoist the spec.
 # - substrate hardenings that rode the local gates in r8 (values and
 #   plans unchanged for their registered consumers — salted_join str
 #   wrap, bloom key-type recording with identity cast, prefix-scan
