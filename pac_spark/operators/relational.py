@@ -282,8 +282,15 @@ def window_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       the arithmetic IS the window semantics.
     """
     k = WINDOW_DIST_TOP
-    orders = catalog.load(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_totalprice"
+    orders = (
+        catalog.load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        # stated in the oracle too: NULL-priority rows have no class,
+        # NULL prices no rank (engines disagree on NULL sort order)
+        .filter(
+            F.col("o_orderpriority").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
     )
     local_w = W.partitionBy("o_orderpriority", "_pid").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")

@@ -676,8 +676,15 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the M Lloyd loops (staged for the r6 rotation; local gate
     in ``tests/test_oracle_parity_staged.py``).
     """
-    emb = catalog.load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v"), "label"
+    # unembedded vectors (NULL embedding) are EXCLUDED by contract,
+    # stated in both engines: a NULL vector cannot be PQ-encoded — its
+    # argmin code would poison the ADC distance-table lookup with a
+    # NULL/zero index (the other similarity tiers drop NULLs naturally
+    # through their NULL-propagating cosine filters)
+    emb = (
+        catalog.load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _dvec("embedding").alias("v"), "label")
     )
     sample = pin(_fit_sample(emb))
     books = []

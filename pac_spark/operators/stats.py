@@ -654,9 +654,16 @@ def winsorized_price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
     cents; the only doubles are the final unit conversions, written
     identically in the oracle.
     """
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        )
+        # NULL prices excluded in BOTH engines: the NULL cents group
+        # would shift the cumulative clip-bound read-off NULLS FIRST
+        # here vs NULLS LAST in the oracle (group_percentiles contract)
+        .filter(F.col("v").isNotNull())
     )
     from pac_spark.cache import pin
 
@@ -717,7 +724,7 @@ def WINSOR_SQL() -> str:
 WITH li AS (
     SELECT l_returnflag,
            CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
-    FROM lineitem
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 hist AS (
     SELECT l_returnflag, v, CAST(COUNT(*) AS BIGINT) AS c
@@ -1007,7 +1014,13 @@ def ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = (
         catalog.load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag").isin("A", "R"))
+        # NULL prices excluded in BOTH engines: an unpriced row has no
+        # ECDF position, and the NULL cents group would ride the
+        # running sums NULLS FIRST here vs NULLS LAST in the oracle
+        .filter(
+            F.col("l_returnflag").isin("A", "R")
+            & F.col("l_extendedprice").isNotNull()
+        )
         .select(
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
             F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias("is_a"),
@@ -1062,7 +1075,8 @@ KS_SQL = """
 WITH li AS (
     SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
            CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
-    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_extendedprice IS NOT NULL
 ), hist AS (
     SELECT cents, SUM(is_a) AS a, SUM(1 - is_a) AS r
     FROM li GROUP BY cents

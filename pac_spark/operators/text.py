@@ -265,8 +265,14 @@ def lang_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pac_spark.cache import pin
 
-    stats = stats_frame(catalog.load(spark, sf_dir, "documents")).select(
-        "lang", "quality_score"
+    # contract (stated in the oracle too): quartiles AND n_docs cover
+    # SCORED docs of a KNOWN language — NULL lang cannot attribute,
+    # NULL quality (NULL text) cannot rank, and the engines disagree
+    # on where NULL sorts
+    stats = (
+        stats_frame(catalog.load(spark, sf_dir, "documents"))
+        .select("lang", "quality_score")
+        .filter(F.col("lang").isNotNull() & F.col("quality_score").isNotNull())
     )
     # (1) doc pass: counts per exact score value — pinned, because two
     # branches consume it (coarse histogram + bin-local selection) and

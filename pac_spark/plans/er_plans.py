@@ -188,10 +188,14 @@ best AS (
 members AS (
     SELECT cluster_id,
            CAST(COUNT(*) AS BIGINT) AS grouped_from,
-           array_to_string(list_sort(LIST(DISTINCT {_norm('company')})
-               FILTER (WHERE {_norm('company')} IS NOT NULL)), '|') AS companies,
-           array_to_string(list_sort(LIST(DISTINCT {_norm('title')})
-               FILTER (WHERE title IS NOT NULL AND trim(title) <> '')), '|') AS titles
+           -- COALESCE: Spark's collect_set over zero qualifying rows is
+           -- an EMPTY ARRAY (-> '' after array_join) while DuckDB's
+           -- filtered LIST is NULL — all-NULL title/company clusters
+           -- must render '' in both engines
+           COALESCE(array_to_string(list_sort(LIST(DISTINCT {_norm('company')})
+               FILTER (WHERE {_norm('company')} IS NOT NULL)), '|'), '') AS companies,
+           COALESCE(array_to_string(list_sort(LIST(DISTINCT {_norm('title')})
+               FILTER (WHERE title IS NOT NULL AND trim(title) <> '')), '|'), '') AS titles
     FROM clustered GROUP BY cluster_id
 ),
 -- separate aggregate: DuckDB 1.0.0 segfaults when LIST(DISTINCT..FILTER)

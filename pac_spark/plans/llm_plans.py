@@ -501,7 +501,11 @@ def _pq_topk_sql() -> str:
     )
     parts = [
         f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           -- unembedded vectors excluded by contract (PQ
+           -- encoding cannot code a NULL vector; Spark side
+           -- filters identically)
+           FROM embeddings WHERE embedding IS NOT NULL),
 p AS (SELECT LEAST(1000, GREATEST(1,
           CAST(({S.IVF_FIT_TARGET} * 1000 + COUNT(*) - 1) // COUNT(*) AS INT)
       )) AS permille FROM e),
@@ -774,7 +778,12 @@ def _np_quantile_sql(p: float) -> str:
 
 
 _QUANTILES = f"""
-WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+-- NULL-lang docs excluded in BOTH engines (a doc with no language
+-- cannot contribute to per-language quartiles; the Spark plan's
+-- per-lang boundary joins drop the NULL key anyway) and NULL-text
+-- docs likewise (no quality score to rank)
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents
+           WHERE lang IS NOT NULL AND text IS NOT NULL),
 s AS (
     SELECT lang,
            {_QUALITY_TOKS}
@@ -937,7 +946,11 @@ def _token_budget_sql() -> str:
     from pac_spark.operators import curation as C
 
     return f"""
-WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents),
+-- NULL-lang docs excluded in BOTH engines: a doc with no language
+-- joins no language budget (the Spark plan's per-lang budget join
+-- drops the NULL key anyway)
+WITH d AS (SELECT *, string_split(text, ' ') AS toks FROM documents
+           WHERE lang IS NOT NULL),
 m AS (
     SELECT doc_id, lang,
            CAST(len(toks) AS INT) AS n_tokens,

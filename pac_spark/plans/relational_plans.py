@@ -321,7 +321,12 @@ WITH w AS (
            NTH_VALUE(o_orderkey, 3) OVER win AS third_key_so_far,
            FIRST_VALUE(o_orderkey) OVER near AS prev_or_self_key,
            LAST_VALUE(o_orderkey) OVER near AS next_or_self_key
+    -- NULL-priority rows excluded in BOTH engines: an unclassified
+    -- order belongs to no priority class (the Spark two-phase top-k's
+    -- group-size join drops the NULL key anyway), and a NULL price
+    -- cannot rank (engines disagree on where NULL sorts under DESC)
     FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
     WINDOW win AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey ASC),
            near AS (PARTITION BY o_orderpriority

@@ -164,6 +164,19 @@ FORCE_HOIST: tuple[str, ...] = (
 #   table_path + Hadoop-FS existence probe; defensive
 #   SPARK_GRAFT_CPUS parse -> r9 may force mad_outliers_by_flag +
 #   semi_anti_customers on their next natural staleness turn.
+# - NULL-LACED SWEEP catch list (late r8, null_sweep.py + pinned in
+#   tests/test_null_lace.py): Spark-side NULL-contract fixes landed
+#   for pq_topk (NULL-embedding filter), ks_test + winsorized
+#   (NULL-price exclusion), lang_quality_quantiles (NULL-lang/-quality
+#   exclusion), window_distribution_stats (NULL-priority/-price
+#   exclusion); oracle-only restatements for token_budget_mix,
+#   er_consolidated/er_approved (COALESCE empty variation sets),
+#   and the PQ/quantiles/window-dist oracles. All value-identical on
+#   driver fixtures (which carry no NULLs). In-cap specs (ks_test,
+#   winsorized, token_budget_mix, er_consolidated) get driver
+#   re-proof THIS round; r9 must FORCE the touched tail specs:
+#   pq_topk, lang_quality_quantiles, window_distribution_stats,
+#   er_approved.
 # - normalize_string whitespace parity: the reference's str.split()
 #   collapses UNICODE whitespace (NBSP etc.) while the engine's \\s+
 #   regex is ASCII-only — restate both engines with the explicit

@@ -1,0 +1,101 @@
+"""NULL-laced regression pins: the specs the r8 NULL-laced sweep
+(.claude/skills/verify/null_sweep.py) caught diverging between engines
+when nullable non-key columns actually carry NULLs.
+
+The full sweep runs every registered batch spec over laced copies of
+all ten tables (~15 min — an audit tool, not CI); this test pins just
+the specs it caught, over the same lacing, so their now-stated NULL
+contracts cannot silently regress. The bug class: Spark windows sort
+NULLS FIRST while DuckDB sorts NULLS LAST (cumulative read-offs shift
+oppositely), Spark's collect_set of zero rows is an empty array while
+DuckDB's filtered LIST is NULL, and non-null-safe joins drop NULL
+groups one engine keeps.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# the r8 sweep's catch list — each diverged (or errored) before its
+# NULL contract was stated in both engines
+CAUGHT = (
+    "pq_topk",  # ERROR: NULL embedding poisoned the ADC code lookup
+    "ks_test_price_by_flag",  # NULL cents group shifted the ECDF sup
+    "winsorized_price_stats_by_flag",  # clip-bound read-off shifted
+    "lang_quality_quantiles",  # NULL-lang group kept by oracle only
+    "window_distribution_stats",  # NULL-priority class kept by oracle
+    "token_budget_mix",  # NULL-lang docs budgeted by oracle only
+    "er_consolidated",  # all-NULL title cluster: '' vs NULL
+    "er_approved",
+)
+
+# one laced row per column with exactly that column NULL, plus one row
+# with every laceable column NULL (same construction as the sweep)
+LACE = {
+    "documents": ("doc_id", ["text", "lang", "source"]),
+    "events": ("event_id", ["event_type", "value"]),
+    "embeddings": ("vec_id", ["label", "embedding"]),
+    "orders": ("o_orderkey", ["o_orderpriority", "o_orderstatus", "o_totalprice"]),
+    "lineitem": (None, ["l_returnflag", "l_extendedprice", "l_discount", "l_quantity"]),
+    "customer": ("c_custkey", ["c_mktsegment", "c_name", "c_acctbal"]),
+    "part": ("p_partkey", ["p_type", "p_brand", "p_name", "p_retailprice", "p_size"]),
+    "supplier": ("s_suppkey", ["s_name", "s_acctbal"]),
+    "nation": (None, []),
+    "region": (None, []),
+}
+
+
+@pytest.fixture(scope="module")
+def laced_dir(sf_dir, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("nulllace")
+    for name, (key, cols) in LACE.items():
+        t = pq.read_table(f"{sf_dir}/{name}.parquet")
+        if cols:
+            rows = t.to_pylist()
+            base = rows[: min(len(rows), len(cols) + 1)]
+            maxkey = max(r[key] for r in rows) if key else None
+            extra = []
+            for i, c in enumerate(cols):
+                r = dict(base[i % len(base)])
+                r[c] = None
+                if key:
+                    maxkey += 1
+                    r[key] = maxkey
+                extra.append(r)
+            r = dict(base[0])
+            for c in cols:
+                r[c] = None
+            if key:
+                maxkey += 1
+                r[key] = maxkey
+            extra.append(r)
+            t = pa.concat_tables([t, pa.Table.from_pylist(extra, schema=t.schema)])
+        pq.write_table(t, dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def laced_duck(laced_dir):
+    import glob
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for path in glob.glob(os.path.join(laced_dir, "*.parquet")):
+        name = os.path.basename(path)[: -len(".parquet")]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", CAUGHT)
+def test_null_laced_spec_matches_oracle(spark, laced_dir, laced_duck, name):
+    from pac_spark.plans.registry import all_specs
+    from tests.conftest import assert_oracle_match
+
+    spec = {s.name: s for s in all_specs()}[name]
+    assert_oracle_match(spec.fn(spark, laced_dir), laced_duck.sql(spec.oracle))
