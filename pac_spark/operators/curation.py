@@ -643,7 +643,14 @@ def epoch_interleave_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.cache import pin
     from pac_spark.functions.prefix import global_running_sums
 
-    docs = catalog.load(spark, sf_dir, "documents").select("doc_id", "source")
+    # NULL-source docs excluded in BOTH engines: a doc with no source
+    # has no round-robin lane, and the engines disagree on where a
+    # NULL source sorts in the (within_pos, source) interleave order
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("source").isNotNull())
+    )
     k = F.md5(
         F.encode(F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string")), "UTF-8")
     )
@@ -684,7 +691,7 @@ EPOCH_INTERLEAVE_SQL = f"""
 WITH d AS (
     SELECT doc_id, source,
            md5('{EPOCH_SALT}' || CAST(doc_id AS VARCHAR)) AS k
-    FROM documents
+    FROM documents WHERE source IS NOT NULL
 ),
 rr AS (
     SELECT doc_id, source,

@@ -504,12 +504,20 @@ def table_fingerprint_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.functions.hashing import md5_u60
 
     cust = catalog.load(spark, sf_dir, "customer")
+    # EVERY nullable field carries the explicit sentinel: concat_ws
+    # silently SKIPS a NULL element (ambiguous serialization, row
+    # still hashed) while the oracle's || nulls the whole string (row
+    # silently UNHASHED) — only a per-field COALESCE renders the same
+    # bytes in both engines
     ser = F.concat_ws(
         "|",
         F.col("c_custkey").cast("string"),
         F.coalesce(F.col("c_name"), F.lit("<null>")),
         F.col("c_nationkey").cast("string"),
-        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        F.coalesce(
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+            F.lit("<null>"),
+        ),
         F.coalesce(F.col("c_mktsegment"), F.lit("<null>")),
     )
     return (
@@ -539,7 +547,8 @@ def FINGERPRINT_SQL() -> str:
     ser = (
         "CAST(c_custkey AS VARCHAR) || '|' || COALESCE(c_name, '<null>')"
         " || '|' || CAST(c_nationkey AS VARCHAR)"
-        " || '|' || CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR)"
+        " || '|' || COALESCE("
+        "CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR), '<null>')"
         " || '|' || COALESCE(c_mktsegment, '<null>')"
     )
     return f"""

@@ -1273,9 +1273,15 @@ def percentiles_cont_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFram
     """Registry entry: interpolated p25/p50/p75 of lineitem price
     cents per return flag — the continuous twin of the registered
     discrete spec, same one-scan histogram shape."""
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        # NULL prices excluded in BOTH engines (the percentile-helper
+        # contract; opposite NULL sort orders shift the interpolation)
+        .filter(F.col("cents").isNotNull())
     )
     out = group_percentiles_cont(li, ["l_returnflag"], "cents")
     return out.select(
@@ -1302,7 +1308,7 @@ PCT_CONT_SQL = f"""
 WITH h AS (
     SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
            COUNT(*) AS c
-    FROM lineitem GROUP BY 1, 2
+    FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
     SELECT l_returnflag, v,
@@ -1946,10 +1952,18 @@ def weighted_percentiles_price_by_flag(spark: SparkSession, sf_dir: str) -> Data
     histogram but 97 votes here). Same single rendering of the
     ``cum·100 ≥ p·n`` read-off (:func:`group_percentiles_disc`), with
     the histogram accumulating integer quantities."""
-    li = catalog.load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.col("l_quantity").cast("long").alias("_w"),
+    li = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.col("l_quantity").cast("long").alias("_w"),
+        )
+        # a vote needs BOTH a price (position) and a quantity (mass);
+        # stated identically in the oracle
+        .filter(
+            F.col("l_extendedprice").isNotNull() & F.col("_w").isNotNull()
+        )
     )
     return group_percentiles_disc(
         li, ["l_returnflag"], "l_extendedprice", weight=F.col("_w")
@@ -1966,7 +1980,9 @@ def WEIGHTED_PCT_SQL(pcts: tuple[int, ...] = PCTS) -> str:
 WITH hist AS (
     SELECT l_returnflag, l_extendedprice,
            SUM(CAST(l_quantity AS BIGINT)) AS c
-    FROM lineitem GROUP BY 1, 2
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    GROUP BY 1, 2
 ),
 cum AS (
     SELECT l_returnflag, l_extendedprice, c,

@@ -1297,7 +1297,10 @@ def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("q_fp"),
         )
-        .filter(F.col("q_fp").isNotNull())
+        # NULL quality cannot rank; NULL source has no within-source
+        # rank lane (the offsets join drops the NULL key anyway) —
+        # both exclusions stated in the oracle
+        .filter(F.col("q_fp").isNotNull() & F.col("source").isNotNull())
     )
     return _quantile_normalize(d)
 
@@ -1405,6 +1408,13 @@ def spearman_quality_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFra
         "lang",
         F.round(F.col("quality_score") * QUALITY_SCALE).cast("long").alias("xv"),
         F.col("n_tokens").cast("long").alias("yv"),
+    ).filter(
+        # stated in the oracle too: a rank pair needs a language AND
+        # both measurements — NULL-text docs have no quality, and the
+        # engines disagree on where NULLs rank
+        F.col("lang").isNotNull()
+        & F.col("xv").isNotNull()
+        & F.col("yv").isNotNull()
     )
     joint = pin(
         base.groupBy("lang", "xv", "yv").agg(F.count(F.lit(1)).alias("c"))
@@ -1471,6 +1481,8 @@ xy AS (
            CAST(ROUND(quality_score * {QUALITY_SCALE}) AS BIGINT) AS xv,
            CAST(n_tokens AS BIGINT) AS yv
     FROM stats
+    WHERE lang IS NOT NULL AND quality_score IS NOT NULL
+      AND n_tokens IS NOT NULL
 ),
 ranked AS (
     SELECT lang,

@@ -1328,7 +1328,7 @@ d AS (
     SELECT doc_id, source,
            CAST(ROUND(quality_score * {TX.QUALITY_SCALE}) AS BIGINT) AS q_fp
     FROM stats
-    WHERE quality_score IS NOT NULL
+    WHERE quality_score IS NOT NULL AND source IS NOT NULL
 ),
 g AS (
     SELECT doc_id, source, q_fp,

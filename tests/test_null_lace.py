@@ -99,3 +99,38 @@ def test_null_laced_spec_matches_oracle(spark, laced_dir, laced_duck, name):
 
     spec = {s.name: s for s in all_specs()}[name]
     assert_oracle_match(spec.fn(spark, laced_dir), laced_duck.sql(spec.oracle))
+
+
+# the STAGED specs the same lacing caught when the staged gate suite
+# ran with PAC_TEST_SF_DIR pointed at a laced directory (they are not
+# in the registry yet, so the registry-driven pin above cannot cover
+# them): (spark_fn, oracle_sql_thunk) pairs, compared identically
+def _staged_caught():
+    from pac_spark.operators import curation as CU
+    from pac_spark.operators import profile as PR
+    from pac_spark.operators import stats as ST
+    from pac_spark.operators import text as TX
+    from pac_spark.plans import llm_plans as L
+
+    def spearman_sql():
+        return f"WITH stats AS ({L._TEXT_STATS.strip()})" + TX.SPEARMAN_SQL_TAIL()
+
+    return [
+        ("percentiles_cont", ST.percentiles_cont_price_by_flag, lambda: ST.PCT_CONT_SQL),
+        ("weighted_percentiles", ST.weighted_percentiles_price_by_flag, lambda: ST.WEIGHTED_PCT_SQL()),
+        ("table_fingerprint", PR.table_fingerprint_by_nation, lambda: PR.FINGERPRINT_SQL()),
+        ("quantile_normalize", TX.quantile_normalized_quality, lambda: L.QNORM_SQL),
+        ("epoch_interleave", CU.epoch_interleave_positions, lambda: CU.EPOCH_INTERLEAVE_SQL),
+        ("spearman", TX.spearman_quality_tokens_by_lang, spearman_sql),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", _staged_caught(), ids=[t[0] for t in _staged_caught()]
+)
+def test_null_laced_staged_spec_matches_oracle(
+    spark, laced_dir, laced_duck, name, fn, sql
+):
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(fn(spark, laced_dir), laced_duck.sql(sql()))

@@ -1813,14 +1813,19 @@ def test_auc_degenerate_labels_null(spark, tmp_path):
 
 
 def test_decile_lift_mass_balance(spark, sf_dir):
-    """Deciles partition the table (counts sum to the total) and the
+    """Deciles partition the SCORED table (counts sum to the total of
+    non-NULL-value events — the stated exclusion contract) and the
     lift identity holds: sum(n_purchases) re-derives the base rate."""
     from pyspark.sql import functions as F
 
     from pac_spark.operators.evaluate import decile_lift_value_purchase
 
     out = decile_lift_value_purchase(spark, sf_dir)
-    ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    ev_n = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .count()
+    )
     agg = out.agg(
         F.sum("n_events").alias("ne"), F.sum("n_purchases").alias("np")
     ).collect()[0]
