@@ -74,14 +74,17 @@ def weighted_similarity(scores: dict[str, Column]) -> Column:
     absent for the pair). Returns a 0-100 double; null only if every
     field is absent.
 
-    CALLER CONTRACT (code-review r8): the reference treats EMPTY
-    STRINGS as absent too (``if name1 and name2:``), and this helper
-    does not — the caller must pass NULL scores for blank-on-either-
-    side fields (``_score_aliased_pairs`` does, via its trim != ''
-    guards). A raw ratio for an empty-vs-empty pair is 100 and would
-    inflate the blend toward auto-approval. Folding the blank rule in
-    here is queued for r9 (it changes the expression tree of every
-    tail-riding ER spec, which the full r8 cap cannot absorb).
+    CALLER CONTRACT (code-review r8): the reference treats a field as
+    absent when its NORMALIZED form is empty (``if name1 and name2:``
+    AFTER ``normalize_string`` — so whitespace-only fields are absent
+    too), and this helper sees only score columns — the caller must
+    pass NULL scores for such fields. ``_score_aliased_pairs`` does,
+    by guarding on emptiness of the per-record scoring keys
+    (normalized forms), which IS the reference's test; the crafted
+    cross-engine pin is
+    ``test_properties.py::test_blank_as_absent_scoring_parity``. A raw
+    ratio for an empty-vs-empty pair is 100 and would inflate the
+    blend toward auto-approval.
     """
     num = None
     den = None

@@ -9,7 +9,28 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_ticker", "normalize_string", "name_parts", "sanitize_key"]
+__all__ = [
+    "PY_SPLIT_WS",
+    "normalize_ticker",
+    "normalize_string",
+    "name_parts",
+    "sanitize_key",
+]
+
+# The EXACT character set Python's str.split() treats as whitespace
+# (str.isspace() == True on CPython 3.x): ASCII \t\n\v\f\r, the
+# FS/GS/RS/US separators, space, NEL, NBSP, Ogham space mark,
+# en-quad..hair-space, line/paragraph separators, NNBSP, MMSP and the
+# ideographic space. The reference normalizes with str.split()
+# (executive_review_tool.py:174), so a Java-regex `\s+` (ASCII-only)
+# silently diverged on any non-ASCII whitespace — and so did the
+# DuckDB oracles' RE2 `\s`. Built with Python escapes so the class
+# body holds the LITERAL characters, legal in both Java regex (Spark)
+# and RE2 (DuckDB) character classes; interpolate as `[{PY_SPLIT_WS}]+`.
+PY_SPLIT_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+    "\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
 
 
 def normalize_ticker(col: Column) -> Column:
@@ -18,9 +39,11 @@ def normalize_ticker(col: Column) -> Column:
 
 
 def normalize_string(col: Column) -> Column:
-    """Lower, trim, collapse internal whitespace
-    (ref: executive_review_tool.py:168-175)."""
-    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    """Lower, trim, collapse internal whitespace — the whitespace set
+    is Python's ``str.split()`` set, matching the reference's
+    ``' '.join(s.split())`` exactly (executive_review_tool.py:168-175;
+    rotation r9 queue: the old ``\\s+`` was ASCII-only)."""
+    return F.lower(F.trim(F.regexp_replace(col, f"[{PY_SPLIT_WS}]+", " ")))
 
 
 def name_parts(col: Column) -> tuple[Column, Column]:

@@ -43,7 +43,7 @@ from pac_spark.cache import checkpoint, pin
 from pac_spark.functions.exact import exact_avg
 from pac_spark.functions.fuzzy import (
     levenshtein_ratio,
-    token_sort_ratio,
+    token_sort_key,
     weighted_similarity,
 )
 from pac_spark.functions.normalize import normalize_string
@@ -160,33 +160,55 @@ def _block_key(name_col):
     return F.regexp_replace(name_col, "[^0-9]", "")
 
 
+def _with_scoring_keys(records: DataFrame) -> DataFrame:
+    """Append the per-record canonical scoring keys
+    (``<field>_skey``): token-sorted normalization for name/address/
+    title, plain normalization for company.
+
+    Keying ONCE per record instead of inside the per-pair scorer is
+    load-bearing twice over: (1) normalize+split+sort runs O(records),
+    not O(candidate pairs) — with blocked pairs Σblock² ≫ n at scale;
+    (2) the per-pair projection shrinks to plain ``levenshtein`` over
+    key columns, which is what kept the whole scoring stage under
+    janino's 64 KB method limit — the fused token_sort_ratio trees
+    (normalize inlined ~3× per side per field) pushed the
+    ``er_candidate_pairs_lsh`` hash-aggregate output into INTERPRETED
+    fallback ("Code grows beyond 64 KB", rotation r9 perf queue)."""
+    out = records
+    for field in ("name", "address", "title"):
+        out = out.withColumn(f"{field}_skey", token_sort_key(F.col(field)))
+    return out.withColumn("company_skey", normalize_string(F.col("company")))
+
+
 def _score_aliased_pairs(pairs: DataFrame) -> DataFrame:
     """Weighted fuzzy scoring of a pairs frame carrying ``a``/``b``
     aliased record columns — the one scoring implementation every
-    blocking strategy (digit key, MinHash-LSH buckets) feeds into."""
+    blocking strategy (digit key, MinHash-LSH buckets) feeds into.
+
+    CONTRACT: both sides must already carry the ``_with_scoring_keys``
+    columns. A field is PRESENT iff its NORMALIZED form is non-empty —
+    the reference's ``if name1 and name2:`` rule where ``name1`` is
+    already ``normalize_string(...)`` (executive_review_tool.py:
+    200-231). The old guard read the RAW field through Spark's
+    ``trim`` (strips 0x20 only), so a tab-only or NBSP-only field
+    counted as present here but absent in the reference; the scoring
+    keys normalize with the exact Python whitespace set, so key
+    emptiness IS the reference's presence test (code-review r8)."""
 
     def both_present(field):
-        fa, fb = F.col(f"a.{field}"), F.col(f"b.{field}")
-        ok = (
-            fa.isNotNull()
-            & fb.isNotNull()
-            & (F.trim(fa) != "")
-            & (F.trim(fb) != "")
-        )
-        return ok, fa, fb
+        ka, kb = F.col(f"a.{field}_skey"), F.col(f"b.{field}_skey")
+        # NULL key (NULL raw field) compares as NULL -> when() falsy,
+        # matching pd.isna -> "" -> absent
+        return (ka != "") & (kb != "")
 
     raw = {}
-    for field, scorer in (
-        ("name", token_sort_ratio),
-        ("address", token_sort_ratio),
-        ("title", token_sort_ratio),
-    ):
-        ok, fa, fb = both_present(field)
-        raw[field] = F.when(ok, scorer(fa, fb)).otherwise(F.lit(None))
-    ok, fa, fb = both_present("company")
-    raw["company"] = F.when(
-        ok, levenshtein_ratio(normalize_string(fa), normalize_string(fb))
-    ).otherwise(F.lit(None))
+    for field in ("name", "address", "title", "company"):
+        raw[field] = F.when(
+            both_present(field),
+            levenshtein_ratio(
+                F.col(f"a.{field}_skey"), F.col(f"b.{field}_skey")
+            ),
+        ).otherwise(F.lit(None))
 
     # materialize per-field scores as columns FIRST: the weighted blend
     # then references cheap column reads instead of re-inlining the
@@ -221,7 +243,7 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (id_a < id_b). This replaces the reference's O(n^2) driver
     loop with a key-partitioned pair generation whose cost is
     sum(block_size^2), not n^2."""
-    records = executive_records(spark, sf_dir).withColumn(
+    records = _with_scoring_keys(executive_records(spark, sf_dir)).withColumn(
         "block", _block_key(F.col("name"))
     )
     a = records.alias("a")
@@ -262,8 +284,10 @@ def candidate_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pinned: consumed three times below (shingle arrays + both sides
     # of the candidate rescoring join) — unpinned, the five-projection
-    # union over customer×nation would replay per consumer
-    records = pin(executive_records(spark, sf_dir))
+    # union over customer×nation would replay per consumer. Scoring
+    # keys are folded INSIDE the pin so they are computed once per
+    # record and stored, not re-derived per candidate pair.
+    records = pin(_with_scoring_keys(executive_records(spark, sf_dir)))
     # signatures row-locally over each record's digit-run array — zero
     # shuffle (duplicate runs cannot change an array_min, so no
     # distinct needed; records without digit runs drop out exactly as

@@ -10,6 +10,7 @@ gets a *real* correctness check, not a rows-only count.
 from __future__ import annotations
 
 from pac_spark.functions.exact import exact_avg_sql
+from pac_spark.functions.normalize import PY_SPLIT_WS
 from pac_spark.operators import dedup as _D
 from pac_spark.operators import entity_resolution as ER
 from pac_spark.plans.spec import QuerySpec
@@ -18,7 +19,12 @@ __all__ = ["SPECS"]
 
 
 def _norm(x: str) -> str:
-    return f"lower(trim(regexp_replace({x}, '\\s+', ' ', 'g')))"
+    """Mirror of functions.normalize.normalize_string: the whitespace
+    class is the exact Python str.split() set (the reference's
+    ``' '.join(s.split())``), not RE2's ASCII-only ``\\s`` — the class
+    constant is interpolated from the one Spark uses so the two
+    engines cannot drift (code-review r8)."""
+    return f"lower(trim(regexp_replace({x}, '[{PY_SPLIT_WS}]+', ' ', 'g')))"
 
 
 def _tsk(x: str) -> str:
@@ -34,9 +40,14 @@ def _ratio(a: str, b: str) -> str:
 
 
 def _present(fa: str, fb: str) -> str:
+    """Field present iff its NORMALIZED form is non-empty — the
+    reference's ``if name1 and name2:`` where ``name1`` is already
+    normalized (executive_review_tool.py:200-231). ``_norm(NULL)`` is
+    NULL and ``NULL <> ''`` is NULL, which the consuming CASE treats
+    as absent, so no explicit IS NOT NULL is needed; stated anyway."""
     return (
         f"({fa} IS NOT NULL AND {fb} IS NOT NULL "
-        f"AND trim({fa}) <> '' AND trim({fb}) <> '')"
+        f"AND {_norm(fa)} <> '' AND {_norm(fb)} <> '')"
     )
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
+from pac_spark.functions.normalize import PY_SPLIT_WS
 from pac_spark.operators import issues
 from pac_spark.plans.spec import QuerySpec
 
@@ -104,7 +105,7 @@ WITH fact AS (
            CASE WHEN len(toks) >= 2 THEN toks[-1] ELSE '' END AS name_last
     FROM (
         SELECT c_custkey,
-               string_split(lower(trim(regexp_replace(c_name, '\\s+', ' ', 'g'))), ' ')
+               string_split(lower(trim(regexp_replace(c_name, '[{PY_SPLIT_WS}]+', ' ', 'g'))), ' ')
                    AS toks
         FROM customer
     )

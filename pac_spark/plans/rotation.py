@@ -177,22 +177,38 @@ FORCE_HOIST: tuple[str, ...] = (
 #   re-proof THIS round; r9 must FORCE the touched tail specs:
 #   pq_topk, lang_quality_quantiles, window_distribution_stats,
 #   er_approved.
-# - normalize_string whitespace parity: the reference's str.split()
-#   collapses UNICODE whitespace (NBSP etc.) while the engine's \\s+
-#   regex is ASCII-only — restate both engines with the explicit
-#   Python-split whitespace character class. Touches every oracle
-#   mirroring the \\s+ regexp (er family + flagship), values unchanged
-#   on the ASCII fixtures (code-review r8).
-# - weighted_similarity: fold the reference's blank-as-absent field
-#   rule into the helper itself (callers currently guard at call
-#   sites; docstring states the contract — code-review r8).
+# - normalize_string whitespace parity — APPLIED late r8: both
+#   engines now use the explicit Python-split whitespace class
+#   (normalize.PY_SPLIT_WS, validated exhaustively against
+#   str.isspace(); er_plans._norm + the flagship oracle interpolate
+#   the same constant). Values unchanged on the ASCII fixtures;
+#   pinned by test_function_properties.py::
+#   test_normalize_whitespace_matches_python_reference (full
+#   isspace battery, Spark + DuckDB vs the Python reference).
+# - blank-as-absent presence rule — APPLIED late r8: a field is
+#   present iff its NORMALIZED form is non-empty (the reference's
+#   ``if name1 and name2`` after normalize_string). Both engines
+#   restated (_score_aliased_pairs guards on scoring-key emptiness;
+#   er_plans._present guards on _norm(...) <> ''). The pre-r8
+#   raw-trim guard diverged on tab-only / unicode-whitespace-only
+#   fields; fixtures carry none, so fixture values are unchanged.
+#   Pinned by test_properties.py::test_blank_as_absent_scoring_parity
+#   (crafted NBSP/tab/ogham/ideographic-space fields, cross-engine).
+#   Touched tail specs fold into the r9 ER force batch listed below.
 # - PERF (pre-existing, spotted in the r8 full drives):
-#   er_candidate_pairs_lsh trips janino's 64 KB method limit in a
+#   er_candidate_pairs_lsh tripped janino's 64 KB method limit in a
 #   hash-aggregate output ("Code grows beyond 64 KB" -> that stage
-#   runs INTERPRETED, correct but slow at scale). Likely the fuzzy
-#   scoring CASE chain x field count in one codegen span. r9: split
-#   the scoring expression with an intermediate projection (or
-#   pin a pre-scored frame) and force-hoist the spec.
+#   ran INTERPRETED, correct but slow at scale) — the fused
+#   token_sort_ratio trees (normalize+split+sort inlined ~3x per
+#   side per field) in the per-pair scoring projection.
+#   APPLIED late r8: per-record scoring keys
+#   (entity_resolution._with_scoring_keys) computed once on the
+#   records frame; the per-pair scorer is now plain levenshtein over
+#   key columns. Values unchanged (same math — ER parity suite
+#   re-run green this session); sf0.01 cold drive 19.2s -> 14.3s.
+#   r9 MUST force-hoist the touched tail specs: er_candidate_pairs,
+#   er_candidate_pairs_lsh, er_approved, er_links (er_clusters +
+#   er_consolidated are in the r8 cap and get driver re-proof now).
 # - substrate hardenings that rode the local gates in r8 (values and
 #   plans unchanged for their registered consumers — salted_join str
 #   wrap, bloom key-type recording with identity cast, prefix-scan

@@ -113,6 +113,45 @@ def test_normalize_and_sanitize_invariants(spark):
         assert r["last"] == (toks[-1] if len(toks) >= 2 else "")
 
 
+def test_normalize_whitespace_matches_python_reference(spark, duck):
+    """The reference normalizes with ``' '.join(s.strip().lower()
+    .split())`` (executive_review_tool.py:168-175) — str.split()
+    whitespace, NOT regex ``\\s`` (ASCII-only in both Java regex and
+    RE2). Both engines must match the Python reference on every
+    character Python treats as whitespace (code-review r8: the old
+    ``\\s+`` silently diverged on NBSP, NEL, ideographic space, ...).
+    """
+    from pac_spark.functions.normalize import normalize_string
+    from pac_spark.plans.er_plans import _norm
+    # every individual whitespace char (the full isspace() set, not
+    # just the class endpoints), plus mixed runs and edges
+    ws_chars = [c for c in map(chr, range(0x3001)) if c.isspace()]
+    assert len(ws_chars) >= 25, 'battery must cover the whole isspace() set'
+    battery = (
+        [f"A{c}B" for c in ws_chars]
+        + [f"{c}AB{c}" for c in ws_chars]
+        + ["A 　 B", " ", "\t \t", "Mixed Case X", ""]
+    )
+
+    def py_ref(s: str) -> str:
+        return " ".join(str(s).strip().lower().split())
+
+    got = {
+        r["s"]: r["n"]
+        for r in spark.createDataFrame([(s,) for s in battery], "s string")
+        .select("s", normalize_string(F.col("s")).alias("n"))
+        .collect()
+    }
+    for s in battery:
+        assert got[s] == py_ref(s), f"spark diverges on {s!r}: {got[s]!r}"
+
+    for s in battery:
+        (out,) = duck.execute(
+            "SELECT " + _norm("?::VARCHAR") + " AS v", [s]
+        ).fetchone()
+        assert out == py_ref(s), f"duckdb diverges on {s!r}: {out!r}"
+
+
 def test_weighted_similarity_renormalizes(spark):
     """Blend semantics from the reference (executive_review_tool.py:
     233-242): absent fields drop out of both numerator and denominator;

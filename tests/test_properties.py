@@ -1381,3 +1381,68 @@ def test_quantile_normalize_excludes_null_quality_in_both_engines(
     assert 2 not in ids and len(ids) == 4, ids
     assert_oracle_match(got, con.sql(QNORM_SQL))
     con.close()
+
+
+def test_blank_as_absent_scoring_parity(spark):
+    """The reference's presence rule: a field participates in the
+    weighted blend iff its NORMALIZED form is non-empty (``if name1
+    and name2:`` AFTER normalize_string — executive_review_tool.py:
+    200-231). Whitespace-only fields (including non-ASCII whitespace:
+    NBSP, tab, ideographic space) must therefore be ABSENT in both
+    engines; the pre-r8 raw-trim guard counted them present in Spark
+    only. Cross-engine: _score_aliased_pairs vs the er_plans
+    field-scored CTE over the identical crafted pair set."""
+    import duckdb
+
+    import pandas as pd
+    from pac_spark.operators.entity_resolution import (
+        _score_aliased_pairs,
+        _with_scoring_keys,
+    )
+    from pac_spark.plans.er_plans import _FIELD_SCORED_CTE, _PAIR_COLS
+    from tests.conftest import assert_oracle_match
+
+    recs = pd.DataFrame(
+        {
+            "record_id": [1, 2, 3, 4],
+            "name": ["John  Smith", "Smith　John", " ", "Jane Doe"],
+            "title": ["VP\tOps", "\t\t", "VP Ops", None],
+            "address": ["addr 1", "addr 1", "", "addr 2"],
+            "company": ["Acme Corp", "acme corp", "X", " "],
+        }
+    )
+    sdf = _with_scoring_keys(
+        spark.createDataFrame(
+            recs, "record_id long, name string, title string, "
+            "address string, company string"
+        )
+    )
+    pairs = (
+        sdf.alias("a")
+        .join(sdf.alias("b"), F.col("a.record_id") < F.col("b.record_id"))
+    )
+    got = _score_aliased_pairs(pairs)
+
+    by_pair = {(r["id_a"], r["id_b"]): r for r in got.collect()}
+    # record 2's title and record 3's name are whitespace/empty-only:
+    # absent from every pairing; record 1 vs 2 match on token-sorted
+    # name exactly (unicode whitespace collapsed identically)
+    assert by_pair[(1, 2)]["title_score"] is None
+    assert by_pair[(1, 2)]["name_score"] == 100.0
+    assert by_pair[(1, 3)]["name_score"] is None
+    assert by_pair[(3, 4)]["company_score"] is None  # rec 4 company = ogham space
+    assert by_pair[(2, 3)]["address_score"] is None  # rec 3 address = ''
+
+    con = duckdb.connect()
+    con.register("crafted_records", recs)
+    oracle = f"""
+    WITH raw_pairs AS (
+        SELECT {_PAIR_COLS}
+        FROM crafted_records a JOIN crafted_records b
+          ON a.record_id < b.record_id
+    ),
+    {_FIELD_SCORED_CTE.strip().lstrip(',')}
+    SELECT * FROM scored ORDER BY id_a, id_b
+    """
+    assert_oracle_match(got, con.sql(oracle))
+    con.close()
