@@ -160,16 +160,30 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
         max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
     )
     spark.conf.set(parts_key, str(loop_parts))
+    # Rank frames are node-sized: below the gate, broadcasting them
+    # into the edge join (and the node-sized contrib into the update
+    # join) removes TWO of the three per-iteration shuffles — only the
+    # map-side-combined groupBy(dst) remains. ~1M (node,rank) rows is
+    # ~tens of MB serialized, re-broadcast each of the 10 iterations;
+    # past the gate the plan falls back to the shuffle joins that
+    # scale to billion-node graphs. Join strategy cannot change the
+    # integer arithmetic, so results are identical on both paths
+    # (partition-invariance is property-tested).
+    bcast_ranks = n_nodes <= 1_000_000
     try:
         ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
         for i in range(iterations):
+            rank_side = F.broadcast(ranks) if bcast_ranks else ranks
             contrib = (
-                edged.join(ranks, edged.src == ranks.node)
+                edged.join(rank_side, edged.src == ranks.node)
                 .select("dst", F.expr("rank div deg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("mass"))
             )
-            updated = nodes.join(contrib, nodes.node == contrib.dst, "left")
+            contrib_side = F.broadcast(contrib) if bcast_ranks else contrib
+            updated = nodes.join(
+                contrib_side, nodes.node == contrib.dst, "left"
+            )
             if has_dangling:
                 dangling = ranks.join(srcs, ranks.node == srcs.src, "left_anti").agg(
                     F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
