@@ -95,13 +95,18 @@ def executive_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rec(ordinal: int, modulus: int | None, name, title, company, address):
-        src = base if modulus is None else base.filter(F.col("c_custkey") % modulus == 0)
-        return src.select(
-            (F.col("c_custkey") * 10 + ordinal).alias("record_id"),
-            name.alias("name"),
-            title.alias("title"),
-            company.alias("company"),
-            address.alias("address"),
+        keep = (
+            F.lit(True)
+            if modulus is None
+            else F.col("c_custkey") % modulus == 0
+        )
+        return F.struct(
+            F.lit(ordinal).alias("ord"),
+            keep.alias("keep"),
+            name.cast("string").alias("name"),
+            title.cast("string").alias("title"),
+            company.cast("string").alias("company"),
+            address.cast("string").alias("address"),
         )
 
     addr = F.concat(
@@ -115,40 +120,52 @@ def executive_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_s = F.lit(None).cast("string")
 
-    return (
-        rec(0, None, F.col("c_name"), _title_expr(), F.col("company_src"), addr)
+    # ONE scan, explode-of-variants: the pre-r8 4-way projection union
+    # re-scanned customer ⋈ nation once PER VARIANT (the plan audit
+    # read 8 scans for the records frame, 16 through the pairing
+    # self-join — at 100 TB that is 4x the fact I/O the data needs;
+    # plan-audit campaign r8). Each variant is a struct with its own
+    # keep predicate; rows explode then filter, so the emitted rows —
+    # and record_id = custkey*10 + ordinal — are exactly the union's.
+    variants = F.array(
+        rec(0, None, F.col("c_name"), _title_expr(), F.col("company_src"), addr),
         # review-band variant: name + ' Jr Xy', no title/address
-        .unionByName(
-            rec(
-                1,
-                3,
-                F.concat(F.col("c_name"), F.lit(" Jr Xy")),
-                null_s,
-                F.col("company_src"),
-                null_s,
-            )
-        )
+        rec(
+            1,
+            3,
+            F.concat(F.col("c_name"), F.lit(" Jr Xy")),
+            null_s,
+            F.col("company_src"),
+            null_s,
+        ),
         # auto-approve variant: leading letter swap, shifted address
-        .unionByName(
-            rec(
-                2,
-                5,
-                F.concat(F.lit("K"), F.substring(F.col("c_name"), 2, 17)),
-                _title_expr(),
-                F.lower(F.col("company_src")),
-                addr2,
-            )
-        )
+        rec(
+            2,
+            5,
+            F.concat(F.lit("K"), F.substring(F.col("c_name"), 2, 17)),
+            _title_expr(),
+            F.lower(F.col("company_src")),
+            addr2,
+        ),
         # non-match decoy sharing the digit block: different role entirely
-        .unionByName(
-            rec(
-                3,
-                7,
-                F.regexp_replace(F.col("c_name"), "Customer", "Supplier"),
-                F.lit("Supplier Rep"),
-                F.col("company_src"),
-                null_s,
-            )
+        rec(
+            3,
+            7,
+            F.regexp_replace(F.col("c_name"), "Customer", "Supplier"),
+            F.lit("Supplier Rep"),
+            F.col("company_src"),
+            null_s,
+        ),
+    )
+    return (
+        base.select("c_custkey", F.explode(variants).alias("v"))
+        .filter(F.col("v.keep"))
+        .select(
+            (F.col("c_custkey") * 10 + F.col("v.ord")).alias("record_id"),
+            F.col("v.name").alias("name"),
+            F.col("v.title").alias("title"),
+            F.col("v.company").alias("company"),
+            F.col("v.address").alias("address"),
         )
     )
 
@@ -243,8 +260,12 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (id_a < id_b). This replaces the reference's O(n^2) driver
     loop with a key-partitioned pair generation whose cost is
     sum(block_size^2), not n^2."""
-    records = _with_scoring_keys(executive_records(spark, sf_dir)).withColumn(
-        "block", _block_key(F.col("name"))
+    # pinned: the frame feeds BOTH sides of the blocked self-join —
+    # un-pinned each side re-runs the records derivation and keying
+    records = pin(
+        _with_scoring_keys(executive_records(spark, sf_dir)).withColumn(
+            "block", _block_key(F.col("name"))
+        )
     )
     a = records.alias("a")
     b = records.alias("b")

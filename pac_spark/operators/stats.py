@@ -1138,7 +1138,14 @@ def budget_allocation_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = catalog.load(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    rev = (
+    from pac_spark.cache import pin
+
+    # pinned: the fact aggregate feeds TWO consumers (the grand-total
+    # scalar and the per-nation share frame) — un-pinned, the
+    # orders ⋈ customer join + aggregate re-executed per branch (the
+    # plan audit read 12 parquet scans where the query needs 3;
+    # plan-audit campaign r8)
+    rev = pin(
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -1165,6 +1172,9 @@ def budget_allocation_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             % dec(F.col("t"))
         ).alias("rem"),
     )
+    # pinned: nation-sized, but consumed by BOTH the leftover scalar
+    # and the ranking — un-pinned each consumer replayed the rev read
+    based = pin(based)
     leftover = based.agg(
         (F.lit(ALLOC_BUDGET) - F.sum("base")).alias("left")
     )
