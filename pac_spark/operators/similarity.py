@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
-from pac_spark.cache import pin
+from pac_spark.cache import checkpoint, pin
 
 __all__ = [
     "knn_bruteforce",
@@ -552,7 +552,14 @@ def _ivf_centroids(
                 ).alias("c_new")
             )
         )
-        cents = pin(
+        # checkpoint, not pin: the lineage must be CUT each round, not
+        # just cached — pinned rounds kept the whole unrolled loop in
+        # every downstream plan (the corrected plan auditor read a
+        # 7 MB plan string with ~300 lineage exchanges through
+        # pq_topk's 8 per-subspace loops; eager localCheckpoint of a
+        # 16-row frame is microseconds and keeps plans flat at any
+        # iteration count — the pagerank/CC loop discipline)
+        cents = checkpoint(
             cents.join(
                 newc.withColumnRenamed("list_id", "centroid_id"), "centroid_id", "left"
             ).select("centroid_id", F.coalesce("c_new", "c").alias("c"))

@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame
 # (":  +- ") and the whole-stage-codegen star prefix ("*(3) ")
 _NODE_NAME = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
 
+# expression ids (#123, #45L) and exchange plan ids are per-site
+# aliases, not identity — normalized out of cached-relation keys
+_IDS = re.compile(r"#\d+L?|plan_id=\d+")
+
+# leading tree-drawing characters of a plan line (":  ", "+- ", bars)
+_TREE_PREFIX = re.compile(r"^[\s:+\-]*")
+
 __all__ = ["PlanAudit", "plan_audit", "assert_scale_legal"]
 
 
@@ -46,21 +53,96 @@ class PlanAudit:
         return asdict(self)
 
 
+def _split_cached_subtrees(plan: str) -> tuple[str, dict[str, str]]:
+    """(live plan text, {relation key: stored build-plan text}).
+
+    A pinned/persisted frame renders as ``InMemoryTableScan`` whose
+    cached ``InMemoryRelation`` child — including its original
+    ``FileScan`` and ``Exchange`` nodes — is printed underneath but is
+    NEVER re-executed by this query: it ran once, at pin
+    materialization, no matter how many sites read the cache. Counting
+    those lines per read site over-reported a correctly-pinned plan as
+    a scan storm (the staged plan-audit campaign read 6 scans on
+    ``prefix_filter_neardup_pairs`` where the corpus is scanned once —
+    plan-audit campaign r8), so the build plans are split out here and
+    the auditor bills each DISTINCT relation once. Subtree membership
+    is by node-name column: a line belongs to the cached subtree while
+    its operator name starts strictly right of the
+    ``InMemoryTableScan``'s; lines without a parseable node name
+    (section headers like ``== Final Plan ==`` that a cached AQE plan
+    embeds) stay inside the subtree — only a real node at or left of
+    the scan's column ends it. Relations are keyed by their build-plan
+    BODY with expression/plan ids normalized out — every read site of
+    one cached frame re-aliases its output to fresh expression ids, so
+    the ids distinguish read SITES, not relations (first version keyed
+    on the header line and billed one pin three times). Two separate
+    pins of byte-identical pipelines would collapse to one key; they
+    are the same cost center, so that is the honest direction to err."""
+    out: list[str] = []
+    cached: dict[str, str] = {}
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        m = _NODE_NAME.match(line)
+        col = m.start(1) if m else None
+        out.append(line)
+        i += 1
+        if m and m.group(1) == "InMemoryTableScan":
+            sub: list[str] = []
+            while i < len(lines):
+                m2 = _NODE_NAME.match(lines[i])
+                c2 = m2.start(1) if m2 else None
+                if c2 is not None and c2 <= col:
+                    break
+                sub.append(lines[i])
+                i += 1
+            # tree-drawing prefixes (":  +- ") depend on the read
+            # site's depth in the OUTER tree — strip them per line so
+            # the same build plan keys identically from every site
+            body = "\n".join(_TREE_PREFIX.sub("", s) for s in sub)
+            idx = body.find("InMemoryRelation")
+            key = _IDS.sub("#", body[idx:] if idx >= 0 else body)
+            cached.setdefault(key, "\n".join(sub))
+    return "\n".join(out), cached
+
+
+def _final_section(plan: str) -> str:
+    """An AQE plan that has RUN prints BOTH "== Final Plan ==" and
+    "== Initial Plan ==" sections — counting the whole string would
+    double every counter (and mix nodes from two different plans when
+    AQE re-planned a join). Keep the final section only (code-review
+    r8; reproduced: counters exactly doubled after collect())."""
+    if "== Initial Plan ==" in plan:
+        return plan.split("== Initial Plan ==", 1)[0]
+    return plan
+
+
 def plan_audit(df: DataFrame) -> PlanAudit:
     """Counters over the EXECUTED physical plan of ``df`` (the plan
     ``df.explain()`` prints; AQE-finalized nodes appear once a query
     has run — audits of unexecuted frames see the initial physical
-    plan, which is the honest pre-runtime claim)."""
+    plan, which is the honest pre-runtime claim).
+
+    End-to-end accounting for caches: the live plan's counters PLUS
+    each DISTINCT cached relation's stored build plan counted ONCE —
+    a pin's build scan happened exactly once no matter how many sites
+    read the cache, and not at all is equally wrong (the build IS part
+    of what the query costs a cluster)."""
     qe = df._jdf.queryExecution()
-    plan = qe.executedPlan().toString()
-    # an AQE plan that has RUN prints BOTH "== Final Plan ==" and
-    # "== Initial Plan ==" sections — counting the whole string would
-    # double every counter (and mix nodes from two different plans
-    # when AQE re-planned a join). Audit the final section only
-    # (code-review r8; reproduced: counters exactly doubled after
-    # collect()).
-    if "== Initial Plan ==" in plan:
-        plan = plan.split("== Initial Plan ==", 1)[0]
+    live, cached = _split_cached_subtrees(qe.executedPlan().toString())
+    texts = [_final_section(live)]
+    # cached builds may themselves read deeper caches; walk each
+    # distinct relation once (keys dedup repeated read sites)
+    seen = set(cached)
+    frontier = list(cached.values())
+    while frontier:
+        sub_live, sub_cached = _split_cached_subtrees(frontier.pop())
+        texts.append(_final_section(sub_live))
+        for k, v in sub_cached.items():
+            if k not in seen:
+                seen.add(k)
+                frontier.append(v)
     # exchange kinds must be told apart by each line's NODE name, not
     # substring counts: "Exchange " is a substring of the other two
     # spellings, AND a ReusedExchange line EMBEDS its referenced
@@ -70,26 +152,34 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     # tree-drawing/codegen prefix ("+- ", ": ", "*(3) ").
     nodes = [
         m.group(1)
-        for m in (_NODE_NAME.match(line) for line in plan.splitlines())
+        for t in texts
+        for m in (_NODE_NAME.match(line) for line in t.splitlines())
         if m
     ]
+
+    def count(needle: str) -> int:
+        return sum(t.count(needle) for t in texts)
+
     return PlanAudit(
         # "Scan parquet" is a substring of "FileScan parquet", so one
         # count covers both spellings without double-counting
-        scans=plan.count("Scan parquet"),
+        scans=count("Scan parquet"),
         exchanges=nodes.count("Exchange"),
         broadcast_exchanges=nodes.count("BroadcastExchange"),
         reused_exchanges=nodes.count("ReusedExchange"),
-        broadcast_joins=plan.count("BroadcastHashJoin")
-        + plan.count("BroadcastNestedLoopJoin"),
-        sortmerge_joins=plan.count("SortMergeJoin"),
-        cartesian_products=plan.count("CartesianProduct"),
-        window_group_limits=plan.count("WindowGroupLimit"),
+        broadcast_joins=count("BroadcastHashJoin")
+        + count("BroadcastNestedLoopJoin"),
+        sortmerge_joins=count("SortMergeJoin"),
+        cartesian_products=count("CartesianProduct"),
+        window_group_limits=count("WindowGroupLimit"),
         # codegen regions render as "*(n)" line prefixes in the plan
         # string (the literal "WholeStageCodegen" never appears in
         # simple mode — the old count was a dead always-0 readout;
-        # code-review r8): distinct region ids = distinct codegen spans
-        wholestage_spans=len(set(re.findall(r"\*\((\d+)\)", plan))),
+        # code-review r8): distinct region ids = distinct codegen
+        # spans, per plan text (live + each build compiles its own)
+        wholestage_spans=sum(
+            len(set(re.findall(r"\*\((\d+)\)", t))) for t in texts
+        ),
         pushed_filters="PushedFilters: [" in qe.toString().replace(
             "PushedFilters: []", ""
         ),

@@ -177,6 +177,14 @@ FORCE_HOIST: tuple[str, ...] = (
 #   re-proof THIS round; r9 must FORCE the touched tail specs:
 #   pq_topk, lang_quality_quantiles, window_distribution_stats,
 #   er_approved.
+# - Lloyd-loop lineage cut (late r8, plan-audit campaign): the
+#   per-round pin in _ivf_centroids kept the whole unrolled loop in
+#   every downstream plan (7 MB plan text, ~300 lineage exchanges
+#   through pq_topk's 8 per-subspace loops); per-round
+#   checkpoint() keeps plans flat at any iteration count and measured
+#   FASTER (sf0.1 warm: pq_topk 10.1s -> 6.6s, ann_ivf_topk 4.1s ->
+#   3.2s — driver planning dominated). Values unchanged (parity
+#   green); r9 must FORCE ann_ivf_topk too (pq_topk already queued).
 # - normalize_string whitespace parity — APPLIED late r8: both
 #   engines now use the explicit Python-split whitespace class
 #   (normalize.PY_SPLIT_WS, validated exhaustively against

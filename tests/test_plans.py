@@ -705,6 +705,43 @@ def test_plan_audit_counters_on_known_plans(spark, sf_dir):
                        max_scans=1, max_exchanges=4)
 
 
+def test_plan_audit_skips_cached_build_plans(spark, sf_dir):
+    """A pinned frame's stored build plan (rendered under
+    InMemoryTableScan) is NOT re-executed by the consuming query — the
+    auditor must not bill its FileScan/Exchange nodes to every cached
+    read, or a correctly-pinned multi-consumer plan reads as a scan
+    storm (plan-audit campaign r8: prefix_filter_neardup_pairs showed
+    6 scans for 1 real one)."""
+    from pac_spark import catalog
+    from pac_spark.cache import pin, release_caches
+    from pac_spark.plans.audit import plan_audit
+    from pyspark.sql import functions as F
+
+    try:
+        nat = pin(
+            catalog.load(spark, sf_dir, "nation").groupBy("n_regionkey").agg(
+                F.count("*").alias("n")
+            )
+        )
+        # consume the pinned frame THREE times in one query
+        df = (
+            nat.unionAll(nat)
+            .unionAll(nat)
+            .groupBy("n_regionkey")
+            .agg(F.sum("n").alias("n"))
+        )
+        df.count()
+        a = plan_audit(df)
+        # the pin's build scan bills ONCE (not zero — the build IS a
+        # corpus pass — and not once per read site: the three cached
+        # reads re-alias the same relation with fresh expression ids)
+        assert a.scans == 1, a
+        # and the build's shuffle is similarly billed at most once
+        assert a.exchanges <= 2, a
+    finally:
+        release_caches(all_generations=True)
+
+
 def test_rfm_no_global_data_window(spark, sf_dir):
     """The monetary quartile boundaries ride the two-phase prefix scan
     (code-review r7): lifetime-cents histograms are ~|customers| rows,
