@@ -122,6 +122,8 @@ FAMILY = {
     "daily_user_accounting": "relational",
     "skyline_suppliers": "relational",
     "streaming_user_accounting": "streaming",
+    "pq_topk": "llm",
+    "ann_ivf_topk": "llm",
 }
 
 # headline set: one representative per operator family (relational
@@ -192,6 +194,11 @@ BENCH_QUERIES = [
     "daily_user_accounting",
     "skyline_suppliers",
     "streaming_user_accounting",
+    # r8 plan-audit campaign: the similarity index builds gained
+    # lineage cuts (Lloyd-loop checkpoint cadence) — benched from the
+    # fix onward so the trained-index family has trend visibility
+    "pq_topk",
+    "ann_ivf_topk",
 ]
 
 

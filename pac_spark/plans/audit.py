@@ -208,3 +208,56 @@ def assert_scale_legal(
     if require_window_group_limit and a.window_group_limits == 0:
         raise AssertionError(f"no WindowGroupLimit: {a}")
     return a
+
+
+def _sweep(sf_dir: str) -> None:
+    """Registry-wide audit: run every registered query at ``sf_dir``,
+    audit its executed plan, and print the rows that deserve a look
+    (descending scans, then exchanges; cartesian products always).
+    The r8 campaign over this sweep caught the executive_records
+    4-way-union rescan (16 scans -> 2), the un-pinned
+    budget_allocation fact aggregate (12 -> 3), and the un-cut
+    Lloyd-loop lineage in pq_topk/ann_ivf_topk (~300 lineage
+    exchanges -> ~12)."""
+    from pyspark.sql import SparkSession
+
+    from pac_spark.cache import release_caches
+    from pac_spark.plans.registry import queries
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    rows = []
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            rows.append((name, plan_audit(df)))
+        except Exception as e:  # surface, keep sweeping
+            print(f"{name:42s} ERROR {type(e).__name__}: {str(e)[:90]}")
+        finally:
+            release_caches(all_generations=True)
+    for name, a in rows:
+        if a.cartesian_products:
+            print(f"{name:42s} CARTESIAN x{a.cartesian_products}")
+    for name, a in sorted(rows, key=lambda r: (-r[1].scans, -r[1].exchanges))[:20]:
+        print(
+            f"{name:42s} scans={a.scans} ex={a.exchanges} "
+            f"bex={a.broadcast_exchanges} reuse={a.reused_exchanges} "
+            f"smj={a.sortmerge_joins} push={a.pushed_filters}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    _sweep(
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("PAC_TEST_SF_DIR", "/root/testdata/sf0.01")
+    )
