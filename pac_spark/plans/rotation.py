@@ -215,8 +215,11 @@ FORCE_HOIST: tuple[str, ...] = (
 #   key columns. Values unchanged (same math — ER parity suite
 #   re-run green this session); sf0.01 cold drive 19.2s -> 14.3s.
 #   r9 MUST force-hoist the touched tail specs: er_candidate_pairs,
-#   er_candidate_pairs_lsh, er_approved, er_links (er_clusters +
-#   er_consolidated are in the r8 cap and get driver re-proof now).
+#   er_candidate_pairs_lsh, er_approved, er_links, er_records,
+#   er_records_stringified — the last two also carry the late-r8
+#   explode-of-variants records rewrite (plan-audit campaign) —
+#   (er_clusters + er_consolidated are in the r8 cap and get driver
+#   re-proof now).
 # - substrate hardenings that rode the local gates in r8 (values and
 #   plans unchanged for their registered consumers — salted_join str
 #   wrap, bloom key-type recording with identity cast, prefix-scan
