@@ -435,7 +435,12 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("p_name"), 1, 10).alias("name_prefix"),
         F.length(F.col("p_name")).alias("name_len"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("name_slug"),
+        # explicit class, not \s: Java's \s includes \x0B (vertical
+        # tab) while RE2's does not — the one cross-engine regex-class
+        # divergence the whitespace-parity pass left (code-review r8)
+        F.regexp_replace(F.col("p_name"), r"[ \t\n\x0B\f\r]+", "_").alias(
+            "name_slug"
+        ),
         # *1.25 adds two binary digits — exact in IEEE754, so no rounding
         # call whose half-way semantics could differ across engines
         (F.col("p_retailprice") * 1.25).alias("price_up25"),

@@ -147,7 +147,7 @@ SELECT p_partkey,
        substring(p_name, 1, 10) AS name_prefix,
        CAST(length(p_name) AS INT) AS name_len,
        concat_ws('|', p_brand, p_type) AS brand_type,
-       regexp_replace(p_name, '\\s+', '_', 'g') AS name_slug,
+       regexp_replace(p_name, '[ \\t\\n\\x0B\\f\\r]+', '_', 'g') AS name_slug,
        p_retailprice * 1.25 AS price_up25,
        CAST(abs(p_size - 25) AS INT) AS size_dev,
        CAST(p_size % 5 AS INT) AS size_mod5,

@@ -185,6 +185,11 @@ FORCE_HOIST: tuple[str, ...] = (
 #   FASTER (sf0.1 warm: pq_topk 10.1s -> 6.6s, ann_ivf_topk 4.1s ->
 #   3.2s — driver planning dominated). Values unchanged (parity
 #   green); r9 must FORCE ann_ivf_topk too (pq_topk already queued).
+# - name_slug \s divergence — APPLIED late r8: Java's \s includes
+#   \x0B (vertical tab), RE2's does not; scalar_functions_showcase
+#   now states the explicit ASCII class in both engines (crafted VT
+#   check run in both; fixture part names carry no VT, values
+#   unchanged, parity green) -> r9 force scalar_functions_showcase.
 # - normalize_string whitespace parity — APPLIED late r8: both
 #   engines now use the explicit Python-split whitespace class
 #   (normalize.PY_SPLIT_WS, validated exhaustively against
