@@ -163,7 +163,13 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic."""
     docs = catalog.load(spark, sf_dir, "documents")
     ws = F.size(tokens(F.col("text")))
-    bpe_ish = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    # explicit class, not \s: Java's \s includes \x0B, RE2's does not
+    # — same cross-engine divergence as name_slug (code-review r8)
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            "text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"), 0
+        )
+    )
     return docs.select(
         "doc_id",
         ws.alias("n_ws_tokens"),

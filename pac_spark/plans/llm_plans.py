@@ -725,8 +725,8 @@ FROM m ORDER BY doc_id
 _TOKEN_COUNTS = r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
-           AS n_bpe_ish_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]'))
+            AS INT) AS n_bpe_ish_tokens,
        CAST(ceil(n_chars / 4) AS BIGINT) AS est_tokens_char4
 FROM documents ORDER BY doc_id
 """

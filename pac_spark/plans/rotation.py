@@ -190,6 +190,8 @@ FORCE_HOIST: tuple[str, ...] = (
 #   now states the explicit ASCII class in both engines (crafted VT
 #   check run in both; fixture part names carry no VT, values
 #   unchanged, parity green) -> r9 force scalar_functions_showcase.
+#   Same class restated in token_counts' bpe-ish regex (crafted VT
+#   token parity run in both engines) -> r9 force token_counts.
 # - normalize_string whitespace parity — APPLIED late r8: both
 #   engines now use the explicit Python-split whitespace class
 #   (normalize.PY_SPLIT_WS, validated exhaustively against
