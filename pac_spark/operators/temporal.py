@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pac_spark import catalog
+from pac_spark.cache import pin
 from pac_spark.streaming.windows import SESSION_GAP_MIN as _SESSION_GAP_MIN
 
 __all__ = [
@@ -336,8 +337,20 @@ def funnel(
                     <= F.unix_micros(F.col(prev_t)) + F.lit(within_us)
                 )
             sliced = sliced.join(frames[-1], user_col).filter(step)
+        # pinned: every stage frame has TWO consumers — the next
+        # stage's admissibility join and the final reached-flags
+        # cascade — so an un-pinned cascade replays the whole stage
+        # prefix per consumer (the plan audit read the view slice
+        # scanned 3x and click 2x for a 3-stage funnel; plan-audit
+        # campaign r8). The frame is one row per user reaching the
+        # stage — the small thing; the event-type slices it saves
+        # re-scanning are the big thing.
         frames.append(
-            sliced.groupBy(user_col).agg(F.min(ts_col).alias(t)).select(user_col, t)
+            pin(
+                sliced.groupBy(user_col)
+                .agg(F.min(ts_col).alias(t))
+                .select(user_col, t)
+            )
         )
         prev_t = t
     out = frames[0]

@@ -33,6 +33,19 @@ _IDS = re.compile(r"#\d+L?|plan_id=\d+")
 # leading tree-drawing characters of a plan line (":  ", "+- ", bars)
 _TREE_PREFIX = re.compile(r"^[\s:+\-]*")
 
+
+def _line_col(line: str, m: "re.Match | None") -> int | None:
+    """Effective tree column of a plan line: the node name's start for
+    ordinary nodes, the indentation end for AQE section headers
+    ("== Final/Initial Plan ==" — no parseable node name, but their
+    indentation still states which subtree owns them), None for lines
+    with neither (blank continuations)."""
+    if m:
+        return m.start(1)
+    if "== " in line:
+        return _TREE_PREFIX.match(line).end()
+    return None
+
 __all__ = ["PlanAudit", "plan_audit", "assert_scale_legal"]
 
 
@@ -70,8 +83,15 @@ def _split_cached_subtrees(plan: str) -> tuple[str, dict[str, str]]:
     its operator name starts strictly right of the
     ``InMemoryTableScan``'s; lines without a parseable node name
     (section headers like ``== Final Plan ==`` that a cached AQE plan
-    embeds) stay inside the subtree — only a real node at or left of
-    the scan's column ends it. Relations are keyed by their build-plan
+    embeds) take their COLUMN from their indentation instead — a
+    nested cached AQE's own section headers sit deeper than the
+    ``InMemoryTableScan`` and stay inside its subtree, while the
+    ENCLOSING plan's "== Initial Plan ==" header sits shallower and
+    correctly ends it (swallowing that header made the enclosing
+    initial-plan section leak into the live text and double-count
+    scans — caught on the funnel cascade's nested pins, plan-audit
+    campaign r8). Only truly column-less lines (blank) stay inside
+    unconditionally. Relations are keyed by their build-plan
     BODY with expression/plan ids normalized out — every read site of
     one cached frame re-aliases its output to fresh expression ids, so
     the ids distinguish read SITES, not relations (first version keyed
@@ -84,38 +104,62 @@ def _split_cached_subtrees(plan: str) -> tuple[str, dict[str, str]]:
     i = 0
     while i < len(lines):
         line = lines[i]
+        # an initial-plan header seen OUTSIDE any cached subtree is
+        # this plan's own "== Initial Plan ==" section: stop — its
+        # nodes duplicate the final section's, and its COPIES of
+        # cached reads render without QueryStage wrappers, so they
+        # key differently and would bill every relation twice
+        # (reproduced on the funnel cascade and budget allocation:
+        # scans exactly doubled). Nested initial markers are only
+        # ever encountered inside the capture loop below, so they
+        # stay with their relation.
+        if "== Initial Plan ==" in line:
+            break
         m = _NODE_NAME.match(line)
-        col = m.start(1) if m else None
+        col = _line_col(line, m)
         out.append(line)
         i += 1
         if m and m.group(1) == "InMemoryTableScan":
             sub: list[str] = []
+            # Spark DEDENTS doubly-nested innerChildren: a cached
+            # relation inside another relation's stored build prints
+            # its own section block at a column SHALLOWER than its
+            # InMemoryTableScan anchor (observed on the budget
+            # allocation rev-inside-based plan: anchor col 45, the
+            # inner "== Final Plan ==" restarts at col 27). A section
+            # header below the threshold therefore LOWERS the
+            # threshold — the block still belongs to this relation —
+            # while a real NODE at or left of it ends the subtree.
+            threshold = col
             while i < len(lines):
                 m2 = _NODE_NAME.match(lines[i])
-                c2 = m2.start(1) if m2 else None
-                if c2 is not None and c2 <= col:
-                    break
+                c2 = _line_col(lines[i], m2)
+                if c2 is not None and c2 <= threshold:
+                    if m2:
+                        break
+                    threshold = c2 - 1
                 sub.append(lines[i])
                 i += 1
             # tree-drawing prefixes (":  +- ") depend on the read
             # site's depth in the OUTER tree — strip them per line so
-            # the same build plan keys identically from every site
+            # the same build plan keys identically from every site.
+            # The key also CUTS at the relation's own first
+            # "== Initial Plan ==" marker: a dedent-extended capture
+            # can absorb trailing text of the ENCLOSING build (see
+            # threshold note above), and the initial-section rendering
+            # varies with AQE state — the final section is the stable
+            # identity (without the cut, a triply-nested pin keyed
+            # differently per site and billed twice; funnel cascade,
+            # plan-audit campaign r8). Counting is unaffected: the
+            # recursive walk over the stored text stops at that same
+            # marker.
             body = "\n".join(_TREE_PREFIX.sub("", s) for s in sub)
             idx = body.find("InMemoryRelation")
-            key = _IDS.sub("#", body[idx:] if idx >= 0 else body)
+            body = body[idx:] if idx >= 0 else body
+            body = body.split("== Initial Plan ==", 1)[0]
+            key = _IDS.sub("#", body)
             cached.setdefault(key, "\n".join(sub))
     return "\n".join(out), cached
-
-
-def _final_section(plan: str) -> str:
-    """An AQE plan that has RUN prints BOTH "== Final Plan ==" and
-    "== Initial Plan ==" sections — counting the whole string would
-    double every counter (and mix nodes from two different plans when
-    AQE re-planned a join). Keep the final section only (code-review
-    r8; reproduced: counters exactly doubled after collect())."""
-    if "== Initial Plan ==" in plan:
-        return plan.split("== Initial Plan ==", 1)[0]
-    return plan
 
 
 def plan_audit(df: DataFrame) -> PlanAudit:
@@ -131,14 +175,14 @@ def plan_audit(df: DataFrame) -> PlanAudit:
     of what the query costs a cluster)."""
     qe = df._jdf.queryExecution()
     live, cached = _split_cached_subtrees(qe.executedPlan().toString())
-    texts = [_final_section(live)]
+    texts = [live]
     # cached builds may themselves read deeper caches; walk each
     # distinct relation once (keys dedup repeated read sites)
     seen = set(cached)
     frontier = list(cached.values())
     while frontier:
         sub_live, sub_cached = _split_cached_subtrees(frontier.pop())
-        texts.append(_final_section(sub_live))
+        texts.append(sub_live)
         for k, v in sub_cached.items():
             if k not in seen:
                 seen.add(k)

@@ -192,6 +192,13 @@ FORCE_HOIST: tuple[str, ...] = (
 #   unchanged, parity green) -> r9 force scalar_functions_showcase.
 #   Same class restated in token_counts' bpe-ish regex (crafted VT
 #   token parity run in both engines) -> r9 force token_counts.
+# - funnel stage-frame pins (late r8, plan-audit campaign): each
+#   per-user stage frame has two consumers (next stage's join + the
+#   final cascade) — un-pinned, the view slice scanned 3x and click
+#   2x per run; now one pushed scan per stage (plan-asserted in
+#   test_funnel_plan_no_cartesian_and_pushed_filters). Values
+#   unchanged (both funnel parities green). funnel_within_1h is in
+#   the r8 cap; r9 must FORCE funnel_view_click_purchase.
 # - normalize_string whitespace parity — APPLIED late r8: both
 #   engines now use the explicit Python-split whitespace class
 #   (normalize.PY_SPLIT_WS, validated exhaustively against

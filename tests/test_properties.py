@@ -575,13 +575,28 @@ def test_funnel_stage_ordering_and_monotone_counts(spark, sf_dir):
 
 
 def test_funnel_plan_no_cartesian_and_pushed_filters(spark, sf_dir):
+    from pac_spark.cache import release_caches
     from pac_spark.operators.temporal import funnel_view_click_purchase
+    from pac_spark.plans.audit import plan_audit
 
-    qe = funnel_view_click_purchase(spark, sf_dir)._jdf.queryExecution()
-    plan = qe.executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    full = qe.toString()
-    assert "PushedFilters" in full and "PushedFilters: []" not in full
+    try:
+        df = funnel_view_click_purchase(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        full = qe.toString()
+        assert "PushedFilters" in full and "PushedFilters: []" not in full
+        # one pushed event-type scan PER STAGE, end-to-end including
+        # the pinned stage frames' builds: the un-pinned cascade
+        # re-scanned the view slice 3x and click 2x (plan-audit
+        # campaign r8 — also pins the auditor's handling of
+        # triply-nested cached builds)
+        df.count()
+        a = plan_audit(df)
+        assert a.scans == 3, a
+        assert a.cartesian_products == 0
+    finally:
+        release_caches(all_generations=True)
 
 
 def test_rowlocal_signatures_match_grouped(spark, sf_dir):
