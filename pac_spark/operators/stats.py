@@ -1592,10 +1592,16 @@ def daily_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Absent (day, type) cells contribute |0·N − N_t·n_d| and are
     materialized by the day×type spine join, not skipped.
     """
+    from pac_spark.cache import pin
+
     ev = catalog.load(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
     )
-    dt = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n_dt"))
+    # pinned: the day×type count table feeds FOUR consumers (day
+    # totals, type totals->corpus total, and the spine's cell join) —
+    # un-pinned, the "one scan" the docstring promises was actually
+    # four events scans (plan-audit campaign r8)
+    dt = pin(ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n_dt")))
     days = dt.groupBy("day").agg(F.sum("n_dt").alias("n_d"))
     types = dt.groupBy("event_type").agg(F.sum("n_dt").alias("n_t"))
     total = types.agg(F.sum("n_t").alias("n"))
