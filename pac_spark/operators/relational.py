@@ -379,13 +379,19 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sets: customers holding orders with status 'F' vs status 'O'.
     """
+    from pac_spark.cache import pin
+
     orders = catalog.load(spark, sf_dir, "orders")
-    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("c_custkey")
+    # pinned shared base: each side set feeds THREE set operations —
+    # un-pinned, the fact table scanned once per branch (6 scans for
+    # one 2-column projection; plan-audit campaign r8)
+    base = pin(
+        orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderstatus"
+        )
     )
-    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    f_cust = base.filter(F.col("o_orderstatus") == "F").select("c_custkey")
+    o_cust = base.filter(F.col("o_orderstatus") == "O").select("c_custkey")
     both = f_cust.intersect(o_cust).withColumn("tag", F.lit("f_and_o"))
     f_only = f_cust.subtract(o_cust).withColumn("tag", F.lit("f_not_o"))
     o_only = o_cust.subtract(f_cust).withColumn("tag", F.lit("o_not_f"))
@@ -395,8 +401,14 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI / LEFT ANTI joins: per segment, customers with and
     without orders — the Spark-native EXISTS / NOT EXISTS."""
-    customer = catalog.load(spark, sf_dir, "customer")
-    orders = catalog.load(spark, sf_dir, "orders").select("o_custkey")
+    from pac_spark.cache import pin
+
+    # pinned: both projections feed BOTH the semi and the anti join —
+    # un-pinned, each table scanned once per join (plan-audit r8)
+    customer = pin(
+        catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    orders = pin(catalog.load(spark, sf_dir, "orders").select("o_custkey"))
     with_orders = (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .groupBy("c_mktsegment")

@@ -199,6 +199,10 @@ FORCE_HOIST: tuple[str, ...] = (
 #   test_funnel_plan_no_cartesian_and_pushed_filters). Values
 #   unchanged (both funnel parities green). funnel_within_1h is in
 #   the r8 cap; r9 must FORCE funnel_view_click_purchase.
+# - shared-base pins in set_ops_customers (6 fact scans -> 1) and
+#   semi_anti_customers (4 -> 2) + the daily_event_mix_drift dt pin
+#   (staged, 4 -> 1) — same campaign, values unchanged, parities
+#   green. r9 must FORCE set_ops_customers + semi_anti_customers.
 # - normalize_string whitespace parity — APPLIED late r8: both
 #   engines now use the explicit Python-split whitespace class
 #   (normalize.PY_SPLIT_WS, validated exhaustively against
