@@ -379,8 +379,6 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sets: customers holding orders with status 'F' vs status 'O'.
     """
-    from pac_spark.cache import pin
-
     orders = catalog.load(spark, sf_dir, "orders")
     # pinned shared base: each side set feeds THREE set operations —
     # un-pinned, the fact table scanned once per branch (6 scans for
@@ -401,8 +399,6 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI / LEFT ANTI joins: per segment, customers with and
     without orders — the Spark-native EXISTS / NOT EXISTS."""
-    from pac_spark.cache import pin
-
     # pinned: both projections feed BOTH the semi and the anti join —
     # un-pinned, each table scanned once per join (plan-audit r8)
     customer = pin(

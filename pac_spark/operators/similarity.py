@@ -505,11 +505,15 @@ def _ivf_centroids(
     size. Replaces the r1-r4 Spark-ML KMeans whose centroids no oracle
     could re-derive (VERDICT r4 wrong-#3).
 
-    The 16-row centroid frame is pinned each round: iteration t+1
+    The 16-row centroid frame is CHECKPOINTED each round (eager
+    localCheckpoint — lineage cut, not just cached): iteration t+1
     references cents_t twice (assignment + empty-cluster carry), so an
-    unpinned loop would replay the init lineage 2^IVF_ITERS times —
-    the same bounded-iteration materialization discipline
-    ``connected_components`` applies.
+    unmaterialized loop would replay the init lineage 2^IVF_ITERS
+    times, and a pin-only loop kept the whole unrolled lineage in
+    every downstream plan (7 MB plan strings, ~300 lineage exchanges
+    through pq_topk's 8 per-subspace loops — plan-audit campaign r8);
+    the flat-plan discipline ``pagerank`` and
+    ``connected_components`` apply.
     """
     h = F.md5(
         F.encode(

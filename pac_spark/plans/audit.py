@@ -156,7 +156,12 @@ def _split_cached_subtrees(plan: str) -> tuple[str, dict[str, str]]:
             body = "\n".join(_TREE_PREFIX.sub("", s) for s in sub)
             idx = body.find("InMemoryRelation")
             body = body[idx:] if idx >= 0 else body
-            body = body.split("== Initial Plan ==", 1)[0]
+            # rstrip after the cut: a site that swallowed the
+            # enclosing initial-plan header keeps a trailing newline
+            # the other sites lack, and a no-AQE pin (no own marker)
+            # would key differently per site and double-bill its
+            # build (code-review r8)
+            body = body.split("== Initial Plan ==", 1)[0].rstrip()
             key = _IDS.sub("#", body)
             cached.setdefault(key, "\n".join(sub))
     return "\n".join(out), cached
@@ -263,16 +268,16 @@ def _sweep(sf_dir: str) -> None:
     budget_allocation fact aggregate (12 -> 3), and the un-cut
     Lloyd-loop lineage in pq_topk/ann_ivf_topk (~300 lineage
     exchanges -> ~12)."""
-    from pyspark.sql import SparkSession
-
     from pac_spark.cache import release_caches
     from pac_spark.plans.registry import queries
+    from pac_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    # the engine session builder, not a bare SparkSession: it carries
+    # the REQUIRED confs (nanos-typed events parquet, ICU case-mapping
+    # kill switch, UTC) without which whole query families error out
+    # of the sweep and silently shrink its coverage (code-review r8)
+    spark = get_spark(
+        app_name="pac_spark_plan_audit", master="local[8]", shuffle_partitions=8
     )
     rows = []
     for name, fn in queries().items():
