@@ -1863,15 +1863,21 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell while countDistinct excluded it from the dof — an
     engine-consistent wrongness no oracle hash could catch.
     """
+    from pac_spark.cache import pin
+
     d = (
         catalog.load(spark, sf_dir, "documents")
         .select("lang", "source")
         .filter(F.col("lang").isNotNull() & F.col("source").isNotNull())
     )
-    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rmar = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_r"))
-    cmar = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_c"))
-    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus scan: the observed contingency table is pinned and
+    # every marginal (row, column, grand total) is derived FROM it —
+    # the un-shared derivation scanned documents once per marginal
+    # (4 scans; plan-audit campaign r8, the mix-drift idiom)
+    obs = pin(d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")))
+    rmar = obs.groupBy("lang").agg(F.sum("o").alias("n_r"))
+    cmar = obs.groupBy("source").agg(F.sum("o").alias("n_c"))
+    tot = obs.agg(F.sum("o").alias("n"))
     grid = (
         rmar.crossJoin(F.broadcast(cmar))
         .join(obs, ["lang", "source"], "left")

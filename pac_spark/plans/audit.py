@@ -259,15 +259,46 @@ def assert_scale_legal(
     return a
 
 
-def _sweep(sf_dir: str) -> None:
-    """Registry-wide audit: run every registered query at ``sf_dir``,
-    audit its executed plan, and print the rows that deserve a look
-    (descending scans, then exchanges; cartesian products always).
-    The r8 campaign over this sweep caught the executive_records
-    4-way-union rescan (16 scans -> 2), the un-pinned
-    budget_allocation fact aggregate (12 -> 3), and the un-cut
-    Lloyd-loop lineage in pq_topk/ann_ivf_topk (~300 lineage
-    exchanges -> ~12)."""
+def _staged_fns() -> dict:
+    """Resolve the rotation's STAGED_QUEUE names to their operator
+    callables (staged operators are plain ``(spark, sf_dir)``
+    functions in the operators/streaming packages, not registered
+    specs — the name IS the function name). Streaming specs are
+    skipped: their returned batch frame's plan says nothing about the
+    micro-batch plans that produced it."""
+    import importlib
+    import pkgutil
+
+    import pac_spark.operators as _ops
+    import pac_spark.streaming as _str
+    from pac_spark.plans.rotation import STAGED_QUEUE
+
+    mods = [
+        importlib.import_module(f"{pkg.__name__}.{m.name}")
+        for pkg in (_ops, _str)
+        for m in pkgutil.iter_modules(pkg.__path__)
+    ]
+    out = {}
+    for name in STAGED_QUEUE:
+        if name.startswith("streaming_"):
+            continue
+        for mod in mods:
+            fn = getattr(mod, name, None)
+            if callable(fn):
+                out[name] = fn
+                break
+    return out
+
+
+def _sweep(sf_dir: str, include_staged: bool = True) -> None:
+    """Registry-wide (+ staged-surface) audit: run every query at
+    ``sf_dir``, audit its executed plan, and print the rows that
+    deserve a look (descending scans, then exchanges; cartesian
+    products always). The r8 campaign over this sweep caught the
+    executive_records 4-way-union rescan (16 scans -> 2), un-pinned
+    multi-consumer frames in budget_allocation / funnel / set-ops /
+    mix-drift, and the un-cut Lloyd-loop lineage in
+    pq_topk/ann_ivf_topk (~300 lineage exchanges -> ~12)."""
     from pac_spark.cache import release_caches
     from pac_spark.plans.registry import queries
     from pac_spark.session import get_spark
@@ -279,8 +310,13 @@ def _sweep(sf_dir: str) -> None:
     spark = get_spark(
         app_name="pac_spark_plan_audit", master="local[8]", shuffle_partitions=8
     )
+    targets = dict(queries())
+    if include_staged:
+        targets.update(
+            (f"{n} [staged]", fn) for n, fn in _staged_fns().items()
+        )
     rows = []
-    for name, fn in queries().items():
+    for name, fn in targets.items():
         try:
             df = fn(spark, sf_dir)
             df.count()

@@ -3062,11 +3062,19 @@ def test_cramers_v_crafted(spark, tmp_path):
         }
     )
     det.to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.cache import release_caches
     from pac_spark.operators.stats import cramers_v_lang_source
 
     [r] = cramers_v_lang_source(spark, str(tmp_path)).collect()
     assert (r["n_langs"], r["n_sources"]) == (2, 2)
     assert abs(r["cramers_v"] - 1.0) < 1e-9
+
+    # the operator pins its contingency table (plan-audit r8); the
+    # engine contract is that caches release BETWEEN queries (the
+    # driver and bench both sweep) — this test overwrites the source
+    # in place, so it must sweep too or the second run reads the
+    # first dataset's cached table
+    release_caches(all_generations=True)
 
     bal = pd.DataFrame(
         {
