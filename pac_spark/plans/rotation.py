@@ -137,6 +137,24 @@ FORCE_HOIST: tuple[str, ...] = (
     "flagship_roles_resolved",
 )
 
+# R9 FORCE_HOIST STARTER LIST — the consolidated MUST-force set from
+# every note below (r9 step: reset FORCE_HOIST to this tuple, run the
+# tool, then re-grow as r9's own changes land). MUST (plan or value
+# contract changed on a tail spec this round):
+#   er_candidate_pairs, er_candidate_pairs_lsh, er_approved, er_links,
+#   er_records, er_records_stringified          (skeys + explode + ws)
+#   pq_topk, ann_ivf_topk                       (NULL contract; Lloyd cut)
+#   lang_quality_quantiles, window_distribution_stats   (NULL lace)
+#   q12_ship_delay_priority, q21_last_to_ship   (value-affecting parity)
+#   scalar_functions_showcase, token_counts     (VT regex class)
+#   funnel_view_click_purchase                  (stage-frame pins)
+#   set_ops_customers, semi_anti_customers      (shared-base pins)
+# = 17 forced; with ~26 mandatory (13 r8-registration 2nd greens +
+# ~13 r9 registrations) that leaves ~7 fill slots. SHOULD-force on
+# next natural churn (value-identical, lower priority): the q-family
+# broadcast-hint batch, mad_outliers_by_flag, pii_scrub_docs + the
+# multimodal family (r4-stale fill head anyway).
+#
 # Queued tail work for r9 (the r8 cap is FULL — 26 mandatory + 24
 # forced; apply the fix THEN force-hoist the spec in r9):
 # - ALREADY APPLIED in late r8 (code-review over tpch/issues/evaluate/
