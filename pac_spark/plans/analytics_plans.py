@@ -9,8 +9,10 @@ their r4 landing; their oracles live next to the operators they state
 from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
+from pac_spark.operators import evaluate as EV
 from pac_spark.operators import graph as G
 from pac_spark.operators import profile as P
+from pac_spark.operators import recommend as RC
 from pac_spark.operators import scd as SD
 from pac_spark.plans.spec import QuerySpec
 
@@ -76,5 +78,22 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         "two_hop_reach_top_customers",
         G.two_hop_reach_top_customers,
         G.TWO_HOP_SQL,
+    ),
+    # registered in the r9 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "association_rules_parts",
+        RC.association_rules_parts,
+        RC.ASSOC_RULES_SQL,
+    ),
+    QuerySpec(
+        "item_item_similar_parts",
+        RC.item_item_similar_parts,
+        RC.ITEM_ITEM_SQL,
+    ),
+    QuerySpec(
+        "auc_value_predicts_purchase",
+        EV.auc_value_predicts_purchase,
+        EV.AUC_SQL,
     ),
 ]

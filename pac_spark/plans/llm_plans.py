@@ -1310,6 +1310,10 @@ SPECS = [
     QuerySpec(
         "source_overlap_matrix", CU.source_overlap_matrix, CU.SOURCE_OVERLAP_SQL
     ),
+    # registered in the r9 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("embedding_dim_stats", S.embedding_dim_stats, S.DIM_STATS_SQL),
+    QuerySpec("bpe_learn_merges", TX.bpe_learn_merges, TX.BPE_SQL),
 ]
 
 

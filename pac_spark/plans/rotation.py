@@ -111,30 +111,34 @@ _REPO = os.path.dirname(
 #   unpinned) — span bounds now come straight off the pruned events
 #   scan; measured 0.475 s after the change.
 FORCE_HOIST: tuple[str, ...] = (
-    "pagerank_trade_graph",
-    "q17_small_quantity_revenue",
-    "unigram_prob_score",
-    "cms_user_heavy_hitters",
-    "streaming_cms_heavy_hitters",
-    "incremental_neardup_filter",
-    "minhash_signatures",
-    "minhash_lsh_dedup",
-    "simhash_neardup",
-    "streaming_neardup_admission",
-    "streaming_user_lifetime_stats",
-    "embedding_similar_pairs",
-    "semantic_dedup",
-    "token_budget_mix",
-    "decontaminate",
-    "timeseries_gapfill_hourly",
-    "er_clusters",
-    "er_consolidated",
-    "streaming_user_sessions_custom",
-    "bucketed_orders_join",
-    "compaction_roundtrip",
-    "zorder_roundtrip",
-    "streaming_purchase_click_join",
-    "flagship_roles_resolved",
+    # r9 starter list (the consolidated MUST-force set from the r8
+    # notes below — every entry is a tail spec whose plan or value
+    # contract changed in late r8 after its tail evidence was cut):
+    # ER family (per-record scoring keys + explode-of-variants records
+    # + PY_SPLIT_WS + blank-as-absent):
+    "er_candidate_pairs",
+    "er_candidate_pairs_lsh",
+    "er_approved",
+    "er_links",
+    "er_records",
+    "er_records_stringified",
+    # NULL-embedding contract + Lloyd-loop lineage cut:
+    "pq_topk",
+    "ann_ivf_topk",
+    # NULL-laced sweep contract fixes:
+    "lang_quality_quantiles",
+    "window_distribution_stats",
+    # value-affecting TPC-H parity (q12 NULL priority -> LOW; q21
+    # re-aggregate on s_name):
+    "q12_ship_delay_priority",
+    "q21_last_to_ship",
+    # name_slug / token regex explicit ASCII \s class (VT divergence):
+    "scalar_functions_showcase",
+    "token_counts",
+    # plan-audit campaign pins (stage frames / shared bases):
+    "funnel_view_click_purchase",
+    "set_ops_customers",
+    "semi_anti_customers",
 )
 
 # R9 FORCE_HOIST STARTER LIST — the consolidated MUST-force set from
@@ -293,19 +297,6 @@ FORCE_HOIST: tuple[str, ...] = (
 # the registry never overlap. r7 registered the first 13 (through
 # expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    "embedding_dim_stats",
-    "hll_distinct_customers_by_priority",
-    "daily_coverage_us",
-    "rolling_7d_distinct_users_hll",
-    "percentiles_cont_price_by_flag",
-    "kmv_nation_part_overlap",
-    "association_rules_parts",
-    "item_item_similar_parts",
-    "ewma_user_value",
-    "streaming_ewma_user_value",
-    "attribution_last_touch",
-    "bpe_learn_merges",
-    "auc_value_predicts_purchase",
     "decile_lift_value_purchase",
     "kcore_parts",
     "dedup_canonical_docs",

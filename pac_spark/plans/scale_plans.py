@@ -98,4 +98,17 @@ SPECS = [
     QuerySpec("zorder_roundtrip", SC.zorder_roundtrip, _ZORDER_ROUNDTRIP),
     QuerySpec("key_skew_report", SC.key_skew_report, _SKEW),
     QuerySpec("cms_user_heavy_hitters", SK.cms_user_heavy_hitters, SK.CMS_HH_SQL()),
+    # registered in the r9 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "hll_distinct_customers_by_priority",
+        SK.hll_distinct_customers_by_priority,
+        SK.HLL_SQL,
+    ),
+    QuerySpec(
+        "rolling_7d_distinct_users_hll",
+        SK.rolling_7d_distinct_users_hll,
+        SK.ROLLING_HLL_SQL,
+    ),
+    QuerySpec("kmv_nation_part_overlap", SK.kmv_nation_part_overlap, SK.KMV_SQL),
 ]

@@ -169,4 +169,12 @@ SPECS = [
         ST.budget_allocation_by_nation,
         ST.ALLOC_SQL,
     ),
+    # registered in the r9 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "percentiles_cont_price_by_flag",
+        ST.percentiles_cont_price_by_flag,
+        ST.PCT_CONT_SQL,
+    ),
+    QuerySpec("ewma_user_value", ST.ewma_user_value, ST.EWMA_SQL),
 ]

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.operators.relational import DAILY_USERS_SQL
 from pac_spark.operators.sketch import CMS_HH_SQL
+from pac_spark.operators.stats import EWMA_SQL
 from pac_spark.operators.temporal import OHLC_SQL
 from pac_spark.plans.llm_plans import _INCREMENTAL
 from pac_spark.plans.spec import QuerySpec
@@ -213,5 +214,15 @@ SPECS = [
         "streaming_user_accounting",
         stateful.streaming_user_accounting,
         DAILY_USERS_SQL,
+    ),
+    # registered in the r9 rotation after rounds staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py).
+    # The oracle is deliberately the BATCH lag-chain oracle
+    # (stats.EWMA_SQL): hash equality proves the stream-maintained
+    # per-user EWMA state read-off equals the one-shot batch recursion
+    QuerySpec(
+        "streaming_ewma_user_value",
+        stateful.streaming_ewma_user_value,
+        EWMA_SQL,
     ),
 ]

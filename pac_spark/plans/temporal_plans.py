@@ -200,4 +200,10 @@ SPECS = [
         T.funnel_within_1h_view_click_purchase,
         T.FUNNEL_WITHIN_SQL,
     ),
+    # registered in the r9 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("daily_coverage_us", T.daily_coverage_us, T.COVERAGE_SQL),
+    QuerySpec(
+        "attribution_last_touch", T.attribution_last_touch, T.ATTRIBUTION_SQL
+    ),
 ]
