@@ -261,10 +261,24 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop with a key-partitioned pair generation whose cost is
     sum(block_size^2), not n^2."""
     # pinned: the frame feeds BOTH sides of the blocked self-join —
-    # un-pinned each side re-runs the records derivation and keying
+    # un-pinned each side re-runs the records derivation and keying.
+    # Only the columns the pairing actually reads are stored (id,
+    # block, the four scoring keys) — the raw fields ride along in the
+    # er_consolidated pin, not this one. Measured r9 (same-JVM
+    # interleaved min-of-5 at sf0.1): the r7->r8 "1.75x" was mostly
+    # ambient — the controlled code gap is ~1.15x and is the pin's
+    # materialization, a documented recompute-vs-materialize trade
+    # that flips toward the pin at scale (1 records scan, not 2).
     records = pin(
-        _with_scoring_keys(executive_records(spark, sf_dir)).withColumn(
-            "block", _block_key(F.col("name"))
+        _with_scoring_keys(executive_records(spark, sf_dir))
+        .withColumn("block", _block_key(F.col("name")))
+        .select(
+            "record_id",
+            "block",
+            "name_skey",
+            "address_skey",
+            "title_skey",
+            "company_skey",
         )
     )
     a = records.alias("a")
@@ -304,11 +318,22 @@ def candidate_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # pinned: consumed three times below (shingle arrays + both sides
-    # of the candidate rescoring join) — unpinned, the five-projection
-    # union over customer×nation would replay per consumer. Scoring
-    # keys are folded INSIDE the pin so they are computed once per
-    # record and stored, not re-derived per candidate pair.
-    records = pin(_with_scoring_keys(executive_records(spark, sf_dir)))
+    # of the candidate rescoring join) — unpinned, the records
+    # derivation over customer×nation would replay per consumer.
+    # Scoring keys are folded INSIDE the pin so they are computed once
+    # per record and stored, not re-derived per candidate pair; only
+    # the columns the three consumers read are stored (name feeds the
+    # shingle arrays, the keys feed the rescoring).
+    records = pin(
+        _with_scoring_keys(executive_records(spark, sf_dir)).select(
+            "record_id",
+            "name",
+            "name_skey",
+            "address_skey",
+            "title_skey",
+            "company_skey",
+        )
+    )
     # signatures row-locally over each record's digit-run array — zero
     # shuffle (duplicate runs cannot change an array_min, so no
     # distinct needed; records without digit runs drop out exactly as
@@ -499,6 +524,33 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.orderBy("record_id")
 
 
+def completeness_count(
+    cols: tuple[str, ...] = ("name", "title", "company", "address"),
+):
+    """Best-record completeness: the count of RAW-truthy fields — the
+    reference's ``max(records, key=lambda r: sum(1 for v in r.values()
+    if v and not pd.isna(v)))`` (executive_review_tool.py:540). A
+    whitespace-only field is PRESENT here (truthy string), unlike the
+    scoring/collection presence rule — the r9 presence decision
+    record; oracle twin: ``er_plans._NONNULL``."""
+    return sum(
+        F.when(F.col(c).isNotNull() & (F.col(c) != ""), 1).otherwise(0)
+        for c in cols
+    )
+
+
+def collect_normalized_present(col):
+    """Sorted distinct normalized values of ``col``, '|'-joined,
+    keeping only values whose NORMALIZED form is non-empty — the
+    reference's ``if company:`` after normalize_string (:330-333) and
+    stripped-title truthiness (:560-562). Oracle twin:
+    ``er_plans._collect_present``."""
+    normed = normalize_string(col)
+    return F.array_join(
+        F.array_sort(F.collect_set(F.when(normed != "", normed))), "|"
+    )
+
+
 def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster consolidation with reference semantics:
 
@@ -516,10 +568,22 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     records, pairs, clusters = _cluster_labels(spark, sf_dir)
     clustered = records.join(clusters, "record_id")
-    nonnull_cnt = sum(
-        F.when(F.col(c).isNotNull() & (F.trim(F.col(c)) != ""), 1).otherwise(0)
-        for c in ("name", "title", "company", "address")
-    )
+    # PRESENCE DECISION RECORD (code-review r9, ADVICE r8): the
+    # consolidation stages follow the reference rule-by-rule rather
+    # than one blanket rule, because the reference itself uses two:
+    # - best-record completeness counts RAW truthiness — ``if v and
+    #   not pd.isna(v)`` (executive_review_tool.py:540) — so a
+    #   whitespace-only field counts as PRESENT here (the pre-r9
+    #   trim() guard counted it absent, ASCII-space-only at that);
+    # - companies/titles collect by NORMALIZED non-emptiness — ``if
+    #   company:`` after normalize_string (:330-333) and the stripped
+    #   title truthiness (:560-562), the same rule pair scoring uses.
+    # Both stated identically in the DuckDB oracle (er_plans._NONNULL
+    # / the companies+titles FILTERs). Documented deviation: the
+    # reference also drops title strings spelling 'nan'/'none' — a
+    # pandas stringification artifact; in a typed engine NULL is NULL
+    # and a literal 'nan' title is data.
+    nonnull_cnt = completeness_count()
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("nonnull_cnt"), F.asc("record_id")
     )
@@ -535,20 +599,8 @@ def er_consolidated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = clustered.groupBy("cluster_id").agg(
         F.count("*").alias("grouped_from"),
-        F.array_join(
-            F.array_sort(F.collect_set(normalize_string(F.col("company")))), "|"
-        ).alias("companies"),
-        F.array_join(
-            F.array_sort(
-                F.collect_set(
-                    F.when(
-                        F.col("title").isNotNull() & (F.trim("title") != ""),
-                        normalize_string(F.col("title")),
-                    )
-                )
-            ),
-            "|",
-        ).alias("titles"),
+        collect_normalized_present(F.col("company")).alias("companies"),
+        collect_normalized_present(F.col("title")).alias("titles"),
         # A8: every original record the group was consolidated from,
         # kept as an array of structs (ref executive_review_tool.py:
         # 564-572) — serialized to JSON (sorted by unique record_id)

@@ -177,10 +177,30 @@ _ER_CLUSTERS = f"""
 SELECT record_id, cluster_id FROM clusters ORDER BY record_id
 """
 
+# best-record completeness counts RAW truthiness — the reference's
+# ``if v and not pd.isna(v)`` (executive_review_tool.py:540), so a
+# whitespace-only field is PRESENT here while companies/titles below
+# collect by NORMALIZED non-emptiness (the :330/:560 rules) — the r9
+# presence decision record, stated identically in
+# entity_resolution.er_consolidated
 _NONNULL = " + ".join(
-    f"(CASE WHEN {c} IS NOT NULL AND trim({c}) <> '' THEN 1 ELSE 0 END)"
+    f"(CASE WHEN {c} IS NOT NULL AND {c} <> '' THEN 1 ELSE 0 END)"
     for c in ("name", "title", "company", "address")
 )
+
+
+def _collect_present(c: str) -> str:
+    """Sorted distinct normalized values, '|'-joined, NORMALIZED
+    non-emptiness presence — the oracle twin of
+    ``entity_resolution.collect_normalized_present``. COALESCE: Spark's
+    collect_set over zero qualifying rows is an EMPTY ARRAY (-> ''
+    after array_join) while DuckDB's filtered LIST is NULL — all-NULL
+    clusters must render '' in both engines."""
+    return (
+        f"COALESCE(array_to_string(list_sort(LIST(DISTINCT {_norm(c)}) "
+        f"FILTER (WHERE {_norm(c)} IS NOT NULL AND {_norm(c)} <> '')), "
+        f"'|'), '')"
+    )
 
 _CONSOLIDATED_BODY = f"""
 {_PRELUDE},
@@ -199,14 +219,8 @@ best AS (
 members AS (
     SELECT cluster_id,
            CAST(COUNT(*) AS BIGINT) AS grouped_from,
-           -- COALESCE: Spark's collect_set over zero qualifying rows is
-           -- an EMPTY ARRAY (-> '' after array_join) while DuckDB's
-           -- filtered LIST is NULL — all-NULL title/company clusters
-           -- must render '' in both engines
-           COALESCE(array_to_string(list_sort(LIST(DISTINCT {_norm('company')})
-               FILTER (WHERE {_norm('company')} IS NOT NULL)), '|'), '') AS companies,
-           COALESCE(array_to_string(list_sort(LIST(DISTINCT {_norm('title')})
-               FILTER (WHERE title IS NOT NULL AND trim(title) <> '')), '|'), '') AS titles
+           {_collect_present('company')} AS companies,
+           {_collect_present('title')} AS titles
     FROM clustered GROUP BY cluster_id
 ),
 -- separate aggregate: DuckDB 1.0.0 segfaults when LIST(DISTINCT..FILTER)
@@ -275,8 +289,7 @@ best AS (
 ),
 members AS (
     SELECT cluster_id,
-           array_to_string(list_sort(LIST(DISTINCT {_norm('company')})
-               FILTER (WHERE {_norm('company')} IS NOT NULL)), '|') AS companies
+           {_collect_present('company')} AS companies
     FROM clustered GROUP BY cluster_id
 ),
 exploded AS (

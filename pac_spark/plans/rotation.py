@@ -139,6 +139,12 @@ FORCE_HOIST: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "set_ops_customers",
     "semi_anti_customers",
+    # r9 in-round changes: the consolidation presence decision record
+    # (raw-truthiness completeness + normalized-emptiness collections,
+    # restated in both engines) + the slim pinned projections in both
+    # pairing paths — er_approved/er_links already forced above
+    "er_consolidated",
+    "er_clusters",
 )
 
 # R9 FORCE_HOIST STARTER LIST — the consolidated MUST-force set from

@@ -1461,3 +1461,91 @@ def test_blank_as_absent_scoring_parity(spark):
     """
     assert_oracle_match(got, con.sql(oracle))
     con.close()
+
+
+def test_consolidation_presence_rules_parity(spark):
+    """The r9 presence decision record (ADVICE r8): best-record
+    completeness counts RAW truthiness (whitespace-only PRESENT —
+    ref :540), while companies/titles collect by NORMALIZED
+    non-emptiness (whitespace-only ABSENT — ref :330/:560). Crafted
+    NBSP/tab/ideographic-space fields, cross-engine: the Spark helper
+    pair vs the er_plans SQL twins over identical clustered rows."""
+    import duckdb
+    import pandas as pd
+
+    from pac_spark.operators.entity_resolution import (
+        collect_normalized_present,
+        completeness_count,
+    )
+    from pac_spark.plans.er_plans import _NONNULL, _collect_present
+    from pyspark.sql.window import Window as W
+    from tests.conftest import assert_oracle_match
+
+    recs = pd.DataFrame(
+        {
+            "record_id": [1, 2, 3, 4, 5],
+            "cluster_id": [1, 1, 1, 4, 4],
+            # rec 1: tab-only title — completeness counts it (4 fields
+            # raw-truthy, beats rec 2's 3) but the titles collection
+            # drops it; pre-r9 Spark counted it absent in completeness
+            # (trim-based) and the engines disagreed beyond ASCII
+            "name": ["Ann Lee", "Ann  Lee", None, "Bo Ix", "Bo　Ix"],
+            "title": ["\t\t", "VP Ops", "vp  ops", None, " "],
+            "company": ["Acme", " ", "acme", "", "Zed Co"],
+            "address": ["a st", "a st", "", "b st", None],
+        }
+    )
+    sdf = spark.createDataFrame(
+        recs,
+        "record_id long, cluster_id long, name string, title string, "
+        "company string, address string",
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("nonnull_cnt"), F.asc("record_id")
+    )
+    best = (
+        sdf.withColumn("nonnull_cnt", completeness_count())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("name").alias("best_name"))
+    )
+    members = sdf.groupBy("cluster_id").agg(
+        collect_normalized_present(F.col("company")).alias("companies"),
+        collect_normalized_present(F.col("title")).alias("titles"),
+    )
+    got = members.join(best, "cluster_id").orderBy("cluster_id")
+
+    # rec 1 wins cluster 1 on raw truthiness (tab title counts); the
+    # whitespace-only title and ' ' company are dropped from the
+    # collections while 'vp ops'/'vp  ops' normalize together
+    rows = {r["cluster_id"]: r for r in got.collect()}
+    assert rows[1]["best_name"] == "Ann Lee"
+    assert rows[1]["titles"] == "vp ops"
+    assert rows[1]["companies"] == "acme"
+    assert rows[4]["titles"] == ""
+
+    con = duckdb.connect()
+    con.register("crafted_clustered", recs)
+    oracle = f"""
+    WITH clustered AS (SELECT * FROM crafted_clustered),
+    best AS (
+        SELECT cluster_id, name AS best_name
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cluster_id
+                ORDER BY ({_NONNULL}) DESC, record_id ASC) AS rn
+            FROM clustered
+        ) WHERE rn = 1
+    ),
+    members AS (
+        SELECT cluster_id,
+               {_collect_present('company')} AS companies,
+               {_collect_present('title')} AS titles
+        FROM clustered GROUP BY cluster_id
+    )
+    SELECT m.cluster_id, m.companies, m.titles, b.best_name
+    FROM members m JOIN best b USING (cluster_id)
+    ORDER BY cluster_id
+    """
+    assert_oracle_match(got, con.sql(oracle))
+    con.close()
