@@ -31,7 +31,13 @@ import threading
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pin", "checkpoint", "checkpoint_with_handles", "release_caches"]
+__all__ = [
+    "guard_source_snapshot",
+    "pin",
+    "checkpoint",
+    "checkpoint_with_handles",
+    "release_caches",
+]
 
 _LIVE_DFS: list[DataFrame] = []
 # JavaRDD handles backing localCheckpoints, two generations deep:
@@ -45,6 +51,36 @@ _CKPT_CUR: list = []
 # checkpoint one generation early or raise into an unrelated query
 # (code-review r8)
 _LOCK = threading.RLock()
+
+# source-path fingerprints observed while pins are live — the loud-
+# failure side of the between-queries release contract (ADVICE r8)
+_PATH_SNAPSHOTS: dict[str, tuple] = {}
+
+
+def guard_source_snapshot(path: str, fingerprint: tuple) -> None:
+    """Fail LOUDLY when a source path changed in place under a live
+    pin (ADVICE r8). ``persist()`` registers frames in Spark's
+    CacheManager keyed by the ANALYZED PLAN, so re-building the same
+    logical plan after the underlying files were rewritten silently
+    substitutes the old cached blocks — the exact trap
+    test_cramers_v_crafted hit before adding its release sweep. The
+    ledger records each loaded path's fingerprint while pins are
+    live; a CHANGED fingerprint then raises instead of letting the
+    next action serve stale data. localCheckpoint blocks are not a
+    reuse hazard (RDD-level, never plan-substituted), so only
+    ``pin`` liveness arms the guard, and :func:`release_caches`
+    clears the ledger once no pins remain."""
+    with _LOCK:
+        prev = _PATH_SNAPSHOTS.get(path)
+        if prev is not None and prev != fingerprint and _LIVE_DFS:
+            raise RuntimeError(
+                f"{path} changed on disk while pinned frames are live — "
+                "Spark's plan-keyed cache would serve the OLD snapshot. "
+                "Call pac_spark.cache.release_caches() between queries "
+                "(the registry's _tuned wrapper does) before re-reading "
+                "a replaced table."
+            )
+        _PATH_SNAPSHOTS[path] = fingerprint
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -128,6 +164,7 @@ def release_caches(all_generations: bool = False) -> int:
             # re-raise their errors into an unrelated query)
             for live in (_LIVE_DFS, _CKPT_PREV, _CKPT_CUR):
                 live.clear()
+            _PATH_SNAPSHOTS.clear()
             return n
 
         errors: list[Exception] = []
@@ -148,6 +185,10 @@ def release_caches(all_generations: bool = False) -> int:
             # becomes CUR, and CUR's checkpoints age into PREV for the
             # next sweep
             _CKPT_PREV, _CKPT_CUR = _CKPT_CUR, _CKPT_PREV
+        if not _LIVE_DFS:
+            # no pin can substitute stale blocks any more — in-place
+            # source rewrites are legal again (guard_source_snapshot)
+            _PATH_SNAPSHOTS.clear()
     if errors:
         raise errors[0]
     return n

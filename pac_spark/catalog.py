@@ -50,6 +50,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _guard_snapshot(path: str) -> None:
+    """Arm the stale-cache guard for ``path`` (ADVICE r8): a cheap
+    stat/listdir fingerprint recorded per load; if the same path's
+    fingerprint CHANGES while pinned frames are live,
+    ``cache.guard_source_snapshot`` raises instead of letting Spark's
+    plan-keyed cache serve the pre-rewrite snapshot. A missing path is
+    left for spark.read to report with its own error."""
+    from pac_spark.cache import guard_source_snapshot
+
+    try:
+        if os.path.isdir(path):
+            fp = tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(path), key=lambda e: e.name)
+            )
+        else:
+            st = os.stat(path)
+            fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return
+    guard_source_snapshot(path, fp)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown reach the
     parquet reader automatically because callers express plans
@@ -68,7 +91,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    _guard_snapshot(path)
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]

@@ -58,6 +58,33 @@ PR_ITERATIONS = 10
 DAMPING_PCT = 85  # 0.85 damping as an integer percentage
 
 
+# serialized estimate per (node: long, rank: long) broadcast row —
+# two 8-byte values plus UnsafeRow/broadcast-table overhead
+_RANK_ROW_BYTES = 48
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    """The session's spark.sql.autoBroadcastJoinThreshold in bytes
+    (0 when broadcasting is disabled with -1). Explicit broadcast()
+    hints bypass this threshold, so loop operators that hint must
+    re-apply it themselves (ADVICE r8)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.rstrip("b").endswith(suffix):
+            raw, mult = raw.rstrip("b")[: -len(suffix)], m
+            break
+    else:
+        raw = raw.removesuffix("b")
+    try:
+        val = int(raw) * mult
+    except ValueError:
+        val = 10 << 20
+    return max(val, 0)
+
+
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (random-walk) edges: customer c traded with supplier s
     iff some lineitem of c's order was supplied by s. Distinct pairs,
@@ -163,13 +190,17 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     # Rank frames are node-sized: below the gate, broadcasting them
     # into the edge join (and the node-sized contrib into the update
     # join) removes TWO of the three per-iteration shuffles — only the
-    # map-side-combined groupBy(dst) remains. ~1M (node,rank) rows is
-    # ~tens of MB serialized, re-broadcast each of the 10 iterations;
-    # past the gate the plan falls back to the shuffle joins that
-    # scale to billion-node graphs. Join strategy cannot change the
-    # integer arithmetic, so results are identical on both paths
-    # (partition-invariance is property-tested).
-    bcast_ranks = n_nodes <= 1_000_000
+    # map-side-combined groupBy(dst) remains. The explicit hint
+    # BYPASSES spark.sql.autoBroadcastJoinThreshold, so the gate must
+    # do that check itself: estimated bytes (two longs + row overhead
+    # per node, re-broadcast every iteration) against the session's
+    # own threshold — a fixed row count risked multi-ten-MB broadcast
+    # builds on executors whose operator sized the threshold smaller
+    # (ADVICE r8). Past the gate the plan falls back to the shuffle
+    # joins that scale to billion-node graphs. Join strategy cannot
+    # change the integer arithmetic, so results are identical on both
+    # paths (partition-invariance is property-tested).
+    bcast_ranks = n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold(spark)
     try:
         ranks = checkpoint(nodes.select("node", F.lit(init).alias("rank")))
         for i in range(iterations):

@@ -1877,7 +1877,12 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = pin(d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")))
     rmar = obs.groupBy("lang").agg(F.sum("o").alias("n_r"))
     cmar = obs.groupBy("source").agg(F.sum("o").alias("n_c"))
-    tot = obs.agg(F.sum("o").alias("n"))
+    # COALESCE: sum over an empty obs is NULL while the oracle's
+    # COUNT-over-d tot is 0 — the value only ever surfaces through
+    # MAX over the (then-empty) grid today, but the frames must state
+    # the same empty-corpus total so a future consumer cannot diverge
+    # (ADVICE r8)
+    tot = obs.agg(F.coalesce(F.sum("o"), F.lit(0)).alias("n"))
     grid = (
         rmar.crossJoin(F.broadcast(cmar))
         .join(obs, ["lang", "source"], "left")

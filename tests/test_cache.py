@@ -95,3 +95,32 @@ def test_jvm_alive_from_foreign_thread(spark):
     t.start()
     t.join()
     assert results == [True]
+
+
+def test_stale_source_guard_raises_then_clears(spark, tmp_path):
+    """The between-queries release contract, enforced (ADVICE r8):
+    re-loading a path whose files changed IN PLACE while a pin is
+    live raises loudly (Spark's plan-keyed cache would serve the old
+    snapshot — the test_cramers_v_crafted trap); after the release
+    sweep the rewrite is legal and the new data is served."""
+    import pandas as pd
+    import pytest
+
+    from pac_spark import cache, catalog
+
+    cache.release_caches(all_generations=True)
+    p = tmp_path / "documents.parquet"
+    pd.DataFrame({"doc_id": [1], "text": ["old"]}).to_parquet(p)
+    df = cache.pin(catalog.load(spark, str(tmp_path), "documents"))
+    assert df.count() == 1  # materialize the pin
+
+    # rewrite in place (force a distinct mtime even on coarse clocks)
+    import os
+
+    pd.DataFrame({"doc_id": [1, 2], "text": ["new", "new2"]}).to_parquet(p)
+    os.utime(p, ns=(1, 1))
+    with pytest.raises(RuntimeError, match="changed on disk"):
+        catalog.load(spark, str(tmp_path), "documents")
+
+    cache.release_caches(all_generations=True)
+    assert catalog.load(spark, str(tmp_path), "documents").count() == 2
