@@ -147,10 +147,10 @@ FORCE_HOIST: tuple[str, ...] = (
     "er_clusters",
 )
 
-# R9 FORCE_HOIST STARTER LIST — the consolidated MUST-force set from
-# every note below (r9 step: reset FORCE_HOIST to this tuple, run the
-# tool, then re-grow as r9's own changes land). MUST (plan or value
-# contract changed on a tail spec this round):
+# R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
+# tuple below IS this list plus the in-round r9 growth). Kept for the
+# audit trail. MUST (plan or value contract changed on a tail spec
+# in r8):
 #   er_candidate_pairs, er_candidate_pairs_lsh, er_approved, er_links,
 #   er_records, er_records_stringified          (skeys + explode + ws)
 #   pq_topk, ann_ivf_topk                       (NULL contract; Lloyd cut)
