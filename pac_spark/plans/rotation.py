@@ -145,6 +145,11 @@ FORCE_HOIST: tuple[str, ...] = (
     # pairing paths — er_approved/er_links already forced above
     "er_consolidated",
     "er_clusters",
+    # r9: broadcast gate now sized by estimated bytes vs the session
+    # autoBroadcastJoinThreshold (ADVICE r8) — plan-identical at every
+    # test scale (the gate still broadcasts), but the loop code
+    # changed, and changed code never rides the tail
+    "pagerank_trade_graph",
 )
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
