@@ -27,6 +27,7 @@ Every cache goes through this registry:
 
 from __future__ import annotations
 
+import os as _os
 import threading
 
 from pyspark.sql import DataFrame
@@ -54,40 +55,73 @@ _LOCK = threading.RLock()
 
 # source-path fingerprints observed while pins are live — the loud-
 # failure side of the between-queries release contract (ADVICE r8)
-_PATH_SNAPSHOTS: dict[str, tuple] = {}
+_PATH_SNAPSHOTS: dict[str, str] = {}
+# concrete input files backing each live pin (df.inputFiles() at pin
+# time): the guard only raises for a changed path that actually feeds
+# a live pin — a rewrite of an unrelated table is legal (code-review
+# r9). "*" marks a pin whose sources could not be enumerated; it
+# matches every path, erring toward the loud failure.
+_LIVE_SRC: list[tuple[str, ...]] = []
 
 
-def guard_source_snapshot(path: str, fingerprint: tuple) -> None:
+def _pin_reads(path: str) -> bool:
+    probe = _os.path.abspath(path)
+    for files in _LIVE_SRC:
+        for f in files:
+            if f == "*":
+                return True
+            local = f
+            if local.startswith("file:"):
+                local = local[5:]
+                while local.startswith("//"):
+                    local = local[1:]
+            if local == probe or local.startswith(probe + _os.sep):
+                return True
+    return False
+
+
+def guard_source_snapshot(path: str, fingerprint: str) -> None:
     """Fail LOUDLY when a source path changed in place under a live
-    pin (ADVICE r8). ``persist()`` registers frames in Spark's
-    CacheManager keyed by the ANALYZED PLAN, so re-building the same
-    logical plan after the underlying files were rewritten silently
-    substitutes the old cached blocks — the exact trap
+    pin that READS it (ADVICE r8). ``persist()`` registers frames in
+    Spark's CacheManager keyed by the ANALYZED PLAN, so re-building
+    the same logical plan after the underlying files were rewritten
+    silently substitutes the old cached blocks — the exact trap
     test_cramers_v_crafted hit before adding its release sweep. The
     ledger records each loaded path's fingerprint while pins are
-    live; a CHANGED fingerprint then raises instead of letting the
-    next action serve stale data. localCheckpoint blocks are not a
-    reuse hazard (RDD-level, never plan-substituted), so only
-    ``pin`` liveness arms the guard, and :func:`release_caches`
-    clears the ledger once no pins remain."""
+    live; a CHANGED fingerprint for a path backing a live pin then
+    raises instead of letting the next action serve stale data.
+    localCheckpoint blocks are not a reuse hazard (RDD-level, never
+    plan-substituted), so only ``pin`` liveness arms the guard, and
+    :func:`release_caches` clears the ledger once no pins remain."""
     with _LOCK:
         prev = _PATH_SNAPSHOTS.get(path)
-        if prev is not None and prev != fingerprint and _LIVE_DFS:
+        if prev is not None and prev != fingerprint and _pin_reads(path):
             raise RuntimeError(
-                f"{path} changed on disk while pinned frames are live — "
-                "Spark's plan-keyed cache would serve the OLD snapshot. "
-                "Call pac_spark.cache.release_caches() between queries "
-                "(the registry's _tuned wrapper does) before re-reading "
-                "a replaced table."
+                f"{path} changed on disk while a pinned frame reading it "
+                "is live — Spark's plan-keyed cache would serve the OLD "
+                "snapshot. Call pac_spark.cache.release_caches() between "
+                "queries (the registry's _tuned wrapper does) before "
+                "re-reading a replaced table."
             )
         _PATH_SNAPSHOTS[path] = fingerprint
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next release sweep."""
+    try:
+        # metadata listing only; in-memory/JDBC frames report no files
+        # and correctly opt out of the file-staleness guard. BEFORE
+        # persist(): once the plan is cache-substituted the file scan
+        # is hidden behind the InMemoryRelation and inputFiles() goes
+        # empty (observed, code-review r9)
+        files: tuple[str, ...] = tuple(df.inputFiles())
+    except Exception:
+        files = ("*",)  # unknown sources: guard conservatively
     df.persist()
     with _LOCK:
         _LIVE_DFS.append(df)
+        if files:
+            _LIVE_SRC.append(files)
     return df
 
 
@@ -164,6 +198,7 @@ def release_caches(all_generations: bool = False) -> int:
             # re-raise their errors into an unrelated query)
             for live in (_LIVE_DFS, _CKPT_PREV, _CKPT_CUR):
                 live.clear()
+            _LIVE_SRC.clear()
             _PATH_SNAPSHOTS.clear()
             return n
 
@@ -188,6 +223,7 @@ def release_caches(all_generations: bool = False) -> int:
         if not _LIVE_DFS:
             # no pin can substitute stale blocks any more — in-place
             # source rewrites are legal again (guard_source_snapshot)
+            _LIVE_SRC.clear()
             _PATH_SNAPSHOTS.clear()
     if errors:
         raise errors[0]

@@ -51,23 +51,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _guard_snapshot(path: str) -> None:
-    """Arm the stale-cache guard for ``path`` (ADVICE r8): a cheap
-    stat/listdir fingerprint recorded per load; if the same path's
-    fingerprint CHANGES while pinned frames are live,
-    ``cache.guard_source_snapshot`` raises instead of letting Spark's
-    plan-keyed cache serve the pre-rewrite snapshot. A missing path is
-    left for spark.read to report with its own error."""
+    """Arm the stale-cache guard for ``path`` (ADVICE r8): the shared
+    metadata fingerprint (``sources.layout_cache.source_fingerprint``
+    — ONE fingerprinting semantics repo-wide, code-review r9) recorded
+    per load; if the same path's fingerprint CHANGES while a pinned
+    frame reading it is live, ``cache.guard_source_snapshot`` raises
+    instead of letting Spark's plan-keyed cache serve the pre-rewrite
+    snapshot. A missing path is left for spark.read to report with its
+    own error."""
     from pac_spark.cache import guard_source_snapshot
+    from pac_spark.sources.layout_cache import source_fingerprint
 
     try:
-        if os.path.isdir(path):
-            fp = tuple(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in sorted(os.scandir(path), key=lambda e: e.name)
-            )
-        else:
-            st = os.stat(path)
-            fp = (st.st_mtime_ns, st.st_size)
+        fp = source_fingerprint(path)
     except OSError:
         return
     guard_source_snapshot(path, fp)

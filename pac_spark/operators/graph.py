@@ -72,7 +72,13 @@ def _broadcast_threshold(spark: SparkSession) -> int:
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+    for suffix, m in (
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("p", 1 << 50),
+    ):
         if raw.rstrip("b").endswith(suffix):
             raw, mult = raw.rstrip("b")[: -len(suffix)], m
             break

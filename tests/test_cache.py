@@ -114,9 +114,20 @@ def test_stale_source_guard_raises_then_clears(spark, tmp_path):
     df = cache.pin(catalog.load(spark, str(tmp_path), "documents"))
     assert df.count() == 1  # materialize the pin
 
-    # rewrite in place (force a distinct mtime even on coarse clocks)
+    # an UNRELATED table rewritten in place is legal even with the pin
+    # live — the guard only protects paths a live pin actually reads
+    # (code-review r9)
     import os
 
+    q = tmp_path / "orders.parquet"
+    pd.DataFrame({"o_orderkey": [1]}).to_parquet(q)
+    assert catalog.load(spark, str(tmp_path), "orders").count() == 1
+    pd.DataFrame({"o_orderkey": [1, 2]}).to_parquet(q)
+    os.utime(q, ns=(1, 1))
+    assert catalog.load(spark, str(tmp_path), "orders").count() == 2
+
+    # rewrite the PINNED table in place (force a distinct mtime even
+    # on coarse clocks) -> loud failure
     pd.DataFrame({"doc_id": [1, 2], "text": ["new", "new2"]}).to_parquet(p)
     os.utime(p, ns=(1, 1))
     with pytest.raises(RuntimeError, match="changed on disk"):

@@ -1485,14 +1485,17 @@ def test_consolidation_presence_rules_parity(spark):
         {
             "record_id": [1, 2, 3, 4, 5],
             "cluster_id": [1, 1, 1, 4, 4],
-            # rec 1: tab-only title — completeness counts it (4 fields
-            # raw-truthy, beats rec 2's 3) but the titles collection
-            # drops it; pre-r9 Spark counted it absent in completeness
-            # (trim-based) and the engines disagreed beyond ASCII
+            # the completeness rule DISCRIMINATES on rec 2's
+            # space-only company: raw truthiness counts it (rec 2 = 4
+            # fields, beats rec 1's 3 — rec 2 wins the cluster), while
+            # the pre-r9 trim()-based count saw 3 and rec 1 won on the
+            # record_id tiebreak; rec 3's tab-only title and NBSP
+            # company count for completeness but are dropped from the
+            # collections (normalized-emptiness)
             "name": ["Ann Lee", "Ann  Lee", None, "Bo Ix", "Bo　Ix"],
-            "title": ["\t\t", "VP Ops", "vp  ops", None, " "],
-            "company": ["Acme", " ", "acme", "", "Zed Co"],
-            "address": ["a st", "a st", "", "b st", None],
+            "title": [None, "VP Ops", "\t\t", None, " "],
+            "company": ["Acme", " ", " ", "", "Zed Co"],
+            "address": ["a st", "b st", "", "c st", None],
         }
     )
     sdf = spark.createDataFrame(
@@ -1515,11 +1518,12 @@ def test_consolidation_presence_rules_parity(spark):
     )
     got = members.join(best, "cluster_id").orderBy("cluster_id")
 
-    # rec 1 wins cluster 1 on raw truthiness (tab title counts); the
-    # whitespace-only title and ' ' company are dropped from the
-    # collections while 'vp ops'/'vp  ops' normalize together
+    # rec 2 wins cluster 1 ONLY under raw truthiness (4 > 3; the old
+    # trim rule tied 3-3 and rec 1 won on record_id) — this assertion
+    # fails if the completeness rule regresses to trim(); the
+    # whitespace-only title/companies are dropped from the collections
     rows = {r["cluster_id"]: r for r in got.collect()}
-    assert rows[1]["best_name"] == "Ann Lee"
+    assert rows[1]["best_name"] == "Ann  Lee"
     assert rows[1]["titles"] == "vp ops"
     assert rows[1]["companies"] == "acme"
     assert rows[4]["titles"] == ""
