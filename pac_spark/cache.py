@@ -27,7 +27,6 @@ Every cache goes through this registry:
 
 from __future__ import annotations
 
-import os as _os
 import threading
 
 from pyspark.sql import DataFrame
@@ -56,28 +55,21 @@ _LOCK = threading.RLock()
 # source-path fingerprints observed while pins are live — the loud-
 # failure side of the between-queries release contract (ADVICE r8)
 _PATH_SNAPSHOTS: dict[str, str] = {}
-# concrete input files backing each live pin (df.inputFiles() at pin
-# time): the guard only raises for a changed path that actually feeds
-# a live pin — a rewrite of an unrelated table is legal (code-review
-# r9). "*" marks a pin whose sources could not be enumerated; it
-# matches every path, erring toward the loud failure.
-_LIVE_SRC: list[tuple[str, ...]] = []
+# per live pin: the set of ledger paths already loaded when the pin
+# was created — a pin's plan can only read paths loaded BEFORE it
+# existed, so the guard only raises for a changed path inside some
+# live pin's capture set; rewriting a table first loaded AFTER every
+# pin stays legal (code-review r9). This over-approximates (a pin may
+# not read every earlier-loaded path) but costs nothing per pin —
+# the precise df.inputFiles() alternative re-analyzed the whole plan
+# per pin and measured 1.6x on the Lloyd-loop query (pq_topk sf0.01
+# drive 9.3s -> 15.0s), and is blind after materialization anyway
+# (the cache-substituted plan hides its file scans).
+_LIVE_SRC: list[frozenset[str]] = []
 
 
 def _pin_reads(path: str) -> bool:
-    probe = _os.path.abspath(path)
-    for files in _LIVE_SRC:
-        for f in files:
-            if f == "*":
-                return True
-            local = f
-            if local.startswith("file:"):
-                local = local[5:]
-                while local.startswith("//"):
-                    local = local[1:]
-            if local == probe or local.startswith(probe + _os.sep):
-                return True
-    return False
+    return any(path in srcs for srcs in _LIVE_SRC)
 
 
 def guard_source_snapshot(path: str, fingerprint: str) -> None:
@@ -108,20 +100,11 @@ def guard_source_snapshot(path: str, fingerprint: str) -> None:
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next release sweep."""
-    try:
-        # metadata listing only; in-memory/JDBC frames report no files
-        # and correctly opt out of the file-staleness guard. BEFORE
-        # persist(): once the plan is cache-substituted the file scan
-        # is hidden behind the InMemoryRelation and inputFiles() goes
-        # empty (observed, code-review r9)
-        files: tuple[str, ...] = tuple(df.inputFiles())
-    except Exception:
-        files = ("*",)  # unknown sources: guard conservatively
     df.persist()
     with _LOCK:
         _LIVE_DFS.append(df)
-        if files:
-            _LIVE_SRC.append(files)
+        if _PATH_SNAPSHOTS:
+            _LIVE_SRC.append(frozenset(_PATH_SNAPSHOTS))
     return df
 
 
