@@ -152,6 +152,22 @@ FORCE_HOIST: tuple[str, ...] = (
     "pagerank_trade_graph",
 )
 
+# R10 FORCE_HOIST STARTER LIST: EMPTY as of r9 end — every spec whose
+# plan or value contract changed in r9 (the ER family incl.
+# er_clusters/er_consolidated, pagerank) is in the r9 cap, so its
+# newest driver evidence post-dates the change and it may legally ride
+# the r10 tail. r9 substrate changes that deliberately ride the local
+# gates instead (the r8 precedent for equivalence-preserving
+# substrate): the stale-source cache guard (cache.guard_source_snapshot
+# + catalog._guard_snapshot — metadata-only, no plan change, pinned by
+# test_cache.py), the cramers_v empty-corpus COALESCE (staged spec,
+# value-identical on non-empty), and the bench anchor fields. r10
+# step 1: reset FORCE_HOIST to () plus r10's own changes, run the
+# tool, paste. r10 registrations = the next ~13 queue heads
+# (decile_lift_value_purchase .. ams_f2_user_activity); capacity is
+# wide — only the 13 r9 registrations are mandatory 2nd-green
+# carry-overs.
+
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
 # audit trail. MUST (plan or value contract changed on a tail spec
