@@ -583,15 +583,23 @@ def kmv_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
     sup = catalog.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = catalog.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # pinned: the three-table join feeds BOTH the sketch build and the
-    # exact-intersection companion — the file's most expensive shared
-    # stage, recomputed per consumer otherwise (code-review r7)
-    np_pairs = pin(
+    np_pairs = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .select(F.col("n_name").alias("nation"), F.col("l_partkey").alias("part"))
     )
-    sk = pin(_kmv_sketches(np_pairs, "nation", "part"))
+    # pinned: the DISTINCT (nation, part) frame feeds BOTH the sketch
+    # build and the exact-intersection companion. Deduplicating BEFORE
+    # the sketch call matters twice over: the shared pin replaces the
+    # r7 raw-join pin (one fact scan either way), and the sketch's
+    # double-md5 hash chain now runs over the ~|distinct pairs| rows
+    # instead of every raw lineitem row — at 100 TB that is the fact
+    # table's row count of avoided md5 work; _kmv_sketches' internal
+    # distinct still dedupes the (astronomically rare) 60-bit hash
+    # collision exactly like the oracle's DISTINCT-on-hash (r9 bench
+    # row review; sf0.1 full operator 4.9 -> 3.4 s same-session).
+    np_distinct = pin(np_pairs.distinct())
+    sk = pin(_kmv_sketches(np_distinct, "nation", "part"))
     theta = kmv_theta(sk)
     # sample = h < theta (drops the k-th value itself in the full regime)
     samples = sk.join(F.broadcast(theta), "g").filter(F.col("h") < F.col("theta"))
@@ -621,7 +629,7 @@ def kmv_nation_part_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation_a", "nation_b")
         .agg(F.count("*").alias("n_common"))
     )
-    exact = pin(np_pairs.distinct())
+    exact = np_distinct
     ea, eb = exact.alias("ea"), exact.alias("eb")
     exact_inter = (
         ea.join(
