@@ -152,6 +152,11 @@ FORCE_HOIST: tuple[str, ...] = (
     "pagerank_trade_graph",
 )
 
+# r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
+# interpreted fallback — a full candidate_pairs_lsh drive this round
+# logged ZERO "Code grows beyond 64 KB" warnings; the r8 per-record
+# scoring keys were the fix, no further split needed.
+#
 # R10 FORCE_HOIST STARTER LIST: EMPTY as of r9 end — every spec whose
 # plan or value contract changed in r9 (the ER family incl.
 # er_clusters/er_consolidated, pagerank) is in the r9 cap, so its
