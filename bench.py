@@ -137,6 +137,10 @@ FAMILY = {
     "attribution_last_touch": "temporal",
     "bpe_learn_merges": "llm",
     "auc_value_predicts_purchase": "analytics",
+    "decile_lift_value_purchase": "analytics",
+    "kcore_parts": "graph",
+    "dedup_canonical_docs": "dedup",
+    "degree_assortativity": "graph",
 }
 
 # headline set: one representative per operator family (relational
@@ -226,6 +230,10 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "bpe_learn_merges",
     "auc_value_predicts_purchase",
+    "decile_lift_value_purchase",
+    "kcore_parts",
+    "dedup_canonical_docs",
+    "degree_assortativity",
 ]
 
 

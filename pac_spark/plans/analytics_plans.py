@@ -96,4 +96,15 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         EV.auc_value_predicts_purchase,
         EV.AUC_SQL,
     ),
+    QuerySpec(
+        "decile_lift_value_purchase",
+        EV.decile_lift_value_purchase,
+        EV.DECILE_LIFT_SQL,
+    ),
+    QuerySpec("kcore_parts", G.kcore_parts, G.KCORE_SQL),
+    QuerySpec(
+        "degree_assortativity",
+        G.degree_assortativity,
+        G.ASSORTATIVITY_SQL(),
+    ),
 ]

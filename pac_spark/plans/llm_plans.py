@@ -1314,6 +1314,7 @@ SPECS = [
     # identical local 3-SF oracle gates (tests/test_staged_specs.py)
     QuerySpec("embedding_dim_stats", S.embedding_dim_stats, S.DIM_STATS_SQL),
     QuerySpec("bpe_learn_merges", TX.bpe_learn_merges, TX.BPE_SQL),
+    QuerySpec("dedup_canonical_docs", D.dedup_canonical_docs, CANONICAL_SQL),
 ]
 
 

@@ -168,10 +168,12 @@ FORCE_HOIST: tuple[str, ...] = (
 # test_cache.py), the cramers_v empty-corpus COALESCE (staged spec,
 # value-identical on non-empty), and the bench anchor fields. r10
 # step 1: reset FORCE_HOIST to () plus r10's own changes, run the
-# tool, paste. r10 registrations = the next ~13 queue heads
-# (decile_lift_value_purchase .. ams_f2_user_activity); capacity is
-# wide — only the 13 r9 registrations are mandatory 2nd-green
-# carry-overs.
+# tool, paste. r9 ultimately registered 17 (the 13 queue heads plus
+# decile_lift/kcore/canonical-docs/assortativity when late-round cap
+# capacity allowed), so r10 carries 17 mandatory 2nd-green slots —
+# register ~13 more (queue head table_fingerprint_by_nation ..
+# cramers_v_lang_source) and the backlog drops to ~21, one round from
+# the <=26 bar that re-opens new-operator work.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
@@ -329,10 +331,6 @@ FORCE_HOIST: tuple[str, ...] = (
 # the registry never overlap. r7 registered the first 13 (through
 # expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    "decile_lift_value_purchase",
-    "kcore_parts",
-    "dedup_canonical_docs",
-    "degree_assortativity",
     "table_fingerprint_by_nation",
     "levenshtein_neardup_pairs",
     "containment_neardup_pairs",
