@@ -111,45 +111,11 @@ _REPO = os.path.dirname(
 #   unpinned) — span bounds now come straight off the pruned events
 #   scan; measured 0.475 s after the change.
 FORCE_HOIST: tuple[str, ...] = (
-    # r9 starter list (the consolidated MUST-force set from the r8
-    # notes below — every entry is a tail spec whose plan or value
-    # contract changed in late r8 after its tail evidence was cut):
-    # ER family (per-record scoring keys + explode-of-variants records
-    # + PY_SPLIT_WS + blank-as-absent):
-    "er_candidate_pairs",
-    "er_candidate_pairs_lsh",
-    "er_approved",
-    "er_links",
-    "er_records",
-    "er_records_stringified",
-    # NULL-embedding contract + Lloyd-loop lineage cut:
-    "pq_topk",
-    "ann_ivf_topk",
-    # NULL-laced sweep contract fixes:
-    "lang_quality_quantiles",
-    "window_distribution_stats",
-    # value-affecting TPC-H parity (q12 NULL priority -> LOW; q21
-    # re-aggregate on s_name):
-    "q12_ship_delay_priority",
-    "q21_last_to_ship",
-    # name_slug / token regex explicit ASCII \s class (VT divergence):
-    "scalar_functions_showcase",
-    "token_counts",
-    # plan-audit campaign pins (stage frames / shared bases):
-    "funnel_view_click_purchase",
-    "set_ops_customers",
-    "semi_anti_customers",
-    # r9 in-round changes: the consolidation presence decision record
-    # (raw-truthiness completeness + normalized-emptiness collections,
-    # restated in both engines) + the slim pinned projections in both
-    # pairing paths — er_approved/er_links already forced above
-    "er_consolidated",
-    "er_clusters",
-    # r9: broadcast gate now sized by estimated bytes vs the session
-    # autoBroadcastJoinThreshold (ADVICE r8) — plan-identical at every
-    # test scale (the gate still broadcasts), but the loop code
-    # changed, and changed code never rides the tail
-    "pagerank_trade_graph",
+    # r10 starter list: EMPTY (per the r9 note below — every spec
+    # whose plan or value contract changed in r9 was kept inside the
+    # r9 cap, so its newest driver evidence post-dates the change).
+    # Grown in-round as r10 changes land; every addition carries a
+    # comment naming the change that voids the spec's tail evidence.
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
