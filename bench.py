@@ -141,6 +141,19 @@ FAMILY = {
     "kcore_parts": "graph",
     "dedup_canonical_docs": "dedup",
     "degree_assortativity": "graph",
+    "table_fingerprint_by_nation": "analytics",
+    "levenshtein_neardup_pairs": "dedup",
+    "containment_neardup_pairs": "dedup",
+    "sssp_from_hub": "graph",
+    "quantile_normalized_quality": "llm",
+    "streaming_bitmap_distinct_users": "streaming",
+    "fd_profile_orders": "analytics",
+    "time_weighted_value_by_user": "temporal",
+    "ams_f2_user_activity": "analytics",
+    "epoch_interleave_positions": "llm",
+    "ams_join_size_orders_events": "analytics",
+    "kcenter_diverse_embeddings": "llm",
+    "streaming_kmv_distinct_users": "streaming",
 }
 
 # headline set: one representative per operator family (relational
@@ -234,6 +247,19 @@ BENCH_QUERIES = [
     "kcore_parts",
     "dedup_canonical_docs",
     "degree_assortativity",
+    "table_fingerprint_by_nation",
+    "levenshtein_neardup_pairs",
+    "containment_neardup_pairs",
+    "sssp_from_hub",
+    "quantile_normalized_quality",
+    "streaming_bitmap_distinct_users",
+    "fd_profile_orders",
+    "time_weighted_value_by_user",
+    "ams_f2_user_activity",
+    "epoch_interleave_positions",
+    "ams_join_size_orders_events",
+    "kcenter_diverse_embeddings",
+    "streaming_kmv_distinct_users",
 ]
 
 

@@ -107,4 +107,13 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         G.degree_assortativity,
         G.ASSORTATIVITY_SQL(),
     ),
+    # registered in the r10 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "table_fingerprint_by_nation",
+        P.table_fingerprint_by_nation,
+        P.FINGERPRINT_SQL(),
+    ),
+    QuerySpec("fd_profile_orders", P.fd_profile_orders, P.FD_SQL()),
+    QuerySpec("sssp_from_hub", G.sssp_from_hub, G.SSSP_SQL()),
 ]

@@ -1257,6 +1257,42 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+# --- quantile normalization (registered in the r10 rotation; gate
+#     stays in tests/test_staged_specs.py) ---------------------------
+# Same computation as text._quantile_normalize: within-source rank r
+# of n_s maps to the pooled order statistic at ceil(r*N/n_s). Target
+# positions use HUGEINT // (DuckDB's BIGINT // and DECIMAL // are
+# float-backed — the budget-allocation lesson).
+QNORM_SQL = f"""
+WITH stats AS ({_TEXT_STATS.strip().rstrip()}),
+d AS (
+    -- NULL-quality docs excluded in BOTH engines: Spark windows sort
+    -- NULLS FIRST, DuckDB NULLS LAST, so a ranked NULL would shift
+    -- every other doc's rank differently per engine
+    SELECT doc_id, source,
+           CAST(ROUND(quality_score * {TX.QUALITY_SCALE}) AS BIGINT) AS q_fp
+    FROM stats
+    WHERE quality_score IS NOT NULL AND source IS NOT NULL
+),
+g AS (
+    SELECT doc_id, source, q_fp,
+           ROW_NUMBER() OVER (ORDER BY q_fp, doc_id) AS p,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_fp, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS n_s,
+           COUNT(*) OVER () AS n_all
+    FROM d
+),
+m AS (
+    SELECT doc_id, source, q_fp,
+           CAST((CAST(r AS HUGEINT) * n_all + n_s - 1) // n_s AS BIGINT) AS tgt
+    FROM g
+)
+SELECT m.doc_id, m.source, m.q_fp, x.q_fp AS q_norm_fp
+FROM m JOIN g x ON x.p = m.tgt
+ORDER BY m.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact_docs", D.dedup_exact, _DEDUP_EXACT),
     QuerySpec("ngram_jaccard_pairs", D.ngram_jaccard_pairs, _NGRAM_JACCARD),
@@ -1315,40 +1351,31 @@ SPECS = [
     QuerySpec("embedding_dim_stats", S.embedding_dim_stats, S.DIM_STATS_SQL),
     QuerySpec("bpe_learn_merges", TX.bpe_learn_merges, TX.BPE_SQL),
     QuerySpec("dedup_canonical_docs", D.dedup_canonical_docs, CANONICAL_SQL),
+    # registered in the r10 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "levenshtein_neardup_pairs",
+        D.levenshtein_neardup_pairs,
+        D.LEVENSHTEIN_SQL(),
+    ),
+    QuerySpec(
+        "containment_neardup_pairs",
+        D.containment_neardup_pairs,
+        D.CONTAINMENT_SQL(),
+    ),
+    QuerySpec(
+        "quantile_normalized_quality",
+        TX.quantile_normalized_quality,
+        QNORM_SQL,
+    ),
+    QuerySpec(
+        "epoch_interleave_positions",
+        CU.epoch_interleave_positions,
+        CU.EPOCH_INTERLEAVE_SQL,
+    ),
+    QuerySpec(
+        "kcenter_diverse_embeddings",
+        S.kcenter_diverse_embeddings,
+        S.KCENTER_SQL(),
+    ),
 ]
-
-
-# --- quantile normalization (STAGED for the r7/r8 rotation; gate in
-#     tests/test_staged_specs.py) -------------------------------------
-# Same computation as text._quantile_normalize: within-source rank r
-# of n_s maps to the pooled order statistic at ceil(r*N/n_s). Target
-# positions use HUGEINT // (DuckDB's BIGINT // and DECIMAL // are
-# float-backed — the budget-allocation lesson).
-QNORM_SQL = f"""
-WITH stats AS ({_TEXT_STATS.strip().rstrip()}),
-d AS (
-    -- NULL-quality docs excluded in BOTH engines: Spark windows sort
-    -- NULLS FIRST, DuckDB NULLS LAST, so a ranked NULL would shift
-    -- every other doc's rank differently per engine
-    SELECT doc_id, source,
-           CAST(ROUND(quality_score * {TX.QUALITY_SCALE}) AS BIGINT) AS q_fp
-    FROM stats
-    WHERE quality_score IS NOT NULL AND source IS NOT NULL
-),
-g AS (
-    SELECT doc_id, source, q_fp,
-           ROW_NUMBER() OVER (ORDER BY q_fp, doc_id) AS p,
-           ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_fp, doc_id) AS r,
-           COUNT(*) OVER (PARTITION BY source) AS n_s,
-           COUNT(*) OVER () AS n_all
-    FROM d
-),
-m AS (
-    SELECT doc_id, source, q_fp,
-           CAST((CAST(r AS HUGEINT) * n_all + n_s - 1) // n_s AS BIGINT) AS tgt
-    FROM g
-)
-SELECT m.doc_id, m.source, m.q_fp, x.q_fp AS q_norm_fp
-FROM m JOIN g x ON x.p = m.tgt
-ORDER BY m.doc_id
-"""

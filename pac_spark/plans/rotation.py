@@ -140,6 +140,25 @@ FORCE_HOIST: tuple[str, ...] = (
 # register ~13 more (queue head table_fingerprint_by_nation ..
 # cramers_v_lang_source) and the backlog drops to ~21, one round from
 # the <=26 bar that re-opens new-operator work.
+#
+# R10 APPLIED (the two commits at the top of r10): hoist regenerated
+# from the committed r1-r9 history with FORCE_HOIST=() (first commit),
+# then the 13 queue heads (table_fingerprint_by_nation ..
+# streaming_kmv_distinct_users) registered into their owning plans
+# modules and the hoist regenerated again (second commit) — cap now
+# 30 mandatory (17 r9-registration 2nd-greens + 13 r10 registrations)
+# + 20 staleness fill reaching the r4/r5 tail. Staged backlog 34 -> 21.
+# STAGING-AGE NOTE (VERDICT r9 next-#4): the specs staged since r7
+# that queue order does NOT reach this round —
+# spatial_customer_neighbors, pattern_runs_view_click_purchase,
+# user_growth_accounting (+ streaming twin),
+# weighted_percentiles_price_by_flag, conversion_latency_by_hour —
+# wait by POLICY, not accident: the queue is strict staging-age order
+# at the 13/round pace the 2-round cap obligation allows (each
+# registration claims a mandatory slot this round AND next), and these
+# sit at queue positions 8-20 of the remaining 21, i.e. all are inside
+# the next round's 13 except the last few. Every one stays under the
+# identical local 3-SF value-hash gate while it waits.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
@@ -297,19 +316,6 @@ FORCE_HOIST: tuple[str, ...] = (
 # the registry never overlap. r7 registered the first 13 (through
 # expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    "table_fingerprint_by_nation",
-    "levenshtein_neardup_pairs",
-    "containment_neardup_pairs",
-    "sssp_from_hub",
-    "quantile_normalized_quality",
-    "streaming_bitmap_distinct_users",
-    "fd_profile_orders",
-    "time_weighted_value_by_user",
-    "ams_f2_user_activity",
-    "epoch_interleave_positions",
-    "ams_join_size_orders_events",
-    "kcenter_diverse_embeddings",
-    "streaming_kmv_distinct_users",
     "cramers_v_lang_source",
     "mann_kendall_by_type",
     "acf_daily_revenue",

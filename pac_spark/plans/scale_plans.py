@@ -111,4 +111,12 @@ SPECS = [
         SK.ROLLING_HLL_SQL,
     ),
     QuerySpec("kmv_nation_part_overlap", SK.kmv_nation_part_overlap, SK.KMV_SQL),
+    # registered in the r10 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec("ams_f2_user_activity", SK.ams_f2_user_activity, SK.AMS_SQL),
+    QuerySpec(
+        "ams_join_size_orders_events",
+        SK.ams_join_size_orders_events,
+        SK.AMS_JOIN_SQL,
+    ),
 ]

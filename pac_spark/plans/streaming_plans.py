@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.operators.relational import DAILY_USERS_SQL
-from pac_spark.operators.sketch import CMS_HH_SQL
+from pac_spark.operators.sketch import BITMAP_DISTINCT_SQL, CMS_HH_SQL
 from pac_spark.operators.stats import EWMA_SQL
 from pac_spark.operators.temporal import OHLC_SQL
 from pac_spark.plans.llm_plans import _INCREMENTAL
@@ -224,5 +224,21 @@ SPECS = [
         "streaming_ewma_user_value",
         stateful.streaming_ewma_user_value,
         EWMA_SQL,
+    ),
+    # registered in the r10 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py).
+    # streaming_bitmap's oracle is deliberately the batch tier's
+    # INDEPENDENT plain COUNT(DISTINCT) formulation; streaming_kmv's
+    # is the one-shot SQL sketch reconstruction — hash equality proves
+    # the per-micro-batch monoid folds equal the batch read-offs
+    QuerySpec(
+        "streaming_bitmap_distinct_users",
+        stateful.streaming_bitmap_distinct_users,
+        BITMAP_DISTINCT_SQL,
+    ),
+    QuerySpec(
+        "streaming_kmv_distinct_users",
+        stateful.streaming_kmv_distinct_users,
+        stateful.STREAMING_KMV_SQL,
     ),
 ]

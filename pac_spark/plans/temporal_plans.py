@@ -206,4 +206,11 @@ SPECS = [
     QuerySpec(
         "attribution_last_touch", T.attribution_last_touch, T.ATTRIBUTION_SQL
     ),
+    # registered in the r10 rotation after rounds staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py)
+    QuerySpec(
+        "time_weighted_value_by_user",
+        T.time_weighted_value_by_user,
+        T.TWA_SQL(),
+    ),
 ]
