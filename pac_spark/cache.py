@@ -88,12 +88,22 @@ def guard_source_snapshot(path: str, fingerprint: str) -> None:
     with _LOCK:
         prev = _PATH_SNAPSHOTS.get(path)
         if prev is not None and prev != fingerprint and _pin_reads(path):
+            # the capture set is an over-approximation (see _LIVE_SRC),
+            # so name it in the error: a false positive is then
+            # diagnosable from the message alone (ADVICE r9)
+            captured = sorted(
+                {p for srcs in _LIVE_SRC if path in srcs for p in srcs}
+            )
             raise RuntimeError(
                 f"{path} changed on disk while a pinned frame reading it "
                 "is live — Spark's plan-keyed cache would serve the OLD "
                 "snapshot. Call pac_spark.cache.release_caches() between "
                 "queries (the registry's _tuned wrapper does) before "
-                "re-reading a replaced table."
+                "re-reading a replaced table. NOTE: a pin's read set is "
+                "over-approximated as every path loaded before the pin "
+                "existed, so this can fire for a path the live pin never "
+                "reads; the matching pins' captured path sets are: "
+                f"{captured}"
             )
         _PATH_SNAPSHOTS[path] = fingerprint
 

@@ -544,7 +544,17 @@ def collect_normalized_present(col):
     keeping only values whose NORMALIZED form is non-empty — the
     reference's ``if company:`` after normalize_string (:330-333) and
     stripped-title truthiness (:560-562). Oracle twin:
-    ``er_plans._collect_present``."""
+    ``er_plans._collect_present``.
+
+    Documented deviations from the reference (r9 presence decision
+    record): (1) the reference's raw values keep literal 'nan'/'none'
+    strings, this engine's normalized-emptiness rule drops only
+    actually-empty normalizations; (2) CASING — the reference collects
+    titles RAW-stripped, case-preserved (:560-562), while this column
+    stores the lowercased/normalized form for both companies and
+    titles. The presence rule matches the reference either way, and
+    BOTH engines (this function and the oracle twin) state the same
+    normalized form, so hash parity is unaffected (ADVICE r9)."""
     normed = normalize_string(col)
     return F.array_join(
         F.array_sort(F.collect_set(F.when(normed != "", normed))), "|"

@@ -87,7 +87,11 @@ def _broadcast_threshold(spark: SparkSession) -> int:
     try:
         val = int(raw) * mult
     except ValueError:
-        val = 10 << 20
+        # unparseable conf -> 0, the always-correct shuffle path: a
+        # session that set a garbage threshold may have MEANT to
+        # disable broadcasting, and silently assuming the 10MB default
+        # would re-enable per-iteration broadcasts (ADVICE r9)
+        val = 0
     return max(val, 0)
 
 

@@ -116,6 +116,14 @@ FORCE_HOIST: tuple[str, ...] = (
     # r9 cap, so its newest driver evidence post-dates the change).
     # Grown in-round as r10 changes land; every addition carries a
     # comment naming the change that voids the spec's tail evidence.
+    #
+    # r10: _broadcast_threshold's unparseable-conf fallback changed
+    # 10MB -> 0 (ADVICE r9: assume the always-correct shuffle path,
+    # never silently re-enable per-iteration broadcasts) — value- and
+    # plan-identical on every session that sets a parseable threshold
+    # (all of ours), but the loop code changed, and changed code never
+    # rides the tail:
+    "pagerank_trade_graph",
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
