@@ -263,8 +263,61 @@ BENCH_QUERIES = [
 ]
 
 
+def compare(old_path: str, new_path: str) -> None:
+    """Anchor-normalized round-over-round adjudication (VERDICT r9
+    next-#3): this box's ambient speed swings ±15-70% within hours, so
+    a raw per-query delta is NOT code-attributable. Both BENCH_DETAIL
+    snapshots carry ``anchor_sec`` — fixed plain-Spark workloads whose
+    movement is machine drift by construction — so each query's ratio
+    divides by the MOST FORGIVING anchor ratio (max of cpu/scan:
+    attribute as much as the anchors allow to the machine) and only a
+    residual > 1.2x is flagged as a code regression. Usage:
+    ``python bench.py --compare <old BENCH_DETAIL> <new BENCH_DETAIL>``
+    (the old side usually via ``git show <rev>:BENCH_DETAIL.json``)."""
+    with open(old_path) as fh:
+        old = json.load(fh)
+    with open(new_path) as fh:
+        new = json.load(fh)
+    a_old, a_new = old.get("anchor_sec") or {}, new.get("anchor_sec") or {}
+    ratios = {
+        k: a_new[k] / a_old[k]
+        for k in ("cpu", "scan")
+        if a_old.get(k) and a_new.get(k)
+    }
+    if not ratios:
+        raise SystemExit(
+            "one side lacks anchor_sec — anchors exist from r9 on; "
+            "fall back to the same-JVM interleaved A/B recipe"
+        )
+    ambient = max(ratios.values())
+    print(
+        f"anchors old={a_old} new={a_new} ratios="
+        f"{ {k: round(v, 3) for k, v in ratios.items()} } "
+        f"ambient(max)={ambient:.3f}"
+    )
+    rows = []
+    for q, t_old in (old.get("queries") or {}).items():
+        t_new = (new.get("queries") or {}).get(q)
+        if t_new is None or not t_old:
+            continue
+        raw = t_new / t_old
+        rows.append((raw / ambient, raw, t_old, t_new, q))
+    rows.sort(reverse=True)
+    flagged = [r for r in rows if r[0] > 1.2]
+    print(f"{len(rows)} comparable queries; {len(flagged)} normalized regressions > 1.2x")
+    for norm, raw, t_old, t_new, q in rows[:15]:
+        mark = " <-- FLAG" if norm > 1.2 else ""
+        print(
+            f"  {q:42s} {t_old:7.3f}s -> {t_new:7.3f}s raw {raw:5.2f}x "
+            f"norm {norm:5.2f}x{mark}"
+        )
+
+
 def main() -> None:
     global BENCH_QUERIES
+    if len(sys.argv) >= 2 and sys.argv[1] == "--compare":
+        compare(sys.argv[2], sys.argv[3])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # diagnostic scoping: BENCH_ONLY="a,b" times just those queries —
     # for isolating whether a row's cost is the query or JVM context

@@ -259,17 +259,25 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked self-join + weighted fuzzy scores for every candidate
     pair (id_a < id_b). This replaces the reference's O(n^2) driver
     loop with a key-partitioned pair generation whose cost is
-    sum(block_size^2), not n^2."""
-    # pinned: the frame feeds BOTH sides of the blocked self-join —
-    # un-pinned each side re-runs the records derivation and keying.
-    # Only the columns the pairing actually reads are stored (id,
-    # block, the four scoring keys) — the raw fields ride along in the
-    # er_consolidated pin, not this one. Measured r9 (same-JVM
-    # interleaved min-of-5 at sf0.1): the r7->r8 "1.75x" was mostly
-    # ambient — the controlled code gap is ~1.15x and is the pin's
-    # materialization, a documented recompute-vs-materialize trade
-    # that flips toward the pin at scale (1 records scan, not 2).
-    records = pin(
+    sum(block_size^2), not n^2.
+
+    NOT pinned — a measured decision (VERDICT r9 next-#5). The frame
+    feeds both sides of the blocked self-join, so recomputing costs a
+    second map-side derivation (customer scan + codegen keying, no
+    shuffle — each side derives in place before its own block
+    exchange), while pinning costs one full serialize-to-storage of
+    the keyed frame plus cache reads. Same-JVM interleaved A/B
+    (release_caches between runs, warm, min over interleaved reps;
+    r10 session): sf0.1 pinned 1.904s vs unpinned 1.704s (1.12x);
+    synthetic 10x customer blow-up pinned 5.815s vs unpinned 4.542s
+    (1.28x) — identical 12,287-row / 122,858-row outputs. Recompute
+    wins at BOTH points and the gap GROWS with scale, so the r9
+    docstring's "flips toward the pin at scale" claim is refuted:
+    the derivation is cheap columnar-scan codegen and the pin's
+    materialization scales with the very rows it was meant to save.
+    (_cluster_labels still pins the SCORED pairs output — that stage
+    is the expensive one with two genuine consumers.)"""
+    records = (
         _with_scoring_keys(executive_records(spark, sf_dir))
         .withColumn("block", _block_key(F.col("name")))
         .select(

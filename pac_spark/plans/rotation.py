@@ -124,6 +124,17 @@ FORCE_HOIST: tuple[str, ...] = (
     # (all of ours), but the loop code changed, and changed code never
     # rides the tail:
     "pagerank_trade_graph",
+    # r10: candidate_pairs records pin REMOVED on measurement (VERDICT
+    # r9 next-#5 — same-JVM interleaved A/B at sf0.1 AND a 10x
+    # customer blow-up; unpinned wins 1.12x/1.28x, numbers in the
+    # operator docstring). Values identical (row-identical outputs in
+    # the A/B), but the plan changed for every _cluster_labels
+    # consumer:
+    "er_candidate_pairs",
+    "er_clusters",
+    "er_consolidated",
+    "er_approved",
+    "er_links",
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
