@@ -154,6 +154,19 @@ FAMILY = {
     "ams_join_size_orders_events": "analytics",
     "kcenter_diverse_embeddings": "llm",
     "streaming_kmv_distinct_users": "streaming",
+    "cramers_v_lang_source": "llm",
+    "mann_kendall_by_type": "stats",
+    "acf_daily_revenue": "stats",
+    "ivm_join_nation_revenue": "analytics",
+    "daily_event_mix_drift": "stats",
+    "bitmap_distinct_users_daily": "analytics",
+    "benford_price_audit": "analytics",
+    "pattern_runs_view_click_purchase": "temporal",
+    "theilsen_trend_by_type": "stats",
+    "k_anonymity_customer_qi": "analytics",
+    "spatial_customer_neighbors": "analytics",
+    "spearman_quality_tokens_by_lang": "llm",
+    "conversion_latency_by_hour": "temporal",
 }
 
 # headline set: one representative per operator family (relational
@@ -260,6 +273,19 @@ BENCH_QUERIES = [
     "ams_join_size_orders_events",
     "kcenter_diverse_embeddings",
     "streaming_kmv_distinct_users",
+    "cramers_v_lang_source",
+    "mann_kendall_by_type",
+    "acf_daily_revenue",
+    "ivm_join_nation_revenue",
+    "daily_event_mix_drift",
+    "bitmap_distinct_users_daily",
+    "benford_price_audit",
+    "pattern_runs_view_click_purchase",
+    "theilsen_trend_by_type",
+    "k_anonymity_customer_qi",
+    "spatial_customer_neighbors",
+    "spearman_quality_tokens_by_lang",
+    "conversion_latency_by_hour",
 ]
 
 

@@ -116,4 +116,17 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     ),
     QuerySpec("fd_profile_orders", P.fd_profile_orders, P.FD_SQL()),
     QuerySpec("sssp_from_hub", G.sssp_from_hub, G.SSSP_SQL()),
+    QuerySpec(
+        "benford_price_audit", P.benford_price_audit, P.BENFORD_SQL()
+    ),
+    QuerySpec(
+        "k_anonymity_customer_qi",
+        P.k_anonymity_customer_qi,
+        P.K_ANONYMITY_SQL(),
+    ),
+    QuerySpec(
+        "ivm_join_nation_revenue",
+        SD.ivm_join_nation_revenue,
+        SD.IVM_JOIN_SQL(),
+    ),
 ]

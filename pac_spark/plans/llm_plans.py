@@ -1378,4 +1378,9 @@ SPECS = [
         S.kcenter_diverse_embeddings,
         S.KCENTER_SQL(),
     ),
+    QuerySpec(
+        "spearman_quality_tokens_by_lang",
+        TX.spearman_quality_tokens_by_lang,
+        f"WITH stats AS ({_TEXT_STATS.strip()}){TX.SPEARMAN_SQL_TAIL()}",
+    ),
 ]

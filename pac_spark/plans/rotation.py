@@ -160,24 +160,23 @@ FORCE_HOIST: tuple[str, ...] = (
 # cramers_v_lang_source) and the backlog drops to ~21, one round from
 # the <=26 bar that re-opens new-operator work.
 #
-# R10 APPLIED (the two commits at the top of r10): hoist regenerated
-# from the committed r1-r9 history with FORCE_HOIST=() (first commit),
-# then the 13 queue heads (table_fingerprint_by_nation ..
-# streaming_kmv_distinct_users) registered into their owning plans
-# modules and the hoist regenerated again (second commit) — cap now
-# 30 mandatory (17 r9-registration 2nd-greens + 13 r10 registrations)
-# + 20 staleness fill reaching the r4/r5 tail. Staged backlog 34 -> 21.
-# STAGING-AGE NOTE (VERDICT r9 next-#4): the specs staged since r7
-# that queue order does NOT reach this round —
-# spatial_customer_neighbors, pattern_runs_view_click_purchase,
-# user_growth_accounting (+ streaming twin),
-# weighted_percentiles_price_by_flag, conversion_latency_by_hour —
-# wait by POLICY, not accident: the queue is strict staging-age order
-# at the 13/round pace the 2-round cap obligation allows (each
-# registration claims a mandatory slot this round AND next), and these
-# sit at queue positions 8-20 of the remaining 21, i.e. all are inside
-# the next round's 13 except the last few. Every one stays under the
-# identical local 3-SF value-hash gate while it waits.
+# R10 APPLIED: hoist regenerated from the committed r1-r9 history with
+# FORCE_HOIST=() (first commit), then 13 queue heads
+# (table_fingerprint_by_nation .. streaming_kmv_distinct_users)
+# registered (second commit), then — after the in-round forces landed
+# at only 6 (pagerank + the ER family) and the null sweep came back
+# clean on all 13 — a LATE registration of the next 13
+# (cramers_v_lang_source .. conversion_latency_by_hour), the r9
+# precedent for using freed cap capacity. Cap now 43 mandatory
+# (17 r9 2nd-greens + 26 r10 registrations) + 6 forced + 1 staleness
+# fill. Staged backlog 34 -> 8; every r7-aged spec from the VERDICT r9
+# next-#4 list except user_growth_accounting (+ streaming twin) and
+# weighted_percentiles_price_by_flag is now registered — those three
+# sit at queue positions 6/2-from-last/last of the remaining 8 and are
+# inside r11's capacity (r11 mandatory = 26 2nd-greens, so the whole
+# 8-spec backlog fits and the queue EMPTIES in r11, re-opening
+# new-operator work). Every queued spec stays under the identical
+# local 3-SF value-hash gate while it waits.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
@@ -335,19 +334,6 @@ FORCE_HOIST: tuple[str, ...] = (
 # the registry never overlap. r7 registered the first 13 (through
 # expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    "cramers_v_lang_source",
-    "mann_kendall_by_type",
-    "acf_daily_revenue",
-    "ivm_join_nation_revenue",
-    "daily_event_mix_drift",
-    "bitmap_distinct_users_daily",
-    "benford_price_audit",
-    "pattern_runs_view_click_purchase",
-    "theilsen_trend_by_type",
-    "k_anonymity_customer_qi",
-    "spatial_customer_neighbors",
-    "spearman_quality_tokens_by_lang",
-    "conversion_latency_by_hour",
     "user_daily_features",
     "streaming_growth_accounting",
     "phrase_match_docs",

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pac_spark.functions.exact import money_sum_sql
 from pac_spark.operators import scale as SC
 from pac_spark.operators import sketch as SK
+from pac_spark.operators import spatial as SP
 from pac_spark.plans.spec import QuerySpec
 
 __all__ = ["SPECS"]
@@ -118,5 +119,15 @@ SPECS = [
         "ams_join_size_orders_events",
         SK.ams_join_size_orders_events,
         SK.AMS_JOIN_SQL,
+    ),
+    QuerySpec(
+        "bitmap_distinct_users_daily",
+        SK.bitmap_distinct_users_daily,
+        SK.BITMAP_DISTINCT_SQL,
+    ),
+    QuerySpec(
+        "spatial_customer_neighbors",
+        SP.spatial_customer_neighbors,
+        SP.SPATIAL_NEIGHBORS_SQL(),
     ),
 ]

@@ -177,4 +177,19 @@ SPECS = [
         ST.PCT_CONT_SQL,
     ),
     QuerySpec("ewma_user_value", ST.ewma_user_value, ST.EWMA_SQL),
+    # registered in the r10 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "cramers_v_lang_source", ST.cramers_v_lang_source, ST.CRAMERS_V_SQL()
+    ),
+    QuerySpec(
+        "mann_kendall_by_type", ST.mann_kendall_by_type, ST.MANN_KENDALL_SQL()
+    ),
+    QuerySpec("acf_daily_revenue", ST.acf_daily_revenue, ST.ACF_SQL()),
+    QuerySpec(
+        "daily_event_mix_drift", ST.daily_event_mix_drift, ST.MIX_DRIFT_SQL()
+    ),
+    QuerySpec(
+        "theilsen_trend_by_type", ST.theilsen_trend_by_type, ST.THEILSEN_SQL()
+    ),
 ]

@@ -213,4 +213,14 @@ SPECS = [
         T.time_weighted_value_by_user,
         T.TWA_SQL(),
     ),
+    QuerySpec(
+        "pattern_runs_view_click_purchase",
+        T.pattern_runs_view_click_purchase,
+        T.PATTERN_RUNS_SQL(),
+    ),
+    QuerySpec(
+        "conversion_latency_by_hour",
+        T.conversion_latency_by_hour,
+        T.CONVERSION_LATENCY_SQL(),
+    ),
 ]
