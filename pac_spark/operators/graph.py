@@ -51,6 +51,8 @@ __all__ = [
     "ASSORTATIVITY_SQL",
     "sssp_from_hub",
     "SSSP_SQL",
+    "lpa_communities",
+    "LPA_SQL",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -869,6 +871,114 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         # just persist
         dist = checkpoint(new) if i % 2 == 1 else pin(new)
     return dist.select("node", "dist").orderBy("node")
+
+
+LPA_ROUNDS = 4  # fixed synchronous label-propagation rounds
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the trade graph by synchronous label
+    propagation (Raghavan 2007): every node starts as its own label;
+    each round it adopts the most frequent label among its neighbors,
+    ties to the SMALLEST label — the near-linear community pass that
+    groups customers and suppliers who trade with the same crowd.
+
+    Determinism (LPA's classic weakness, solved the k-core/SSSP way):
+    the round count is FIXED at ``LPA_ROUNDS`` in both engines — the
+    result is defined as the K-round synchronous state — and the
+    per-node update is a total order (count DESC, label ASC), stated
+    identically as Spark's ``max(struct(c, -label))`` and the
+    oracle's ROW_NUMBER. Each node also casts ONE vote for its own
+    current label (the standard stabilizer): without it, synchronous
+    LPA on a bipartite graph sustains a 2-cycle flip-flop where the
+    two sides permanently swap labels (crafted-tested); with it, a
+    biclique converges to its minimum node id within two rounds.
+
+    Scale shape per round: ONE hash join labels ⋈ edges (same key
+    both sides) + one map-side-combined (src, label) count + one
+    argmax aggregate — the delta-stepping outer-loop shape; lineage
+    cut on the PageRank cadence via the checkpoint registry. Node ids
+    are the shared multiplicative role encode (key*4 + role), decoded
+    with bit shifts on BOTH engines (DuckDB's BIGINT ``//`` is
+    float-backed — the budget-allocation lesson).
+    """
+    # pinned: consumed LPA_ROUNDS + 1 times (the initial node set +
+    # one join per round) — unpinned, each round replays the
+    # orders ⋈ lineitem pair derivation
+    edges = pin(trade_edges(spark, sf_dir))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src, "label")
+            .unionByName(
+                labels.select(F.col("node").alias("src"), "label")
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = (
+            votes.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("label"))
+        )
+        # cadence-2 checkpoints (the PageRank pattern)
+        labels = checkpoint(new) if i % 2 == 1 else pin(new)
+    return labels.select(
+        F.when(F.col("node") % 4 == 1, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("member_type"),
+        F.shiftright(F.col("node"), 2).alias("member_key"),
+        F.col("label").alias("community_id"),
+    ).orderBy("member_type", "member_key")
+
+
+def LPA_SQL(rounds: int = LPA_ROUNDS) -> str:
+    """STAGED for the r11 rotation (gate: tests/test_staged_specs.py)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+l{i} AS MATERIALIZED (
+    SELECT src AS node, label FROM (
+        SELECT src, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src
+                   ORDER BY COUNT(*) DESC, label ASC
+               ) AS rn
+        FROM (
+            SELECT e.src, l.label
+            FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+            UNION ALL
+            SELECT node AS src, label FROM l{i - 1}
+        )
+        GROUP BY src, label
+    ) WHERE rn = 1
+)""")
+    return f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 4 + 1 AS cust, l_suppkey * 4 + 2 AS supp
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp, cust FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{",".join(steps)}
+SELECT CASE WHEN node % 4 = 1 THEN 'customer' ELSE 'supplier' END
+           AS member_type,
+       node >> 2 AS member_key,
+       label AS community_id
+FROM l{rounds}
+ORDER BY member_type, member_key
+"""
 
 
 def SSSP_SQL(hops: int = SSSP_HOPS) -> str:

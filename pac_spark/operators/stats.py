@@ -72,6 +72,8 @@ __all__ = [
     "ACF_MAX_LAG",
     "PCTS",
     "ewma_user_value",
+    "halflife_decayed_user_value",
+    "HALFLIFE_SQL",
     "EWMA_SQL",
     "EWMA_SPAN",
 ]
@@ -1433,6 +1435,117 @@ FROM lagged WHERE rn = n ORDER BY user_id
 
 
 EWMA_SQL = _ewma_sql()
+
+
+# ---------------------------------------------------------------------------
+# Half-life time-decayed aggregate (recency-weighted spend)
+
+# one weight halving per calendar week of age; contributions older
+# than CUTOFF half-lives are dropped by STATED semantics — the
+# standard "effective memory" bound (the EWMA_SPAN trade), and what
+# keeps the scaled integer sum inside decimal(38,0) at any row count
+HALFLIFE_DAYS = 7
+HALFLIFE_CUTOFF = 40
+
+
+def halflife_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user HALF-LIFE-decayed total event value: each event
+    contributes ``value · 2^(−age_weeks)`` where age is measured in
+    whole calendar weeks back from the corpus's newest event day —
+    the recency-weighted spend / activity feature every churn and
+    LTV model wants, where last week counts double vs two weeks ago.
+
+    The calendar-indexed companion to ``ewma_user_value`` (which
+    decays per EVENT): a user's ten events today all carry today's
+    weight; a gauge that went quiet decays with TIME, not ticks.
+
+    Exactness (the EWMA power-of-two discipline): alpha = 1/2 per
+    week makes every weight dyadic, so the decayed total is the exact
+    integer Σ cents · 2^(CUTOFF − k) (k = age_days // 7, k < CUTOFF)
+    accumulated in decimal(38,0) — cents ≤ 10^7 times 2^40 ≈ 10^19
+    per term, so even trillions of rows per user sit inside 38 digits
+    — then ONE division by the exact double 2^CUTOFF. Contributions
+    with k ≥ CUTOFF (weight < 10^-12 of the newest) are dropped in
+    BOTH engines. NULL-value and NULL-ts events are excluded up front
+    in BOTH engines (an undated or unvalued event has no decayed
+    contribution; Spark would otherwise propagate NULL terms that
+    ``SUM`` skips while the age filter diverges).
+
+    Scale shape: the anchor day is a 1-row aggregate broadcast by a
+    literal crossJoin (the winsorized/seasonal bounds-frame pattern);
+    then ONE map-side-combined groupBy(user) over the scan — no
+    window, no self-join, partition-invariant by integer addition.
+    """
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents").isNotNull() & F.col("d").isNotNull())
+    anchor = ev.agg(F.max("d").alias("anchor_day"))
+    dec = "decimal(38,0)"
+    k = F.floor(F.datediff(F.col("anchor_day"), F.col("d")) / HALFLIFE_DAYS)
+    scaled = (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("k", k)
+        .filter(F.col("k") < HALFLIFE_CUTOFF)
+        .select(
+            "user_id",
+            (
+                F.col("cents").cast(dec)
+                # SQL form: the Python shiftleft() only takes a literal
+                # bit count; 2^(CUTOFF - k) stays an exact BIGINT
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({HALFLIFE_CUTOFF} - k AS INT))"
+                ).cast(dec)
+            ).alias("term"),
+        )
+    )
+    return (
+        scaled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("term").alias("num"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("num").cast("double")
+                / F.lit(float(1 << HALFLIFE_CUTOFF))
+                / F.lit(100.0)
+            ).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def HALFLIFE_SQL() -> str:
+    """STAGED for the r11 rotation (gate: tests/test_staged_specs.py)."""
+    return f"""
+WITH e AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+a AS (SELECT MAX(d) AS anchor_day FROM e),
+s AS (
+    SELECT user_id,
+           CAST(cents AS HUGEINT)
+               * (CAST(1 AS HUGEINT) << ({HALFLIFE_CUTOFF}
+                  - date_diff('day', d, anchor_day) // {HALFLIFE_DAYS}))
+               AS term
+    FROM e, a
+    WHERE date_diff('day', d, anchor_day) // {HALFLIFE_DAYS}
+          < {HALFLIFE_CUTOFF}
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(term) AS DOUBLE) / {float(1 << HALFLIFE_CUTOFF)!r} / 100.0
+           AS decayed_value
+FROM s GROUP BY user_id ORDER BY user_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -342,6 +342,12 @@ STAGED_QUEUE: tuple[str, ...] = (
     "user_growth_accounting",
     "weighted_percentiles_price_by_flag",
     "streaming_purchase_click_left_join",
+    # r10-new operators (the first additions since the r7 drain
+    # discipline began — the <=21 re-open bar was reached mid-r10 at
+    # backlog 8), each 3-SF oracle-green from birth:
+    "halflife_decayed_user_value",
+    "lpa_communities",
+    "streaming_twa_user_value",
 )
 
 

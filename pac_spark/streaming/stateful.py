@@ -64,6 +64,7 @@ __all__ = [
     "streaming_ewma_user_value",
     "streaming_bitmap_distinct_users",
     "streaming_kmv_distinct_users",
+    "streaming_twa_user_value",
     "STREAMING_KMV_SQL",
 ]
 
@@ -888,3 +889,134 @@ ORDER BY event_type
 # plain module string like sketch.KMV_SQL so QuerySpec registration
 # cannot accidentally pass a callable (the BM25_SQL regression class).
 STREAMING_KMV_SQL = _streaming_kmv_sql()
+
+
+# ---------------------------------------------------------------------------
+# Streaming time-weighted average (the temporal.time_weighted_value_by_user
+# twin; STAGED for the r11 rotation — gate in tests/test_staged_specs.py)
+
+TWA_STREAM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("span_micros", LongType()),
+        StructField("twa_value", DoubleType()),
+    ]
+)
+
+# running state: (n, first_us, last_us, last_eid, last_cents,
+# last_cents_ok, num) — num is the exact integral Σ cents·dur_us,
+# carried as a STRING because it exceeds BIGINT at cluster scale
+# (cents×micros ≈ 10^17 per term — the corr_quality overflow lesson;
+# Python ints are arbitrary-precision, the state column is just
+# transport); last_cents_ok flags a NULL-value newest event (its step
+# spans time but contributes no mass, exactly the batch SUM-skips-NULL
+# semantics)
+_TWA_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_cents", LongType()),
+        StructField("last_cents_ok", LongType()),
+        StructField("num", StringType()),
+    ]
+)
+
+
+def _twa_fold(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch into the running step-function
+    integral. The integral between CONSECUTIVE events is what a
+    mergeable O(1) summary cannot express for arbitrary interleavings
+    (the step between a state's last event and a batch's first event
+    depends on global order), so this fold — like the lifetime fold —
+    RELIES on per-key (ts, event_id)-monotone delivery across batches
+    and REFUSES (raises) otherwise, rather than silently diverging
+    from the batch oracle. Within-batch order is restored by the sort.
+
+    Emits the running readout each batch; rows are monotone in
+    n_events, so the finalizer keeps each key's highest-count row —
+    correct under ANY batch split (proven by the crafted split test).
+    """
+    (user_id,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.assign(_us=_ts_to_us(batch["ts"])).sort_values(
+        ["_us", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        n, first_us, last_us, last_eid, last_cents, last_ok, num_s = state.get
+        num = int(num_s)
+    else:
+        n = first_us = last_us = last_eid = last_cents = last_ok = 0
+        num = 0
+    if n > 0 and len(batch):
+        head = (int(batch["_us"].iloc[0]), int(batch["event_id"].iloc[0]))
+        if head <= (last_us, last_eid):
+            raise RuntimeError(
+                f"user {user_id}: cross-batch (ts, event_id) regression "
+                f"({head} <= {(last_us, last_eid)}); the step-function "
+                "integral cannot fold this batch correctly"
+            )
+    for _us, eid, value in zip(batch["_us"], batch["event_id"], batch["value"]):
+        us = int(_us)
+        if n > 0 and last_ok:
+            num += last_cents * (us - last_us)
+        if n == 0:
+            first_us = us
+        if pd.isna(value):
+            last_cents, last_ok = 0, 0
+        else:
+            last_cents, last_ok = _cents(value), 1
+        last_us, last_eid = us, int(eid)
+        n += 1
+    state.update((n, first_us, last_us, last_eid, last_cents, last_ok, str(num)))
+    span = last_us - first_us
+    # float(int) is correctly rounded — the same semantics as the
+    # batch plan's decimal(38,0) -> double cast and the oracle's
+    # CAST(... AS DOUBLE), so all three readouts are bit-identical
+    twa = float(num) / float(span) / 100.0 if span > 0 else None
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "span_micros": [span],
+            "twa_value": [twa],
+        }
+    )
+
+
+def streaming_twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch time-weighted average
+    (``temporal.time_weighted_value_by_user``) maintained under
+    Structured Streaming: per-user state is (count, first/last event,
+    newest value, exact integral) — O(1) per user, folded per
+    micro-batch under the lifetime fold's refuse-out-of-order
+    discipline. The oracle is the BATCH operator's oracle
+    (``temporal.TWA_SQL``), so hash equality proves the incremental
+    step-function integral equals the one-shot lead-window
+    formulation: same exclusion of zero-span users, same NULL-value
+    steps that span time but carry no mass, same single
+    integer→double division."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _twa_fold,
+        outputStructType=TWA_STREAM_SCHEMA,
+        stateStructType=_TWA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(spark, out, "stream_twa_user_value", "update")
+    last = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .filter(F.col("span_micros") > 0)
+        .orderBy("user_id")
+    )

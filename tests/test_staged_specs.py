@@ -3537,3 +3537,166 @@ def test_spearman_crafted_monotone_and_ties(spark, tmp_path):
         if r["lang"] == "en"
     ]
     assert p["corr_quality_tokens"] < 1.0 - 1e-9  # Pearson under-reports
+
+
+def test_halflife_oracle(spark, duck, sf_dir):
+    """Staged for r11: the dyadic half-life decay vs the identical
+    HUGEINT shift formulation."""
+    from pac_spark.operators.stats import HALFLIFE_SQL, halflife_decayed_user_value
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        halflife_decayed_user_value(spark, sf_dir), duck.sql(HALFLIFE_SQL())
+    )
+
+
+def test_halflife_crafted(spark, tmp_path):
+    """Hand-checkable decay trace: same value one half-life apart
+    halves each step; a contribution at the cutoff drops entirely;
+    NULL value / NULL ts rows are absent from count AND mass; a
+    6-day-old event still carries full weight (whole-week ages)."""
+    import pandas as pd
+
+    from pac_spark.operators.stats import (
+        HALFLIFE_CUTOFF,
+        HALFLIFE_DAYS,
+        halflife_decayed_user_value,
+    )
+
+    anchor = pd.Timestamp("2024-03-01")
+    d = lambda days: anchor - pd.Timedelta(days=days)  # noqa: E731
+    rows = [
+        # user 1: 8 + 8/2 + 8/4 = 14.0; the 280-day row is k=CUTOFF -> dropped
+        (1, d(0), 1, 8.0),
+        (2, d(HALFLIFE_DAYS), 1, 8.0),
+        (3, d(2 * HALFLIFE_DAYS), 1, 8.0),
+        (4, d(HALFLIFE_CUTOFF * HALFLIFE_DAYS), 1, 8.0),
+        # user 2: 6 days old -> still week 0, full weight
+        (5, d(6), 2, 8.0),
+        # user 3: only NULL-value / NULL-ts rows -> absent entirely
+        (6, d(0), 3, None),
+        (7, None, 3, 8.0),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "value"]
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_value"])
+        for r in halflife_decayed_user_value(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 14.0), 2: (1, 8.0)}
+
+
+def test_lpa_oracle(spark, duck, sf_dir):
+    """Staged for r11: K-round self-voting label propagation vs the
+    identically unrolled ROW_NUMBER-argmax CTE chain."""
+    from pac_spark.operators.graph import LPA_SQL, lpa_communities
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(lpa_communities(spark, sf_dir), duck.sql(LPA_SQL()))
+
+
+def test_lpa_crafted_bicliques(spark, tmp_path):
+    """Two disjoint bicliques must converge to one community each —
+    labeled by the component's minimum node id — and the self-vote is
+    what makes that happen: without it synchronous LPA on a bipartite
+    graph flip-flops sides forever (the documented 2-cycle)."""
+    import pandas as pd
+
+    from pac_spark.operators.graph import lpa_communities
+
+    # component A: customers 1,2 x supplier 1; B: customers 3,4 x supplier 2
+    orders = pd.DataFrame(
+        {"o_orderkey": [10, 20, 30, 40], "o_custkey": [1, 2, 3, 4]}
+    )
+    li = pd.DataFrame(
+        {"l_orderkey": [10, 20, 30, 40], "l_suppkey": [1, 1, 2, 2]}
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    rows = lpa_communities(spark, str(tmp_path)).collect()
+    by_member = {(r["member_type"], r["member_key"]): r["community_id"] for r in rows}
+    # min node of A = cust1 (1*4+1 = 5); of B = supp2 (2*4+2 = 10)
+    assert by_member == {
+        ("customer", 1): 5,
+        ("customer", 2): 5,
+        ("supplier", 1): 5,
+        ("customer", 3): 10,
+        ("customer", 4): 10,
+        ("supplier", 2): 10,
+    }
+
+
+def test_streaming_twa_oracle(spark, duck, sf_dir):
+    """Staged for r11: the streamed step-function integral vs the
+    BATCH lead-window oracle (temporal.TWA_SQL) — hash equality proves
+    incremental maintenance == the one-shot formulation."""
+    from pac_spark.operators.temporal import TWA_SQL
+    from pac_spark.streaming.stateful import streaming_twa_user_value
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_twa_user_value(spark, sf_dir), duck.sql(TWA_SQL())
+    )
+
+
+def test_streaming_twa_split_folds_exactly_and_refuses_regression():
+    """The fold applied across an arbitrary in-order batch split must
+    equal the single-batch fold (emitted rows are monotone in
+    n_events), and an out-of-order split must be REFUSED — the same
+    discipline as the lifetime fold, proven here directly against the
+    fold function."""
+    import pandas as pd
+    import pytest
+
+    from pac_spark.streaming.stateful import _TWA_STATE, _twa_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def frame(rows):
+        df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        return df
+
+    t = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta
+    rows = [
+        (7, 1, t, 10.0),
+        (7, 2, t + m(minutes=1), None),  # NULL value: spans time, no mass
+        (7, 3, t + m(minutes=3), 30.0),
+        (7, 4, t + m(minutes=4), 0.0),
+    ]
+    # integral: 10.0 over [0,1min) + nothing over [1,3min) + 30 over [3,4min)
+    span = 4 * 60 * 1_000_000
+    expect_twa = float(1000 * 60_000_000 + 3000 * 60_000_000) / span / 100.0
+
+    one = FakeState()
+    [whole] = list(_twa_fold((7,), iter([frame(rows)]), one))
+    assert whole["n_events"].iloc[0] == 4
+    assert whole["span_micros"].iloc[0] == span
+    assert whole["twa_value"].iloc[0] == expect_twa
+
+    split = FakeState()
+    list(_twa_fold((7,), iter([frame(rows[:2])]), split))
+    [second] = list(_twa_fold((7,), iter([frame(rows[2:])]), split))
+    assert second["twa_value"].iloc[0] == expect_twa
+    assert split.get == one.get
+
+    bad = FakeState()
+    list(_twa_fold((7,), iter([frame(rows[2:])]), bad))
+    with pytest.raises(RuntimeError, match="regression"):
+        list(_twa_fold((7,), iter([frame(rows[:2])]), bad))
+    assert len(_TWA_STATE.fields) == 7
