@@ -176,7 +176,21 @@ FORCE_HOIST: tuple[str, ...] = (
 # inside r11's capacity (r11 mandatory = 26 2nd-greens, so the whole
 # 8-spec backlog fits and the queue EMPTIES in r11, re-opening
 # new-operator work). Every queued spec stays under the identical
-# local 3-SF value-hash gate while it waits.
+# local 3-SF value-hash gate while it waits. Late r10 added three NEW
+# operators (the re-open bar was reached mid-round): halflife decay,
+# LPA communities, streaming TWA — backlog ends at 11; r11 can
+# register all 11 (26 + 11 = 37 mandatory <= 50).
+#
+# R11 FORCE_HOIST STARTER LIST: EMPTY as of r10 end — every spec whose
+# plan changed in r10 (pagerank via the _broadcast_threshold fallback,
+# the 5-spec ER family via the measured candidate_pairs pin removal)
+# is in the r10 cap, so its newest driver evidence post-dates the
+# change. r10 substrate changes that ride the local gates instead (the
+# established equivalence-preserving precedent): the
+# guard_source_snapshot error-message enrichment (message-only) and
+# the collect_normalized_present casing decision record
+# (docstring-only). r11 step 1: reset FORCE_HOIST to () plus r11's own
+# changes, run the tool, paste.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
