@@ -861,6 +861,19 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
     )
     dist = pin(hub.select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")))
+    # DECISION RECORD (r10): frontier-pruned relaxation (join edges
+    # against only the nodes whose dist improved last round — the
+    # delta-stepping refinement) was implemented, proven value-
+    # identical at 3 SFs, and REVERTED on measurement: same-JVM
+    # interleaved A/B at sf0.1, warm min-of-4, 6.0s full vs 6.7s
+    # frontier (1.12x SLOWER). Why: this operator's semantics is K
+    # EXPANDING rounds on a graph whose eccentricity exceeds K (the
+    # hub reaches ~1.7k of 16k nodes by round 2 — measured), so every
+    # round's frontier IS most of the distance table, while the
+    # pruning pays an extra improvement-join + materialization per
+    # round. Frontier pruning earns its keep when rounds CONVERGE
+    # (frontier → 0); a K-hop bounded readout never reaches that
+    # regime by construction.
     for i in range(SSSP_HOPS):
         relax = dist.join(edges, dist.node == edges.src).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")

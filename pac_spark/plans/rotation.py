@@ -185,7 +185,10 @@ FORCE_HOIST: tuple[str, ...] = (
 # plan changed in r10 (pagerank via the _broadcast_threshold fallback,
 # the 5-spec ER family via the measured candidate_pairs pin removal)
 # is in the r10 cap, so its newest driver evidence post-dates the
-# change. r10 substrate changes that ride the local gates instead (the
+# change. (A frontier-pruned sssp_from_hub was measured 1.12x SLOWER
+# at sf0.1 and REVERTED same-session — decision record in the
+# operator docstring; the shipped plan is byte-identical to its r10
+# in-cap evidence.) r10 substrate changes that ride the local gates instead (the
 # established equivalence-preserving precedent): the
 # guard_source_snapshot error-message enrichment (message-only) and
 # the collect_normalized_present casing decision record
