@@ -49,6 +49,8 @@ __all__ = [
     "PRIORITY_SAMPLE_SQL",
     "PRIORITY_SAMPLE_K",
     "EPOCH_INTERLEAVE_SQL",
+    "source_budget_waterfill",
+    "WATERFILL_SQL_TAIL",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -842,4 +844,162 @@ SELECT t.source,
        CAST(c.est_bytes AS DOUBLE) AS est_total_bytes
 FROM totals t JOIN contrib c ON t.source = c.source
 ORDER BY t.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Water-filling source budget allocation (max-min fair under caps;
+# STAGED for the r11 rotation — gate in tests/test_staged_specs.py)
+
+# the global budget as an exact fraction of total corpus tokens:
+# B = (total * NUM) div DEN — 60%, the stated training-mix target
+WATERFILL_BUDGET_NUM = 6
+WATERFILL_BUDGET_DEN = 10
+
+
+def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global token
+    budget across sources, capped by each source's available tokens —
+    the budget-SETTING step upstream of ``token_budget_mix`` (which
+    SPENDS a given per-group budget on the best documents): small
+    sources are fully funded, the remainder splits equally among the
+    big ones, so no source is starved by a proportional split and no
+    allocation exceeds supply.
+
+    Exact integer semantics (every step engine-portable):
+
+    - supply_i = Σ doc tokens per source (the shared ``tokens()``
+      splitter; NULL-source / NULL-text docs excluded up front in
+      BOTH engines);
+    - B = (total · 6) div 10;
+    - sort sources ascending by (supply, source); source at rank r is
+      SATURATED iff ``supply_r · (K−r+1) + prefix_{r−1} ≤ B`` — the
+      division-free form of "supply below the water line", and a
+      PREFIX property (the left side is nondecreasing in r, proof in
+      the r10 notes), so the saturated set needs no fixpoint loop;
+    - unsaturated sources get base = pool div m (pool = B − Σ
+      saturated supplies, m = count unsaturated), with the ``pool mod
+      m`` leftover distributed +1 to the m smallest-(supply, source)
+      unsaturated sources — the deterministic largest-remainder
+      tie-break the budget-allocation operator established.
+
+    Scale shape: ONE map-side-combined groupBy(source) over the scan;
+    everything after runs on the K-row source frame (two windows over
+    ≤ K rows — the documented domain-bounded kind — and a 1-row
+    broadcast of the global constants). Products accumulate in
+    decimal(38,0): supply × K overflows BIGINT at real corpus sizes.
+    """
+    from pac_spark.operators.text_core import tokens
+
+    dec = "decimal(38,0)"
+    docs = catalog.load(spark, sf_dir, "documents")
+    sup = (
+        docs.filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+        .select("source", F.size(tokens(F.col("text"))).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.sum(F.col("t").cast(dec)).alias("supply"))
+    )
+    g = sup.agg(
+        (
+            (F.sum("supply") * WATERFILL_BUDGET_NUM)
+            - (F.sum("supply") * WATERFILL_BUDGET_NUM) % WATERFILL_BUDGET_DEN
+        ).cast(dec).alias("b10"),
+        F.count(F.lit(1)).alias("k"),
+    ).select(
+        (F.col("b10") / WATERFILL_BUDGET_DEN).cast(dec).alias("b"), "k"
+    )
+    asc = W.orderBy("supply", "source")
+    ranked = (
+        sup.crossJoin(F.broadcast(g))
+        .withColumn("rn", F.row_number().over(asc))
+        .withColumn(
+            "prefix",
+            F.sum("supply").over(asc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "sat",
+            (
+                F.col("supply") * (F.col("k") - F.col("rn") + 1)
+                + (F.col("prefix") - F.col("supply"))
+            )
+            <= F.col("b"),
+        )
+    )
+    totals = ranked.agg(
+        F.sum(F.when(F.col("sat"), 1).otherwise(0)).alias("n_sat"),
+        F.coalesce(
+            F.sum(F.when(F.col("sat"), F.col("supply"))), F.lit(0).cast(dec)
+        ).alias("sat_sum"),
+    )
+    pool = (F.col("b") - F.col("sat_sum")).cast(dec)
+    m = (F.col("k") - F.col("n_sat")).cast(dec)
+    # CASE keeps the m=0 (all-saturated) branch unevaluated, so the
+    # divisions never see a zero divisor
+    base = ((pool - pool % m) / m).cast(dec)
+    rem = (pool % m).cast(dec)
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("supply").cast("long").alias("supply_tokens"),
+            F.when(F.col("sat"), F.col("supply"))
+            .otherwise(
+                base
+                + F.when(
+                    (F.col("rn") - F.col("n_sat")).cast(dec) <= rem, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            F.col("sat").alias("saturated"),
+        )
+        .orderBy("source")
+    )
+
+
+def WATERFILL_SQL_TAIL() -> str:
+    """Composes after a ``stats`` CTE carrying doc-level (source,
+    n_tokens) — the spearman pattern; the full oracle is
+    ``f"WITH stats AS ({_TEXT_STATS}){WATERFILL_SQL_TAIL()}"``."""
+    return f"""
+, sup AS (
+    SELECT source, SUM(CAST(n_tokens AS HUGEINT)) AS supply
+    FROM stats WHERE source IS NOT NULL AND n_tokens IS NOT NULL
+    GROUP BY source
+),
+g AS (
+    SELECT CAST(SUM(supply) * {WATERFILL_BUDGET_NUM} AS HUGEINT)
+               // {WATERFILL_BUDGET_DEN} AS b,
+           COUNT(*) AS k
+    FROM sup
+),
+r AS (
+    SELECT source, supply,
+           ROW_NUMBER() OVER (ORDER BY supply, source) AS rn,
+           SUM(supply) OVER (
+               ORDER BY supply, source ROWS UNBOUNDED PRECEDING
+           ) AS prefix
+    FROM sup
+),
+f AS (
+    SELECT r.*, b, k,
+           (supply * (k - rn + 1) + (prefix - supply) <= b) AS sat
+    FROM r, g
+),
+s AS (
+    SELECT COUNT(*) FILTER (WHERE sat) AS n_sat,
+           COALESCE(SUM(supply) FILTER (WHERE sat), 0) AS sat_sum
+    FROM f
+)
+SELECT source,
+       CAST(supply AS BIGINT) AS supply_tokens,
+       CAST(CASE WHEN sat THEN supply
+            ELSE (b - sat_sum) // (k - n_sat)
+                 + CASE WHEN CAST(rn - n_sat AS HUGEINT)
+                             <= (b - sat_sum) % (k - n_sat)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens,
+       sat AS saturated
+FROM f, s
+ORDER BY source
 """

@@ -176,10 +176,11 @@ FORCE_HOIST: tuple[str, ...] = (
 # inside r11's capacity (r11 mandatory = 26 2nd-greens, so the whole
 # 8-spec backlog fits and the queue EMPTIES in r11, re-opening
 # new-operator work). Every queued spec stays under the identical
-# local 3-SF value-hash gate while it waits. Late r10 added three NEW
-# operators (the re-open bar was reached mid-round): halflife decay,
-# LPA communities, streaming TWA — backlog ends at 11; r11 can
-# register all 11 (26 + 11 = 37 mandatory <= 50).
+# local 3-SF value-hash gate while it waits. Late r10 added five NEW
+# operators (the re-open bar was reached mid-round): halflife decay
+# (+ streaming twin), LPA communities, streaming TWA, water-filling
+# source budgets — backlog ends at 13; r11 can register all 13
+# (26 + 13 = 39 mandatory <= 50) and empty the queue.
 #
 # R11 FORCE_HOIST STARTER LIST: EMPTY as of r10 end — every spec whose
 # plan changed in r10 (pagerank via the _broadcast_threshold fallback,
@@ -365,7 +366,9 @@ STAGED_QUEUE: tuple[str, ...] = (
     "halflife_decayed_user_value",
     "lpa_communities",
     "streaming_twa_user_value",
-)
+    "source_budget_waterfill",
+    "streaming_halflife_user_value",
+)  # 13 total — r11 registers all, queue empties
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

@@ -65,6 +65,7 @@ __all__ = [
     "streaming_bitmap_distinct_users",
     "streaming_kmv_distinct_users",
     "streaming_twa_user_value",
+    "streaming_halflife_user_value",
     "STREAMING_KMV_SQL",
 ]
 
@@ -1018,5 +1019,78 @@ def streaming_twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .filter(F.col("span_micros") > 0)
+        .orderBy("user_id")
+    )
+
+
+def streaming_halflife_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch half-life decay (``stats.halflife_decayed_user_value``)
+    maintained under Structured Streaming. The decay week index is
+    ``(anchor_day − day) // 7`` with anchor = the CORPUS max day — a
+    difference-floor, so it does NOT decompose per event and cannot be
+    folded into the state; what CAN be folded is the day-granular
+    per-user cents sum (integer addition — a commutative monoid whose
+    partials add, so the fold is order-free), with the decay applied
+    once at READOUT against the maintained max day. State is one
+    BIGINT per (user, active day) — calendar-bounded, not
+    volume-bounded. The oracle is the BATCH operator's oracle
+    (``stats.HALFLIFE_SQL``), so hash equality proves maintenance +
+    readout == the one-shot formulation (same NULL exclusions, same
+    cutoff, same single division)."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.stats import (
+        HALFLIFE_CUTOFF,
+        HALFLIFE_DAYS,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents").isNotNull() & F.col("d").isNotNull())
+
+    def partial(batch_df):
+        return batch_df.groupBy("user_id", "d").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        )
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .groupBy("user_id", "d")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+
+    view = _run_ivm_fold(ev, partial, merge)
+    dec = "decimal(38,0)"
+    anchor = view.agg(F.max("d").alias("anchor_day"))
+    k = F.floor(F.datediff(F.col("anchor_day"), F.col("d")) / HALFLIFE_DAYS)
+    return (
+        view.crossJoin(F.broadcast(anchor))
+        .withColumn("k", k)
+        .filter(F.col("k") < HALFLIFE_CUTOFF)
+        .select(
+            "user_id",
+            "n",
+            (
+                F.col("cents").cast(dec)
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({HALFLIFE_CUTOFF} - k AS INT))"
+                ).cast(dec)
+            ).alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("term").alias("num"))
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("num").cast("double")
+                / F.lit(float(1 << HALFLIFE_CUTOFF))
+                / F.lit(100.0)
+            ).alias("decayed_value"),
+        )
         .orderBy("user_id")
     )

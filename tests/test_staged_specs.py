@@ -3700,3 +3700,101 @@ def test_streaming_twa_split_folds_exactly_and_refuses_regression():
     with pytest.raises(RuntimeError, match="regression"):
         list(_twa_fold((7,), iter([frame(rows[:2])]), bad))
     assert len(_TWA_STATE.fields) == 7
+
+
+def test_waterfill_oracle(spark, duck, sf_dir):
+    """Staged for r11: the in-plan water-filling read-off vs the
+    identically-unrolled HUGEINT oracle over the shared stats CTE."""
+    from pac_spark.operators.curation import (
+        WATERFILL_SQL_TAIL,
+        source_budget_waterfill,
+    )
+    from pac_spark.plans.llm_plans import _TEXT_STATS
+    from tests.conftest import assert_oracle_match
+
+    sql = f"WITH stats AS ({_TEXT_STATS.strip()}){WATERFILL_SQL_TAIL()}"
+    assert_oracle_match(source_budget_waterfill(spark, sf_dir), duck.sql(sql))
+
+
+def test_waterfill_crafted_saturation(spark, tmp_path):
+    """Hand-checkable skewed supplies exercising BOTH branches (the
+    fixture's uniform sources never saturate): supplies 2/4/30/30
+    tokens, B = 0.6*66 = 39 -> the 2- and 4-token sources are fully
+    funded (water line above their supply), the two big ones split
+    the 33-token pool 17/16 with the +1 going to the smaller
+    (supply, source) rank; mass balance Σalloc = B exactly."""
+    import pandas as pd
+
+    from pac_spark.operators.curation import source_budget_waterfill
+
+    def text(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, "a", text(2)),
+        (2, "b", text(4)),
+        (3, "c", text(30)),
+        (4, "d", text(30)),
+        (5, None, text(50)),   # NULL source: excluded entirely
+        (6, "c", None),        # NULL text: excluded entirely
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    got = {
+        r["source"]: (r["supply_tokens"], r["alloc_tokens"], r["saturated"])
+        for r in source_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "a": (2, 2, True),
+        "b": (4, 4, True),
+        "c": (30, 17, False),
+        "d": (30, 16, False),
+    }
+    assert sum(a for _, a, _ in got.values()) == (66 * 6) // 10
+
+
+def test_streaming_halflife_oracle(spark, duck, sf_dir):
+    """Staged for r11: the streamed day-granular fold + anchor readout
+    vs the batch HALFLIFE_SQL oracle."""
+    from pac_spark.operators.stats import HALFLIFE_SQL
+    from pac_spark.streaming.stateful import streaming_halflife_user_value
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_halflife_user_value(spark, sf_dir), duck.sql(HALFLIFE_SQL())
+    )
+
+
+def test_streaming_halflife_merge_order_free_and_replay_additive(spark):
+    """The per-(user, day) cents fold is a plain-sum monoid: partials
+    merged in reverse order equal the forward merge. (Unlike the
+    bitmap/kmv folds the monoid is NOT idempotent — a replayed batch
+    doubles its mass — which is why the operator rides foreachBatch's
+    exactly-once availableNow file tracking, the same delivery
+    contract the OHLC and accounting folds document.)"""
+    from pyspark.sql import functions as F
+
+    def partial(df):
+        return df.groupBy("user_id", "d").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        )
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .groupBy("user_id", "d")
+            .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        )
+
+    rows = [(7, "2024-01-0%d" % (1 + i % 3), 100 + i) for i in range(12)]
+    full = spark.createDataFrame(rows, "user_id long, d string, cents long")
+    a, b = full.limit(5), full.subtract(full.limit(5))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    fwd = canon(merge(partial(a), partial(b)))
+    rev = canon(merge(partial(b), partial(a)))
+    one = canon(partial(full))
+    assert fwd == rev == one
