@@ -47,6 +47,8 @@ __all__ = [
     "BPE_SQL",
     "BPE_MERGES",
     "quantile_normalized_quality",
+    "vocab_frequency_octaves",
+    "OCTAVES_SQL",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -368,6 +370,54 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_count"), F.asc("term"))
         .limit(VOCAB_TOP_N)
     )
+
+
+def vocab_frequency_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf heavy-tail diagnostic: the corpus term-frequency
+    distribution bucketed by frequency OCTAVE (floor(log2(tf))) — per
+    octave the number of vocabulary types and their total token mass.
+    Under a Zipf(1) corpus the type count roughly halves per octave
+    and octave 0 is the hapax band; a corpus whose octave histogram
+    deviates hard (e.g. a fat duplicate band at high octaves) is the
+    first thing dedup/curation should look at, and the histogram is
+    what sizes a tokenizer's vocabulary cut.
+
+    Exactness: the octave is ``length(bin(tf)) - 1`` — an INTEGER
+    floor-log2 via the binary rendering, identical in both engines
+    for any positive BIGINT (no float log anywhere, the
+    assortativity ln-avoidance rule). Scale shape: the one wordcount
+    shuffle (map-side combined), then a map-side octave aggregate
+    over the vocabulary-sized frame — Heaps'-law bounded, the
+    ``bpe_learn_merges`` argument.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = docs.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.select(
+            (F.length(F.bin(F.col("tf"))) - 1).cast("long").alias("octave"),
+            "tf",
+        )
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .orderBy("octave")
+    )
+
+
+OCTAVES_SQL = """
+WITH t AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY term)
+SELECT CAST(length(bin(tf)) - 1 AS BIGINT) AS octave,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens
+FROM tf GROUP BY 1 ORDER BY octave
+"""
 
 
 def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -179,8 +179,9 @@ FORCE_HOIST: tuple[str, ...] = (
 # local 3-SF value-hash gate while it waits. Late r10 added five NEW
 # operators (the re-open bar was reached mid-round): halflife decay
 # (+ streaming twin), LPA communities, streaming TWA, water-filling
-# source budgets — backlog ends at 13; r11 can register all 13
-# (26 + 13 = 39 mandatory <= 50) and empty the queue.
+# source budgets, frequency-octave Zipf histogram — backlog ends at
+# 14; r11 can register all 14 (26 + 14 = 40 mandatory <= 50) and
+# empty the queue.
 #
 # R11 FORCE_HOIST STARTER LIST: EMPTY as of r10 end — every spec whose
 # plan changed in r10 (pagerank via the _broadcast_threshold fallback,
@@ -368,7 +369,8 @@ STAGED_QUEUE: tuple[str, ...] = (
     "streaming_twa_user_value",
     "source_budget_waterfill",
     "streaming_halflife_user_value",
-)  # 13 total — r11 registers all, queue empties
+    "vocab_frequency_octaves",
+)  # 14 total — r11 can register all (26 + 14 = 40 <= 50), queue empties
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

@@ -3798,3 +3798,33 @@ def test_streaming_halflife_merge_order_free_and_replay_additive(spark):
     rev = canon(merge(partial(b), partial(a)))
     one = canon(partial(full))
     assert fwd == rev == one
+
+
+def test_octaves_oracle(spark, duck, sf_dir):
+    """Staged for r11: integer floor-log2 octave histogram vs the
+    identical bin()-length formulation."""
+    from pac_spark.operators.text import OCTAVES_SQL, vocab_frequency_octaves
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        vocab_frequency_octaves(spark, sf_dir), duck.sql(OCTAVES_SQL)
+    )
+
+
+def test_octaves_crafted(spark, tmp_path):
+    """Hand-checkable histogram: term frequencies {1,1,1,2,3,8} land
+    in octaves 0 (3 types / 3 tokens), 1 (2 types / 5 tokens) and
+    3 (1 type / 8 tokens) — power-of-two boundaries land LOW."""
+    import pandas as pd
+
+    words = ["a1", "b1", "c1"] + ["d2"] * 2 + ["e3"] * 3 + ["f8"] * 8
+    pd.DataFrame(
+        {"doc_id": [1], "text": [" ".join(words)]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import vocab_frequency_octaves
+
+    got = {
+        r["octave"]: (r["n_types"], r["n_tokens"])
+        for r in vocab_frequency_octaves(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, 3), 1: (2, 5), 3: (1, 8)}
