@@ -111,30 +111,15 @@ _REPO = os.path.dirname(
 #   unpinned) — span bounds now come straight off the pruned events
 #   scan; measured 0.475 s after the change.
 FORCE_HOIST: tuple[str, ...] = (
-    # r10 starter list: EMPTY (per the r9 note below — every spec
-    # whose plan or value contract changed in r9 was kept inside the
-    # r9 cap, so its newest driver evidence post-dates the change).
-    # Grown in-round as r10 changes land; every addition carries a
-    # comment naming the change that voids the spec's tail evidence.
-    #
-    # r10: _broadcast_threshold's unparseable-conf fallback changed
-    # 10MB -> 0 (ADVICE r9: assume the always-correct shuffle path,
-    # never silently re-enable per-iteration broadcasts) — value- and
-    # plan-identical on every session that sets a parseable threshold
-    # (all of ours), but the loop code changed, and changed code never
-    # rides the tail:
-    "pagerank_trade_graph",
-    # r10: candidate_pairs records pin REMOVED on measurement (VERDICT
-    # r9 next-#5 — same-JVM interleaved A/B at sf0.1 AND a 10x
-    # customer blow-up; unpinned wins 1.12x/1.28x, numbers in the
-    # operator docstring). Values identical (row-identical outputs in
-    # the A/B), but the plan changed for every _cluster_labels
-    # consumer:
-    "er_candidate_pairs",
-    "er_clusters",
-    "er_consolidated",
-    "er_approved",
-    "er_links",
+    # r11 starter list: EMPTY (per the R11 note below — every spec
+    # whose plan or value contract changed in r10, pagerank plus the
+    # five-spec ER family, sat inside the r10 cap, so its newest
+    # driver evidence post-dates the change and it may legally ride
+    # the r11 tail). Grown in-round as r11 changes land; every
+    # addition carries a comment naming the change that voids the
+    # spec's tail evidence.
+    # r11: ADVICE r10 warn-on-unparseable-broadcast-threshold is a
+    # log-only change (no plan/value effect) — rides the local gates.
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
@@ -196,6 +181,15 @@ FORCE_HOIST: tuple[str, ...] = (
 # the collect_normalized_present casing decision record
 # (docstring-only). r11 step 1: reset FORCE_HOIST to () plus r11's own
 # changes, run the tool, paste.
+#
+# R11 APPLIED (first r11 commit): FORCE_HOIST reset to (), hoist
+# regenerated from the committed r1-r10 history and pasted — 26
+# mandatory (the 26 r10 first-greens take their 2nd consecutive green)
+# + 24 staleness fill (q6_forecast/range_band/streaming trio up
+# through the r5-aged q-family block). CORRECTNESS_r10.json /
+# BENCH_r10.json committed in the same change, per the ADVICE r10
+# low-#1 ordering note (the policy test derives mandatory from the
+# committed evidence, so evidence and hoist must land together).
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
