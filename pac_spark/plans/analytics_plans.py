@@ -129,4 +129,7 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         SD.ivm_join_nation_revenue,
         SD.IVM_JOIN_SQL(),
     ),
+    # registered in the r11 rotation after a round staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py)
+    QuerySpec("lpa_communities", G.lpa_communities, G.LPA_SQL()),
 ]

@@ -10,6 +10,7 @@ just the final pair list.
 from __future__ import annotations
 
 from pac_spark.functions.exact import exact_avg_sql
+from pac_spark.functions.hashing import md5_u60_sql
 from pac_spark.operators import curation as CU
 from pac_spark.operators import dedup as D
 from pac_spark.operators import multimodal as MM
@@ -1382,5 +1383,35 @@ SPECS = [
         "spearman_quality_tokens_by_lang",
         TX.spearman_quality_tokens_by_lang,
         f"WITH stats AS ({_TEXT_STATS.strip()}){TX.SPEARMAN_SQL_TAIL()}",
+    ),
+    # registered in the r11 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "phrase_match_docs", TX.phrase_match_docs, TX.PHRASE_MATCH_SQL()
+    ),
+    # the oracle is the FULL inverted-index exact-Jaccard formulation —
+    # it knows nothing about prefixes, so an incomplete PPJoin filter
+    # loses rows against it
+    QuerySpec(
+        "prefix_filter_neardup_pairs",
+        D.prefix_filter_neardup_pairs,
+        _NGRAM_JACCARD_FULL,
+    ),
+    QuerySpec(
+        "priority_sample_docs",
+        CU.priority_sample_docs,
+        CU.PRIORITY_SAMPLE_SQL.format(
+            h=md5_u60_sql("'ps|' || CAST(doc_id AS VARCHAR)")
+        ),
+    ),
+    QuerySpec(
+        "source_budget_waterfill",
+        CU.source_budget_waterfill,
+        f"WITH stats AS ({_TEXT_STATS.strip()}){CU.WATERFILL_SQL_TAIL()}",
+    ),
+    QuerySpec(
+        "vocab_frequency_octaves",
+        TX.vocab_frequency_octaves,
+        TX.OCTAVES_SQL,
     ),
 ]

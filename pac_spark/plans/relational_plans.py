@@ -364,4 +364,9 @@ SPECS = [
     # identical local 3-SF oracle gates (tests/test_staged_specs.py)
     QuerySpec("daily_user_accounting", R.daily_user_accounting, R.DAILY_USERS_SQL),
     QuerySpec("skyline_suppliers", R.skyline_suppliers, R.SKYLINE_SQL),
+    # registered in the r11 rotation after rounds staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py)
+    QuerySpec(
+        "user_growth_accounting", R.user_growth_accounting, R.GROWTH_SQL
+    ),
 ]

@@ -347,24 +347,12 @@ FORCE_HOIST: tuple[str, ...] = (
 # the registry never overlap. r7 registered the first 13 (through
 # expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    "user_daily_features",
-    "streaming_growth_accounting",
-    "phrase_match_docs",
-    "prefix_filter_neardup_pairs",
-    "priority_sample_docs",
-    "user_growth_accounting",
-    "weighted_percentiles_price_by_flag",
-    "streaming_purchase_click_left_join",
-    # r10-new operators (the first additions since the r7 drain
-    # discipline began — the <=21 re-open bar was reached mid-r10 at
-    # backlog 8), each 3-SF oracle-green from birth:
-    "halflife_decayed_user_value",
-    "lpa_communities",
-    "streaming_twa_user_value",
-    "source_budget_waterfill",
-    "streaming_halflife_user_value",
-    "vocab_frequency_octaves",
-)  # 14 total — r11 can register all (26 + 14 = 40 <= 50), queue empties
+    # EMPTY as of the r11 registration step: all 14 remaining specs
+    # (user_daily_features .. vocab_frequency_octaves) registered at
+    # once — 26 r10-2nd-green mandatory + 14 new = 40 <= 50. The queue
+    # emptying re-opens new-operator work; r11+ additions stage here
+    # with their local 3-SF gates before claiming a cap slot.
+)
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

@@ -192,4 +192,16 @@ SPECS = [
     QuerySpec(
         "theilsen_trend_by_type", ST.theilsen_trend_by_type, ST.THEILSEN_SQL()
     ),
+    # registered in the r11 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py)
+    QuerySpec(
+        "weighted_percentiles_price_by_flag",
+        ST.weighted_percentiles_price_by_flag,
+        ST.WEIGHTED_PCT_SQL(),
+    ),
+    QuerySpec(
+        "halflife_decayed_user_value",
+        ST.halflife_decayed_user_value,
+        ST.HALFLIFE_SQL(),
+    ),
 ]

@@ -4,10 +4,10 @@ true-streaming forms share oracles where the result is deterministic)."""
 from __future__ import annotations
 
 from pac_spark.functions.exact import money_sum_sql
-from pac_spark.operators.relational import DAILY_USERS_SQL
+from pac_spark.operators.relational import DAILY_USERS_SQL, GROWTH_SQL
 from pac_spark.operators.sketch import BITMAP_DISTINCT_SQL, CMS_HH_SQL
-from pac_spark.operators.stats import EWMA_SQL
-from pac_spark.operators.temporal import OHLC_SQL
+from pac_spark.operators.stats import EWMA_SQL, HALFLIFE_SQL
+from pac_spark.operators.temporal import OHLC_SQL, TWA_SQL
 from pac_spark.plans.llm_plans import _INCREMENTAL
 from pac_spark.plans.spec import QuerySpec
 from pac_spark.streaming import stateful, stream_exec, windows
@@ -240,5 +240,30 @@ SPECS = [
         "streaming_kmv_distinct_users",
         stateful.streaming_kmv_distinct_users,
         stateful.STREAMING_KMV_SQL,
+    ),
+    # registered in the r11 rotation after rounds staged behind the
+    # identical local 3-SF oracle gates (tests/test_staged_specs.py).
+    # Each streaming twin's oracle is deliberately its BATCH
+    # counterpart's formulation: hash equality proves the per-micro-
+    # batch state fold equals the one-shot batch read-off
+    QuerySpec(
+        "streaming_growth_accounting",
+        stateful.streaming_growth_accounting,
+        GROWTH_SQL,
+    ),
+    QuerySpec(
+        "streaming_purchase_click_left_join",
+        stream_exec.streaming_purchase_click_left_join,
+        stream_exec.STREAM_PC_LEFT_ORACLE,
+    ),
+    QuerySpec(
+        "streaming_twa_user_value",
+        stateful.streaming_twa_user_value,
+        TWA_SQL(),
+    ),
+    QuerySpec(
+        "streaming_halflife_user_value",
+        stateful.streaming_halflife_user_value,
+        HALFLIFE_SQL(),
     ),
 ]

@@ -223,4 +223,9 @@ SPECS = [
         T.conversion_latency_by_hour,
         T.CONVERSION_LATENCY_SQL(),
     ),
+    # registered in the r11 rotation after rounds staged behind the
+    # identical local 3-SF oracle gate (tests/test_staged_specs.py)
+    QuerySpec(
+        "user_daily_features", T.user_daily_features, T.FEATURES_SQL
+    ),
 ]
