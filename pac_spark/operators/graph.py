@@ -25,6 +25,8 @@ PageRank is for.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +66,9 @@ DAMPING_PCT = 85  # 0.85 damping as an integer percentage
 # two 8-byte values plus UnsafeRow/broadcast-table overhead
 _RANK_ROW_BYTES = 48
 
+# one warning per process for an unparseable broadcast threshold conf
+_WARNED_UNPARSEABLE_THRESHOLD = False
+
 
 def _broadcast_threshold(spark: SparkSession) -> int:
     """The session's spark.sql.autoBroadcastJoinThreshold in bytes
@@ -92,7 +97,22 @@ def _broadcast_threshold(spark: SparkSession) -> int:
         # unparseable conf -> 0, the always-correct shuffle path: a
         # session that set a garbage threshold may have MEANT to
         # disable broadcasting, and silently assuming the 10MB default
-        # would re-enable per-iteration broadcasts (ADVICE r9)
+        # would re-enable per-iteration broadcasts (ADVICE r9). Warn
+        # once so a merely-malformed threshold (stray whitespace, an
+        # unsupported suffix) is diagnosable instead of silently
+        # degrading every loop broadcast to a shuffle join (ADVICE
+        # r10).
+        global _WARNED_UNPARSEABLE_THRESHOLD
+        if not _WARNED_UNPARSEABLE_THRESHOLD:
+            _WARNED_UNPARSEABLE_THRESHOLD = True
+            warnings.warn(
+                "spark.sql.autoBroadcastJoinThreshold is unparseable "
+                f"({spark.conf.get('spark.sql.autoBroadcastJoinThreshold')!r});"
+                " treating as 0 — loop operators will use shuffle joins"
+                " instead of broadcasts",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         val = 0
     return max(val, 0)
 
