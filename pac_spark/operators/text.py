@@ -49,6 +49,14 @@ __all__ = [
     "quantile_normalized_quality",
     "vocab_frequency_octaves",
     "OCTAVES_SQL",
+    "heaps_vocab_growth",
+    "HEAPS_SQL",
+    "oov_rate_docs",
+    "OOV_SQL",
+    "source_vocab_tv_matrix",
+    "TV_MATRIX_SQL",
+    "bigram_fluency_score",
+    "BIGRAM_SQL",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -1564,4 +1572,454 @@ SELECT lang, CAST(n AS BIGINT) AS n_docs,
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
        END AS spearman_rho
 FROM m ORDER BY lang
+"""
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct
+    vocabulary, token mass, and document count at ``HEAPS_CHECKPOINTS``
+    equal-width checkpoints along the ``doc_id`` axis — the corpus-
+    construction readout that tells a pipeline whether new data is
+    still contributing vocabulary (a flattening curve means incoming
+    shards are rehashes of what the corpus already holds, the
+    complement of the octave histogram's duplicate tell).
+
+    Checkpoint semantics are STATED as equal-width doc_id cuts
+    (``mn + (k·(mx−mn)) div 10``): equal-width needs only the 1-row
+    min/max broadcast, where equal-count cuts would need a global
+    rank — a full-corpus sort the curve's shape does not justify.
+
+    Exactness: every cumulative count falls out of a ``first_seen ≤
+    boundary`` / ``doc_id ≤ boundary`` filter against the 10-row
+    broadcast checkpoint frame, so the "cumulative" is by
+    construction — no windows, no running sums, integer arithmetic
+    only (the boundary division is the shared trunc-div contract).
+    Scale shape: ONE tokenize-explode feeding term-first-seen (one
+    map-side-combined groupBy(term) over the Heaps'-bounded vocab)
+    and per-doc token counts (one groupBy(doc_id)); then three
+    tiny broadcast-crossjoin aggregates over checkpoint-filtered
+    frames. The token frame is pinned (two consumers).
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.exact import int_div
+
+    docs = pin(
+        catalog.load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = pin(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    cks = F.broadcast(
+        spark.range(1, HEAPS_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            (
+                F.col("mn")
+                + int_div(
+                    F.col("k") * (F.col("mx") - F.col("mn")),
+                    F.lit(HEAPS_CHECKPOINTS),
+                )
+            ).alias("ck"),
+        )
+    )
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("fs"))
+    vocab_cum = (
+        first_seen.crossJoin(cks)
+        .filter(F.col("fs") <= F.col("ck"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cum_vocab"))
+    )
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    tokens_cum = (
+        doc_tokens.crossJoin(cks)
+        .filter(F.col("doc_id") <= F.col("ck"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("cum_tokens"))
+    )
+    docs_cum = (
+        docs.select("doc_id")
+        .crossJoin(cks)
+        .filter(F.col("doc_id") <= F.col("ck"))
+        .groupBy("k", "ck")
+        .agg(F.count(F.lit(1)).alias("cum_docs"))
+    )
+    return (
+        docs_cum.join(tokens_cum, "k", "left")
+        .join(vocab_cum, "k", "left")
+        .select(
+            (F.col("k") * (100 // HEAPS_CHECKPOINTS)).alias("checkpoint_pct"),
+            F.col("ck").alias("boundary_doc_id"),
+            "cum_docs",
+            F.coalesce("cum_tokens", F.lit(0)).alias("cum_tokens"),
+            F.coalesce("cum_vocab", F.lit(0)).alias("cum_vocab"),
+        )
+        .orderBy("checkpoint_pct")
+    )
+
+
+HEAPS_SQL = """
+WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+cks AS (
+    SELECT CAST(r.range AS BIGINT) AS k,
+           mn + (r.range * (mx - mn)) // 10 AS ck
+    FROM b, range(1, 11) r
+),
+tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+fs AS (SELECT term, MIN(doc_id) AS fs FROM tok GROUP BY term),
+v AS (
+    SELECT k, COUNT(*) AS cum_vocab FROM fs, cks WHERE fs <= ck GROUP BY k
+),
+dt AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+tt AS (
+    SELECT k, SUM(c) AS cum_tokens FROM dt, cks WHERE doc_id <= ck GROUP BY k
+),
+dd AS (
+    SELECT k, ck, COUNT(*) AS cum_docs
+    FROM documents, cks WHERE doc_id <= ck GROUP BY k, ck
+)
+SELECT CAST(dd.k * 10 AS BIGINT) AS checkpoint_pct,
+       CAST(dd.ck AS BIGINT) AS boundary_doc_id,
+       CAST(dd.cum_docs AS BIGINT) AS cum_docs,
+       CAST(COALESCE(tt.cum_tokens, 0) AS BIGINT) AS cum_tokens,
+       CAST(COALESCE(v.cum_vocab, 0) AS BIGINT) AS cum_vocab
+FROM dd
+LEFT JOIN tt ON dd.k = tt.k
+LEFT JOIN v ON dd.k = v.k
+ORDER BY checkpoint_pct
+"""
+
+
+OOV_VOCAB_K = 16
+OOV_KEEP_MAX_MILLI = 200
+
+
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate gate: the fraction of each document's
+    tokens falling outside the top-``OOV_VOCAB_K`` corpus vocabulary
+    (count desc, term asc — a total order), with the curation keep
+    flag at ``oov_milli <= OOV_KEEP_MAX_MILLI``. The classic cheap
+    LM-quality screen: a document whose mass is mostly rare terms is
+    boilerplate, OCR noise, or a language the vocab was not built
+    for — complements ``unigram_prob_score`` (mass-weighted fluency)
+    with a coverage-style readout that a threshold can act on.
+
+    Exactness: the rate is ``int_div(oov·1000, n)`` — the shared
+    truncating-division contract, no doubles anywhere. Scale shape:
+    one tokenize-explode feeding the wordcount (map-side combined,
+    Heaps'-bounded vocab), TakeOrderedAndProject top-K, and the K-row
+    vocab BROADCAST anti-joined to the token stream — the per-doc
+    aggregate is the only shuffle touching corpus-sized data. The
+    token frame is pinned (wordcount + rescan consumers).
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.exact import int_div
+
+    toks = pin(
+        catalog.load(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(OOV_VOCAB_K)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "term", "left"
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_oov"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        int_div(F.col("n_oov") * 1000, F.col("n_tokens")).alias("oov_milli"),
+    ).withColumn(
+        "kept", F.col("oov_milli") <= F.lit(OOV_KEEP_MAX_MILLI)
+    ).orderBy("doc_id")
+
+
+OOV_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+        ORDER BY cnt DESC, term LIMIT {OOV_VOCAB_K}
+    )
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM tok LEFT JOIN vocab v ON tok.term = v.term
+    GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       CAST((n_oov * 1000) // n_tokens AS BIGINT) AS oov_milli,
+       (n_oov * 1000) // n_tokens <= {OOV_KEEP_MAX_MILLI} AS kept
+FROM per_doc ORDER BY doc_id
+"""
+
+
+def source_vocab_tv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary drift matrix: for every source pair
+    (a < b, string order), the total-variation distance between the
+    two sources' unigram distributions — the "are these two feeds the
+    same kind of text" readout that decides whether sources can share
+    a mixing weight or need separate curation. TV chosen over KL/JS
+    deliberately (the token-Gini / mix-drift precedent): clearing
+    denominators makes ``½·Σ|c_at/N_a − c_bt/N_b|`` fully RATIONAL —
+    ``½·Σ|c_at·N_b − c_bt·N_a| / (N_a·N_b)`` with decimal(38,0)
+    cross-products, one final double division.
+
+    Terms absent from one source never materialize a row; their mass
+    folds in algebraically: ``Σ_only-a c_at = N_a − Σ_shared c_at``,
+    so the numerator is ``Σ_sh|c_at·N_b − c_bt·N_a| + N_b·(N_a −
+    Σ_sh c_at) + N_a·(N_b − Σ_sh c_bt)`` — the SHARED-term join plus
+    per-source totals is the whole computation; a pair sharing no
+    terms reads off TV = 1 from the spine alone. NULL sources are
+    excluded in both engines (no distribution to compare).
+
+    Scale shape: one tokenize-explode into a map-side-combined
+    groupBy(source, term) (vocab×sources-bounded, pinned — it is both
+    sides of the self-join), the 1-row-per-source totals broadcast
+    onto it, a term-keyed self-join (hot terms fan out K² per term, K
+    = source count), one map-side pair aggregate, and a K²-row spine
+    left-join. No corpus-sized shuffle after the first groupBy.
+    """
+    from pac_spark.cache import pin
+
+    DEC = "decimal(38,0)"
+    sc = pin(
+        catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast(DEC).alias("cnt"))
+    )
+    totals = pin(
+        sc.groupBy("source").agg(F.sum("cnt").cast(DEC).alias("n_total"))
+    )
+    with_n = sc.join(F.broadcast(totals), "source")
+    a = with_n.select(
+        F.col("source").alias("src_a"),
+        "term",
+        F.col("cnt").alias("ca"),
+        F.col("n_total").alias("na"),
+    )
+    b = with_n.select(
+        F.col("source").alias("src_b"),
+        "term",
+        F.col("cnt").alias("cb"),
+        F.col("n_total").alias("nb"),
+    )
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).alias("sum_abs"),
+            F.sum("ca").alias("sum_ca"),
+            F.sum("cb").alias("sum_cb"),
+        )
+    )
+    spine = (
+        totals.select(
+            F.col("source").alias("src_a"), F.col("n_total").alias("na")
+        )
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_total").alias("nb"),
+                )
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    joined = spine.join(shared, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_shared_terms", F.lit(0)).cast("long").alias(
+            "n_shared_terms"
+        ),
+        (
+            F.coalesce("sum_abs", zero)
+            + F.col("nb") * (F.col("na") - F.coalesce("sum_ca", zero))
+            + F.col("na") * (F.col("nb") - F.coalesce("sum_cb", zero))
+        ).alias("_num"),
+        (F.col("na") * F.col("nb")).alias("_den"),
+    )
+    return joined.select(
+        "src_a",
+        "src_b",
+        "n_shared_terms",
+        (
+            F.col("_num").cast("double") / 2.0 / F.col("_den").cast("double")
+        ).alias("tv_distance"),
+    ).orderBy("src_a", "src_b")
+
+
+TV_MATRIX_SQL = """
+WITH sc AS (
+    SELECT source, term, CAST(COUNT(*) AS HUGEINT) AS cnt
+    FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE source IS NOT NULL
+    ) GROUP BY source, term
+),
+totals AS (
+    SELECT source, SUM(cnt) AS n_total FROM sc GROUP BY source
+),
+with_n AS (SELECT sc.*, n_total FROM sc JOIN totals USING (source)),
+shared AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared_terms,
+           SUM(ABS(a.cnt * b.n_total - b.cnt * a.n_total)) AS sum_abs,
+           SUM(a.cnt) AS sum_ca, SUM(b.cnt) AS sum_cb
+    FROM with_n a JOIN with_n b ON a.term = b.term AND a.source < b.source
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT a.source AS src_a, a.n_total AS na,
+           b.source AS src_b, b.n_total AS nb
+    FROM totals a, totals b WHERE a.source < b.source
+)
+SELECT src_a, src_b,
+       CAST(COALESCE(n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+       CAST(COALESCE(sum_abs, 0)
+            + nb * (na - COALESCE(sum_ca, 0))
+            + na * (nb - COALESCE(sum_cb, 0)) AS DOUBLE)
+           / 2.0 / CAST(na * nb AS DOUBLE) AS tv_distance
+FROM spine
+LEFT JOIN shared USING (src_a, src_b)
+ORDER BY src_a, src_b
+"""
+
+
+BIGRAM_SCALE = 1_000_000_000
+
+
+def bigram_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency gate: per document, the mean
+    corpus conditional probability of its token transitions —
+    ``p(w2|w1) = c(w1,w2) / c(w1,·)`` averaged over the document's
+    bigrams. The sequence-aware upgrade of ``unigram_prob_score``:
+    shuffled boilerplate built from common words sails through a
+    unigram gate but scores low here, because its TRANSITIONS are
+    rare.
+
+    Exactness (the unigram/no-transcendental discipline): each
+    transition's probability is quantized to nano-units by the shared
+    truncating division, carried in decimal(38,0) so corpus-scale
+    counts cannot overflow (``c·10^9`` passes 2^53 long before a
+    100 TB corpus does — the int_div HARD-CONTRACT escape hatch), and
+    the per-doc mean is an exact integer division of the nano sum.
+    Documents with fewer than two tokens have no transitions and are
+    excluded by stated semantics in both engines.
+
+    Scale shape: bigrams are a row-local array transform (zero
+    shuffle), ONE map-side-combined groupBy(w1, w2) builds the model
+    (vocab²-bounded, Heaps' argument squared), the first-token
+    totals are a rollup OF that frame (never a second corpus pass),
+    and the rescore is two vocab-bounded joins against the pinned
+    bigram stream — AQE broadcasts them when small.
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.exact import int_div
+
+    DEC = "decimal(38,0)"
+    docs = catalog.load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    bg = pin(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("tk").isNull() | (F.size("tk") < 2),
+                    F.array().cast("array<struct<w1:string,w2:string>>"),
+                ).otherwise(
+                    F.expr(
+                        "transform(sequence(0, size(tk) - 2),"
+                        " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+                    )
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.w1", "p.w2")
+    )
+    c2 = pin(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast(DEC).alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast(DEC).alias("c1"))
+    num = (F.col("c2") * F.lit(BIGRAM_SCALE)).cast(DEC)
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            ((num - num % F.col("c1")) / F.col("c1"))
+            .cast("long")
+            .alias("score_nano"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("score_nano").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            int_div(F.col("_s"), F.col("n_bigrams")).alias("mean_score_nano"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_SQL = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+bg AS (
+    SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+    FROM tk, UNNEST(range(1, len(tk))) AS u(i)
+    WHERE len(tk) >= 2
+),
+c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c2
+    FROM bg GROUP BY w1, w2
+),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+scored AS (
+    SELECT doc_id,
+           (c2.c2 * {BIGRAM_SCALE}) // c1.c1 AS score_nano
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(score_nano) // COUNT(*) AS BIGINT) AS mean_score_nano
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """

@@ -347,11 +347,15 @@ FORCE_HOIST: tuple[str, ...] = (
 # the registry never overlap. r7 registered the first 13 (through
 # expectations_orders); r8 the next 13 (through skyline_suppliers).
 STAGED_QUEUE: tuple[str, ...] = (
-    # EMPTY as of the r11 registration step: all 14 remaining specs
-    # (user_daily_features .. vocab_frequency_octaves) registered at
-    # once — 26 r10-2nd-green mandatory + 14 new = 40 <= 50. The queue
-    # emptying re-opens new-operator work; r11+ additions stage here
-    # with their local 3-SF gates before claiming a cap slot.
+    # Emptied at the r11 registration step (all 14 remaining specs
+    # registered — 26 r10-2nd-green mandatory + 14 new = 40 <= 50),
+    # re-opening new-operator work. r11-new operators stage here with
+    # their local 3-SF gates (tests/test_staged_specs.py) until their
+    # r12 registration slot:
+    "heaps_vocab_growth",
+    "oov_rate_docs",
+    "source_vocab_tv_matrix",
+    "bigram_fluency_score",
 )
 
 

@@ -3828,3 +3828,141 @@ def test_octaves_crafted(spark, tmp_path):
         for r in vocab_frequency_octaves(spark, str(tmp_path)).collect()
     }
     assert got == {0: (3, 3), 1: (2, 5), 3: (1, 8)}
+
+
+def test_heaps_vocab_growth_oracle(spark, duck, sf_dir):
+    """Staged for r12: equal-width checkpoint growth curve vs the
+    identical boundary-filter formulation."""
+    from pac_spark.operators.text import HEAPS_SQL, heaps_vocab_growth
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(heaps_vocab_growth(spark, sf_dir), duck.sql(HEAPS_SQL))
+
+
+def test_heaps_vocab_growth_crafted(spark, tmp_path):
+    """Hand-checkable curve: doc_ids 0..10, a fresh term per doc for
+    the first half then pure repeats — the curve must saturate at the
+    50% checkpoint and stay flat (monotone, never decreasing)."""
+    import pandas as pd
+
+    rows = [(i, f"t{i} common") for i in range(6)]
+    rows += [(i, "t0 common") for i in range(6, 11)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from pac_spark.operators.text import heaps_vocab_growth
+
+    got = heaps_vocab_growth(spark, str(tmp_path)).collect()
+    assert [r["checkpoint_pct"] for r in got] == list(range(10, 101, 10))
+    # boundaries: 0 + (k*10)//10 = k, so checkpoint k covers docs 0..k
+    assert [r["cum_docs"] for r in got] == list(range(2, 12))
+    vocab = [r["cum_vocab"] for r in got]
+    # docs 0..k for k=1..5 contribute k+1 fresh terms + 'common'
+    assert vocab == [3, 4, 5, 6, 7, 7, 7, 7, 7, 7]
+    assert vocab == sorted(vocab)
+    toks = [r["cum_tokens"] for r in got]
+    assert toks == [2 * (k + 1) for k in range(1, 11)]
+
+
+def test_oov_rate_docs_oracle(spark, duck, sf_dir):
+    """Staged for r12: top-K-vocab OOV gate vs the identical
+    anti-join formulation."""
+    from pac_spark.operators.text import OOV_SQL, oov_rate_docs
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(oov_rate_docs(spark, sf_dir), duck.sql(OOV_SQL))
+
+
+def test_oov_rate_docs_crafted(spark, tmp_path):
+    """Vocab selection is count-desc/term-asc over the WHOLE corpus;
+    with K=16, 17 equal-count terms drop exactly the lexicographic
+    last, and a doc made of it is fully OOV (milli=1000, not kept)."""
+    import pandas as pd
+
+    terms = [f"w{i:02d}" for i in range(17)]
+    rows = [(i, " ".join(terms)) for i in range(3)]  # all 17, equal counts
+    rows.append((3, "w16 w16 w00"))  # tips w16? no: w16 now count 5 > 3
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from pac_spark.operators.text import oov_rate_docs
+
+    got = {r["doc_id"]: r for r in oov_rate_docs(spark, str(tmp_path)).collect()}
+    # counts: w16 -> 5, w00 -> 4, w01..w15 -> 3 each (17 terms).
+    # top-16 keeps w16, w00, w01..w14; drops w15 (count-asc tie, term desc)
+    assert got[3]["n_oov"] == 0 and got[3]["kept"]
+    assert got[0]["n_tokens"] == 17 and got[0]["n_oov"] == 1
+    assert got[0]["oov_milli"] == 1000 * 1 // 17
+    assert got[0]["kept"]  # 58 milli <= 200
+
+
+def test_source_vocab_tv_matrix_oracle(spark, duck, sf_dir):
+    """Staged for r12: rational pairwise TV drift vs the identical
+    cleared-denominator HUGEINT formulation."""
+    from pac_spark.operators.text import TV_MATRIX_SQL, source_vocab_tv_matrix
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        source_vocab_tv_matrix(spark, sf_dir), duck.sql(TV_MATRIX_SQL)
+    )
+
+
+def test_source_vocab_tv_matrix_crafted(spark, tmp_path):
+    """Hand-checkable distances: identical sources -> 0, disjoint
+    vocabularies -> 1 (read off the spine with no shared terms), a
+    half-overlap -> exactly 1/2."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["x y", "x y", "p q", "x q"],
+            "source": ["a", "b", "c", "d"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import source_vocab_tv_matrix
+
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_shared_terms"], r["tv_distance"])
+        for r in source_vocab_tv_matrix(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 6
+    assert got[("a", "b")] == (2, 0.0)  # identical distributions
+    assert got[("a", "c")] == (0, 1.0)  # disjoint, spine-only row
+    # a={x:1,y:1}/2 vs d={x:1,q:1}/2: TV = 1/2(|.5-.5|+.5+.5) = 1/2
+    assert got[("a", "d")] == (1, 0.5)
+
+
+def test_bigram_fluency_score_oracle(spark, duck, sf_dir):
+    """Staged for r12: bigram transition fluency vs the identical
+    nano-quantized HUGEINT formulation."""
+    from pac_spark.operators.text import BIGRAM_SQL, bigram_fluency_score
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        bigram_fluency_score(spark, sf_dir), duck.sql(BIGRAM_SQL)
+    )
+
+
+def test_bigram_fluency_score_crafted(spark, tmp_path):
+    """Hand-checkable conditionals: corpus 'a b', 'a b', 'a c' gives
+    p(b|a)=2/3, p(c|a)=1/3; one-token and empty docs are excluded;
+    the shuffled-boilerplate tell: a doc of common words in a NEVER-
+    seen order scores the rare-transition floor."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b", "a b", "a c", "solo"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import bigram_fluency_score
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_score_nano"])
+        for r in bigram_fluency_score(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2}  # doc 3 has no bigrams
+    assert got[0] == (1, 666_666_666)  # trunc(2e9/3)
+    assert got[2] == (1, 333_333_333)
