@@ -58,6 +58,10 @@ __all__ = [
     "PATTERN_RUNS_SQL",
     "ATTRIBUTION_SQL",
     "ATTRIBUTION_WINDOW_MIN",
+    "interarrival_stats_by_type",
+    "INTERARRIVAL_SQL",
+    "attribution_position_weighted",
+    "POSITION_ATTRIBUTION_SQL",
 ]
 
 _TS6 = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -1610,4 +1614,322 @@ SELECT hour,
        CAST(MAX(n) AS BIGINT) AS n_conversions,
        {reads}
 FROM cum GROUP BY hour ORDER BY hour
+"""
+
+
+def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: the distribution of
+    gaps between a user's consecutive events of the same type — the
+    workload-characterization readout behind capacity planning,
+    session-gap calibration, and bot detection (a channel whose p50
+    gap collapses toward zero is either a retry storm or a scraper).
+
+    Gaps are PER (user, type) by stated semantics — cross-user gaps
+    are meaningless and, structurally, the user-keyed window is what
+    scales: partitioning by type alone would put each type's whole
+    history in one task. NULL user_id / NULL ts rows are excluded in
+    BOTH engines (no owner / no position; engines disagree on NULL
+    sort order, the group_percentiles_disc rule).
+
+    Exactness: gaps are integer micros off the (ts, event_id) total
+    order (equal timestamps form deterministic zero-width gaps); the
+    mean divides two exact integers once, decimal-carried so a
+    100 TB event stream's micros sum cannot pass 2^53; percentiles
+    quantize gaps to SECONDS first (stated semantics) so the shared
+    histogram read-off runs over a domain-bounded frame instead of a
+    per-gap-distinct one. One user-keyed window + one map-side
+    aggregate + the histogram pass.
+    """
+    from pac_spark.functions.exact import int_div
+    from pac_spark.operators.stats import group_percentiles_disc
+
+    ev = catalog.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts")).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    gaps = pin(gaps)
+    DEC = "decimal(38,0)"
+    s = F.sum(F.col("gap_us").cast(DEC))
+    n = F.count(F.lit(1)).cast(DEC)
+    base = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        ((s - s % n) / n).cast("long").alias("mean_gap_us"),
+    )
+    pcts = group_percentiles_disc(
+        gaps.select(
+            "event_type", int_div(F.col("gap_us"), F.lit(1_000_000)).alias("gap_s")
+        ),
+        ["event_type"],
+        "gap_s",
+        pcts=(50, 90, 99),
+    ).select("event_type", "p50", "p90", "p99")
+    return (
+        base.join(pcts, "event_type")
+        .select(
+            "event_type",
+            "n_gaps",
+            "mean_gap_us",
+            F.col("p50").alias("p50_gap_s"),
+            F.col("p90").alias("p90_gap_s"),
+            F.col("p99").alias("p99_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS gap_us
+    FROM ev
+),
+g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+base AS (
+    SELECT event_type, COUNT(*) AS n_gaps,
+           CAST(SUM(CAST(gap_us AS HUGEINT)) // COUNT(*) AS BIGINT)
+               AS mean_gap_us
+    FROM g GROUP BY event_type
+),
+h AS (
+    SELECT event_type, gap_us // 1000000 AS gap_s, COUNT(*) AS c
+    FROM g GROUP BY 1, 2
+),
+wcum AS (
+    SELECT event_type, gap_s,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS nn
+    FROM h
+),
+p AS (
+    SELECT event_type,
+           MIN(CASE WHEN cum * 100 >= 50 * nn THEN gap_s END) AS p50_gap_s,
+           MIN(CASE WHEN cum * 100 >= 90 * nn THEN gap_s END) AS p90_gap_s,
+           MIN(CASE WHEN cum * 100 >= 99 * nn THEN gap_s END) AS p99_gap_s
+    FROM wcum GROUP BY event_type
+)
+SELECT base.event_type,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       mean_gap_us,
+       CAST(p50_gap_s AS BIGINT) AS p50_gap_s,
+       CAST(p90_gap_s AS BIGINT) AS p90_gap_s,
+       CAST(p99_gap_s AS BIGINT) AS p99_gap_s
+FROM base JOIN p ON base.event_type = p.event_type
+ORDER BY base.event_type
+"""
+
+
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted (U-shaped) revenue attribution: every
+    ``view``/``click`` is assigned to the user's NEXT purchase within
+    the ``ATTRIBUTION_WINDOW_MIN`` lookforward, and each purchase's
+    credit splits 40% / 20% / 40% across first / middle / last touch —
+    the multi-touch complement of ``attribution_last_touch`` (which
+    answers "what closed", this answers "what opened AND what
+    closed"). A single-touch purchase grants it full credit; a
+    two-touch purchase splits 50/50.
+
+    Credits are EXACT integer micro-units summing to 1,000,000 per
+    attributed purchase by construction: the middle pool divides by
+    truncating division and the remainder goes one micro each to the
+    EARLIEST middles (largest-remainder order is touch order, a total
+    order) — the water-filling discipline, so channel credit sums are
+    bit-stable at any partitioning. Purchases with no qualifying touch
+    report whole-credit under ``unattributed``.
+
+    Scale posture (the as-of/last-touch rule): NO range self-join —
+    one user_id shuffle sorts everything; the next purchase is a
+    ``last_value(ignorenulls)`` carry over the DESCENDING (ts,
+    event_id) order (at a touch row, the latest-seen purchase in that
+    traversal IS the next one forward); the lookforward is a row-local
+    filter. Then one purchase-keyed window (purchase ids are globally
+    unique, so partition cardinality scales with purchases) numbers
+    the touches, credit is a row-local formula, and one map-side
+    channel aggregate reads off. Revenue-credit products are carried
+    in decimal(38,0) (cents × micro-credit ~1e10/row — a double sum
+    would drift, a long sum dies at corpus scale).
+    """
+    # NULL user_id / NULL ts rows are excluded in BOTH engines: no
+    # owner to attribute within / no position in the (ts, event_id)
+    # order, and the engines disagree on NULL sort placement
+    ev = (
+        catalog.load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    w_desc = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.select(
+        "*",
+        F.last(F.when(is_purchase, F.col("ts")), ignorenulls=True)
+        .over(w_desc)
+        .alias("p_ts"),
+        F.last(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w_desc)
+        .alias("p_id"),
+        F.last(F.when(is_purchase, F.col("cents")), ignorenulls=True)
+        .over(w_desc)
+        .alias("p_cents"),
+    )
+    cutoff_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    delta = F.unix_micros("p_ts") - F.unix_micros("ts")
+    qualifies = F.col("p_ts").isNotNull() & (delta <= cutoff_us)
+    assigned = carried.filter(
+        F.col("event_type").isin("view", "click") & qualifies
+    ).select("event_type", "ts", "event_id", "p_id", "p_cents")
+    wp = W.partitionBy("p_id")
+    pos = F.row_number().over(wp.orderBy("ts", "event_id"))
+    m = F.count(F.lit(1)).over(wp.orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    ))
+    mid_pool = F.lit(200_000)
+    mid_n = m - 2
+    base_mid = (mid_pool - mid_pool % mid_n) / mid_n
+    credit = (
+        F.when(m == 1, F.lit(1_000_000))
+        .when(m == 2, F.lit(500_000))
+        .when((pos == 1) | (pos == m), F.lit(400_000))
+        .otherwise(
+            base_mid.cast("long")
+            + F.when(pos - 1 <= mid_pool % mid_n, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    DEC = "decimal(38,0)"
+    scored = assigned.select(
+        F.col("event_type").alias("channel"),
+        "p_id",
+        "p_cents",
+        credit.alias("credit_micros"),
+    )
+    attributed = scored.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.sum("credit_micros").cast("long").alias("credit_micros"),
+        (
+            F.sum(
+                (F.col("p_cents") * F.col("credit_micros")).cast(DEC)
+            ).cast("double")
+            / 1e6
+            / 100.0
+        ).alias("attributed_revenue"),
+    )
+    purchases = carried.filter(is_purchase).select("event_id", "cents")
+    orphan = (
+        purchases.join(
+            scored.select(F.col("p_id").alias("event_id")).distinct(),
+            "event_id",
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("_cents"),
+        )
+        .select(
+            F.lit("unattributed").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases",
+            (F.col("n_purchases") * 1_000_000).alias("credit_micros"),
+            (F.col("_cents").cast("double") / 100.0).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
+    return attributed.unionByName(orphan).orderBy("channel")
+
+
+POSITION_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+carried AS (
+    SELECT *,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                      IGNORE NULLS) OVER w AS p_ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                      IGNORE NULLS) OVER w AS p_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN cents END
+                      IGNORE NULLS) OVER w AS p_cents
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+assigned AS (
+    SELECT event_type, ts, event_id, p_id, p_cents
+    FROM carried
+    WHERE event_type IN ('view', 'click') AND p_ts IS NOT NULL
+      AND epoch_us(p_ts) - epoch_us(ts) <= {60 * 60 * 1_000_000}
+),
+numbered AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY ts, event_id) AS pos,
+           COUNT(*) OVER (PARTITION BY p_id) AS m
+    FROM assigned
+),
+scored AS (
+    SELECT event_type AS channel, p_id, p_cents,
+           CASE WHEN m = 1 THEN 1000000
+                WHEN m = 2 THEN 500000
+                WHEN pos = 1 OR pos = m THEN 400000
+                ELSE 200000 // (m - 2)
+                     + CASE WHEN pos - 1 <= 200000 % (m - 2)
+                            THEN 1 ELSE 0 END
+           END AS credit_micros
+    FROM numbered
+),
+attributed AS (
+    SELECT channel,
+           COUNT(*) AS n_touches,
+           COUNT(DISTINCT p_id) AS n_purchases,
+           SUM(credit_micros) AS credit_micros,
+           CAST(SUM(CAST(p_cents AS HUGEINT) * credit_micros) AS DOUBLE)
+               / 1e6 / 100.0 AS attributed_revenue
+    FROM scored GROUP BY channel
+),
+orphan AS (
+    SELECT 'unattributed' AS channel,
+           CAST(0 AS BIGINT) AS n_touches,
+           COUNT(*) AS n_purchases,
+           COUNT(*) * 1000000 AS credit_micros,
+           CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0
+               AS attributed_revenue
+    FROM carried
+    WHERE event_type = 'purchase'
+      AND event_id NOT IN (SELECT DISTINCT p_id FROM scored)
+)
+SELECT channel, CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       CAST(credit_micros AS BIGINT) AS credit_micros,
+       attributed_revenue
+FROM attributed
+UNION ALL SELECT * FROM orphan
+ORDER BY channel
 """

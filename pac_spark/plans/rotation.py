@@ -356,6 +356,8 @@ STAGED_QUEUE: tuple[str, ...] = (
     "oov_rate_docs",
     "source_vocab_tv_matrix",
     "bigram_fluency_score",
+    "interarrival_stats_by_type",
+    "attribution_position_weighted",
 )
 
 

@@ -3966,3 +3966,113 @@ def test_bigram_fluency_score_crafted(spark, tmp_path):
     assert set(got) == {0, 1, 2}  # doc 3 has no bigrams
     assert got[0] == (1, 666_666_666)  # trunc(2e9/3)
     assert got[2] == (1, 333_333_333)
+
+
+def test_interarrival_stats_oracle(spark, duck, sf_dir):
+    """Staged for r12: per-type inter-arrival profile vs the identical
+    lag-window + second-quantized histogram formulation."""
+    from pac_spark.operators.temporal import (
+        INTERARRIVAL_SQL,
+        interarrival_stats_by_type,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        interarrival_stats_by_type(spark, sf_dir), duck.sql(INTERARRIVAL_SQL)
+    )
+
+
+def test_interarrival_stats_crafted(spark, tmp_path):
+    """Hand-checkable gaps: user 1 fires type 'a' at minutes 0,1,3,
+    user 2 at minute 0 only (no gap) — gaps are within (user, type),
+    never across users; equal timestamps form a zero gap."""
+    import pandas as pd
+
+    t = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, 1, t, "a", 1.0, ""),
+        (2, 1, t + m, "a", 1.0, ""),
+        (3, 1, t + 3 * m, "a", 1.0, ""),
+        (4, 2, t, "a", 1.0, ""),
+        (5, 1, t + 3 * m, "b", 1.0, ""),  # same ts as event 3, other type
+        (6, 1, t + 3 * m, "b", 1.0, ""),  # zero-width gap within 'b'
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import interarrival_stats_by_type
+
+    got = {
+        r["event_type"]: (r["n_gaps"], r["mean_gap_us"], r["p50_gap_s"])
+        for r in interarrival_stats_by_type(spark, str(tmp_path)).collect()
+    }
+    # type a: gaps 60s and 120s -> mean 90s, p50 = 60s
+    assert got["a"] == (2, 90_000_000, 60)
+    # type b: one zero-width gap
+    assert got["b"] == (1, 0, 0)
+
+
+def test_position_attribution_oracle(spark, duck, sf_dir):
+    """Staged for r12: U-shaped multi-touch attribution vs the
+    identical carry + integer-credit formulation."""
+    from pac_spark.operators.temporal import (
+        POSITION_ATTRIBUTION_SQL,
+        attribution_position_weighted,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        attribution_position_weighted(spark, sf_dir),
+        duck.sql(POSITION_ATTRIBUTION_SQL),
+    )
+
+
+def test_position_attribution_crafted(spark, tmp_path):
+    """The U-shape, exactly: 5 touches (v c v c v) before one $10
+    purchase give first/last 400k micro-credits, the 200k middle pool
+    splits 66667/66667/66666 (remainder to the EARLIEST middles), and
+    credits sum to exactly 1e6. A lone-touch purchase pays its touch
+    1e6; a touch-free purchase lands in 'unattributed'."""
+    import pandas as pd
+
+    t = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1: v c v c v -> purchase(100.0)
+        (1, 1, t + 0 * m, "view", 1.0),
+        (2, 1, t + 1 * m, "click", 1.0),
+        (3, 1, t + 2 * m, "view", 1.0),
+        (4, 1, t + 3 * m, "click", 1.0),
+        (5, 1, t + 4 * m, "view", 1.0),
+        (6, 1, t + 5 * m, "purchase", 10.0),
+        # user 2: single click -> purchase(20.0)
+        (7, 2, t, "click", 1.0),
+        (8, 2, t + m, "purchase", 20.0),
+        # user 3: orphan purchase
+        (9, 3, t, "purchase", 30.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type", "value"])
+    df["props"] = ""
+    df.to_parquet(tmp_path / "events.parquet")
+    from pac_spark.operators.temporal import attribution_position_weighted
+
+    got = {
+        r["channel"]: (
+            r["n_touches"],
+            r["n_purchases"],
+            r["credit_micros"],
+            r["attributed_revenue"],
+        )
+        for r in attribution_position_weighted(spark, str(tmp_path)).collect()
+    }
+    # user1 credits: pos1 view 400000, pos5 view 400000, pos3 view middle2
+    #   -> 66667; views = 866667. clicks middle1+middle3 = 66667+66666
+    #   = 133333 (remainder micro goes to middles 1 and 2)
+    # + user2 click 1000000
+    assert got["view"] == (3, 1, 866_667, 10.0 * 0.866667)
+    assert got["click"][0] == 3 and got["click"][1] == 2
+    assert got["click"][2] == 133_333 + 1_000_000
+    assert got["view"][2] + got["click"][2] == 2_000_000
+    assert got["unattributed"] == (0, 1, 1_000_000, 30.0)
