@@ -55,6 +55,11 @@ __all__ = [
     "SSSP_SQL",
     "lpa_communities",
     "LPA_SQL",
+    "clustering_coeff_parts",
+    "CLUSTERING_COEFF_SQL",
+    "trade_graph_components",
+    "TRADE_CC_SQL",
+    "CC_TOP_EDGES",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -1046,4 +1051,228 @@ d0 AS (
 ),
 {",".join(rounds)}
 SELECT node, dist FROM d{hops} ORDER BY node
+"""
+
+
+def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part over the TOP-K
+    co-purchase graph (the SAME densified edge cut as
+    :func:`triangle_top_parts` — one stated graph, two motif
+    readouts): for each node with ≥ 2 neighbors,
+    ``2·triangles / (deg·(deg−1))`` — how close the part's
+    neighborhood is to a clique, the per-node texture the corpus-wide
+    triangle count flattens away.
+
+    Exactness: the coefficient is rational — reported in milli-units
+    by the shared truncating division (``2000·tri div deg·(deg−1)``),
+    no doubles anywhere. Degree-1 nodes are excluded by stated
+    semantics in both engines (undefined denominator).
+
+    Scale shape inherits the triangle argument: pair generation is
+    the bounded basket self-join; the K-row edge frame is pinned and
+    broadcast into the enumeration closes; degrees are one map-side
+    aggregate over 2K endpoint rows; the final join is K-bounded.
+    """
+    from pac_spark.functions.exact import int_div
+
+    edges = pin(
+        _co_purchase_pairs(spark, sf_dir)
+        .orderBy(F.desc("cnt"), "pa", "pb")
+        .limit(TRIANGLE_TOP_EDGES)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = F.broadcast(edges.alias("e2"))
+    e3 = F.broadcast(edges.alias("e3"))
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("na"),
+            F.col("e1.pb").alias("nb"),
+            F.col("e2.pb").alias("nc"),
+        )
+    )
+    tri_per_node = (
+        tri.select(F.explode(F.array("na", "nb", "nc")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri_per_node, "part_id", "left")
+        .select(
+            "part_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            int_div(
+                F.coalesce("n_triangles", F.lit(0)) * 2000,
+                F.col("degree") * (F.col("degree") - 1),
+            ).alias("coeff_milli"),
+        )
+        .orderBy(F.desc("coeff_milli"), "part_id")
+    )
+
+
+def CLUSTERING_COEFF_SQL() -> str:
+    """Oracle: the triangle CTE chain + an endpoint-degree rollup."""
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+    SELECT a.p AS pa, b.p AS pb, COUNT(*) AS cnt
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+),
+e AS (SELECT pa, pb FROM pairs ORDER BY cnt DESC, pa, pb LIMIT {TRIANGLE_TOP_EDGES}),
+tri AS (
+    SELECT e1.pa AS na, e1.pb AS nb, e2.pb AS nc
+    FROM e e1
+    JOIN e e2 ON e2.pa = e1.pb
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+tpn AS (
+    SELECT part_id, COUNT(*) AS n_triangles FROM (
+        SELECT na AS part_id FROM tri
+        UNION ALL SELECT nb FROM tri
+        UNION ALL SELECT nc FROM tri
+    ) GROUP BY part_id
+),
+deg AS (
+    SELECT part_id, COUNT(*) AS degree FROM (
+        SELECT pa AS part_id FROM e UNION ALL SELECT pb FROM e
+    ) GROUP BY part_id
+)
+SELECT deg.part_id, CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       (COALESCE(n_triangles, 0) * 2000) // (degree * (degree - 1))
+           AS coeff_milli
+FROM deg LEFT JOIN tpn ON deg.part_id = tpn.part_id
+WHERE degree >= 2
+ORDER BY coeff_milli DESC, deg.part_id
+"""
+
+
+CC_TOP_EDGES = 1024  # strongest trade edges kept in the component graph
+CC_ORACLE_ROUNDS = 10  # doubling rounds: reaches diameter 2^10 ≫ any cut
+
+
+def trade_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component census of the STRONG trade graph: keep the
+    ``CC_TOP_EDGES`` highest-volume customer↔supplier relationships
+    (distinct-order count, total tie-break — the triangle/LPA
+    densification posture: the full graph is one giant component, so
+    the structure worth reporting lives in the strong-edge backbone),
+    run exact connected components, and report each component's size
+    and role mix — the trading-bloc readout.
+
+    Reuses the pointer-doubling
+    :func:`~pac_spark.operators.entity_resolution.connected_components`
+    (convergence checked, raises on the round cap — never partial
+    labels); node encode is the shared ``key*4 + role`` scheme and
+    the census decodes roles with one ``% 4``. The oracle unrolls
+    ``CC_ORACLE_ROUNDS`` materialized min-label rounds EACH WITH a
+    pointer-doubling jump (``l := l(l)``), so its reach grows
+    exponentially — 10 rounds cover any diameter a 1024-edge cut can
+    produce (the sf0.1 cut converges single-hop in 19, doubling in 6).
+
+    Scale shape: strength aggregate is one map-side-combined groupBy
+    over the orders ⋈ lineitem join; the cut is
+    TakeOrderedAndProject; everything after runs on a K-row frame.
+    NULL custkey/suppkey rows are excluded in both engines (no node).
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = catalog.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    strength = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            li.filter(F.col("l_suppkey").isNotNull()),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .groupBy(
+            (F.col("o_custkey") * 4 + F.lit(1)).alias("id_a"),
+            (F.col("l_suppkey") * 4 + F.lit(2)).alias("id_b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("c"))
+    )
+    edges = pin(
+        strength.orderBy(F.desc("c"), "id_a", "id_b")
+        .limit(CC_TOP_EDGES)
+        .select("id_a", "id_b")
+    )
+    nodes = (
+        edges.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+    )
+    from pac_spark.operators.entity_resolution import connected_components
+
+    labels = connected_components(nodes, edges)
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("id") % 4 == 1).cast("long")).alias("n_customers"),
+            F.sum((F.col("id") % 4 == 2).cast("long")).alias("n_suppliers"),
+        )
+        .orderBy(F.desc("n_members"), "component_id")
+    )
+
+
+def TRADE_CC_SQL() -> str:
+    """Oracle: the strength cut + ``CC_ORACLE_ROUNDS`` materialized
+    min-label rounds, each folding neighbor labels (self-loops
+    included) AND the pointer jump ``l(l)``."""
+    rounds = []
+    for k in range(1, CC_ORACLE_ROUNDS + 1):
+        rounds.append(f"""
+r{k} AS MATERIALIZED (
+    SELECT n, MIN(l) AS l FROM (
+        SELECT e.dst AS n, r.l FROM r{k - 1} r JOIN und e ON e.src = r.n
+        UNION ALL
+        SELECT a.n, b.l FROM r{k - 1} a JOIN r{k - 1} b ON a.l = b.n
+    ) GROUP BY n
+)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH strength AS (
+    SELECT o.o_custkey * 4 + 1 AS id_a, l.l_suppkey * 4 + 2 AS id_b,
+           COUNT(DISTINCT o.o_orderkey) AS c
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT id_a, id_b FROM strength
+    ORDER BY c DESC, id_a, id_b LIMIT {CC_TOP_EDGES}
+),
+und AS MATERIALIZED (
+    SELECT id_a AS src, id_b AS dst FROM e
+    UNION ALL SELECT id_b, id_a FROM e
+    UNION ALL SELECT id_a, id_a FROM e
+    UNION ALL SELECT id_b, id_b FROM e
+),
+r0 AS MATERIALIZED (SELECT dst AS n, MIN(src) AS l FROM und GROUP BY dst),
+{chain}
+SELECT CAST(l AS BIGINT) AS component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN n % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers,
+       CAST(SUM(CASE WHEN n % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers
+FROM r{CC_ORACLE_ROUNDS}
+GROUP BY l ORDER BY n_members DESC, component_id
 """

@@ -358,6 +358,8 @@ STAGED_QUEUE: tuple[str, ...] = (
     "bigram_fluency_score",
     "interarrival_stats_by_type",
     "attribution_position_weighted",
+    "clustering_coeff_parts",
+    "trade_graph_components",
 )
 
 

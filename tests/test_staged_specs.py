@@ -4076,3 +4076,81 @@ def test_position_attribution_crafted(spark, tmp_path):
     assert got["click"][2] == 133_333 + 1_000_000
     assert got["view"][2] + got["click"][2] == 2_000_000
     assert got["unattributed"] == (0, 1, 1_000_000, 30.0)
+
+
+def test_clustering_coeff_oracle(spark, duck, sf_dir):
+    """Staged for r12: local clustering coefficient over the top-K
+    co-purchase cut vs the identical triangle + degree formulation."""
+    from pac_spark.operators.graph import (
+        CLUSTERING_COEFF_SQL,
+        clustering_coeff_parts,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        clustering_coeff_parts(spark, sf_dir), duck.sql(CLUSTERING_COEFF_SQL())
+    )
+
+
+def test_clustering_coeff_crafted(spark, tmp_path):
+    """Hand-checkable coefficients: a K4 (every node coeff 1000) with
+    a pendant part attached to node 1 — the pendant (degree 1) is
+    excluded, and node 1's degree rises to 4 while its triangle count
+    stays 3: coeff = 2*3*1000 // (4*3) = 500."""
+    import pandas as pd
+
+    orders = []
+    # K4 over parts 1..4: orders covering every pair
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        rows += [(100 + i, a), (100 + i, b)]
+    rows += [(200, 1), (200, 9)]  # pendant part 9 on node 1
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pac_spark.operators.graph import clustering_coeff_parts
+
+    got = {
+        r["part_id"]: (r["degree"], r["n_triangles"], r["coeff_milli"])
+        for r in clustering_coeff_parts(spark, str(tmp_path)).collect()
+    }
+    assert 9 not in got  # degree-1 pendant excluded
+    assert got[1] == (4, 3, 500)
+    for node in (2, 3, 4):
+        assert got[node] == (3, 3, 1000)
+
+
+def test_trade_graph_components_oracle(spark, duck, sf_dir):
+    """Staged for r12: strong-edge component census vs the unrolled
+    pointer-doubling min-label oracle."""
+    from pac_spark.operators.graph import TRADE_CC_SQL, trade_graph_components
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        trade_graph_components(spark, sf_dir), duck.sql(TRADE_CC_SQL())
+    )
+
+
+def test_trade_graph_components_crafted(spark, tmp_path):
+    """Two disjoint trading blocs must census as two components with
+    the right role mixes, labeled by their minimum encoded node."""
+    import pandas as pd
+
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 5, 6]}
+    )
+    li = pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4], "l_suppkey": [1, 1, 7, 7]}
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import trade_graph_components
+
+    got = [
+        (r["component_id"], r["n_members"], r["n_customers"], r["n_suppliers"])
+        for r in trade_graph_components(spark, str(tmp_path)).collect()
+    ]
+    # bloc A: custs 1,2 + supp 1 -> min node 1*4+1 = 5
+    # bloc B: custs 5,6 + supp 7 -> min node 5*4+1 = 21
+    assert got == [(5, 3, 2, 1), (21, 3, 2, 1)]
