@@ -51,6 +51,8 @@ __all__ = [
     "DIM_STATS_SQL",
     "kcenter_diverse_embeddings",
     "KCENTER_SQL",
+    "embedding_covariance",
+    "COVARIANCE_SQL",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -1046,3 +1048,122 @@ md{j} AS MATERIALIZED (
         + "\nUNION ALL ".join(selects)
         + "\nORDER BY sel_order"
     )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding collection — one row
+    per dimension pair ``i <= j`` with the unbiased-free population
+    covariance — the whitening/PCA input and the collapsed-dimension
+    diagnostic (a near-zero diagonal entry is a dead dimension; an
+    off-diagonal near ±sqrt(var_i·var_j) is a redundant pair).
+
+    Determinism (the ``embedding_dim_stats`` discipline): components
+    quantize to exact 1e-6 fixed point, every moment is a
+    decimal(38,0) sum of integer products — order-independent at any
+    partition count — and the one double division happens at the
+    read-off: ``cov = (n·Σxy − Σx·Σy) / (n²·10¹²)``. Rows with a
+    NULL embedding or ANY NULL component are excluded whole (listwise
+    deletion, stated in both engines) so every pair shares one ``n``.
+
+    Scale shape: the pair products are a ROW-LOCAL nested transform
+    (d(d+1)/2 = 2080 terms at d = 64) exploded straight into a
+    map-side-combined aggregate on the 2080-key pair space — no join,
+    no shuffle of row data; per-dim sums ride a posexplode of the
+    same pinned quantized frame (64 keys). Past ~d = 256 the fan-out
+    crosses into Gram-accumulation-by-mapInPandas territory; at this
+    schema's d = 64 the declarative form keeps codegen and leaves
+    AQE free.
+    """
+    DEC = "decimal(38,0)"
+    emb = catalog.load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    q = pin(
+        emb.select(
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(round(cast(x as double) * 1000000) as long))"
+            ).alias("v")
+        )
+    )
+    pair_terms = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 1),"
+                " i -> transform(sequence(i, size(v) - 1),"
+                " j -> struct(i AS i, j AS j, v[i] * v[j] AS xy))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.xy")
+    sxy = pair_terms.groupBy("i", "j").agg(
+        F.sum(F.col("xy").cast(DEC)).alias("sxy")
+    )
+    dims = pin(
+        q.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(DEC)).alias("sx"),
+        )
+    )
+    di = dims.select(
+        F.col("dim").alias("i"),
+        F.col("n").alias("n"),
+        F.col("sx").alias("si"),
+    )
+    dj = dims.select(F.col("dim").alias("j"), F.col("sx").alias("sj"))
+    return (
+        sxy.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.col("n").cast("long").alias("n"),
+            (
+                (
+                    F.col("n").cast(DEC) * F.col("sxy")
+                    - F.col("si") * F.col("sj")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+                / 1e12
+            ).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+COVARIANCE_SQL = """
+WITH complete AS (
+    SELECT embedding FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+q AS (
+    SELECT list_transform(
+               embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           ) AS v
+    FROM complete
+),
+pair_terms AS (
+    SELECT u.i - 1 AS i, w.j - 1 AS j,
+           CAST(v[u.i] AS HUGEINT) * v[w.j] AS xy
+    FROM q, UNNEST(range(1, len(v) + 1)) u(i),
+         UNNEST(range(u.i, len(v) + 1)) w(j)
+),
+sxy AS (SELECT i, j, SUM(xy) AS sxy FROM pair_terms GROUP BY i, j),
+dims AS (
+    SELECT u.i - 1 AS dim, COUNT(*) AS n, SUM(CAST(v[u.i] AS HUGEINT)) AS sx
+    FROM q, UNNEST(range(1, len(v) + 1)) u(i)
+    GROUP BY 1
+)
+SELECT CAST(sxy.i AS INT) AS dim_i, CAST(sxy.j AS INT) AS dim_j,
+       CAST(di.n AS BIGINT) AS n,
+       CAST(di.n * sxy.sxy - di.sx * dj.sx AS DOUBLE)
+           / (CAST(di.n AS DOUBLE) * CAST(di.n AS DOUBLE)) / 1e12 AS cov
+FROM sxy
+JOIN dims di ON di.dim = sxy.i
+JOIN dims dj ON dj.dim = sxy.j
+ORDER BY dim_i, dim_j
+"""

@@ -360,6 +360,7 @@ STAGED_QUEUE: tuple[str, ...] = (
     "attribution_position_weighted",
     "clustering_coeff_parts",
     "trade_graph_components",
+    "embedding_covariance",
 )
 
 

@@ -4154,3 +4154,50 @@ def test_trade_graph_components_crafted(spark, tmp_path):
     # bloc A: custs 1,2 + supp 1 -> min node 1*4+1 = 5
     # bloc B: custs 5,6 + supp 7 -> min node 5*4+1 = 21
     assert got == [(5, 3, 2, 1), (21, 3, 2, 1)]
+
+
+def test_embedding_covariance_oracle(spark, duck, sf_dir):
+    """Staged for r12: fixed-point-exact covariance matrix vs the
+    identical HUGEINT moment formulation."""
+    from pac_spark.operators.similarity import (
+        COVARIANCE_SQL,
+        embedding_covariance,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        embedding_covariance(spark, sf_dir), duck.sql(COVARIANCE_SQL)
+    )
+
+
+def test_embedding_covariance_crafted(spark, tmp_path):
+    """Hand-checkable moments on 2-dim vectors (1,2),(3,6),(5,10):
+    var_x = 8/3, cov_xy = 16/3, var_y = 32/3 (population). A vector
+    with a NULL component and a NULL row are dropped whole — n stays 3
+    for every pair."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4],
+            "embedding": [
+                [1.0, 2.0],
+                [3.0, 6.0],
+                [5.0, 10.0],
+                [7.0, None],
+                None,
+            ],
+            "label": [0] * 5,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from pac_spark.operators.similarity import embedding_covariance
+
+    got = {
+        (r["dim_i"], r["dim_j"]): (r["n"], r["cov"])
+        for r in embedding_covariance(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}
+    assert got[(0, 0)][0] == 3
+    assert abs(got[(0, 0)][1] - 8 / 3) < 1e-9
+    assert abs(got[(0, 1)][1] - 16 / 3) < 1e-9
+    assert abs(got[(1, 1)][1] - 32 / 3) < 1e-9
