@@ -361,6 +361,7 @@ STAGED_QUEUE: tuple[str, ...] = (
     "clustering_coeff_parts",
     "trade_graph_components",
     "embedding_covariance",
+    "streaming_binned_quantiles",
 )
 
 

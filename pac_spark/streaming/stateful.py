@@ -67,6 +67,8 @@ __all__ = [
     "streaming_twa_user_value",
     "streaming_halflife_user_value",
     "STREAMING_KMV_SQL",
+    "streaming_binned_quantiles",
+    "BINNED_QUANTILES_SQL",
 ]
 
 GAP_SECONDS = 600
@@ -1094,3 +1096,96 @@ def streaming_halflife_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+QUANTILE_BIN_CENTS = 500  # $5-wide value bins
+
+
+def streaming_binned_quantiles(spark, sf_dir: str):
+    """Per-event-type streamed value quantiles over a FIXED-BIN
+    histogram: each micro-batch contributes its (type, bin) counts
+    (bin = cents div ``QUANTILE_BIN_CENTS``) and the merge is a
+    per-key count sum — a commutative monoid, so the fold is
+    order-free; state is bounded by the value DOMAIN (types × bins),
+    not by event volume — the property that makes streamed quantiles
+    possible at all (exact streamed percentiles would hold every
+    value). Readout is the shared histogram read-off
+    (``cum·100 ≥ p·n``) reporting each percentile's bin LOWER BOUND
+    in cents — quantization is the STATED semantics, identical in the
+    batch oracle, so hash equality proves the incremental fold equals
+    the one-shot binned computation. NULL values carry no mass in
+    either engine.
+
+    The KLL/t-digest family trades this fixed-domain bound for
+    adaptive resolution; the fixed-bin monoid is the exact-arithmetic
+    member of that family and what a declarative engine can fold with
+    ONE groupBy per batch.
+    """
+    from pyspark.sql import functions as F
+
+    from pac_spark.functions.exact import int_div
+    from pac_spark.operators.stats import group_percentiles_disc
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents").isNotNull())
+
+    def partial(batch_df):
+        return (
+            batch_df.select(
+                "event_type",
+                int_div(
+                    F.col("cents"), F.lit(QUANTILE_BIN_CENTS)
+                ).alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+
+    hist = _run_ivm_fold(ev, partial, merge)
+    pct = group_percentiles_disc(
+        hist, ["event_type"], "bin", pcts=(50, 90, 99), weight=F.col("cnt")
+    )
+    return pct.select(
+        "event_type",
+        F.col("n_values").cast("long").alias("n_events"),
+        (F.col("p50") * QUANTILE_BIN_CENTS).cast("long").alias("p50_lo_cents"),
+        (F.col("p90") * QUANTILE_BIN_CENTS).cast("long").alias("p90_lo_cents"),
+        (F.col("p99") * QUANTILE_BIN_CENTS).cast("long").alias("p99_lo_cents"),
+    ).orderBy("event_type")
+
+
+BINNED_QUANTILES_SQL = f"""
+WITH ev AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+h AS (
+    SELECT event_type, cents // {QUANTILE_BIN_CENTS} AS bin, COUNT(*) AS c
+    FROM ev GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type, bin,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(c) OVER (PARTITION BY event_type) AS nn
+    FROM h
+)
+SELECT event_type,
+       CAST(MAX(nn) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cum * 100 >= 50 * nn THEN bin END)
+            * {QUANTILE_BIN_CENTS} AS BIGINT) AS p50_lo_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= 90 * nn THEN bin END)
+            * {QUANTILE_BIN_CENTS} AS BIGINT) AS p90_lo_cents,
+       CAST(MIN(CASE WHEN cum * 100 >= 99 * nn THEN bin END)
+            * {QUANTILE_BIN_CENTS} AS BIGINT) AS p99_lo_cents
+FROM w GROUP BY event_type ORDER BY event_type
+"""

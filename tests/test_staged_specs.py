@@ -4201,3 +4201,46 @@ def test_embedding_covariance_crafted(spark, tmp_path):
     assert abs(got[(0, 0)][1] - 8 / 3) < 1e-9
     assert abs(got[(0, 1)][1] - 16 / 3) < 1e-9
     assert abs(got[(1, 1)][1] - 32 / 3) < 1e-9
+
+
+def test_streaming_binned_quantiles_oracle(spark, duck, sf_dir):
+    """Staged for r12: the streamed fixed-bin histogram fold vs the
+    one-shot binned quantile oracle — hash equality proves the
+    per-micro-batch monoid equals the batch computation."""
+    from pac_spark.streaming.stateful import (
+        BINNED_QUANTILES_SQL,
+        streaming_binned_quantiles,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_binned_quantiles(spark, sf_dir),
+        duck.sql(BINNED_QUANTILES_SQL),
+    )
+
+
+def test_streaming_binned_quantiles_crafted(spark, tmp_path):
+    """Hand-checkable read-off: 10 events of $5.00..$50.00 in one
+    type — bins 1..10, p50 = bin 5 -> 2500 lo-cents, p90 = bin 9,
+    p99 = bin 10; a NULL-value event adds no mass."""
+    import pandas as pd
+
+    t = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, 1, t + pd.Timedelta(minutes=i), "a", 5.0 * (i + 1), "")
+        for i in range(10)
+    ]
+    rows.append((10, 1, t + pd.Timedelta(minutes=10), "a", None, ""))
+    pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value", "props"]
+    ).to_parquet(tmp_path / "events.parquet")
+    from pac_spark.streaming.stateful import streaming_binned_quantiles
+
+    [r] = streaming_binned_quantiles(spark, str(tmp_path)).collect()
+    assert (
+        r["event_type"],
+        r["n_events"],
+        r["p50_lo_cents"],
+        r["p90_lo_cents"],
+        r["p99_lo_cents"],
+    ) == ("a", 10, 2500, 4500, 5000)
