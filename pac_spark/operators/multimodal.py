@@ -34,6 +34,8 @@ __all__ = [
     "decode_image_batch",
     "pcm_audio_features",
     "PCM_AUDIO_SQL",
+    "blockhash_neardup_pairs",
+    "BLOCKHASH_SQL",
 ]
 
 
@@ -378,4 +380,192 @@ SELECT *,
        CASE WHEN n_samples > 0
             THEN ROUND(sqrt(CAST(energy AS DOUBLE) / n_samples), 8) END AS rms
 FROM f ORDER BY doc_id
+"""
+
+
+BLOCKHASH_BLOCKS = 64
+BLOCKHASH_BANDS = 8
+BLOCKHASH_MIN_BYTES = 64
+BLOCKHASH_HAMMING_MAX = 12
+
+_BLOCKHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _blockhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 64-bit block-mean hash (the aHash family's
+    byte-level member): payload split into 64 equal-frequency blocks
+    (block b covers positions [b·len/64, (b+1)·len/64)), bit b set
+    iff the block's byte mean exceeds the payload's global mean —
+    decided by the integer cross-multiply ``sum_b·len > total·cnt_b``
+    (no float division anywhere). Emitted as 8 band bytes (ints
+    0..255) so downstream banding/XOR stays in plain integer columns.
+
+    Vectorized the `_feature_batches` way: one flat uint8 buffer per
+    batch, ONE np.add.reduceat over per-row×64 block offsets. Rows
+    shorter than ``BLOCKHASH_MIN_BYTES`` (or NULL) are dropped — a
+    sub-64-byte payload has empty blocks and no meaningful hash.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        keep_ids, keep_payloads = [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            if b is not None and len(b) >= BLOCKHASH_MIN_BYTES:
+                keep_ids.append(doc_id)
+                keep_payloads.append(bytes(b))
+        if not keep_ids:
+            yield pd.DataFrame({"doc_id": [], "bands": []}).astype(
+                {"doc_id": "int64"}
+            )
+            continue
+        n = len(keep_ids)
+        lengths = np.fromiter(
+            (len(b) for b in keep_payloads), dtype=np.int64, count=n
+        )
+        flat = np.frombuffer(b"".join(keep_payloads), dtype=np.uint8).astype(
+            np.int64
+        )
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        # block partition: position p belongs to block p*64//len (the
+        # oracle's closed form), so block b covers
+        # [ceil(b*len/64), ceil((b+1)*len/64)) — nonempty for len >= 64
+        b_idx = np.arange(BLOCKHASH_BLOCKS, dtype=np.int64)
+        begins = (
+            b_idx[None, :] * lengths[:, None] + BLOCKHASH_BLOCKS - 1
+        ) // BLOCKHASH_BLOCKS
+        ends = (
+            (b_idx[None, :] + 1) * lengths[:, None] + BLOCKHASH_BLOCKS - 1
+        ) // BLOCKHASH_BLOCKS
+        offsets = (starts[:, None] + begins).ravel()
+        block_sums = np.add.reduceat(flat, offsets)
+        # reduceat quirk: a repeated offset (empty block — impossible at
+        # len >= 64) would yield flat[offset]; the length gate above is
+        # what rules it out
+        block_sums = block_sums.reshape(n, BLOCKHASH_BLOCKS)
+        cnts = ends - begins
+        totals = block_sums.sum(axis=1)
+        bits = (block_sums * lengths[:, None] > totals[:, None] * cnts).astype(
+            np.int64
+        )
+        weights = 1 << (7 - np.arange(8, dtype=np.int64))
+        bands = (
+            bits.reshape(n, BLOCKHASH_BANDS, 8) * weights[None, None, :]
+        ).sum(axis=2)
+        yield pd.DataFrame(
+            {"doc_id": keep_ids, "bands": [list(map(int, r)) for r in bands]}
+        )
+
+
+def blockhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate pairs by block-mean perceptual hash:
+    the binary-payload analogue of the MinHash tier — the hash is
+    computed from BYTES by an Arrow-batched numpy UDF (the multimodal
+    decode stand-in: swapping in a real image decode changes one
+    function body), candidates come from LSH-style banding (pairs
+    agreeing on at least one of 8 band bytes at the same position),
+    and survivors are rescored by EXACT Hamming distance over the
+    full 64-bit hash (``bit_count(xor)`` per band, summed) at
+    ``<= BLOCKHASH_HAMMING_MAX``.
+
+    Scale shape: the hash frame is pinned (band explode + both rescore
+    probes); banding is one (band_idx, band_val)-keyed self-join whose
+    fan-out is bounded by bucket occupancy — boilerplate-heavy buckets
+    are exactly the AQE skew-split case; the rescore joins the K-band
+    arrays back by doc id and is row-local arithmetic. The oracle
+    restates hash, banding, and rescore over the character stream
+    (``ascii(substr(text))``) — equal to the byte stream for this
+    corpus's single-byte text, the STATED assumption of the oracle
+    (not of the operator, which hashes raw bytes).
+    """
+    from pac_spark.cache import pin
+
+    corpus = binary_corpus(spark, sf_dir).select("doc_id", "payload")
+    hashes = pin(
+        corpus.mapInPandas(_blockhash_batches, schema=_BLOCKHASH_SCHEMA)
+    )
+    bands = hashes.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba")
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb")
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, h) -> acc + h)"
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= BLOCKHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+BLOCKHASH_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text, length(text) AS len FROM documents
+    WHERE text IS NOT NULL AND length(text) >= {BLOCKHASH_MIN_BYTES}
+),
+chars AS (
+    SELECT doc_id, len,
+           (u.i - 1) * {BLOCKHASH_BLOCKS} // len AS b,
+           ascii(substr(text, u.i, 1)) AS v
+    FROM d, UNNEST(range(1, len + 1)) u(i)
+),
+blocks AS (
+    SELECT doc_id, len, b, SUM(v) AS s, COUNT(*) AS c
+    FROM chars GROUP BY 1, 2, 3
+),
+tot AS (SELECT doc_id, SUM(s) AS total FROM blocks GROUP BY doc_id),
+bits AS (
+    SELECT blocks.doc_id, b,
+           CASE WHEN s * len > total * c THEN 1 ELSE 0 END AS bit
+    FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+),
+bands AS (
+    SELECT doc_id, b // 8 AS band_idx,
+           CAST(SUM(bit << (7 - (b % 8))) AS INT) AS band_val
+    FROM bits GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+     AND x.doc_id < y.doc_id
+),
+ham AS (
+    SELECT doc_a, doc_b, SUM(bit_count(xor(xa.band_val, xb.band_val))) AS hamming
+    FROM cand
+    JOIN bands xa ON xa.doc_id = cand.doc_a
+    JOIN bands xb ON xb.doc_id = cand.doc_b AND xb.band_idx = xa.band_idx
+    GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= {BLOCKHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
 """

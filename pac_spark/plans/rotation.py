@@ -362,6 +362,7 @@ STAGED_QUEUE: tuple[str, ...] = (
     "trade_graph_components",
     "embedding_covariance",
     "streaming_binned_quantiles",
+    "blockhash_neardup_pairs",
 )
 
 

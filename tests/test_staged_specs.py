@@ -4244,3 +4244,47 @@ def test_streaming_binned_quantiles_crafted(spark, tmp_path):
         r["p90_lo_cents"],
         r["p99_lo_cents"],
     ) == ("a", 10, 2500, 4500, 5000)
+
+
+def test_blockhash_neardup_oracle(spark, duck, sf_dir):
+    """Staged for r12: the byte-level block-mean perceptual-hash tier
+    vs the character-stream oracle (equal under this corpus's
+    single-byte text — the stated oracle assumption)."""
+    from pac_spark.operators.multimodal import (
+        BLOCKHASH_SQL,
+        blockhash_neardup_pairs,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        blockhash_neardup_pairs(spark, sf_dir), duck.sql(BLOCKHASH_SQL)
+    )
+
+
+def test_blockhash_neardup_crafted(spark, tmp_path):
+    """Constructed near-dups: doc 1 = 128 low bytes then 128 high
+    bytes; doc 2 = the same with ONE byte flipped inside a block
+    (hash-identical -> hamming 0); doc 3 = the inverse pattern (all
+    64 bits differ -> never a candidate); a 32-byte doc is dropped by
+    the length gate."""
+    import pandas as pd
+
+    lo, hi = "a", "z"
+    d1 = lo * 128 + hi * 128
+    d2 = lo * 127 + "b" + hi * 128  # one byte nudged, same block means
+    d3 = hi * 128 + lo * 128
+    d4 = lo * 32
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [d1, d2, d3, d4],
+            "source": ["s"] * 4,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.multimodal import blockhash_neardup_pairs
+
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in blockhash_neardup_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 2, 0)]
