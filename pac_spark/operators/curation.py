@@ -51,6 +51,8 @@ __all__ = [
     "EPOCH_INTERLEAVE_SQL",
     "source_budget_waterfill",
     "WATERFILL_SQL_TAIL",
+    "corpus_split_assignment",
+    "SPLIT_SQL",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -1002,4 +1004,78 @@ SELECT source,
        sat AS saturated
 FROM f, s
 ORDER BY source
+"""
+
+
+SPLIT_SALT = "corpus_split_v1"
+SPLIT_TRAIN_PERMILLE = 950
+SPLIT_VALID_PERMILLE = 975  # valid = [950, 975), test = [975, 1000)
+
+
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split census: every document is
+    assigned by its salted md5 bucket (950/25/25 permille) and the
+    readout is the per-(lang, split) document and character count —
+    the pre-training bookkeeping that proves the split is DISJOINT and
+    EXHAUSTIVE by construction (one bucket, three half-open ranges)
+    and surfaces stratum imbalance (a language whose test slice went
+    thin) before a run burns compute.
+
+    The salt is its own namespace (``SPLIT_SALT``): reusing the
+    sampling salt would correlate the split with the downsample — a
+    doc sampled out of training could never reach the test slice.
+    NULL-language docs are excluded in both engines (no stratum);
+    NULL n_chars carries no mass under SUM in either engine.
+
+    Scale shape: pure row-local hash arithmetic then ONE map-side-
+    combined groupBy on the (lang, split) key — the smallest plan an
+    operator can have; the census frame is strata-bounded.
+    """
+    docs = catalog.load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    bucket = _sample_bucket(F.col("doc_id"), salt=SPLIT_SALT)
+    split = (
+        F.when(F.col("bucket") < SPLIT_TRAIN_PERMILLE, F.lit("train"))
+        .when(F.col("bucket") < SPLIT_VALID_PERMILLE, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", "n_chars", bucket)
+        .select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def SPLIT_SQL() -> str:
+    """Oracle: the identical digit-wise salted-md5 bucket + range
+    CASE + census rollup."""
+    hexd = (
+        "strpos('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), {i}, 1)) - 1"
+    )
+    digits = " + ".join(
+        f"({hexd.format(salt=SPLIT_SALT, i=i + 1)}) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"""
+WITH b AS (
+    SELECT lang, n_chars, (({digits}) % 1000) AS bucket
+    FROM documents WHERE lang IS NOT NULL
+),
+s AS (
+    SELECT lang, n_chars,
+           CASE WHEN bucket < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+                WHEN bucket < {SPLIT_VALID_PERMILLE} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY lang, split ORDER BY lang, split
 """

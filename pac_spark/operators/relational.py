@@ -65,6 +65,8 @@ __all__ = [
     "GROWTH_SQL",
     "user_day_accounting",
     "skyline_suppliers",
+    "open_orders_daily",
+    "OPEN_ORDERS_SQL",
     "SKYLINE_SQL",
     "DAILY_USERS_SQL",
 ]
@@ -1175,4 +1177,100 @@ SELECT strftime(COALESCE(b.day, c.day), '%Y-%m-%d') AS day,
        CAST(COALESCE(c.n_churned_users, 0) AS BIGINT) AS n_churned_users
 FROM by_day b FULL OUTER JOIN churn c ON b.day = c.day
 ORDER BY day
+"""
+
+
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog curve: for every calendar day with activity, how
+    many orders were OPEN — placed but not yet fully shipped (an
+    order's open interval runs from ``o_orderdate`` through its last
+    lineitem ``l_shipdate``, inclusive). The fulfillment-capacity
+    readout: a rising curve is intake outpacing shipping.
+
+    Interval counting WITHOUT an interval join (the
+    peak-concurrent-sessions discipline): each order contributes a
+    +1 delta on its open day and a −1 on the day AFTER its close; the
+    backlog is the running sum over the day-grain delta frame — which
+    is calendar-bounded, so the one unpartitioned cumulative window
+    runs over thousands of rows, not orders. Orders with no lineitem
+    never open (no ship evidence — stated in both engines); NULL
+    order/ship dates are excluded (no position on the day axis).
+
+    Scale shape: one orderkey-grain max-shipdate aggregate (map-side
+    combined) co-shuffled into the orders join, explode to 2 deltas,
+    one day-grain aggregate, the bounded window. Output days are the
+    ACTIVITY days (delta ≠ 0 days) — the curve's knots; flat spans
+    between knots are implied.
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    ).filter(F.col("start_day").isNotNull())
+    last_ship = (
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.to_date("l_shipdate").alias("ship_day"))
+        .filter(F.col("ship_day").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.max("ship_day").alias("close_day"))
+    )
+    spans = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select("start_day", "close_day")
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_day").alias("day"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    F.date_add("close_day", 1).alias("day"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.day", "e.d")
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_closed"),
+        F.sum("d").alias("delta"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    ).orderBy("day")
+
+
+OPEN_ORDERS_SQL = """
+WITH o AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_day
+    FROM orders WHERE o_orderdate IS NOT NULL
+),
+ls AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+    FROM lineitem WHERE l_shipdate IS NOT NULL
+    GROUP BY l_orderkey
+),
+spans AS (
+    SELECT start_day, close_day FROM o JOIN ls ON o.o_orderkey = ls.l_orderkey
+),
+deltas AS (
+    SELECT start_day AS day, 1 AS d FROM spans
+    UNION ALL SELECT close_day + 1, -1 FROM spans
+),
+daily AS (
+    SELECT day,
+           SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_opened,
+           SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_closed,
+           SUM(d) AS delta
+    FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_opened AS BIGINT) AS n_opened,
+       CAST(n_closed AS BIGINT) AS n_closed,
+       CAST(SUM(delta) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_orders
+FROM daily ORDER BY day
 """

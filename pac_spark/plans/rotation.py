@@ -363,7 +363,11 @@ STAGED_QUEUE: tuple[str, ...] = (
     "embedding_covariance",
     "streaming_binned_quantiles",
     "blockhash_neardup_pairs",
-)
+    "corpus_split_assignment",
+    "open_orders_daily",
+)  # 13 r11-new operators — the 13/round registration pace, all
+#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
+#    2nd-greens (this round's registrations) + 13 = 27 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

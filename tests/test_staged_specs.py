@@ -4288,3 +4288,88 @@ def test_blockhash_neardup_crafted(spark, tmp_path):
         for r in blockhash_neardup_pairs(spark, str(tmp_path)).collect()
     ]
     assert got == [(1, 2, 0)]
+
+
+def test_corpus_split_assignment_oracle(spark, duck, sf_dir):
+    """Staged for r12: salted-bucket split census vs the identical
+    digit-wise md5 formulation."""
+    from pac_spark.operators.curation import SPLIT_SQL, corpus_split_assignment
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        corpus_split_assignment(spark, sf_dir), duck.sql(SPLIT_SQL())
+    )
+
+
+def test_corpus_split_disjoint_exhaustive(spark, sf_dir):
+    """The census must account for EVERY non-NULL-lang document
+    exactly once: per-lang split counts sum to the lang's doc count,
+    and only the three split labels appear."""
+    from pyspark.sql import functions as F
+
+    from pac_spark import catalog
+    from pac_spark.operators.curation import corpus_split_assignment
+
+    rows = corpus_split_assignment(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    per_lang = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+    want = {
+        r["lang"]: r["c"]
+        for r in catalog.load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert per_lang == want
+
+
+def test_open_orders_daily_oracle(spark, duck, sf_dir):
+    """Staged for r12: the delta/running-sum backlog curve vs the
+    identical interval-free formulation."""
+    from pac_spark.operators.relational import OPEN_ORDERS_SQL, open_orders_daily
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        open_orders_daily(spark, sf_dir), duck.sql(OPEN_ORDERS_SQL)
+    )
+
+
+def test_open_orders_daily_crafted(spark, tmp_path):
+    """Hand-checkable backlog: two overlapping orders and one
+    lineitem-less order — the curve peaks at 2, closes at 0, and the
+    no-lineitem order never opens; close day is the LAST ship."""
+    import pandas as pd
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-05"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-02", "2024-01-03", "2024-01-02"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+    li.to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.relational import open_orders_daily
+
+    got = [
+        (r["day"], r["n_opened"], r["n_closed"], r["open_orders"])
+        for r in open_orders_daily(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 1, 0, 1),
+        ("2024-01-02", 1, 0, 2),  # order 1 open through its LAST ship (01-03)
+        ("2024-01-03", 0, 1, 1),  # order 2 closed (shipped 01-02)
+        ("2024-01-04", 0, 1, 0),  # order 1 closed
+    ]
