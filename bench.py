@@ -167,6 +167,20 @@ FAMILY = {
     "spatial_customer_neighbors": "analytics",
     "spearman_quality_tokens_by_lang": "llm",
     "conversion_latency_by_hour": "temporal",
+    "user_daily_features": "temporal",
+    "user_growth_accounting": "relational",
+    "streaming_growth_accounting": "streaming",
+    "streaming_purchase_click_left_join": "streaming",
+    "streaming_twa_user_value": "streaming",
+    "streaming_halflife_user_value": "streaming",
+    "phrase_match_docs": "llm",
+    "prefix_filter_neardup_pairs": "dedup",
+    "priority_sample_docs": "llm",
+    "source_budget_waterfill": "llm",
+    "vocab_frequency_octaves": "llm",
+    "weighted_percentiles_price_by_flag": "stats",
+    "halflife_decayed_user_value": "stats",
+    "lpa_communities": "graph",
 }
 
 # headline set: one representative per operator family (relational
@@ -286,6 +300,21 @@ BENCH_QUERIES = [
     "spatial_customer_neighbors",
     "spearman_quality_tokens_by_lang",
     "conversion_latency_by_hour",
+    # r11 registrations, benched from birth
+    "user_daily_features",
+    "user_growth_accounting",
+    "streaming_growth_accounting",
+    "streaming_purchase_click_left_join",
+    "streaming_twa_user_value",
+    "streaming_halflife_user_value",
+    "phrase_match_docs",
+    "prefix_filter_neardup_pairs",
+    "priority_sample_docs",
+    "source_budget_waterfill",
+    "vocab_frequency_octaves",
+    "weighted_percentiles_price_by_flag",
+    "halflife_decayed_user_value",
+    "lpa_communities",
 ]
 
 

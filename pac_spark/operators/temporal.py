@@ -1822,11 +1822,16 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     DEC = "decimal(38,0)"
-    scored = assigned.select(
-        F.col("event_type").alias("channel"),
-        "p_id",
-        "p_cents",
-        credit.alias("credit_micros"),
+    # pinned: the channel aggregate AND the orphan anti-join both read
+    # it — unpinned, the orphan branch replayed the user window and the
+    # purchase-key window (plan-audit r11: 3 scans / 7 exchanges)
+    scored = pin(
+        assigned.select(
+            F.col("event_type").alias("channel"),
+            "p_id",
+            "p_cents",
+            credit.alias("credit_micros"),
+        )
     )
     attributed = scored.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),
@@ -1840,7 +1845,11 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
             / 100.0
         ).alias("attributed_revenue"),
     )
-    purchases = carried.filter(is_purchase).select("event_id", "cents")
+    # orphan purchases come straight off the pre-window event frame:
+    # a purchase row's carry columns are never read, so deriving this
+    # branch from `carried` would replay the whole user window just to
+    # drop its outputs (plan-audit r11)
+    purchases = ev.filter(is_purchase).select("event_id", "cents")
     orphan = (
         purchases.join(
             scored.select(F.col("p_id").alias("event_id")).distinct(),
