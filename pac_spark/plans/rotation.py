@@ -190,6 +190,24 @@ FORCE_HOIST: tuple[str, ...] = (
 # BENCH_r10.json committed in the same change, per the ADVICE r10
 # low-#1 ordering note (the policy test derives mandatory from the
 # committed evidence, so evidence and hoist must land together).
+#
+# R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
+# emptied the queue; 13 NEW operators then staged (heaps_vocab_growth
+# .. open_orders_daily), each 3-SF-oracle-green from birth. FORCE
+# stayed EMPTY all round: the only registered-code change was the
+# _broadcast_threshold warn-once (log-only, pagerank/lpa/sssp
+# re-driven green through drive_contract anyway); the
+# attribution_position_weighted plan trim predates any driver
+# evidence (staged), so no force applies.
+#
+# R12 FORCE_HOIST STARTER LIST: EMPTY as of r11 end, by the same
+# argument. r12 step 1: commit CORRECTNESS_r11/BENCH_r11 + reset
+# FORCE_HOIST to () + regenerate + paste. Mandatory = only the 14
+# r11-intake specs (their single r11 green needs its 2nd consecutive;
+# the 26 r10-intake specs reach two-consecutive with the r11 run and
+# ride the tail); step 2: register the whole 13-spec queue
+# (14 + 13 = 27 <= 50, the queue empties again) and use the ~23
+# remaining slots as staleness fill.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
