@@ -53,6 +53,7 @@ __all__ = [
     "KCENTER_SQL",
     "embedding_covariance",
     "COVARIANCE_SQL",
+    "ann_recall_audit",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -1167,3 +1168,53 @@ JOIN dims di ON di.dim = sxy.i
 JOIN dims dj ON dj.dim = sxy.j
 ORDER BY dim_i, dim_j
 """
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of every approximate-nearest-neighbor tier
+    against the exact brute-force ranking — the eval row a production
+    ANN index ships with (VERDICT r10 next-#3): per (tier, query),
+    how many of the true top-k the tier returned. An index whose
+    recall drifts after a re-fit is broken no matter how fast it got.
+
+    Exactness: recall is ``int_div(hits·1000, TOP_K)`` — the shared
+    truncating division, no doubles; hits are a left-semi join on the
+    (query_id, vec_id) pair, so scores never enter the comparison
+    (rank-set recall, the standard definition). Scale shape: each
+    tier's plan is its own registered operator reused verbatim
+    (broadcast queries, bounded candidates); the audit adds only
+    k-row-per-query joins and aggregates on top — the exact/approx
+    frames are k·|queries| rows each.
+    """
+    from pac_spark.functions.exact import int_div
+
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    tiers = (
+        ("ivf", ann_ivf_topk),
+        ("lsh", ann_lsh_topk),
+        ("pq", pq_topk),
+    )
+    out = None
+    for name, fn in tiers:
+        approx = fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_q = (
+            approx.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_returned"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("tier"),
+                "query_id",
+                "n_returned",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                int_div(
+                    F.coalesce("n_hits", F.lit(0)) * 1000, F.lit(TOP_K)
+                ).alias("recall_milli"),
+            )
+        )
+        out = per_q if out is None else out.unionByName(per_q)
+    return out.orderBy("tier", "query_id")

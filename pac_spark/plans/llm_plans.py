@@ -900,6 +900,34 @@ _SAMPLE_HEXD = (
 )
 
 
+def _recall_audit_sql() -> str:
+    """Recall@k of each ANN tier vs brute force — composes the three
+    tiers' REGISTERED oracle texts verbatim as subqueries, so the
+    audit oracle can never drift from the per-tier oracles."""
+    from pac_spark.operators.similarity import TOP_K
+
+    tiers = [
+        ("ivf", _ann_ivf_sql()),
+        ("lsh", _ann_lsh_sql()),
+        ("pq", _pq_topk_sql()),
+    ]
+    parts = []
+    for name, sql in tiers:
+        parts.append(f"""
+SELECT '{name}' AS tier, a.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_returned,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST((SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+           // {TOP_K} AS BIGINT) AS recall_milli
+FROM ({sql}) a
+LEFT JOIN ({_KNN}) e
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY a.query_id""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY tier, query_id"
+
+
 def _sample_bucket_sql() -> str:
     from pac_spark.operators import curation as C
 

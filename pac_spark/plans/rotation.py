@@ -383,9 +383,10 @@ STAGED_QUEUE: tuple[str, ...] = (
     "blockhash_neardup_pairs",
     "corpus_split_assignment",
     "open_orders_daily",
-)  # 13 r11-new operators — the 13/round registration pace, all
-#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
-#    2nd-greens (this round's registrations) + 13 = 27 <= 50
+    "ann_recall_audit",
+)  # 14 r11-new operators (13 + the VERDICT r10 next-#3 ANN recall
+#    audit), all 3-SF-oracle-green from birth; r12 capacity = 14
+#    mandatory 2nd-greens (this round's registrations) + 14 = 28 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

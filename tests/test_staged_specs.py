@@ -4373,3 +4373,31 @@ def test_open_orders_daily_crafted(spark, tmp_path):
         ("2024-01-03", 0, 1, 1),  # order 2 closed (shipped 01-02)
         ("2024-01-04", 0, 1, 0),  # order 1 closed
     ]
+
+
+def test_ann_recall_audit_oracle(spark, duck, sf_dir):
+    """Staged for r12: recall@k of every ANN tier vs brute force —
+    the oracle composes the tiers' registered oracle texts verbatim,
+    so it can never drift from the per-tier oracles."""
+    from pac_spark.operators.similarity import ann_recall_audit
+    from pac_spark.plans.llm_plans import _recall_audit_sql
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        ann_recall_audit(spark, sf_dir), duck.sql(_recall_audit_sql())
+    )
+
+
+def test_ann_recall_audit_bounds(spark, sf_dir):
+    """Structural invariants: every (tier, query) row bounded by k,
+    hits <= returned, recall consistent with hits, and all three
+    tiers report all three registered queries."""
+    from pac_spark.operators.similarity import TOP_K, ann_recall_audit
+
+    rows = ann_recall_audit(spark, sf_dir).collect()
+    assert {(r["tier"], r["query_id"]) for r in rows} == {
+        (t, q) for t in ("ivf", "lsh", "pq") for q in (0, 1, 2)
+    }
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_returned"] <= TOP_K
+        assert r["recall_milli"] == r["n_hits"] * 1000 // TOP_K
