@@ -42,6 +42,9 @@ __all__ = [
     "cms_top_report",
     "cms_user_heavy_hitters",
     "CMS_HH_SQL",
+    "cms_daily_heavy_hitters",
+    "CMS_DAILY_SQL",
+    "CMS_DAILY_TOP_N",
     "hll_distinct_customers_by_priority",
     "HLL_SQL",
     "HLL_M",
@@ -980,4 +983,137 @@ SELECT CAST(n_orders AS BIGINT) AS n_orders,
        CAST(join_size_exact AS BIGINT) AS join_size_exact,
        CAST({_AMS_JOIN_EST} AS DOUBLE) / {float(AMS_DEPTH)} AS join_size_estimate
 FROM sko CROSS JOIN ske CROSS JOIN ex
+"""
+
+
+CMS_DAILY_TOP_N = 5
+
+
+def cms_daily_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWED count-min heavy hitters (VERDICT r10 next-#3: the CMS
+    existed, the per-window decode did not): one sketch PER DAY over
+    that day's user ids, decoded at the day's exact top-``CMS_DAILY_
+    TOP_N`` candidate keys — estimate vs truth per (day, user). The
+    rolling "who hammered us today" readout, and the shape a streamed
+    CMS deployment actually serves (a global sketch cannot answer
+    per-window questions; per-window sketches merge to any coarser
+    window by cell-wise addition, which this table makes explicit).
+
+    The day dimension rides the SAME sketch machinery: cells key on
+    (day, row, col) — the per-day table is still bounded by
+    DEPTH×WIDTH per day, so the whole sketch frame is calendar ×
+    DEPTH×WIDTH no matter the event volume. Candidates come from a
+    day-partitioned rank cut (count desc, user asc — total order)
+    that compiles to WindowGroupLimit (per-partition heaps, the
+    priority-sample precedent). NULL user_id / NULL ts rows are
+    excluded in both engines (no key / no window).
+    """
+    ev = pin(
+        catalog.load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                _cms_col(F.col("user_id"), d).alias("col"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        ev.select("day", F.explode(cells).alias("cell"))
+        .groupBy(
+            "day",
+            F.col("cell.row").alias("row"),
+            F.col("cell.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    wr = W.partitionBy("day").orderBy(F.desc("n_rows"), "user_id")
+    top = (
+        counts.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= CMS_DAILY_TOP_N)
+        .drop("_rk")
+    )
+    probed = top.select(
+        "*", F.explode(cells).alias("_cell")
+    )
+    est = (
+        probed.join(
+            sketch,
+            (probed.day == sketch.day)
+            & (probed["_cell.row"] == sketch.row)
+            & (probed["_cell.col"] == sketch.col),
+            "left",
+        )
+        .select(
+            top["day"].alias("day"),
+            "user_id",
+            "n_rows",
+            F.coalesce("cnt", F.lit(0)).alias("_c"),
+        )
+        .groupBy("day", "user_id", "n_rows")
+        .agg(F.min("_c").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "day",
+        "user_id",
+        "n_rows",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_rows")).alias("overcount"),
+    ).orderBy("day", F.desc("n_rows"), "user_id")
+
+
+def CMS_DAILY_SQL() -> str:
+    """Oracle: identical per-day sketch (same seeded md5 arithmetic),
+    per-day rank cut, min-of-cells decode with LEFT + zero-fill."""
+    from pac_spark.functions.hashing import md5_bucket_sql
+
+    def col_sql(d: int) -> str:
+        return md5_bucket_sql(
+            f"'cms{d}|' || CAST(user_id AS VARCHAR)", CMS_WIDTH
+        )
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT day, {d} AS row, {col_sql(d)} AS col FROM ev"
+        for d in range(CMS_DEPTH)
+    )
+    key_cells = " UNION ALL ".join(
+        f"SELECT day, user_id, n_rows, {d} AS row, {col_sql(d)} AS col FROM top"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS (
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, user_id
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cells AS ({cell_rows}),
+sketch AS (SELECT day, row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+counts AS (
+    SELECT day, user_id, COUNT(*) AS n_rows FROM ev GROUP BY day, user_id
+),
+top AS (
+    SELECT day, user_id, n_rows FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY day ORDER BY n_rows DESC, user_id) AS rk
+        FROM counts
+    ) WHERE rk <= {CMS_DAILY_TOP_N}
+),
+kc AS ({key_cells}),
+est AS (
+    SELECT kc.day, kc.user_id, kc.n_rows,
+           MIN(COALESCE(s.cnt, 0)) AS cms_estimate
+    FROM kc LEFT JOIN sketch s
+      ON s.day = kc.day AND s.row = kc.row AND s.col = kc.col
+    GROUP BY 1, 2, 3
+)
+SELECT day, user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_rows AS BIGINT) AS overcount
+FROM est ORDER BY day, n_rows DESC, user_id
 """

@@ -384,9 +384,11 @@ STAGED_QUEUE: tuple[str, ...] = (
     "corpus_split_assignment",
     "open_orders_daily",
     "ann_recall_audit",
-)  # 14 r11-new operators (13 + the VERDICT r10 next-#3 ANN recall
-#    audit), all 3-SF-oracle-green from birth; r12 capacity = 14
-#    mandatory 2nd-greens (this round's registrations) + 14 = 28 <= 50
+    "cms_daily_heavy_hitters",
+)  # 15 r11-new operators (13 + BOTH VERDICT r10 next-#3 items: the
+#    ANN recall audit and the per-window CMS decode), all
+#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
+#    2nd-greens (this round's registrations) + 15 = 29 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

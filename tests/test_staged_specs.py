@@ -4401,3 +4401,31 @@ def test_ann_recall_audit_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_returned"] <= TOP_K
         assert r["recall_milli"] == r["n_hits"] * 1000 // TOP_K
+
+
+def test_cms_daily_heavy_hitters_oracle(spark, duck, sf_dir):
+    """Staged for r12: the per-day CMS decode vs the identical seeded
+    sketch + rank-cut + min-of-cells formulation."""
+    from pac_spark.operators.sketch import CMS_DAILY_SQL, cms_daily_heavy_hitters
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        cms_daily_heavy_hitters(spark, sf_dir), duck.sql(CMS_DAILY_SQL())
+    )
+
+
+def test_cms_daily_guarantee_and_shape(spark, sf_dir):
+    """The CMS contract per window: estimate >= truth on EVERY row
+    (collisions only add), and no day reports more than the top-N
+    candidate keys."""
+    from collections import Counter
+
+    from pac_spark.operators.sketch import CMS_DAILY_TOP_N, cms_daily_heavy_hitters
+
+    rows = cms_daily_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_estimate"] == r["n_rows"] + r["overcount"]
+    per_day = Counter(r["day"] for r in rows)
+    assert max(per_day.values()) <= CMS_DAILY_TOP_N
