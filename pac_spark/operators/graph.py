@@ -1164,7 +1164,6 @@ ORDER BY coeff_milli DESC, deg.part_id
 
 
 CC_TOP_EDGES = 1024  # strongest trade edges kept in the component graph
-CC_ORACLE_ROUNDS = 10  # doubling rounds: reaches diameter 2^10 ≫ any cut
 
 
 def trade_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1180,11 +1179,11 @@ def trade_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~pac_spark.operators.entity_resolution.connected_components`
     (convergence checked, raises on the round cap — never partial
     labels); node encode is the shared ``key*4 + role`` scheme and
-    the census decodes roles with one ``% 4``. The oracle unrolls
-    ``CC_ORACLE_ROUNDS`` materialized min-label rounds EACH WITH a
-    pointer-doubling jump (``l := l(l)``), so its reach grows
-    exponentially — 10 rounds cover any diameter a 1024-edge cut can
-    produce (the sf0.1 cut converges single-hop in 19, doubling in 6).
+    the census decodes roles with one ``% 4``. The oracle computes the
+    SAME fixpoint via a recursive min-label CTE with a label < node
+    prune (see TRADE_CC_SQL — its docstring records why a fixed
+    round count was wrong: the r11 sf0.1 sweep caught a 10-round
+    doubling unroll stalling two components short).
 
     Scale shape: strength aggregate is one map-side-combined groupBy
     over the orders ⋈ lineitem join; the cut is
@@ -1233,22 +1232,17 @@ def trade_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def TRADE_CC_SQL() -> str:
-    """Oracle: the strength cut + ``CC_ORACLE_ROUNDS`` materialized
-    min-label rounds, each folding neighbor labels (self-loops
-    included) AND the pointer jump ``l(l)``."""
-    rounds = []
-    for k in range(1, CC_ORACLE_ROUNDS + 1):
-        rounds.append(f"""
-r{k} AS MATERIALIZED (
-    SELECT n, MIN(l) AS l FROM (
-        SELECT e.dst AS n, r.l FROM r{k - 1} r JOIN und e ON e.src = r.n
-        UNION ALL
-        SELECT a.n, b.l FROM r{k - 1} a JOIN r{k - 1} b ON a.l = b.n
-    ) GROUP BY n
-)""")
-    chain = ",".join(rounds)
+    """Oracle: the strength cut + a TRUE min-label FIXPOINT via
+    ``WITH RECURSIVE`` — no round bound to under-converge (the r11
+    sf0.1 sweep caught exactly that: 10 unrolled pointer-doubling
+    rounds stalled two components short, because the l(l) jump stops
+    helping at a local-minimum label on a chain). The recursion is
+    safe HERE because the top-K cut bounds component sizes (row
+    growth is at most Σ|C|² accumulated (node, label) pairs) and the
+    ``label < node`` prune keeps only labels that can still win a
+    node's MIN — the component minimum always survives it."""
     return f"""
-WITH strength AS (
+WITH RECURSIVE strength AS (
     SELECT o.o_custkey * 4 + 1 AS id_a, l.l_suppkey * 4 + 2 AS id_b,
            COUNT(DISTINCT o.o_orderkey) AS c
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1259,20 +1253,22 @@ e AS (
     SELECT id_a, id_b FROM strength
     ORDER BY c DESC, id_a, id_b LIMIT {CC_TOP_EDGES}
 ),
-und AS MATERIALIZED (
+und AS (
     SELECT id_a AS src, id_b AS dst FROM e
     UNION ALL SELECT id_b, id_a FROM e
-    UNION ALL SELECT id_a, id_a FROM e
-    UNION ALL SELECT id_b, id_b FROM e
 ),
-r0 AS MATERIALIZED (SELECT dst AS n, MIN(src) AS l FROM und GROUP BY dst),
-{chain}
+r AS (
+    SELECT dst AS n, MIN(LEAST(src, dst)) AS l FROM und GROUP BY dst
+    UNION
+    SELECT e2.dst, r.l FROM r JOIN und e2 ON e2.src = r.n WHERE r.l < e2.dst
+),
+labels AS (SELECT n, MIN(l) AS l FROM r GROUP BY n)
 SELECT CAST(l AS BIGINT) AS component_id,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(CASE WHEN n % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_customers,
        CAST(SUM(CASE WHEN n % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_suppliers
-FROM r{CC_ORACLE_ROUNDS}
+FROM labels
 GROUP BY l ORDER BY n_members DESC, component_id
 """
