@@ -755,3 +755,58 @@ def test_rfm_no_global_data_window(spark, sf_dir):
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         head = chunk.split("Exchange")[0]
         assert "HashAggregate" in head or "HashAggregate" in chunk
+
+
+def test_r11_new_ops_scale_legal(spark, sf_dir):
+    """Plan-shape pins for the r11-new staged operators: no cartesian
+    products anywhere, scan/exchange budgets that hold the stated
+    scale stories, pushdown where the story depends on it."""
+    from pac_spark.operators.curation import corpus_split_assignment
+    from pac_spark.operators.graph import clustering_coeff_parts
+    from pac_spark.operators.relational import open_orders_daily
+    from pac_spark.operators.sketch import cms_daily_heavy_hitters
+    from pac_spark.operators.similarity import embedding_covariance
+    from pac_spark.operators.temporal import (
+        attribution_position_weighted,
+        interarrival_stats_by_type,
+    )
+    from pac_spark.operators.text import (
+        bigram_fluency_score,
+        heaps_vocab_growth,
+        oov_rate_docs,
+        source_vocab_tv_matrix,
+    )
+    from pac_spark.plans.audit import assert_scale_legal
+
+    # row-local hash + one groupBy (+ the promised output sort)
+    assert_scale_legal(
+        corpus_split_assignment(spark, sf_dir), max_scans=1, max_exchanges=2
+    )
+    # one tokenize (pinned, billed once) + three checkpoint aggregates
+    assert_scale_legal(heaps_vocab_growth(spark, sf_dir), max_scans=2)
+    # K-row vocab broadcast onto the token stream; one per-doc shuffle
+    oov = assert_scale_legal(oov_rate_docs(spark, sf_dir), max_scans=1)
+    if oov.broadcast_joins == 0:
+        raise AssertionError(f"vocab join must broadcast: {oov}")
+    assert_scale_legal(source_vocab_tv_matrix(spark, sf_dir), max_scans=1)
+    assert_scale_legal(bigram_fluency_score(spark, sf_dir), max_scans=1)
+    # user-keyed lag + one aggregate + the histogram pass
+    assert_scale_legal(
+        interarrival_stats_by_type(spark, sf_dir), max_scans=1
+    )
+    # post-audit shape: orphan branch off the pre-window frame — the
+    # scan cap is the load-bearing pin (3 -> 2 after the r11 trim);
+    # exchange count here is the PRE-AQE plan (executed: 5)
+    assert_scale_legal(
+        attribution_position_weighted(spark, sf_dir),
+        max_scans=2,
+        max_exchanges=7,
+    )
+    assert_scale_legal(clustering_coeff_parts(spark, sf_dir), max_scans=1)
+    assert_scale_legal(embedding_covariance(spark, sf_dir), max_scans=1)
+    assert_scale_legal(open_orders_daily(spark, sf_dir), max_scans=2)
+    # per-day candidates must rank through WindowGroupLimit heaps
+    assert_scale_legal(
+        cms_daily_heavy_hitters(spark, sf_dir),
+        require_window_group_limit=True,
+    )
