@@ -1822,16 +1822,22 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     DEC = "decimal(38,0)"
-    # pinned: the channel aggregate AND the orphan anti-join both read
-    # it — unpinned, the orphan branch replayed the user window and the
-    # purchase-key window (plan-audit r11: 3 scans / 7 exchanges)
-    scored = pin(
-        assigned.select(
-            F.col("event_type").alias("channel"),
-            "p_id",
-            "p_cents",
-            credit.alias("credit_micros"),
-        )
+    # DELIBERATELY UNPINNED (r11 measurement): pin(scored) produced the
+    # smaller executed plan (2 scans/5 exchanges vs 3/7) but measured
+    # SLOWER in a same-JVM interleaved A/B at BOTH scale points —
+    # 1.07x at sf0.1, 1.14-1.22x at a 10x events blow-up — because the
+    # materialization costs more than the window replay it avoids
+    # (Catalyst already column-prunes the orphan branch's unused carry
+    # columns, so the "replayed window" was partially free). The
+    # er_candidate_pairs lesson again: fewer exchanges != faster; a
+    # pin must buy its keep on the clock. Re-pin candidate: only if a
+    # measured run at a scale point where the touch frame stops
+    # fitting the shuffle comfortably shows the recompute dominating.
+    scored = assigned.select(
+        F.col("event_type").alias("channel"),
+        "p_id",
+        "p_cents",
+        credit.alias("credit_micros"),
     )
     attributed = scored.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),

@@ -794,13 +794,15 @@ def test_r11_new_ops_scale_legal(spark, sf_dir):
     assert_scale_legal(
         interarrival_stats_by_type(spark, sf_dir), max_scans=1
     )
-    # post-audit shape: orphan branch off the pre-window frame — the
-    # scan cap is the load-bearing pin (3 -> 2 after the r11 trim);
-    # exchange count here is the PRE-AQE plan (executed: 5)
+    # 3 scans is the MEASURED optimum, not an oversight: pinning the
+    # scored frame cut the plan to 2 scans/5 exchanges but ran
+    # 1.07-1.22x slower in the interleaved A/B at two scale points
+    # (decision record in the operator docstring) — the cap exists to
+    # catch regression past the measured shape
     assert_scale_legal(
         attribution_position_weighted(spark, sf_dir),
-        max_scans=2,
-        max_exchanges=7,
+        max_scans=3,
+        max_exchanges=9,
     )
     assert_scale_legal(clustering_coeff_parts(spark, sf_dir), max_scans=1)
     assert_scale_legal(embedding_covariance(spark, sf_dir), max_scans=1)
