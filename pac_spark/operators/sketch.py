@@ -1040,19 +1040,32 @@ def cms_daily_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") <= CMS_DAILY_TOP_N)
         .drop("_rk")
     )
+    # explicit renames kill the shared-lineage ambiguity: sketch and
+    # the probe both descend from ev, so a bare probed.day == sketch.day
+    # logs Spark's "trivially true equals predicate" warning (r11
+    # staged NULL sweep) — values were right, but a join key that only
+    # resolves by luck is a refactor away from being wrong
     probed = top.select(
-        "*", F.explode(cells).alias("_cell")
+        F.col("day").alias("p_day"),
+        "user_id",
+        "n_rows",
+        F.explode(cells).alias("_cell"),
     )
     est = (
         probed.join(
-            sketch,
-            (probed.day == sketch.day)
-            & (probed["_cell.row"] == sketch.row)
-            & (probed["_cell.col"] == sketch.col),
+            sketch.select(
+                F.col("day").alias("s_day"),
+                F.col("row").alias("s_row"),
+                F.col("col").alias("s_col"),
+                "cnt",
+            ),
+            (F.col("p_day") == F.col("s_day"))
+            & (F.col("_cell.row") == F.col("s_row"))
+            & (F.col("_cell.col") == F.col("s_col")),
             "left",
         )
         .select(
-            top["day"].alias("day"),
+            F.col("p_day").alias("day"),
             "user_id",
             "n_rows",
             F.coalesce("cnt", F.lit(0)).alias("_c"),
