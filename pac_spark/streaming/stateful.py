@@ -1101,6 +1101,37 @@ def streaming_halflife_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
 QUANTILE_BIN_CENTS = 500  # $5-wide value bins
 
 
+def _binned_partial(batch_df):
+    """Per-batch (type, bin) counts — module-level so the monoid is
+    testable against the grain (reverse-order merge)."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.functions.exact import int_div
+
+    return (
+        batch_df.select(
+            "event_type",
+            int_div(F.col("cents"), F.lit(QUANTILE_BIN_CENTS)).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _binned_merge(view, delta):
+    """Per-key count sum: commutative (order-free fold) but NOT
+    idempotent — a replayed batch inflates counts, the same contract
+    as the cents-sum folds (unlike bit_or/min-k). Exactly-once
+    delivery comes from the checkpointed foreachBatch drain."""
+    from pyspark.sql import functions as F
+
+    return (
+        view.unionByName(delta)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
 def streaming_binned_quantiles(spark, sf_dir: str):
     """Per-event-type streamed value quantiles over a FIXED-BIN
     histogram: each micro-batch contributes its (type, bin) counts
@@ -1129,27 +1160,7 @@ def streaming_binned_quantiles(spark, sf_dir: str):
     ev = stream_events(spark, sf_dir).select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     ).filter(F.col("cents").isNotNull())
-
-    def partial(batch_df):
-        return (
-            batch_df.select(
-                "event_type",
-                int_div(
-                    F.col("cents"), F.lit(QUANTILE_BIN_CENTS)
-                ).alias("bin"),
-            )
-            .groupBy("event_type", "bin")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    def merge(view, delta):
-        return (
-            view.unionByName(delta)
-            .groupBy("event_type", "bin")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-        )
-
-    hist = _run_ivm_fold(ev, partial, merge)
+    hist = _run_ivm_fold(ev, _binned_partial, _binned_merge)
     pct = group_percentiles_disc(
         hist, ["event_type"], "bin", pcts=(50, 90, 99), weight=F.col("cnt")
     )

@@ -4429,3 +4429,27 @@ def test_cms_daily_guarantee_and_shape(spark, sf_dir):
         assert r["cms_estimate"] == r["n_rows"] + r["overcount"]
     per_day = Counter(r["day"] for r in rows)
     assert max(per_day.values()) <= CMS_DAILY_TOP_N
+
+
+def test_streaming_binned_quantiles_merge_order_free(spark):
+    """The count-sum monoid against the grain: partials merged in
+    reverse order equal the forward merge and the single-shot build.
+    (NOT idempotent — a replayed batch inflates counts, like the
+    cents folds and unlike bit_or/min-k; exactly-once comes from the
+    checkpointed drain, which is the stated contract.)"""
+    from pac_spark.streaming.stateful import _binned_merge, _binned_partial
+
+    rows = [("a", 250), ("a", 750), ("a", 750), ("b", 0)]
+    ev = spark.createDataFrame(rows, "event_type string, cents long")
+    a = spark.createDataFrame(rows[:2], "event_type string, cents long")
+    b = spark.createDataFrame(rows[2:], "event_type string, cents long")
+
+    def snap(df):
+        return {
+            (r["event_type"], r["bin"]): r["cnt"] for r in df.collect()
+        }
+
+    fwd = snap(_binned_merge(_binned_partial(a), _binned_partial(b)))
+    rev = snap(_binned_merge(_binned_partial(b), _binned_partial(a)))
+    single = snap(_binned_partial(ev))
+    assert fwd == rev == single == {("a", 0): 1, ("a", 1): 2, ("b", 0): 1}
