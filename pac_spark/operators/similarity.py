@@ -54,6 +54,8 @@ __all__ = [
     "embedding_covariance",
     "COVARIANCE_SQL",
     "ann_recall_audit",
+    "pca_top_component",
+    "PCA_SQL",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -1218,3 +1220,189 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = per_q if out is None else out.unionByName(per_q)
     return out.orderBy("tier", "query_id")
+
+
+PCA_SCALE = 1_000_000  # iterate x in 1e-6 fixed point
+PCA_ROUNDS = 10
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding collection by POWER
+    ITERATION in exact integer arithmetic — the PCA/whitening step
+    downstream of :func:`embedding_covariance`: per dimension the
+    dominant eigenvector loading (1e-6 fixed point) plus the Rayleigh-
+    style eigenvalue read-off. Float power iteration is not engine-
+    portable (each matvec is an order-dependent double sum); here the
+    covariance quantizes to EXACT nano-unit integers — ``trunc((n·Σxy
+    − Σx·Σy) / (n²·10³))``, every step a decimal(38,0) operation — the
+    start vector is all-``PCA_SCALE``, and each round computes ``y =
+    A·x`` as exact integer sums then rescales ``x' = y·SCALE div
+    max|y|`` with the shared truncating division, so all
+    ``PCA_ROUNDS`` rounds are bit-identical in both engines (the
+    PageRank discipline applied to eigensolving; no normalization
+    sqrt anywhere).
+
+    Convergence honesty: a K-round iterate separates eigenvectors at
+    rate (λ2/λ1)^K, so on a near-flat spectrum (this synthetic
+    corpus: λ2/λ1 ≈ 0.93-0.99) the DIRECTION is a top-eigenspace
+    mixture, not the exact eigenvector — which is what whitening
+    consumes anyway; the Rayleigh quotient (variance captured)
+    converges quadratically and the independent numpy gate asserts
+    ≥ 90% of λ1 at every fixture SF. On real embedding collections
+    (spectral gaps of 2-10×) ten rounds separate fully — pinned by
+    the spectral-gap crafted test.
+
+    The DISTRIBUTED work is the moment aggregation (the same
+    fan-out/aggregate as ``embedding_covariance``, one pass over the
+    collection); the d×d eigensolve itself runs on the driver over the
+    collected quantized matrix — legitimate because d is SCHEMA-
+    bounded (d² = 4096 rows at d = 64, the bound that justifies
+    dim_stats' posexplode), the exact split MLlib-style systems use
+    (Gram distributed, eigensolve local). Rows with NULL embeddings /
+    components are excluded whole (the covariance contract). A
+    degenerate all-zero matrix raises rather than emitting a fake
+    direction.
+    """
+    DEC = "decimal(38,0)"
+    emb = catalog.load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    q = pin(
+        emb.select(
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(round(cast(x as double) * 1000000) as long))"
+            ).alias("v")
+        )
+    )
+    pair_terms = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 1),"
+                " i -> transform(sequence(0, size(v) - 1),"
+                " j -> struct(i AS i, j AS j, v[i] * v[j] AS xy))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.xy")
+    sxy = pair_terms.groupBy("i", "j").agg(
+        F.sum(F.col("xy").cast(DEC)).alias("sxy")
+    )
+    dims = pin(
+        q.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(DEC)).alias("sx"),
+        )
+    )
+    di = dims.select(F.col("dim").alias("i"), "n", F.col("sx").alias("si"))
+    dj = dims.select(F.col("dim").alias("j"), F.col("sx").alias("sj"))
+    num = F.col("n").cast(DEC) * F.col("sxy") - F.col("si") * F.col("sj")
+    den = (F.col("n").cast(DEC) * F.col("n") * F.lit(1000)).cast(DEC)
+    aq = (
+        sxy.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select(
+            "i",
+            "j",
+            ((num - num % den) / den).cast("long").alias("a"),
+        )
+    )
+    rows = aq.collect()  # d^2 rows, SCHEMA-bounded (see docstring)
+    if not rows:
+        raise ValueError("pca_top_component needs a non-empty collection")
+    d = max(r["i"] for r in rows) + 1
+    A = [[0] * d for _ in range(d)]
+    for r in rows:
+        A[r["i"]][r["j"]] = r["a"]
+    x = [PCA_SCALE] * d
+    m = 0
+    for _ in range(PCA_ROUNDS):
+        y = [sum(A[i][j] * x[j] for j in range(d)) for i in range(d)]
+        m = max(abs(v) for v in y)
+        if m == 0:
+            raise ValueError("zero covariance matrix: no dominant direction")
+        # trunc-toward-zero division, the int_div contract in python
+        # ints (exact at any magnitude)
+        x = [_trunc_div(v * PCA_SCALE, m) for v in y]
+    eigenvalue_nano = _trunc_div(m, PCA_SCALE)
+    out = [(i, x[i], eigenvalue_nano) for i in range(d)]
+    return spark.createDataFrame(
+        out, "dim int, loading_micro long, eigenvalue_nano long"
+    ).orderBy("dim")
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation-toward-zero integer division on python ints (``//``
+    floors negatives; the engines' shared contract truncates)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def PCA_SQL() -> str:
+    """Oracle: the quantized covariance in HUGEINT + the identical
+    ``PCA_ROUNDS`` unrolled matvec/rescale rounds (the PageRank
+    unrolled-CTE discipline; HUGEINT ``//`` truncates like the shared
+    contract for these non-negative divisors after sign split)."""
+    rounds = []
+    for k in range(1, PCA_ROUNDS + 1):
+        rounds.append(f"""
+y{k} AS MATERIALIZED (
+    SELECT a.i AS dim, SUM(a.a * x.xv) AS yv
+    FROM aq a JOIN x{k - 1} x ON x.dim = a.j
+    GROUP BY a.i
+),
+m{k} AS (SELECT MAX(ABS(yv)) AS m FROM y{k}),
+x{k} AS MATERIALIZED (
+    SELECT dim,
+           CASE WHEN yv >= 0
+                THEN (yv * {PCA_SCALE}) // m
+                ELSE -((-yv * {PCA_SCALE}) // m) END AS xv
+    FROM y{k}, m{k}
+)""")
+    chain = ",".join(rounds)
+    return f"""
+WITH complete AS (
+    SELECT embedding FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+q AS (
+    SELECT list_transform(
+               embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           ) AS v
+    FROM complete
+),
+pair_terms AS (
+    SELECT u.i - 1 AS i, w.j - 1 AS j,
+           CAST(v[u.i] AS HUGEINT) * v[w.j] AS xy
+    FROM q, UNNEST(range(1, len(v) + 1)) u(i),
+         UNNEST(range(1, len(v) + 1)) w(j)
+),
+sxy AS (SELECT i, j, SUM(xy) AS sxy FROM pair_terms GROUP BY i, j),
+dims AS (
+    SELECT u.i - 1 AS dim, COUNT(*) AS n, SUM(CAST(v[u.i] AS HUGEINT)) AS sx
+    FROM q, UNNEST(range(1, len(v) + 1)) u(i)
+    GROUP BY 1
+),
+aq AS (
+    SELECT sxy.i, sxy.j,
+           CASE WHEN (di.n * sxy.sxy - di.sx * dj.sx) >= 0
+                THEN (di.n * sxy.sxy - di.sx * dj.sx)
+                     // (di.n * di.n * 1000)
+                ELSE -((-(di.n * sxy.sxy - di.sx * dj.sx))
+                     // (di.n * di.n * 1000)) END AS a
+    FROM sxy
+    JOIN dims di ON di.dim = sxy.i
+    JOIN dims dj ON dj.dim = sxy.j
+),
+x0 AS (SELECT DISTINCT i AS dim, CAST({PCA_SCALE} AS HUGEINT) AS xv FROM aq),
+{chain}
+SELECT CAST(x.dim AS INT) AS dim,
+       CAST(x.xv AS BIGINT) AS loading_micro,
+       CAST(m.m // {PCA_SCALE} AS BIGINT) AS eigenvalue_nano
+FROM x{PCA_ROUNDS} x, m{PCA_ROUNDS} m
+ORDER BY dim
+"""

@@ -385,10 +385,11 @@ STAGED_QUEUE: tuple[str, ...] = (
     "open_orders_daily",
     "ann_recall_audit",
     "cms_daily_heavy_hitters",
-)  # 15 r11-new operators (13 + BOTH VERDICT r10 next-#3 items: the
-#    ANN recall audit and the per-window CMS decode), all
-#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
-#    2nd-greens (this round's registrations) + 15 = 29 <= 50
+    "pca_top_component",
+)  # 16 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+#    exact-integer power-iteration PCA), all 3-SF-oracle-green from
+#    birth; r12 capacity = 14 mandatory 2nd-greens (this round's
+#    registrations) + 16 = 30 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

@@ -4453,3 +4453,72 @@ def test_streaming_binned_quantiles_merge_order_free(spark):
     rev = snap(_binned_merge(_binned_partial(b), _binned_partial(a)))
     single = snap(_binned_partial(ev))
     assert fwd == rev == single == {("a", 0): 1, ("a", 1): 2, ("b", 0): 1}
+
+
+def test_pca_top_component_oracle(spark, duck, sf_dir):
+    """Staged for r12: exact-integer power iteration vs the identical
+    10 unrolled HUGEINT matvec/rescale rounds."""
+    from pac_spark.operators.similarity import PCA_SQL, pca_top_component
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(pca_top_component(spark, sf_dir), duck.sql(PCA_SQL()))
+
+
+def test_pca_captures_top_eigenspace(spark, sf_dir):
+    """INDEPENDENT formulation: the iterate's Rayleigh quotient under
+    numpy's float covariance must capture >= 90% of numpy's dominant
+    eigenvalue. (Direction equality is NOT asserted on this corpus:
+    the synthetic embeddings have a near-flat spectrum — lambda2 /
+    lambda1 ~ 0.93-0.99 — so no bounded-round iteration can separate
+    the top eigenvectors; what power iteration DOES guarantee, and
+    what whitening consumes, is a high-variance direction, which the
+    Rayleigh quotient measures and which converges quadratically.
+    Exact direction recovery is pinned by the spectral-gap crafted
+    test below.)"""
+    import numpy as np
+
+    from pac_spark import catalog
+    from pac_spark.operators.similarity import pca_top_component
+
+    rows = catalog.load(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in rows if r["embedding"] is not None], dtype=np.float64)
+    X = np.round(X * 1e6) / 1e6  # the operator's stated quantization
+    C = np.cov(X, rowvar=False, bias=True)
+    w = np.linalg.eigvalsh(C)
+    got = pca_top_component(spark, sf_dir).collect()
+    x = np.array([r["loading_micro"] for r in sorted(got, key=lambda r: r["dim"])], dtype=np.float64)
+    rayleigh = (x @ C @ x) / (x @ x)
+    assert rayleigh >= 0.9 * w[-1], (rayleigh, w[-1])
+    # the eigenvalue read-off is the max-norm lambda of the iterate:
+    # between 90% of lambda1 and lambda1 itself
+    lam = got[0]["eigenvalue_nano"] / 1e9
+    assert 0.85 * w[-1] <= lam <= 1.02 * w[-1], (lam, w[-1])
+
+
+def test_pca_crafted_known_direction(spark, tmp_path):
+    """Hand-checkable eigensolve: 2-dim points on the exact line
+    y = 2x have dominant direction (1, 2) — loadings must sit in a
+     1:2 ratio with the larger at full scale, and the eigenvalue must
+    equal the population variance along the line (5·var(x))."""
+    import pandas as pd
+
+    xs = [1.0, 2.0, 3.0, -1.0, -2.0]
+    pd.DataFrame(
+        {
+            "vec_id": list(range(5)),
+            "embedding": [[x, 2 * x] for x in xs],
+            "label": [0] * 5,
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from pac_spark.operators.similarity import pca_top_component
+
+    got = {r["dim"]: r for r in pca_top_component(spark, str(tmp_path)).collect()}
+    lx, ly = got[0]["loading_micro"], got[1]["loading_micro"]
+    assert abs(ly) == 1_000_000  # the dominant component carries max scale
+    assert abs(lx * 2 - ly) <= 4  # 1:2 ratio to trunc-div tolerance
+    # population var(x) of xs = 3.8 - 0.36 = ... computed: mean 0.6,
+    # E[x^2] = (1+4+9+1+4)/5 = 3.8, var = 3.44; along (1,2): 5*3.44/ (1+4) ...
+    # eigenvalue of C = var * [[1,2],[2,4]] pattern: lambda = 5*var(x) = 17.2? no:
+    # C = var(x) * [[1,2],[2,4]], trace-dominant eigenvalue = var(x)*5 = 17.2
+    lam = got[0]["eigenvalue_nano"] / 1e9
+    assert abs(lam - 3.44 * 5) < 1e-3, lam
