@@ -44,6 +44,9 @@ __all__ = [
     "ASSOC_RULES_SQL",
     "item_item_similar_parts",
     "ITEM_ITEM_SQL",
+    "cf_holdout_coverage",
+    "CF_HOLDOUT_SQL",
+    "CF_TEST_PERMILLE",
 ]
 
 ITEM_MIN_COOCCUR = 2  # directed pair admission threshold
@@ -201,4 +204,174 @@ SELECT part_a, part_b, n_both, n_a, n_b, cosine, rank FROM (
     FROM scored
 ) WHERE rank <= {ITEM_TOPK}
 ORDER BY part_a, rank
+"""
+
+
+CF_TEST_PERMILLE = 200  # 20% of orders held out by salted md5 bucket
+CF_SALT = "cfholdout_v1"
+
+
+def cf_holdout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recommender evaluation (the recall-audit discipline
+    applied to the CF index): hold out 20% of ORDERS by a salted md5
+    bucket, train the item-item cosine top-k on the remaining 80%, and
+    report how many of the held-out orders' co-purchase pairs the
+    index covers (pair covered ⟺ either direction appears in either
+    part's top-k list). The eval row a production recommender ships
+    with — a coverage number that drifts after a re-train is the
+    regression alarm, and the holdout-by-ORDER split is the leakage
+    discipline (splitting by pair would leak the pair's own count
+    into training).
+
+    Determinism: the split is the shared digit-wise md5 bucket under
+    its own salt namespace; training re-runs the registered item-item
+    formulation verbatim on the train half (same admission threshold,
+    same total tie-break); coverage is ``int_div(hits·1000, pairs)``.
+    Scale shape: everything reuses the CF plan's shapes (distinct
+    basket self-join, bounded top-k window); the eval adds one
+    order-bucket filter (row-local), a second bounded self-join over
+    the 20% slice, and a semi-join of test pairs against the k·parts
+    recommendation frame.
+    """
+    from pac_spark.functions.exact import int_div
+    from pac_spark.functions.hashing import md5_bucket
+
+    li = pin(
+        catalog.load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "_bucket",
+            md5_bucket(
+                F.concat(
+                    F.lit(f"{CF_SALT}|"), F.col("l_orderkey").cast("string")
+                ),
+                1000,
+            ),
+        )
+    )
+    train = li.filter(F.col("_bucket") >= CF_TEST_PERMILLE).select(
+        "l_orderkey", "l_partkey"
+    )
+    test = li.filter(F.col("_bucket") < CF_TEST_PERMILLE).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = train.alias("a"), train.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= ITEM_MIN_COOCCUR)
+    )
+    items = train.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    ia, ic = items.alias("ia"), items.alias("ic")
+    scored = (
+        pairs.join(ia, F.col("part_a") == F.col("ia.l_partkey"))
+        .join(ic, F.col("part_b") == F.col("ic.l_partkey"))
+        .select(
+            "part_a",
+            "part_b",
+            (
+                F.col("n_both").cast("double")
+                / F.sqrt(
+                    (F.col("ia.n_item") * F.col("ic.n_item")).cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("part_a").orderBy(F.desc("cosine"), "part_b")
+    recs = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= ITEM_TOPK)
+        # normalize to undirected so either direction covers the pair
+        .select(
+            F.least("part_a", "part_b").alias("pa"),
+            F.greatest("part_a", "part_b").alias("pb"),
+        )
+        .distinct()
+    )
+    ta, tb = test.alias("ta"), test.alias("tb")
+    test_pairs = (
+        ta.join(tb, "l_orderkey")
+        .filter(F.col("ta.l_partkey") < F.col("tb.l_partkey"))
+        .select(
+            F.col("ta.l_partkey").alias("pa"),
+            F.col("tb.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    covered = test_pairs.join(recs, ["pa", "pb"], "left_semi")
+    return (
+        test_pairs.agg(F.count(F.lit(1)).alias("n_test_pairs"))
+        .crossJoin(
+            F.broadcast(covered.agg(F.count(F.lit(1)).alias("n_covered")))
+        )
+        .select(
+            "n_test_pairs",
+            "n_covered",
+            int_div(F.col("n_covered") * 1000, F.col("n_test_pairs")).alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
+def CF_HOLDOUT_SQL() -> str:
+    """Oracle: the identical digit-wise split, train-half CF, and
+    undirected coverage count."""
+    from pac_spark.functions.hashing import md5_bucket_sql
+
+    bucket = md5_bucket_sql(
+        f"'{CF_SALT}|' || CAST(l_orderkey AS VARCHAR)", 1000
+    )
+    return f"""
+WITH li AS (
+    SELECT l_orderkey, l_partkey, {bucket} AS b
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+),
+train AS (SELECT l_orderkey, l_partkey FROM li WHERE b >= {CF_TEST_PERMILLE}),
+test AS (SELECT l_orderkey, l_partkey FROM li WHERE b < {CF_TEST_PERMILLE}),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+    FROM train a JOIN train b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {ITEM_MIN_COOCCUR}
+),
+items AS (SELECT l_partkey, COUNT(*) AS n_item FROM train GROUP BY 1),
+scored AS (
+    SELECT part_a, part_b,
+           CAST(n_both AS DOUBLE)
+               / sqrt(CAST(ia.n_item * ic.n_item AS DOUBLE)) AS cosine
+    FROM pairs
+    JOIN items ia ON part_a = ia.l_partkey
+    JOIN items ic ON part_b = ic.l_partkey
+),
+recs AS (
+    SELECT DISTINCT LEAST(part_a, part_b) AS pa,
+                    GREATEST(part_a, part_b) AS pb
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY part_a ORDER BY cosine DESC, part_b) AS rk
+        FROM scored
+    ) WHERE rk <= {ITEM_TOPK}
+),
+test_pairs AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM test a JOIN test b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+           CAST(SUM(CASE WHEN r.pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered
+    FROM test_pairs t
+    LEFT JOIN recs r ON r.pa = t.pa AND r.pb = t.pb
+)
+SELECT n_test_pairs, n_covered,
+       CAST((n_covered * 1000) // n_test_pairs AS BIGINT) AS coverage_milli
+FROM agg
 """

@@ -386,10 +386,11 @@ STAGED_QUEUE: tuple[str, ...] = (
     "ann_recall_audit",
     "cms_daily_heavy_hitters",
     "pca_top_component",
-)  # 16 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
-#    exact-integer power-iteration PCA), all 3-SF-oracle-green from
-#    birth; r12 capacity = 14 mandatory 2nd-greens (this round's
-#    registrations) + 16 = 30 <= 50
+    "cf_holdout_coverage",
+)  # 17 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+#    exact-integer power-iteration PCA + the CF holdout eval), all
+#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
+#    2nd-greens (this round's registrations) + 17 = 31 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

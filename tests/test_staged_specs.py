@@ -4522,3 +4522,33 @@ def test_pca_crafted_known_direction(spark, tmp_path):
     # C = var(x) * [[1,2],[2,4]], trace-dominant eigenvalue = var(x)*5 = 17.2
     lam = got[0]["eigenvalue_nano"] / 1e9
     assert abs(lam - 3.44 * 5) < 1e-3, lam
+
+
+def test_cf_holdout_coverage_oracle(spark, duck, sf_dir):
+    """Staged for r12: the held-out co-purchase coverage eval vs the
+    identical digit-wise split + train-half CF formulation."""
+    from pac_spark.operators.recommend import CF_HOLDOUT_SQL, cf_holdout_coverage
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        cf_holdout_coverage(spark, sf_dir), duck.sql(CF_HOLDOUT_SQL())
+    )
+
+
+def test_cf_holdout_coverage_crafted(spark, tmp_path):
+    """A universal co-purchase must be fully covered: every order
+    holds parts {1, 2}, so whichever orders land in the test bucket
+    contribute the single distinct pair (1, 2), which the train-half
+    index always recommends -> coverage exactly 1000 milli."""
+    import pandas as pd
+
+    rows = []
+    for o in range(1, 51):
+        rows += [(o, 1), (o, 2)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pac_spark.operators.recommend import cf_holdout_coverage
+
+    [r] = cf_holdout_coverage(spark, str(tmp_path)).collect()
+    assert (r["n_test_pairs"], r["n_covered"], r["coverage_milli"]) == (1, 1, 1000)
