@@ -192,12 +192,16 @@ FORCE_HOIST: tuple[str, ...] = (
 # committed evidence, so evidence and hoist must land together).
 #
 # R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
-# emptied the queue; 13 NEW operators then staged (heaps_vocab_growth
-# .. open_orders_daily), each 3-SF-oracle-green from birth. FORCE
-# stayed EMPTY all round: the only registered-code change was the
-# _broadcast_threshold warn-once (log-only, pagerank/lpa/sssp
+# emptied the queue; 17 NEW operators then staged (heaps_vocab_growth
+# .. cf_holdout_coverage, incl. both VERDICT r10 next-#3 items), each
+# 3-SF-oracle-green from birth, all 16 batch ops NULL-lace clean, all
+# plan-shape pinned (tests/test_plans.py::test_r11_new_ops_scale_legal).
+# FORCE stayed EMPTY all round: the only registered-code change was
+# the _broadcast_threshold warn-once (log-only, pagerank/lpa/sssp
 # re-driven green through drive_contract anyway); the
-# attribution_position_weighted plan trim predates any driver
+# attribution_position_weighted plan churn (trim, then the measured
+# UNPIN at two scale points) and the trade_graph_components oracle
+# fixpoint fix (caught by the sf0.1 sweep) predate any driver
 # evidence (staged), so no force applies.
 #
 # R12 FORCE_HOIST STARTER LIST: EMPTY as of r11 end, by the same
