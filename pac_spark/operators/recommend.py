@@ -313,9 +313,16 @@ def cf_holdout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_test_pairs",
             "n_covered",
-            int_div(F.col("n_covered") * 1000, F.col("n_test_pairs")).alias(
-                "coverage_milli"
-            ),
+            # explicit empty-holdout guard: ANSI mode throws on the
+            # truncating division's % by zero (the r7 empty-table bug
+            # class, caught by the r11 staged empty sweep); an empty
+            # test slice has no coverage to report — NULL in BOTH
+            # engines
+            F.when(F.col("n_test_pairs") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                int_div(F.col("n_covered") * 1000, F.col("n_test_pairs"))
+            )
+            .alias("coverage_milli"),
         )
     )
 
@@ -372,6 +379,8 @@ agg AS (
     LEFT JOIN recs r ON r.pa = t.pa AND r.pb = t.pb
 )
 SELECT n_test_pairs, n_covered,
-       CAST((n_covered * 1000) // n_test_pairs AS BIGINT) AS coverage_milli
+       CAST(CASE WHEN n_test_pairs = 0 THEN NULL
+                 ELSE (n_covered * 1000) // n_test_pairs END AS BIGINT)
+           AS coverage_milli
 FROM agg
 """

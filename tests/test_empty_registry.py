@@ -76,3 +76,48 @@ def test_empty_sweep_covers_every_batch_spec():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_staged_batch_specs_survive_empty_tables(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The same ANSI landmine sweep over the STAGED surface — staged
+    operators wait a full round before the registry gate covers them,
+    and the r11 probe caught exactly one live landmine there
+    (cf_holdout_coverage's coverage division with a zero-row holdout).
+    collect(), never count(): count() prunes the projection and
+    masked that error."""
+    import pyarrow.parquet as pq
+
+    from pac_spark.operators import scale
+    from pac_spark.plans.audit import _staged_fns
+
+    for name in (
+        "events orders lineitem customer nation region supplier part "
+        "documents embeddings"
+    ).split():
+        pq.write_table(
+            pq.read_table(f"{sf_dir}/{name}.parquet").slice(0, 0),
+            tmp_path / f"{name}.parquet",
+        )
+    monkeypatch.setattr(scale, "_REPO_ROOT", str(tmp_path))
+
+    expected_raise = {
+        # documented contract: an empty collection has no dominant
+        # direction — refuse rather than guess (the pagerank stance)
+        "pca_top_component": ValueError,
+    }
+    failures: list[str] = []
+    for name, fn in _staged_fns().items():
+        try:
+            fn(spark, str(tmp_path)).collect()
+        except Exception as e:  # noqa: BLE001 — collecting a report
+            if not isinstance(e, expected_raise.get(name, ())):
+                failures.append(f"{name}: {type(e).__name__}: {e}"[:300])
+        else:
+            if name in expected_raise:
+                failures.append(
+                    f"{name}: expected {expected_raise[name]} on empty"
+                    " input but it returned"
+                )
+    assert not failures, "\n".join(failures)
