@@ -59,6 +59,7 @@ __all__ = [
     "ATTRIBUTION_SQL",
     "ATTRIBUTION_WINDOW_MIN",
     "interarrival_stats_by_type",
+    "interarrival_readout",
     "INTERARRIVAL_SQL",
     "attribution_position_weighted",
     "POSITION_ATTRIBUTION_SQL",
@@ -1657,7 +1658,17 @@ def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_us").isNotNull())
     )
-    gaps = pin(gaps)
+    return interarrival_readout(pin(gaps))
+
+
+def interarrival_readout(gaps: DataFrame) -> DataFrame:
+    """Shared readout tail over a (event_type, gap_us) frame — the
+    batch operator's window-derived gaps AND the streaming twin's
+    state-fold-derived gaps flow through this ONE definition, so the
+    two formulations cannot drift (the cms_top_report precedent)."""
+    from pac_spark.functions.exact import int_div
+    from pac_spark.operators.stats import group_percentiles_disc
+
     DEC = "decimal(38,0)"
     s = F.sum(F.col("gap_us").cast(DEC))
     n = F.count(F.lit(1)).cast(DEC)

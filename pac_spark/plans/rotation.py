@@ -391,10 +391,12 @@ STAGED_QUEUE: tuple[str, ...] = (
     "cms_daily_heavy_hitters",
     "pca_top_component",
     "cf_holdout_coverage",
-)  # 17 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
-#    exact-integer power-iteration PCA + the CF holdout eval), all
-#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
-#    2nd-greens (this round's registrations) + 17 = 31 <= 50
+    "streaming_interarrival_stats",
+)  # 18 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+#    exact-integer power-iteration PCA + the CF holdout eval + the
+#    interarrival streaming twin), all 3-SF-oracle-green from birth;
+#    r12 capacity = 14 mandatory 2nd-greens (this round's
+#    registrations) + 18 = 32 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

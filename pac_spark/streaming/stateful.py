@@ -69,6 +69,7 @@ __all__ = [
     "STREAMING_KMV_SQL",
     "streaming_binned_quantiles",
     "BINNED_QUANTILES_SQL",
+    "streaming_interarrival_stats",
 ]
 
 GAP_SECONDS = 600
@@ -1200,3 +1201,92 @@ SELECT event_type,
             * {QUANTILE_BIN_CENTS} AS BIGINT) AS p99_lo_cents
 FROM w GROUP BY event_type ORDER BY event_type
 """
+
+
+_GAP_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+    ]
+)
+
+_GAP_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+
+def _gap_fold(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental gap extraction per (user, type): state is ONE
+    (last_us, last_eid) pair — each arriving event emits exactly one
+    gap row against its predecessor (cross-batch via the state), so
+    the drained output IS the batch operator's lag-window gap set.
+    Order discipline is the lifetime fold's: within-batch total-order
+    sort, cross-batch regression REFUSED."""
+    user_id, event_type = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.assign(_us=_ts_to_us(batch["ts"])).sort_values(
+        ["_us", "event_id"], kind="mergesort"
+    )
+    if state.exists:
+        last_us, last_eid = state.get
+        has_prev = True
+    else:
+        last_us = last_eid = 0
+        has_prev = False
+    if has_prev and len(batch):
+        head = (int(batch["_us"].iloc[0]), int(batch["event_id"].iloc[0]))
+        if head <= (last_us, last_eid):
+            raise RuntimeError(
+                f"({user_id}, {event_type}): cross-batch (ts, event_id) "
+                f"regression ({head} <= {(last_us, last_eid)}); gap "
+                "extraction cannot fold this batch correctly"
+            )
+    gaps: list[int] = []
+    for us, eid in zip(batch["_us"], batch["event_id"]):
+        if has_prev:
+            gaps.append(int(us) - last_us)
+        last_us, last_eid, has_prev = int(us), int(eid), True
+    state.update((last_us, last_eid))
+    yield pd.DataFrame({"event_type": [event_type] * len(gaps), "gap_us": gaps})
+
+
+def streaming_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inter-arrival profile maintained under Structured
+    Streaming: per-(user, type) state is a single (last_us, last_eid)
+    pair — O(1) regardless of volume — and each event emits its gap
+    row exactly once, so the drained gap set equals the batch
+    operator's lag window output row-for-row. The readout is the
+    SHARED ``temporal.interarrival_readout`` (one definition, the
+    cms_top_report precedent), and the oracle is deliberately the
+    BATCH formulation (``temporal.INTERARRIVAL_SQL``): hash equality
+    proves incremental gap extraction == the one-shot window."""
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.temporal import interarrival_readout
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        _gap_fold,
+        outputStructType=_GAP_SCHEMA,
+        stateStructType=_GAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(spark, out, "stream_interarrival", "update")
+    # the readout joins two aggregations of this one frame; over the
+    # raw memory-sink SubqueryAlias that self-join trips Spark's
+    # conflicting-reference resolution (INTERNAL_ERROR) — the
+    # registered checkpoint cuts the memory-table lineage first, the
+    # same move every IVM fold makes per round
+    from pac_spark.cache import checkpoint
+
+    return interarrival_readout(checkpoint(drained))

@@ -4552,3 +4552,68 @@ def test_cf_holdout_coverage_crafted(spark, tmp_path):
 
     [r] = cf_holdout_coverage(spark, str(tmp_path)).collect()
     assert (r["n_test_pairs"], r["n_covered"], r["coverage_milli"]) == (1, 1, 1000)
+
+
+def test_streaming_interarrival_oracle(spark, duck, sf_dir):
+    """Staged for r12: incremental gap extraction (O(1) per-key state)
+    vs the BATCH lag-window oracle — hash equality proves the state
+    fold emits exactly the window's gap set."""
+    from pac_spark.operators.temporal import INTERARRIVAL_SQL
+    from pac_spark.streaming.stateful import streaming_interarrival_stats
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_interarrival_stats(spark, sf_dir),
+        duck.sql(INTERARRIVAL_SQL),
+    )
+
+
+def test_gap_fold_split_and_regression():
+    """The fold across an in-order batch split emits the SAME gap set
+    as one batch (the cross-batch gap spans the split via state), and
+    an out-of-order split is REFUSED — the lifetime fold discipline,
+    proven directly against the fold function."""
+    import pandas as pd
+    import pytest
+
+    from pac_spark.streaming.stateful import _GAP_STATE, _gap_fold
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def frame(rows):
+        df = pd.DataFrame(rows, columns=["user_id", "event_type", "event_id", "ts"])
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        return df
+
+    t = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    rows = [(7, "a", 1, t), (7, "a", 2, t + m), (7, "a", 3, t + 3 * m)]
+
+    one = FakeState()
+    [whole] = list(_gap_fold((7, "a"), iter([frame(rows)]), one))
+    assert list(whole["gap_us"]) == [60_000_000, 120_000_000]
+
+    split = FakeState()
+    [g1] = list(_gap_fold((7, "a"), iter([frame(rows[:2])]), split))
+    [g2] = list(_gap_fold((7, "a"), iter([frame(rows[2:])]), split))
+    assert list(g1["gap_us"]) + list(g2["gap_us"]) == [60_000_000, 120_000_000]
+    assert split.get == one.get
+
+    bad = FakeState()
+    list(_gap_fold((7, "a"), iter([frame(rows[2:])]), bad))
+    with pytest.raises(RuntimeError, match="regression"):
+        list(_gap_fold((7, "a"), iter([frame(rows[:2])]), bad))
+    assert len(_GAP_STATE.fields) == 2
