@@ -192,8 +192,9 @@ FORCE_HOIST: tuple[str, ...] = (
 # committed evidence, so evidence and hoist must land together).
 #
 # R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
-# emptied the queue; 17 NEW operators then staged (heaps_vocab_growth
-# .. cf_holdout_coverage, incl. both VERDICT r10 next-#3 items), each
+# emptied the queue; 18 NEW operators then staged (heaps_vocab_growth
+# .. streaming_interarrival_stats, incl. both VERDICT r10 next-#3
+# items), each
 # 3-SF-oracle-green from birth, all 16 batch ops NULL-lace clean, all
 # plan-shape pinned (tests/test_plans.py::test_r11_new_ops_scale_legal).
 # FORCE stayed EMPTY all round: the only registered-code change was
@@ -209,8 +210,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # FORCE_HOIST to () + regenerate + paste. Mandatory = only the 14
 # r11-intake specs (their single r11 green needs its 2nd consecutive;
 # the 26 r10-intake specs reach two-consecutive with the r11 run and
-# ride the tail); step 2: register the whole 13-spec queue
-# (14 + 13 = 27 <= 50, the queue empties again) and use the ~23
+# ride the tail); step 2: register the whole 18-spec queue
+# (14 + 18 = 32 <= 50, the queue empties again) and use the ~18
 # remaining slots as staleness fill.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
