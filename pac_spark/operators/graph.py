@@ -60,6 +60,10 @@ __all__ = [
     "trade_graph_components",
     "TRADE_CC_SQL",
     "CC_TOP_EDGES",
+    "hits_hub_authority",
+    "HITS_SQL",
+    "HITS_SCALE",
+    "HITS_ROUNDS",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -1272,3 +1276,159 @@ SELECT CAST(l AS BIGINT) AS component_id,
 FROM labels
 GROUP BY l ORDER BY n_members DESC, component_id
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg) on the directed trade graph
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**6  # score micro-units: max-normalized each half-round
+HITS_ROUNDS = 4
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's HITS over the DIRECTED purchase graph (customer →
+    supplier): a customer is a good HUB if it buys from good
+    authorities; a supplier is a good AUTHORITY if good hubs buy from
+    it. Mutually-recursive power iteration on A/Aᵀ — the link-analysis
+    complement of :func:`pagerank` (one damped random-walk score) and
+    a different fixpoint: HITS converges to the dominant singular
+    pair of the adjacency matrix, so on this bipartite graph the
+    authority vector ranks suppliers by *recursively weighted* buyer
+    breadth, not raw degree. Reference parity: the reference ships no
+    link analysis at all — this extends the engine's graph family the
+    same way pagerank/k-core/LPA did.
+
+    Exactness (the pagerank discipline): scores are BIGINT micro-units;
+    each half-round is an integer SUM followed by max-normalization
+    ``score · 10⁶ div max`` — the product is computed in decimal(38,0)
+    so a petabyte-scale raw sum cannot overflow, and every operand is
+    positive so Spark's ``div`` (truncation) and DuckDB's ``//``
+    (floor) agree. No float anywhere; bit-identical at any partition
+    count and vs the unrolled-CTE oracle.
+
+    Scale shape: the distinct (cust, supp) pair frame is pinned and
+    reused across all 2·K joins (equi-joins on the pair keys, never a
+    theta join); each normalization is a 1-row max aggregate broadcast
+    back via crossJoin — the k-core "doomed scalar" idiom. Per round:
+    2 hash joins + 2 map-side-combined aggregates + 2 scalar
+    broadcasts, K = 4 fixed rounds; frames stay node-sized. The
+    per-round ``pin`` keeps lineage at the round boundary, the same
+    cadence argument as pagerank's.
+    """
+    orders = catalog.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = catalog.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # the trade_edges pair build, kept DIRECTED (cust → supp): calling
+    # trade_edges and filtering the forward half back out would keep
+    # the reverse union branch alive in the plan (the % 4 filter is
+    # data-dependent, Catalyst cannot prune the branch statically)
+    pairs = pin(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 4 + F.lit(1)).alias("cust"),
+            (F.col("l_suppkey") * 4 + F.lit(2)).alias("supp"),
+        )
+        .distinct()
+    )
+    if not pairs.head(1):
+        raise ValueError("hits_hub_authority needs a non-empty edge set")
+
+    def _norm(df: DataFrame, key: str, out: str) -> DataFrame:
+        # eager checkpoint, not pin: each half-round stacks a
+        # broadcast crossJoin on the previous one, and the optimizer's
+        # cost on that lineage grows superlinearly — the un-cut chain
+        # stalled analysis for minutes at sf0.001 (measured) while
+        # checkpointed rounds run in seconds. Same cadence argument as
+        # pagerank's per-round checkpoint; frames are node-sized.
+        mx = df.agg(F.max("raw").alias("mx"))
+        return checkpoint(
+            df.crossJoin(F.broadcast(mx)).select(
+                key,
+                F.expr(
+                    f"CAST((CAST(raw AS DECIMAL(38,0)) * {HITS_SCALE})"
+                    " div mx AS BIGINT)"
+                ).alias(out),
+            )
+        )
+
+    hubs = pairs.select("cust").distinct().select(
+        "cust", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            pairs.join(hubs, "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").alias("raw"))
+        )
+        auth = _norm(a_raw, "supp", "a")
+        h_raw = (
+            pairs.join(auth, "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("raw"))
+        )
+        hubs = _norm(h_raw, "cust", "h")
+    return (
+        auth.select(
+            F.lit("supplier").alias("role"),
+            F.expr("supp div 4").alias("entity_key"),
+            F.col("a").alias("score_micro"),
+        )
+        .unionAll(
+            hubs.select(
+                F.lit("customer").alias("role"),
+                F.expr("cust div 4").alias("entity_key"),
+                F.col("h").alias("score_micro"),
+            )
+        )
+        .orderBy(F.desc("score_micro"), "role", "entity_key")
+    )
+
+
+def HITS_SQL(rounds: int = HITS_ROUNDS) -> str:
+    """DuckDB oracle: the SAME integer half-rounds, unrolled as
+    chained CTEs (h0 .. h{K}, a0 .. a{K-1})."""
+    parts = [
+        f"""WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT o_custkey * 4 + 1 AS cust,
+                    l_suppkey * 4 + 2 AS supp
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+h0 AS (SELECT DISTINCT cust, CAST({HITS_SCALE} AS BIGINT) AS h FROM pairs)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+ar{i} AS (
+    SELECT supp, SUM(h) AS raw FROM pairs JOIN h{i} USING (cust)
+    GROUP BY supp
+),
+am{i} AS (SELECT MAX(raw) AS mx FROM ar{i}),
+a{i} AS MATERIALIZED (
+    SELECT supp,
+           CAST((CAST(raw AS HUGEINT) * {HITS_SCALE}) // mx AS BIGINT) AS a
+    FROM ar{i}, am{i}
+),
+hr{i} AS (
+    SELECT cust, SUM(a) AS raw FROM pairs JOIN a{i} USING (supp)
+    GROUP BY cust
+),
+hm{i} AS (SELECT MAX(raw) AS mx FROM hr{i}),
+h{i + 1} AS MATERIALIZED (
+    SELECT cust,
+           CAST((CAST(raw AS HUGEINT) * {HITS_SCALE}) // mx AS BIGINT) AS h
+    FROM hr{i}, hm{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT role, entity_key, score_micro FROM (
+    SELECT 'supplier' AS role, CAST(supp // 4 AS BIGINT) AS entity_key,
+           a AS score_micro
+    FROM a{rounds - 1}
+    UNION ALL
+    SELECT 'customer', CAST(cust // 4 AS BIGINT), h FROM h{rounds}
+)
+ORDER BY score_micro DESC, role, entity_key"""
+    )
+    return "".join(parts)

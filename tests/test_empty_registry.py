@@ -106,6 +106,8 @@ def test_staged_batch_specs_survive_empty_tables(
         # documented contract: an empty collection has no dominant
         # direction — refuse rather than guess (the pagerank stance)
         "pca_top_component": ValueError,
+        # same stance: no edges, no singular pair
+        "hits_hub_authority": ValueError,
     }
     failures: list[str] = []
     for name, fn in _staged_fns().items():

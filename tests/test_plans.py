@@ -812,3 +812,16 @@ def test_r11_new_ops_scale_legal(spark, sf_dir):
         cms_daily_heavy_hitters(spark, sf_dir),
         require_window_group_limit=True,
     )
+
+
+def test_hits_scale_legal(spark, sf_dir):
+    """The HITS read-off plan: the per-round checkpoints cut lineage,
+    so the final assembly must be checkpoint-scan + union + sort only
+    — no parquet re-scan, no cartesian product. (The in-loop plans are
+    the pagerank shape: equi-joins + scalar broadcasts; the audit on
+    the returned frame pins that no round leaked an un-checkpointed
+    crossJoin chain into the read-off.)"""
+    from pac_spark.operators.graph import hits_hub_authority
+    from pac_spark.plans.audit import assert_scale_legal
+
+    assert_scale_legal(hits_hub_authority(spark, sf_dir), max_scans=0)

@@ -4617,3 +4617,73 @@ def test_gap_fold_split_and_regression():
     with pytest.raises(RuntimeError, match="regression"):
         list(_gap_fold((7, "a"), iter([frame(rows[:2])]), bad))
     assert len(_GAP_STATE.fields) == 2
+
+
+def test_hits_hub_authority_oracle(spark, duck, sf_dir):
+    """Staged for r12: integer HITS power iteration vs the identical
+    unrolled half-round CTE chain."""
+    from pac_spark.operators.graph import HITS_SQL, hits_hub_authority
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(hits_hub_authority(spark, sf_dir), duck.sql(HITS_SQL()))
+
+
+def test_hits_crafted_matches_int_mirror(spark, tmp_path):
+    """INDEPENDENT formulation: a 10-line pure-Python integer mirror
+    of the half-round recurrence on a hand-built 2x2 bipartite graph
+    (c1 buys from s7+s8, c2 from s8 only). The shared-supplier
+    structure makes s8 the max authority and c1 the max hub every
+    round, and the s7/s8 ratio must be marching toward 1/phi (the
+    dominant eigenvector of [[1,1],[1,2]] is (1, phi))."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": [1, 2], "o_custkey": [1, 2]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 1, 2], "l_suppkey": [7, 8, 8]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import HITS_ROUNDS, HITS_SCALE, hits_hub_authority
+
+    edges = [(1, 7), (1, 8), (2, 8)]
+    h = {1: HITS_SCALE, 2: HITS_SCALE}
+    for _ in range(HITS_ROUNDS):
+        a_raw = {}
+        for c, s in edges:
+            a_raw[s] = a_raw.get(s, 0) + h[c]
+        mx = max(a_raw.values())
+        a = {s: v * HITS_SCALE // mx for s, v in a_raw.items()}
+        h_raw = {}
+        for c, s in edges:
+            h_raw[c] = h_raw.get(c, 0) + a[s]
+        mx = max(h_raw.values())
+        h = {c: v * HITS_SCALE // mx for c, v in h_raw.items()}
+
+    got = {
+        (r["role"], r["entity_key"]): r["score_micro"]
+        for r in hits_hub_authority(spark, str(tmp_path)).collect()
+    }
+    want = {("supplier", s): v for s, v in a.items()}
+    want.update({("customer", c): v for c, v in h.items()})
+    assert got == want
+    assert got[("supplier", 8)] == HITS_SCALE and got[("customer", 1)] == HITS_SCALE
+    # 4 rounds in on this graph the ratio sits within 2% of 1/phi
+    assert abs(got[("supplier", 7)] / HITS_SCALE - 0.618) < 0.02
+
+
+def test_hits_rejects_empty_graph(spark, tmp_path):
+    """The pagerank stance: an empty edge set has no singular pair —
+    refuse rather than guess (also the empty-sweep carve-out)."""
+    import pandas as pd
+    import pytest
+
+    pd.DataFrame({"o_orderkey": [], "o_custkey": []}).astype("int64").to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    pd.DataFrame({"l_orderkey": [], "l_suppkey": []}).astype("int64").to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pac_spark.operators.graph import hits_hub_authority
+
+    with pytest.raises(ValueError, match="non-empty edge set"):
+        hits_hub_authority(spark, str(tmp_path))
