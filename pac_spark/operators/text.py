@@ -57,6 +57,8 @@ __all__ = [
     "TV_MATRIX_SQL",
     "bigram_fluency_score",
     "BIGRAM_SQL",
+    "doc_surprisal_octaves",
+    "SURPRISAL_SQL",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -2022,4 +2024,91 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(score_nano) // COUNT(*) AS BIGINT) AS mean_score_nano
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_surprisal_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under the corpus unigram LM, in INTEGER
+    octaves — the log-domain twin of :func:`unigram_prob_score`. That
+    operator keeps exactness by scoring linear mean-p, which the most
+    common tokens dominate; the classical CCNet-style gate wants the
+    mean of ``-log p(tok)``, and this recovers it exactly: a token's
+    surprisal octave is ``floor(log2(N / tf))``, computed with no
+    float log anywhere as ``length(bin(N div tf)) - 1``, which equals
+    ``floor(log2(N / tf))`` for every positive pair (``floor(x) >= m``
+    iff ``x >= m`` for integer m — the vocab_frequency_octaves
+    identity, applied to the RATIO). High mean octave = rare-token
+    junk; low = fluent common-word text; max octave flags the single
+    rarest token (the hapax tripwire).
+
+    Documents with no tokens (NULL text) carry no exploded rows and
+    are absent from the output — stated in both engines.
+
+    Scale shape: one tokenize scan; per-(doc, term) counts first (one
+    map-side-combined shuffle, TYPE rows not occurrence rows from
+    there on), the Heaps'-bounded tf frame derived FROM that pinned
+    frame (no second corpus pass, the unigram_prob_score discipline),
+    the 1-row corpus total broadcast onto the vocab frame, and the
+    octave map equi-joined back on term. The one double division
+    (mean = sum_octave / n_tokens) happens at the read-off.
+    """
+    from pac_spark.cache import pin
+
+    dtc = pin(
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = dtc.groupBy("term").agg(F.sum("c").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n"))
+    octs = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        (F.length(F.bin(F.expr("n div tf"))) - 1).cast("long").alias("oct"),
+    )
+    return (
+        dtc.join(octs, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("oct")).alias("sum_octave"),
+            F.max("oct").alias("max_octave"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "sum_octave",
+            "max_octave",
+            (
+                F.col("sum_octave").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SURPRISAL_SQL = """
+WITH dt AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+dtc AS (
+    SELECT doc_id, lang, term, COUNT(*) AS c FROM dt GROUP BY 1, 2, 3
+),
+tf AS (SELECT term, SUM(c) AS tf FROM dtc GROUP BY term),
+n AS (SELECT SUM(tf) AS n FROM tf),
+octs AS (
+    SELECT term, CAST(length(bin(n // tf)) - 1 AS BIGINT) AS oct
+    FROM tf, n
+)
+SELECT CAST(dtc.doc_id AS BIGINT) AS doc_id, dtc.lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * oct) AS BIGINT) AS sum_octave,
+       CAST(MAX(oct) AS BIGINT) AS max_octave,
+       CAST(SUM(c * oct) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+           AS mean_surprisal
+FROM dtc JOIN octs USING (term)
+GROUP BY 1, 2 ORDER BY doc_id
 """

@@ -825,3 +825,15 @@ def test_hits_scale_legal(spark, sf_dir):
     from pac_spark.plans.audit import assert_scale_legal
 
     assert_scale_legal(hits_hub_authority(spark, sf_dir), max_scans=0)
+
+
+def test_doc_surprisal_scale_legal(spark, sf_dir):
+    """One tokenize scan; the pinned per-(doc, term) frame feeds both
+    the tf derivation and the re-join (no second corpus pass), and the
+    corpus total rides a broadcast — the unigram_prob_score shape."""
+    from pac_spark.operators.text import doc_surprisal_octaves
+    from pac_spark.plans.audit import assert_scale_legal
+
+    a = assert_scale_legal(doc_surprisal_octaves(spark, sf_dir), max_scans=1)
+    if a.broadcast_joins == 0:
+        raise AssertionError(f"corpus total must broadcast: {a}")

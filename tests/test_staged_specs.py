@@ -4687,3 +4687,45 @@ def test_hits_rejects_empty_graph(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty edge set"):
         hits_hub_authority(spark, str(tmp_path))
+
+
+def test_doc_surprisal_octaves_oracle(spark, duck, sf_dir):
+    """Staged for r12: integer octave surprisal vs the identical
+    ratio-floor-log2 formulation."""
+    from pac_spark.operators.text import SURPRISAL_SQL, doc_surprisal_octaves
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        doc_surprisal_octaves(spark, sf_dir), duck.sql(SURPRISAL_SQL)
+    )
+
+
+def test_doc_surprisal_crafted(spark, tmp_path):
+    """Hand-checkable corpus: tf = {a: 5, b: 1, c: 1}, N = 7, so
+    oct(a) = floor(log2(7/5)) = 0 and oct(b) = oct(c) =
+    floor(log2(7)) = 2. The all-common doc scores 0, the hapax doc
+    scores 2, and the NULL-text doc is absent by contract."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a a a a", "a b", "c", None],
+            "lang": ["en", "en", "de", "en"],
+            "source": ["s"] * 4,
+            "n_chars": [7, 3, 1, 0],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import doc_surprisal_octaves
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["sum_octave"], r["max_octave"], r["mean_surprisal"]
+        )
+        for r in doc_surprisal_octaves(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (4, 0, 0, 0.0),
+        2: (2, 2, 2, 1.0),
+        3: (1, 2, 2, 2.0),
+    }
