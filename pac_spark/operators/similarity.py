@@ -56,6 +56,8 @@ __all__ = [
     "ann_recall_audit",
     "pca_top_component",
     "PCA_SQL",
+    "label_centroid_cosine",
+    "CENTROID_COSINE_SQL",
 ]
 
 QUERY_IDS = (0, 1, 2)
@@ -1405,4 +1407,123 @@ SELECT CAST(x.dim AS INT) AS dim,
        CAST(m.m // {PCA_SCALE} AS BIGINT) AS eigenvalue_nano
 FROM x{PCA_ROUNDS} x, m{PCA_ROUNDS} m
 ORDER BY dim
+"""
+
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between the per-label centroids of
+    the embedding collection — the corpus-similarity matrix in
+    embedding space (which classes/sources sit close, the signal a
+    mixing/curation pass reads next to the vocabulary-based
+    ``source_vocab_tv_matrix``). A near-1 off-diagonal pair is a
+    candidate for merged treatment; a negative pair is genuinely
+    separated.
+
+    Exactness: cosine is SCALE-INVARIANT, so it is computed on the
+    per-label component SUM vectors — never the divided means — and
+    those sums are decimal(38,0) over exact 1e-6 fixed-point
+    components (the embedding_dim_stats discipline,
+    order-independent at any partition count). The only float ops are
+    the read-off ``dot / (sqrt(n_a) · sqrt(n_b))`` — cast, sqrt,
+    multiply, divide, each IEEE-correctly-rounded and bit-identical
+    across engines. A zero-norm centroid yields NULL (stated in both
+    engines) rather than an ANSI division error.
+
+    Scale shape: one scan; posexplode → map-side-combined aggregate
+    onto the (label × dim) key space — K·d rows for ANY collection
+    size — then a broadcast self-join on dim (K² · d terms, K =
+    label-space size) and a K²-row read-off. Rows with a NULL label,
+    NULL embedding, or any NULL component are excluded whole
+    (listwise deletion, stated in both engines).
+    """
+    emb = catalog.load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    q = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as long))"
+        ).alias("v"),
+    )
+    sums = pin(
+        q.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    )
+    da = sums.select(
+        F.col("label").alias("la"), "dim", F.col("s").alias("sa")
+    )
+    db = sums.select(
+        F.col("label").alias("lb"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        da.join(F.broadcast(db), "dim")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("nrm")
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").cast("int").alias("label_a"),
+            F.col("lb").cast("int").alias("label_b"),
+            F.when(
+                (F.col("na") == 0) | (F.col("nb") == 0), F.lit(None)
+            )
+            .otherwise(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            )
+            .alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+CENTROID_COSINE_SQL = """
+WITH complete AS (
+    SELECT label, embedding FROM embeddings
+    WHERE label IS NOT NULL AND embedding IS NOT NULL
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+q AS (
+    SELECT label,
+           list_transform(
+               embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           ) AS v
+    FROM complete
+),
+sums AS (
+    SELECT label, u.i - 1 AS dim, SUM(CAST(v[u.i] AS HUGEINT)) AS s
+    FROM q, UNNEST(range(1, len(v) + 1)) u(i)
+    GROUP BY 1, 2
+),
+dots AS (
+    SELECT a.label AS la, b.label AS lb, SUM(a.s * b.s) AS dot
+    FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY 1, 2
+),
+norms AS (SELECT label, SUM(s * s) AS nrm FROM sums GROUP BY label)
+SELECT CAST(la AS INT) AS label_a, CAST(lb AS INT) AS label_b,
+       CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN NULL
+            ELSE CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+       END AS cosine
+FROM dots
+JOIN norms na ON na.label = la
+JOIN norms nb ON nb.label = lb
+ORDER BY label_a, label_b
 """

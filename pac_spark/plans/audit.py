@@ -29,6 +29,10 @@ _NODE_NAME = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
 # expression ids (#123, #45L) and exchange plan ids are per-site
 # aliases, not identity — normalized out of cached-relation keys
 _IDS = re.compile(r"#\d+L?|plan_id=\d+")
+# key normalization additionally strips the attribute NAME in front of
+# its id: renamed read sites must key to the same relation (see
+# _split_cached_subtrees docstring)
+_NAMED_IDS = re.compile(r"\w+#\d+L?|#\d+L?|plan_id=\d+")
 
 # leading tree-drawing characters of a plan line (":  ", "+- ", bars)
 _TREE_PREFIX = re.compile(r"^[\s:+\-]*")
@@ -92,12 +96,18 @@ def _split_cached_subtrees(plan: str) -> tuple[str, dict[str, str]]:
     scans — caught on the funnel cascade's nested pins, plan-audit
     campaign r8). Only truly column-less lines (blank) stay inside
     unconditionally. Relations are keyed by their build-plan
-    BODY with expression/plan ids normalized out — every read site of
-    one cached frame re-aliases its output to fresh expression ids, so
-    the ids distinguish read SITES, not relations (first version keyed
-    on the header line and billed one pin three times). Two separate
-    pins of byte-identical pipelines would collapse to one key; they
-    are the same cost center, so that is the honest direction to err."""
+    BODY with expression/plan ids AND attribute names normalized out —
+    every read site of one cached frame re-aliases its output to fresh
+    expression ids, and a read site that RENAMES columns (a self-join's
+    la/lb split) collapses the new names into the relation header, so
+    both ids and names distinguish read SITES, not relations (first
+    version keyed on the header line and billed one pin three times;
+    keeping names billed the label_centroid_cosine sums pin once per
+    rename — Spark's own cache lookup canonicalizes attribute names
+    away via sameResult, so name-blind keys mirror the real cache).
+    Two separate pins of byte-identical pipelines would collapse to
+    one key; they are the same cost center — and Spark's plan-keyed
+    cache dedupes them too — so that is the honest direction to err."""
     out: list[str] = []
     cached: dict[str, str] = {}
     lines = plan.splitlines()
@@ -162,7 +172,7 @@ def _split_cached_subtrees(plan: str) -> tuple[str, dict[str, str]]:
             # would key differently per site and double-bill its
             # build (code-review r8)
             body = body.split("== Initial Plan ==", 1)[0].rstrip()
-            key = _IDS.sub("#", body)
+            key = _NAMED_IDS.sub("#", body)
             cached.setdefault(key, "\n".join(sub))
     return "\n".join(out), cached
 

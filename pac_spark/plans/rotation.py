@@ -395,12 +395,13 @@ STAGED_QUEUE: tuple[str, ...] = (
     "streaming_interarrival_stats",
     "hits_hub_authority",
     "doc_surprisal_octaves",
-)  # 20 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+    "label_centroid_cosine",
+)  # 21 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
 #    exact-integer power-iteration PCA + the CF holdout eval + the
 #    interarrival streaming twin + integer HITS link analysis + the
-#    log-domain surprisal quality gate), all 3-SF-oracle-green from
-#    birth; r12 capacity = 14 mandatory 2nd-greens (this round's
-#    registrations) + 20 = 34 <= 50
+#    log-domain surprisal quality gate + the centroid cosine matrix),
+#    all 3-SF-oracle-green from birth; r12 capacity = 14 mandatory
+#    2nd-greens (this round's registrations) + 21 = 35 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

@@ -837,3 +837,16 @@ def test_doc_surprisal_scale_legal(spark, sf_dir):
     a = assert_scale_legal(doc_surprisal_octaves(spark, sf_dir), max_scans=1)
     if a.broadcast_joins == 0:
         raise AssertionError(f"corpus total must broadcast: {a}")
+
+
+def test_label_centroid_cosine_scale_legal(spark, sf_dir):
+    """One scan; the (label x dim) sums frame is pinned (it feeds the
+    dots self-join twice AND the norms), and the self-join + norm
+    joins all broadcast — the K-sized frames never shuffle the
+    collection."""
+    from pac_spark.operators.similarity import label_centroid_cosine
+    from pac_spark.plans.audit import assert_scale_legal
+
+    a = assert_scale_legal(label_centroid_cosine(spark, sf_dir), max_scans=1)
+    if a.broadcast_joins < 3:
+        raise AssertionError(f"centroid joins must broadcast: {a}")

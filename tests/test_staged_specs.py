@@ -4729,3 +4729,51 @@ def test_doc_surprisal_crafted(spark, tmp_path):
         2: (2, 2, 2, 1.0),
         3: (1, 2, 2, 2.0),
     }
+
+
+def test_label_centroid_cosine_oracle(spark, duck, sf_dir):
+    """Staged for r12: fixed-point centroid cosine matrix vs the
+    identical sum-vector formulation."""
+    from pac_spark.operators.similarity import (
+        CENTROID_COSINE_SQL,
+        label_centroid_cosine,
+    )
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        label_centroid_cosine(spark, sf_dir), duck.sql(CENTROID_COSINE_SQL)
+    )
+
+
+def test_label_centroid_cosine_crafted(spark, tmp_path):
+    """Hand-checkable geometry: label 0 sums to (2, 0), label 1 to
+    (0, 2), label 2 to (3, 3) -> orthogonal pair scores 0, the 45-deg
+    pairs score 1/sqrt(2); the all-zero label 3 yields NULL (stated
+    contract); the NULL-label and NULL-component rows are excluded."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "vec_id": list(range(7)),
+            "embedding": [
+                [1.0, 0.0], [1.0, 0.0],   # label 0
+                [0.0, 2.0],               # label 1
+                [3.0, 3.0],               # label 2
+                [0.0, 0.0],               # label 3: zero norm
+                [9.0, 9.0],               # NULL label: excluded
+                [1.0, None],              # NULL component: excluded
+            ],
+            "label": pd.array([0, 0, 1, 2, 3, None, 0], dtype="Int32"),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    from pac_spark.operators.similarity import label_centroid_cosine
+
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_cosine(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    assert got[(0, 1)] == 0.0
+    assert abs(got[(0, 2)] - 2**-0.5) < 1e-12
+    assert abs(got[(1, 2)] - 2**-0.5) < 1e-12
+    assert got[(0, 3)] is None and got[(1, 3)] is None and got[(2, 3)] is None
