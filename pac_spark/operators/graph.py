@@ -64,6 +64,9 @@ __all__ = [
     "HITS_SQL",
     "HITS_SCALE",
     "HITS_ROUNDS",
+    "ppr_from_hub",
+    "PPR_SQL",
+    "PPR_ROUNDS",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -1430,5 +1433,129 @@ SELECT role, entity_key, score_micro FROM (
     SELECT 'customer', CAST(cust // 4 AS BIGINT), h FROM h{rounds}
 )
 ORDER BY score_micro DESC, role, entity_key"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from the hub seed
+# ---------------------------------------------------------------------------
+
+PPR_ROUNDS = 8
+
+
+def ppr_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the graph's hub (max degree, ties to
+    the smallest node id — the sssp_from_hub seed rule): teleport mass
+    returns to the SEED, not uniformly, so the stationary score ranks
+    every entity by random-walk PROXIMITY to the seed — the
+    "similar/related entities" query that global :func:`pagerank`
+    cannot answer (its uniform teleport measures global importance).
+
+    Integer exactness: the pagerank micro-unit discipline — BIGINT
+    ranks, per-edge ``rank div deg``, damping in integer percent —
+    with the teleport term ``(100 − d)·SCALE div 100`` landing only on
+    the seed. K = 8 synchronous rounds is part of the SEMANTICS (the
+    sssp hop-bound argument): both engines run exactly K rounds, and
+    the result frame holds exactly the nodes reached within K hops —
+    unreached nodes score 0 and are OMITTED (stated in both engines;
+    an empty graph yields an empty frame, no seed to rank from).
+
+    Scale shape: the rank frame is SPARSE — it starts as 1 row and
+    grows only over the seed's K-hop ball, so per round the hash join
+    rank ⋈ edges and the map-side-combined mass aggregate touch
+    reached-ball rows, not the node space (on a 1000-executor cluster
+    this is the frontier locality global pagerank cannot have); the
+    teleport re-injection is a FULL OUTER join against the 1-row seed
+    frame. Lineage cut per round via the checkpoint registry.
+    """
+    edges = pin(trade_edges(spark, sf_dir))
+    deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    edged = pin(edges.join(deg, "src"))
+    seed = pin(
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    teleport = (100 - DAMPING_PCT) * RANK_SCALE // 100
+    ranks = checkpoint(
+        seed.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
+    )
+    for _ in range(PPR_ROUNDS):
+        mass = (
+            edged.join(ranks, edged.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div deg")).alias("mass"))
+        )
+        ranks = checkpoint(
+            seed.withColumn("t", F.lit(teleport).cast("long"))
+            .join(mass, F.col("node") == F.col("dst"), "full")
+            .select(
+                F.coalesce(F.col("node"), F.col("dst")).alias("node"),
+                (
+                    F.coalesce(F.col("t"), F.lit(0))
+                    + F.expr(
+                        f"({DAMPING_PCT} * coalesce(mass, 0)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    role = F.when(F.col("node") % 4 == 2, F.lit("supplier")).otherwise(
+        F.lit("customer")
+    )
+    return ranks.select(
+        role.alias("role"),
+        F.expr("node div 4").alias("entity_key"),
+        F.col("rank").alias("ppr_micro"),
+    ).orderBy(F.desc("ppr_micro"), "role", "entity_key")
+
+
+def PPR_SQL(rounds: int = PPR_ROUNDS) -> str:
+    """DuckDB oracle: the SAME sparse integer updates, unrolled."""
+    teleport = (100 - DAMPING_PCT) * RANK_SCALE // 100
+    parts = [
+        f"""WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT o_custkey * 4 + 1 AS cust,
+                    l_suppkey * 4 + 2 AS supp
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+edged AS MATERIALIZED (
+    SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src
+),
+seed AS MATERIALIZED (
+    SELECT src AS node FROM deg ORDER BY deg DESC, src LIMIT 1
+),
+r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS rank FROM seed)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+m{i} AS (
+    SELECT e.dst, SUM(p.rank // e.deg) AS mass
+    FROM edged e JOIN r{i} p ON e.src = p.node
+    GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+    SELECT COALESCE(s.node, m.dst) AS node,
+           CAST(COALESCE(s.t, 0)
+                + ({DAMPING_PCT} * COALESCE(m.mass, 0)) // 100
+               AS BIGINT) AS rank
+    FROM (SELECT node, CAST({teleport} AS BIGINT) AS t FROM seed) s
+    FULL JOIN m{i} m ON s.node = m.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CASE WHEN node % 4 = 2 THEN 'supplier' ELSE 'customer' END AS role,
+       CAST(node // 4 AS BIGINT) AS entity_key,
+       rank AS ppr_micro
+FROM r{rounds}
+ORDER BY ppr_micro DESC, role, entity_key"""
     )
     return "".join(parts)

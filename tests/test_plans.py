@@ -850,3 +850,13 @@ def test_label_centroid_cosine_scale_legal(spark, sf_dir):
     a = assert_scale_legal(label_centroid_cosine(spark, sf_dir), max_scans=1)
     if a.broadcast_joins < 3:
         raise AssertionError(f"centroid joins must broadcast: {a}")
+
+
+def test_ppr_scale_legal(spark, sf_dir):
+    """The PPR read-off: per-round checkpoints cut lineage, so the
+    final frame must be checkpoint-scan + sort only — no parquet
+    re-scan, no cartesian product."""
+    from pac_spark.operators.graph import ppr_from_hub
+    from pac_spark.plans.audit import assert_scale_legal
+
+    assert_scale_legal(ppr_from_hub(spark, sf_dir), max_scans=0)

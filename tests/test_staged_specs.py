@@ -4777,3 +4777,85 @@ def test_label_centroid_cosine_crafted(spark, tmp_path):
     assert abs(got[(0, 2)] - 2**-0.5) < 1e-12
     assert abs(got[(1, 2)] - 2**-0.5) < 1e-12
     assert got[(0, 3)] is None and got[(1, 3)] is None and got[(2, 3)] is None
+
+
+def test_ppr_from_hub_oracle(spark, duck, sf_dir):
+    """Staged for r12: sparse integer personalized PageRank vs the
+    identical unrolled full-join teleport rounds."""
+    from pac_spark.operators.graph import PPR_SQL, ppr_from_hub
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(ppr_from_hub(spark, sf_dir), duck.sql(PPR_SQL()))
+
+
+def test_ppr_crafted_sparse_reach(spark, tmp_path):
+    """INDEPENDENT formulation: a pure-Python integer mirror on a
+    chain c1—s7—c2—s8 plus a DISCONNECTED pair c3—s9. The seed is c2
+    (deg 2, smallest encoded id among the deg-2 tie), the reached set
+    is exactly the chain's 4 nodes — the disconnected pair must be
+    ABSENT (the sparse-frame contract), and every present score must
+    equal the mirror's."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 2, 3]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4], "l_suppkey": [7, 7, 8, 9]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import (
+        DAMPING_PCT,
+        PPR_ROUNDS,
+        RANK_SCALE,
+        ppr_from_hub,
+    )
+
+    und = []
+    for c, s in [(1, 7), (2, 7), (2, 8), (3, 9)]:
+        a, b = c * 4 + 1, s * 4 + 2
+        und += [(a, b), (b, a)]
+    deg = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+    seed = min(u for u in deg if deg[u] == max(deg.values()))
+    assert seed == 2 * 4 + 1  # c2 beats s7 on id within the deg-2 tie
+    teleport = (100 - DAMPING_PCT) * RANK_SCALE // 100
+    r = {seed: RANK_SCALE}
+    for _ in range(PPR_ROUNDS):
+        mass = {}
+        for u, v in und:
+            if u in r:
+                mass[v] = mass.get(v, 0) + r[u] // deg[u]
+        r = {
+            v: (teleport if v == seed else 0) + DAMPING_PCT * m // 100
+            for v, m in mass.items()
+        }
+        r[seed] = r.get(seed, teleport)
+    got = {
+        (row["role"], row["entity_key"]): row["ppr_micro"]
+        for row in ppr_from_hub(spark, str(tmp_path)).collect()
+    }
+    want = {
+        ("supplier" if n % 4 == 2 else "customer", n // 4): v
+        for n, v in r.items()
+    }
+    assert got == want
+    assert ("customer", 3) not in got and ("supplier", 9) not in got
+    assert max(got, key=got.get) == ("customer", 2)
+
+
+def test_ppr_empty_graph_is_empty(spark, tmp_path):
+    """No edges -> no seed -> an EMPTY frame (stated contract; the
+    global pagerank raises instead because a uniform teleport needs a
+    node space — a personalized walk just has nowhere to start)."""
+    import pandas as pd
+
+    pd.DataFrame({"o_orderkey": [], "o_custkey": []}).astype("int64").to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    pd.DataFrame({"l_orderkey": [], "l_suppkey": []}).astype("int64").to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pac_spark.operators.graph import ppr_from_hub
+
+    assert ppr_from_hub(spark, str(tmp_path)).collect() == []
