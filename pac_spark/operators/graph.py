@@ -67,6 +67,9 @@ __all__ = [
     "ppr_from_hub",
     "PPR_SQL",
     "PPR_ROUNDS",
+    "hyperball_reach_profile",
+    "HYPERBALL_SQL",
+    "HB_HOPS",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -1557,5 +1560,192 @@ SELECT CASE WHEN node % 4 = 2 THEN 'supplier' ELSE 'customer' END AS role,
        rank AS ppr_micro
 FROM r{rounds}
 ORDER BY ppr_micro DESC, role, entity_key"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: approximate neighborhood function / effective diameter
+# ---------------------------------------------------------------------------
+
+HB_HOPS = 3
+
+
+def hyperball_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2011): the approximate neighborhood
+    function N(t) = Σ_v |ball(v, t)| of the trade graph for
+    t = 0..``HB_HOPS``, plus the share-of-final readout that yields the
+    EFFECTIVE DIAMETER (smallest t whose reach covers ≥ 90% of the
+    final hop's). Exact all-pairs reach is O(n²) — the whole point of
+    the algorithm is that a per-node HyperLogLog of the reachable set
+    merges by register MAX, so one K-round edge propagation computes
+    every node's ball size at once. This is the published
+    MapReduce/SUMMARIZATION shape: per round the register frame
+    (≤ 64·V rows) joins edges once and re-aggregates by max — never a
+    pairwise product.
+
+    Exactness: registers reuse the engine's from-scratch HLL
+    (md5_u60 → 6-bit index + rho of the remaining bits — the
+    hll_distinct_customers_by_priority construction, raw estimate, no
+    small-range correction, all stated there — so SMALL balls
+    overestimate hard: N(0) reads ≈ 45·V, not V, because a 1-element
+    64-register sketch sits deep in HLL's linear-counting regime and
+    the LC branch is libm-ln-tied, which the engine's exactness rule
+    forbids; the SHARE readout is the robust one — near the effective
+    diameter the hops compare similarly-sized balls whose bias largely
+    cancels in the ratio); register maxima
+    commute, so the sketch is partition-invariant, and the per-node
+    estimate is the ONE float division of exact integers that the HLL
+    op already hash-proves. Per-node estimates round to whole
+    entities (BIGINT) before the reach SUM — order-independent — and
+    the share arithmetic runs in decimal(38,0)/HUGEINT, overflow-proof
+    at a 10⁹-node graph (where Σ round(est) ≤ n² ≈ 10¹⁸ still fits
+    BIGINT). An empty graph yields the hop spine with NULL reach in
+    BOTH engines (SUM over nothing), never a division error.
+
+    Scale shape: K = 3 fixed rounds as stated semantics; per round
+    one hash join regs ⋈ edges (same key both sides) + one
+    map-side-combined (node, reg) max + a checkpoint; each hop's
+    readout aggregates the checkpointed register frame — the
+    whole profile costs K joins over a frame 64× the node count.
+    """
+    from pac_spark.functions.hashing import md5_u60
+    from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM, _rho_case
+
+    edges = pin(trade_edges(spark, sf_dir))
+    # symmetric graph: the src column alone covers the node set
+    nodes = edges.select("src").distinct()
+    h = md5_u60(F.concat(F.lit("hb|"), F.col("src").cast("string")))
+    regs = checkpoint(
+        nodes.select(
+            F.col("src").alias("node"),
+            (h % HLL_M).alias("reg"),
+            F.shiftright(h, 6).alias("w"),
+        )
+        .withColumn("m", F.expr(_rho_case("w")))
+        .select("node", "reg", "m")
+    )
+
+    def readout(frame: DataFrame, hop: int) -> DataFrame:
+        per_node = frame.groupBy("node").agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {HLL_K} - m)")
+            ).alias("s_active"),
+        )
+        s_total = F.col("s_active") + (
+            F.lit(HLL_M) - F.col("n_active")
+        ) * F.lit(2**HLL_K)
+        est = F.round(F.lit(_HLL_EST_NUM) / s_total.cast("double")).cast(
+            "long"
+        )
+        return (
+            per_node.select(est.alias("e"))
+            .agg(F.sum("e").alias("reach_est"))
+            .select(F.lit(hop).cast("int").alias("hop"), "reach_est")
+        )
+
+    frames = [readout(regs, 0)]
+    for t in range(1, HB_HOPS + 1):
+        moved = edges.join(regs, edges.src == regs.node).select(
+            F.col("dst").alias("node"), "reg", "m"
+        )
+        regs = checkpoint(
+            moved.unionByName(regs.select("node", "reg", "m"))
+            .groupBy("node", "reg")
+            .agg(F.max("m").alias("m"))
+        )
+        frames.append(readout(regs, t))
+    prof = frames[0]
+    for f in frames[1:]:
+        prof = prof.unionByName(f)
+    fin = prof.where(F.col("hop") == HB_HOPS).select(
+        F.col("reach_est").alias("final_est")
+    )
+    share = F.expr(
+        "CAST((CAST(reach_est AS DECIMAL(38,0)) * 1000) div final_est"
+        " AS BIGINT)"
+    )
+    return (
+        prof.crossJoin(F.broadcast(fin))
+        .select(
+            "hop",
+            "reach_est",
+            share.alias("share_of_final_milli"),
+            (share >= 900).alias("reaches_90pct"),
+        )
+        .orderBy("hop")
+    )
+
+
+def HYPERBALL_SQL(hops: int = HB_HOPS) -> str:
+    """DuckDB oracle: the SAME register propagation, unrolled, with
+    the hll op's estimate expression verbatim per hop."""
+    from pac_spark.functions.hashing import md5_u60_sql
+    from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM, _rho_case
+
+    h = md5_u60_sql("'hb|' || CAST(node AS VARCHAR)")
+
+    def est_cte(t: int) -> str:
+        return f""",
+p{t} AS (
+    SELECT node, COUNT(*) AS n_active,
+           SUM(CAST(1 AS BIGINT) << ({HLL_K} - m)) AS s_active
+    FROM h{t} GROUP BY node
+),
+r{t} AS (
+    SELECT {t} AS hop,
+           SUM(CAST(ROUND({_HLL_EST_NUM!r}
+               / CAST(s_active + ({HLL_M} - n_active)
+                      * CAST({2**HLL_K} AS BIGINT) AS DOUBLE))
+               AS BIGINT)) AS reach_est
+    FROM p{t}
+)"""
+
+    parts = [
+        f"""WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT o_custkey * 4 + 1 AS cust,
+                    l_suppkey * 4 + 2 AS supp
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+    SELECT cust AS src, supp AS dst FROM pairs
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+hashed AS (
+    SELECT node, {h} % {HLL_M} AS reg, {h} // {HLL_M} AS w FROM nodes
+),
+h0 AS MATERIALIZED (
+    SELECT node, reg, {_rho_case('w')} AS m FROM hashed
+)"""
+    ]
+    parts.append(est_cte(0))
+    for t in range(1, hops + 1):
+        parts.append(
+            f""",
+h{t} AS MATERIALIZED (
+    SELECT node, reg, MAX(m) AS m FROM (
+        SELECT e.dst AS node, r.reg, r.m
+        FROM edges e JOIN h{t - 1} r ON r.node = e.src
+        UNION ALL
+        SELECT node, reg, m FROM h{t - 1}
+    ) u GROUP BY node, reg
+)"""
+        )
+        parts.append(est_cte(t))
+    union = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(hops + 1))
+    parts.append(
+        f""",
+prof AS ({union}),
+fin AS (SELECT reach_est AS final_est FROM prof WHERE hop = {hops})
+SELECT CAST(hop AS INT) AS hop,
+       CAST(reach_est AS BIGINT) AS reach_est,
+       CAST((CAST(reach_est AS HUGEINT) * 1000) // final_est AS BIGINT)
+           AS share_of_final_milli,
+       ((CAST(reach_est AS HUGEINT) * 1000) // final_est) >= 900
+           AS reaches_90pct
+FROM prof, fin ORDER BY hop"""
     )
     return "".join(parts)

@@ -860,3 +860,13 @@ def test_ppr_scale_legal(spark, sf_dir):
     from pac_spark.plans.audit import assert_scale_legal
 
     assert_scale_legal(ppr_from_hub(spark, sf_dir), max_scans=0)
+
+
+def test_hyperball_scale_legal(spark, sf_dir):
+    """The HyperBall read-off: per-round checkpoints mean the final
+    plan is K+1 readout aggregates over checkpoint scans + the 1-row
+    final broadcast — no parquet re-scan, no cartesian product."""
+    from pac_spark.operators.graph import hyperball_reach_profile
+    from pac_spark.plans.audit import assert_scale_legal
+
+    assert_scale_legal(hyperball_reach_profile(spark, sf_dir), max_scans=0)

@@ -4859,3 +4859,103 @@ def test_ppr_empty_graph_is_empty(spark, tmp_path):
     from pac_spark.operators.graph import ppr_from_hub
 
     assert ppr_from_hub(spark, str(tmp_path)).collect() == []
+
+
+def test_hyperball_oracle(spark, duck, sf_dir):
+    """Staged for r12: HLL-register BFS neighborhood function vs the
+    identical unrolled register propagation."""
+    from pac_spark.operators.graph import HYPERBALL_SQL, hyperball_reach_profile
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        hyperball_reach_profile(spark, sf_dir), duck.sql(HYPERBALL_SQL())
+    )
+
+
+def test_hyperball_crafted_matches_exact_ball_mirror(spark, tmp_path):
+    """INDEPENDENT formulation: on a graph tiny enough to enumerate,
+    compute every node's EXACT t-ball with pure-Python BFS, rebuild
+    each ball's 64-register sketch with hashlib md5 (the md5_u60
+    definition verbatim: first 15 hex digits), and read the estimate
+    through the same raw formula — row-for-row equality proves the
+    distributed register propagation computes exactly the union
+    sketch of the exact ball."""
+    import hashlib
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_custkey": [1, 2, 2]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3], "l_suppkey": [7, 7, 8]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import HB_HOPS, hyperball_reach_profile
+    from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM
+
+    und = []
+    for c, s in [(1, 7), (2, 7), (2, 8)]:
+        a, b = c * 4 + 1, s * 4 + 2
+        und += [(a, b), (b, a)]
+    nodes = sorted({u for u, _ in und})
+    adj = {n: {v for u, v in und if u == n} for n in nodes}
+
+    def ball(v, t):
+        cur = {v}
+        for _ in range(t):
+            cur = cur | {w for u in cur for w in adj[u]}
+        return cur
+
+    def est(members):
+        regs = {}
+        for n in members:
+            h = int(hashlib.md5(f"hb|{n}".encode()).hexdigest()[:15], 16)
+            w, reg = h >> 6, h % HLL_M
+            rho = 55 if w == 0 else (w & -w).bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        s_tot = sum(1 << (HLL_K - m) for m in regs.values()) + (
+            HLL_M - len(regs)
+        ) * (1 << HLL_K)
+        # mirror both engines' ROUND (half away from zero on positives)
+        import decimal
+
+        return int(
+            decimal.Decimal(_HLL_EST_NUM / s_tot).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    want = {
+        t: sum(est(ball(v, t)) for v in nodes) for t in range(HB_HOPS + 1)
+    }
+    got = {
+        r["hop"]: r["reach_est"]
+        for r in hyperball_reach_profile(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the profile is monotone and the final hop covers itself
+    rows = hyperball_reach_profile(spark, str(tmp_path)).collect()
+    by_hop = sorted(rows, key=lambda r: r["hop"])
+    assert all(
+        a["reach_est"] <= b["reach_est"] for a, b in zip(by_hop, by_hop[1:])
+    )
+    assert by_hop[-1]["share_of_final_milli"] == 1000
+    assert by_hop[-1]["reaches_90pct"] is True
+
+
+def test_hyperball_empty_graph_null_spine(spark, tmp_path):
+    """No nodes -> the hop spine survives with NULL reach in BOTH
+    engines (SUM over nothing), never a division error."""
+    import pandas as pd
+
+    pd.DataFrame({"o_orderkey": [], "o_custkey": []}).astype("int64").to_parquet(
+        tmp_path / "orders.parquet"
+    )
+    pd.DataFrame({"l_orderkey": [], "l_suppkey": []}).astype("int64").to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pac_spark.operators.graph import HB_HOPS, hyperball_reach_profile
+
+    rows = hyperball_reach_profile(spark, str(tmp_path)).collect()
+    assert [r["hop"] for r in rows] == list(range(HB_HOPS + 1))
+    assert all(r["reach_est"] is None for r in rows)
