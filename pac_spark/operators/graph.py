@@ -70,6 +70,9 @@ __all__ = [
     "hyperball_reach_profile",
     "HYPERBALL_SQL",
     "HB_HOPS",
+    "hyperball_harmonic_centrality",
+    "HARMONIC_SQL",
+    "HC_TOP",
 ]
 
 RANK_SCALE = 10**12  # rank micro-units: total initial mass
@@ -1571,6 +1574,61 @@ ORDER BY ppr_micro DESC, role, entity_key"""
 HB_HOPS = 3
 
 
+def _hyperball_regs(spark: SparkSession, sf_dir: str) -> list:
+    """The shared HyperBall register propagation: the checkpointed
+    (node, reg, m) frame after each hop, ``[ball(·,0) .. ball(·,K)]``.
+    Both readouts (global reach profile, per-node harmonic centrality)
+    consume the same frames; the construction and its guarantees are
+    documented on :func:`hyperball_reach_profile`."""
+    from pac_spark.functions.hashing import md5_u60
+    from pac_spark.operators.sketch import HLL_M, _rho_case
+
+    edges = pin(trade_edges(spark, sf_dir))
+    # symmetric graph: the src column alone covers the node set
+    nodes = edges.select("src").distinct()
+    h = md5_u60(F.concat(F.lit("hb|"), F.col("src").cast("string")))
+    regs = checkpoint(
+        nodes.select(
+            F.col("src").alias("node"),
+            (h % HLL_M).alias("reg"),
+            F.shiftright(h, 6).alias("w"),
+        )
+        .withColumn("m", F.expr(_rho_case("w")))
+        .select("node", "reg", "m")
+    )
+    out = [regs]
+    for _ in range(HB_HOPS):
+        moved = edges.join(regs, edges.src == regs.node).select(
+            F.col("dst").alias("node"), "reg", "m"
+        )
+        regs = checkpoint(
+            moved.unionByName(regs.select("node", "reg", "m"))
+            .groupBy("node", "reg")
+            .agg(F.max("m").alias("m"))
+        )
+        out.append(regs)
+    return out
+
+
+def _hb_node_estimates(frame: DataFrame) -> DataFrame:
+    """(node, e): the raw HLL estimate of one register frame, rounded
+    to whole BIGINT entities — the hll op's exact-integer harmonic sum
+    with the one float division at the read-off."""
+    from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM
+
+    per_node = frame.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_K} - m)")
+        ).alias("s_active"),
+    )
+    s_total = F.col("s_active") + (
+        F.lit(HLL_M) - F.col("n_active")
+    ) * F.lit(2**HLL_K)
+    est = F.round(F.lit(_HLL_EST_NUM) / s_total.cast("double")).cast("long")
+    return per_node.select("node", est.alias("e"))
+
+
 def hyperball_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall (Boldi & Vigna 2011): the approximate neighborhood
     function N(t) = Σ_v |ball(v, t)| of the trade graph for
@@ -1609,53 +1667,14 @@ def hyperball_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout aggregates the checkpointed register frame — the
     whole profile costs K joins over a frame 64× the node count.
     """
-    from pac_spark.functions.hashing import md5_u60
-    from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM, _rho_case
-
-    edges = pin(trade_edges(spark, sf_dir))
-    # symmetric graph: the src column alone covers the node set
-    nodes = edges.select("src").distinct()
-    h = md5_u60(F.concat(F.lit("hb|"), F.col("src").cast("string")))
-    regs = checkpoint(
-        nodes.select(
-            F.col("src").alias("node"),
-            (h % HLL_M).alias("reg"),
-            F.shiftright(h, 6).alias("w"),
-        )
-        .withColumn("m", F.expr(_rho_case("w")))
-        .select("node", "reg", "m")
-    )
-
-    def readout(frame: DataFrame, hop: int) -> DataFrame:
-        per_node = frame.groupBy("node").agg(
-            F.count(F.lit(1)).alias("n_active"),
-            F.sum(
-                F.expr(f"shiftleft(cast(1 as bigint), {HLL_K} - m)")
-            ).alias("s_active"),
-        )
-        s_total = F.col("s_active") + (
-            F.lit(HLL_M) - F.col("n_active")
-        ) * F.lit(2**HLL_K)
-        est = F.round(F.lit(_HLL_EST_NUM) / s_total.cast("double")).cast(
-            "long"
-        )
-        return (
-            per_node.select(est.alias("e"))
-            .agg(F.sum("e").alias("reach_est"))
-            .select(F.lit(hop).cast("int").alias("hop"), "reach_est")
-        )
-
-    frames = [readout(regs, 0)]
-    for t in range(1, HB_HOPS + 1):
-        moved = edges.join(regs, edges.src == regs.node).select(
-            F.col("dst").alias("node"), "reg", "m"
-        )
-        regs = checkpoint(
-            moved.unionByName(regs.select("node", "reg", "m"))
-            .groupBy("node", "reg")
-            .agg(F.max("m").alias("m"))
-        )
-        frames.append(readout(regs, t))
+    frames = [
+        # global agg (no grouping): an empty graph must still yield
+        # the hop row, with NULL reach — the stated spine contract
+        _hb_node_estimates(r)
+        .agg(F.sum("e").alias("reach_est"))
+        .select(F.lit(t).cast("int").alias("hop"), "reach_est")
+        for t, r in enumerate(_hyperball_regs(spark, sf_dir))
+    ]
     prof = frames[0]
     for f in frames[1:]:
         prof = prof.unionByName(f)
@@ -1678,9 +1697,10 @@ def hyperball_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def HYPERBALL_SQL(hops: int = HB_HOPS) -> str:
-    """DuckDB oracle: the SAME register propagation, unrolled, with
-    the hll op's estimate expression verbatim per hop."""
+def _HB_PREFIX_SQL(hops: int) -> str:
+    """The shared oracle prefix: the unrolled register propagation
+    (h0..h{K}) plus each hop's per-node estimate CTE (e0..e{K} with
+    columns node, e) — both HyperBall readouts build on it."""
     from pac_spark.functions.hashing import md5_u60_sql
     from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM, _rho_case
 
@@ -1688,18 +1708,17 @@ def HYPERBALL_SQL(hops: int = HB_HOPS) -> str:
 
     def est_cte(t: int) -> str:
         return f""",
-p{t} AS (
-    SELECT node, COUNT(*) AS n_active,
-           SUM(CAST(1 AS BIGINT) << ({HLL_K} - m)) AS s_active
-    FROM h{t} GROUP BY node
-),
-r{t} AS (
-    SELECT {t} AS hop,
-           SUM(CAST(ROUND({_HLL_EST_NUM!r}
+e{t} AS (
+    SELECT node,
+           CAST(ROUND({_HLL_EST_NUM!r}
                / CAST(s_active + ({HLL_M} - n_active)
                       * CAST({2**HLL_K} AS BIGINT) AS DOUBLE))
-               AS BIGINT)) AS reach_est
-    FROM p{t}
+               AS BIGINT) AS e
+    FROM (
+        SELECT node, COUNT(*) AS n_active,
+               SUM(CAST(1 AS BIGINT) << ({HLL_K} - m)) AS s_active
+        FROM h{t} GROUP BY node
+    ) p{t}
 )"""
 
     parts = [
@@ -1735,9 +1754,23 @@ h{t} AS MATERIALIZED (
 )"""
         )
         parts.append(est_cte(t))
+    return "".join(parts)
+
+
+def HYPERBALL_SQL(hops: int = HB_HOPS) -> str:
+    """DuckDB oracle: the SAME register propagation, unrolled, with
+    the hll op's estimate expression verbatim per hop."""
+    readouts = ",".join(
+        f"""
+r{t} AS (SELECT {t} AS hop, SUM(e) AS reach_est FROM e{t})"""
+        for t in range(hops + 1)
+    )
     union = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(hops + 1))
-    parts.append(
-        f""",
+    return (
+        _HB_PREFIX_SQL(hops)
+        + ","
+        + readouts
+        + f""",
 prof AS ({union}),
 fin AS (SELECT reach_est AS final_est FROM prof WHERE hop = {hops})
 SELECT CAST(hop AS INT) AS hop,
@@ -1748,4 +1781,77 @@ SELECT CAST(hop AS INT) AS hop,
            AS reaches_90pct
 FROM prof, fin ORDER BY hop"""
     )
-    return "".join(parts)
+
+
+HC_TOP = 20
+
+
+def hyperball_harmonic_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate HARMONIC CENTRALITY — Boldi & Vigna's actual
+    headline application of HyperBall: C_H(v) = Σ_{u≠v} 1/d(v, u),
+    estimated hop-wise as Σ_t (|ball(v,t)| − |ball(v,t−1)|)/t for
+    t = 1..``HB_HOPS`` (nodes first reached at hop t contribute 1/t;
+    beyond-K contributions are cut — the hop bound is stated
+    semantics, the sssp argument). The top-``HC_TOP`` most central
+    entities, the "who can reach the market fastest" readout that
+    degree alone gets wrong on chained topologies.
+
+    Exactness: per-hop per-node estimates are the shared whole-entity
+    BIGINT read-off (:func:`_hb_node_estimates`); register maxima are
+    monotone, so every hop delta is ≥ 0 BEFORE rounding and the
+    rounded estimates stay nondecreasing — each 1/t term is then the
+    truncating division ``(delta·1000) div t``, summed as exact
+    integers. Ordering is total (centrality desc, role, entity key),
+    so the top-k cut is deterministic.
+
+    Scale shape: the register propagation is shared (K joins over the
+    ≤ 64·V-row frame); the readout joins K+1 node-sized estimate
+    frames on node and cuts with TakeOrderedAndProject — no extra
+    corpus pass, no window over a single partition.
+    """
+    ests = [
+        _hb_node_estimates(r).withColumnRenamed("e", f"e{t}")
+        for t, r in enumerate(_hyperball_regs(spark, sf_dir))
+    ]
+    joined = ests[0]
+    for f in ests[1:]:
+        joined = joined.join(f, "node")
+    cent = sum(
+        F.expr(f"((e{t} - e{t - 1}) * 1000) div {t}")
+        for t in range(1, HB_HOPS + 1)
+    )
+    role = F.when(F.col("node") % 4 == 2, F.lit("supplier")).otherwise(
+        F.lit("customer")
+    )
+    return (
+        joined.select(
+            role.alias("role"),
+            F.expr("node div 4").alias("entity_key"),
+            cent.cast("long").alias("centrality_milli"),
+        )
+        .orderBy(F.desc("centrality_milli"), "role", "entity_key")
+        .limit(HC_TOP)
+    )
+
+
+def HARMONIC_SQL(hops: int = HB_HOPS, top: int = HC_TOP) -> str:
+    """DuckDB oracle: the shared prefix + the per-node hop-delta
+    harmonic sum."""
+    joins = " ".join(
+        f"JOIN e{t} ON e{t}.node = e0.node" for t in range(1, hops + 1)
+    )
+    terms = " + ".join(
+        f"((e{t}.e - e{t - 1}.e) * 1000) // {t}" for t in range(1, hops + 1)
+    )
+    return (
+        _HB_PREFIX_SQL(hops)
+        + f"""
+SELECT CASE WHEN e0.node % 4 = 2 THEN 'supplier' ELSE 'customer' END AS role,
+       CAST(e0.node // 4 AS BIGINT) AS entity_key,
+       CAST({terms} AS BIGINT) AS centrality_milli
+FROM e0 {joins}
+ORDER BY centrality_milli DESC, role, entity_key
+LIMIT {top}"""
+    )

@@ -192,8 +192,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # committed evidence, so evidence and hoist must land together).
 #
 # R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
-# emptied the queue; 23 NEW operators then staged (heaps_vocab_growth
-# .. hyperball_reach_profile, incl. both VERDICT r10 next-#3
+# emptied the queue; 24 NEW operators then staged (heaps_vocab_growth
+# .. hyperball_harmonic_centrality, incl. both VERDICT r10 next-#3
 # items), each
 # 3-SF-oracle-green from birth, all 16 batch ops NULL-lace clean, all
 # plan-shape pinned (tests/test_plans.py::test_r11_new_ops_scale_legal).
@@ -210,8 +210,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # FORCE_HOIST to () + regenerate + paste. Mandatory = only the 14
 # r11-intake specs (their single r11 green needs its 2nd consecutive;
 # the 26 r10-intake specs reach two-consecutive with the r11 run and
-# ride the tail); step 2: register the whole 23-spec queue
-# (14 + 23 = 37 <= 50, the queue empties again) and use the ~13
+# ride the tail); step 2: register the whole 24-spec queue
+# (14 + 24 = 38 <= 50, the queue empties again) and use the ~12
 # remaining slots as staleness fill.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
@@ -398,13 +398,15 @@ STAGED_QUEUE: tuple[str, ...] = (
     "label_centroid_cosine",
     "ppr_from_hub",
     "hyperball_reach_profile",
-)  # 23 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+    "hyperball_harmonic_centrality",
+)  # 24 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
 #    exact-integer power-iteration PCA + the CF holdout eval + the
 #    interarrival streaming twin + integer HITS link analysis + the
 #    log-domain surprisal quality gate + the centroid cosine matrix +
 #    sparse personalized PageRank + the HyperBall neighborhood
-#    function), all 3-SF-oracle-green from birth; r12 capacity = 14
-#    mandatory 2nd-greens (this round's registrations) + 23 = 37 <= 50
+#    function + its harmonic-centrality readout), all 3-SF-oracle-green
+#    from birth; r12 capacity = 14 mandatory 2nd-greens (this round's
+#    registrations) + 24 = 38 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

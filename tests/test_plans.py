@@ -870,3 +870,15 @@ def test_hyperball_scale_legal(spark, sf_dir):
     from pac_spark.plans.audit import assert_scale_legal
 
     assert_scale_legal(hyperball_reach_profile(spark, sf_dir), max_scans=0)
+
+
+def test_harmonic_centrality_scale_legal(spark, sf_dir):
+    """The harmonic read-off: K+1 node-sized estimate frames joined on
+    node over checkpoint scans, TakeOrderedAndProject cut — no parquet
+    re-scan, no cartesian product."""
+    from pac_spark.operators.graph import hyperball_harmonic_centrality
+    from pac_spark.plans.audit import assert_scale_legal
+
+    assert_scale_legal(
+        hyperball_harmonic_centrality(spark, sf_dir), max_scans=0
+    )

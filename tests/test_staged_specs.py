@@ -4959,3 +4959,80 @@ def test_hyperball_empty_graph_null_spine(spark, tmp_path):
     rows = hyperball_reach_profile(spark, str(tmp_path)).collect()
     assert [r["hop"] for r in rows] == list(range(HB_HOPS + 1))
     assert all(r["reach_est"] is None for r in rows)
+
+
+def test_harmonic_centrality_oracle(spark, duck, sf_dir):
+    """Staged for r12: per-node hop-delta harmonic centrality vs the
+    identical shared-prefix formulation."""
+    from pac_spark.operators.graph import HARMONIC_SQL, hyperball_harmonic_centrality
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        hyperball_harmonic_centrality(spark, sf_dir), duck.sql(HARMONIC_SQL())
+    )
+
+
+def test_harmonic_centrality_crafted_mirror(spark, tmp_path):
+    """INDEPENDENT formulation on the chain c1—s7—c2—s8—c3: exact
+    Python BFS balls → hashlib register sketches → hop-delta harmonic
+    sum, row-for-row against the operator (the hyperball mirror,
+    extended through the 1/t read-off)."""
+    import hashlib
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 2, 3]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {"l_orderkey": [1, 2, 3, 4], "l_suppkey": [7, 7, 8, 8]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    from pac_spark.operators.graph import HB_HOPS, hyperball_harmonic_centrality
+    from pac_spark.operators.sketch import HLL_K, HLL_M, _HLL_EST_NUM
+
+    und = []
+    for c, s in {(1, 7), (2, 7), (2, 8), (3, 8)}:
+        a, b = c * 4 + 1, s * 4 + 2
+        und += [(a, b), (b, a)]
+    nodes = sorted({u for u, _ in und})
+    adj = {n: {v for u, v in und if u == n} for n in nodes}
+
+    def ball(v, t):
+        cur = {v}
+        for _ in range(t):
+            cur = cur | {w for u in cur for w in adj[u]}
+        return cur
+
+    import decimal
+
+    def est(members):
+        regs = {}
+        for n in members:
+            h = int(hashlib.md5(f"hb|{n}".encode()).hexdigest()[:15], 16)
+            w, reg = h >> 6, h % HLL_M
+            rho = 55 if w == 0 else (w & -w).bit_length()
+            regs[reg] = max(regs.get(reg, 0), rho)
+        s_tot = sum(1 << (HLL_K - m) for m in regs.values()) + (
+            HLL_M - len(regs)
+        ) * (1 << HLL_K)
+        return int(
+            decimal.Decimal(_HLL_EST_NUM / s_tot).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    want = {}
+    for v in nodes:
+        es = [est(ball(v, t)) for t in range(HB_HOPS + 1)]
+        want[v] = sum(
+            (es[t] - es[t - 1]) * 1000 // t for t in range(1, HB_HOPS + 1)
+        )
+    got = {
+        (r["role"], r["entity_key"]): r["centrality_milli"]
+        for r in hyperball_harmonic_centrality(spark, str(tmp_path)).collect()
+    }
+    want_rows = {
+        ("supplier" if n % 4 == 2 else "customer", n // 4): v
+        for n, v in want.items()
+    }
+    assert got == want_rows
