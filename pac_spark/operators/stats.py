@@ -76,6 +76,9 @@ __all__ = [
     "HALFLIFE_SQL",
     "EWMA_SQL",
     "EWMA_SPAN",
+    "jackknife_se_price_by_priority",
+    "JACKKNIFE_SQL",
+    "JK_BUCKETS",
 ]
 
 PCTS = (25, 50, 75, 90, 99)
@@ -2135,4 +2138,160 @@ SELECT l_returnflag,
        CAST(MAX(n) AS BIGINT) AS total_units,
        {reads}
 FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-bucket jackknife standard error
+# ---------------------------------------------------------------------------
+
+JK_BUCKETS = 32
+
+
+def jackknife_se_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delete-d jackknife standard error of the mean order price per
+    priority — distributed uncertainty quantification: a point
+    estimate (the mean) ships with a resampling-based SE without ever
+    materializing resamples. Rows land in ``JK_BUCKETS`` deterministic
+    salted-md5 buckets (the curation split discipline); each
+    leave-one-bucket-out replicate mean is computed from the ONE
+    bucket-sums frame by subtraction, and
+    SE = sqrt((g−1)/g · Σ_g (m_g − m̄)²) over the g PRESENT buckets.
+
+    Exactness: prices sum as exact cents; each replicate mean is one
+    double division quantized to 1e-6-cent integers (ROUND, identical
+    in both engines — the exact_avg discipline), and the variance is
+    the integer identity ``g·Σq² − (Σq)²`` in decimal(38,0) with the
+    one sqrt/division at the read-off. A group where some replicate is
+    degenerate (a bucket holds ALL of the group's rows, so the
+    leave-it-out mean is 0/0) reads SE = NULL — stated in both
+    engines. The double cast of the exact cent sums is faithful below
+    2⁵³ cents per group (~9·10¹³ dollars); past that the mean itself
+    needs the decimal read-off, stated here, not silently wrong.
+    NULL prices are excluded; the NULL-priority lace rows drop at the
+    bucket⋈totals join in BOTH engines (equality join semantics).
+
+    Scale shape: one scan → one map-side-combined (priority, bucket)
+    aggregate (≤ groups·32 rows leave the map side); everything after
+    is arithmetic on that K-row frame — totals derive FROM it, never a
+    second corpus pass — with one broadcast join back.
+    """
+    from pac_spark.cache import pin
+    from pac_spark.functions.hashing import md5_bucket
+
+    g = JK_BUCKETS
+    b = pin(
+        catalog.load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            md5_bucket(
+                F.concat(F.lit("jk|"), F.col("o_orderkey").cast("string")),
+                g,
+            ).alias("g"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("s_g"),
+        )
+    )
+    t = b.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("g_cnt"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    q = b.join(F.broadcast(t), "prio").select(
+        "prio",
+        F.when(F.col("n") == F.col("n_g"), F.lit(None))
+        .otherwise(
+            F.round(
+                (F.col("s") - F.col("s_g")).cast("double")
+                / (F.col("n") - F.col("n_g"))
+                * F.lit(1000000.0)
+            ).cast("long")
+        )
+        .alias("q"),
+    )
+    agg = q.groupBy("prio").agg(
+        F.max(
+            F.when(F.col("q").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("degen"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sq"),
+    )
+    se = F.sqrt(
+        (
+            (F.col("g_cnt") - 1).cast("decimal(38,0)")
+            * (
+                F.col("g_cnt").cast("decimal(38,0)") * F.col("sq")
+                - F.col("s1") * F.col("s1")
+            )
+        ).cast("double")
+    ) / (F.col("g_cnt").cast("double") * F.lit(100000000.0))
+    return (
+        t.join(F.broadcast(agg), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("g_cnt").cast("long").alias("n_buckets"),
+            (
+                F.col("s").cast("double")
+                / (F.col("n").cast("double") * F.lit(100.0))
+            ).alias("mean_price"),
+            F.when(F.col("degen") == 1, F.lit(None)).otherwise(se).alias(
+                "jackknife_se"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def JACKKNIFE_SQL(g: int = JK_BUCKETS) -> str:
+    """DuckDB oracle: the identical bucket-subtraction replicates."""
+    from pac_spark.functions.hashing import md5_bucket_sql
+
+    bucket = md5_bucket_sql("'jk|' || CAST(o_orderkey AS VARCHAR)", g)
+    return f"""
+WITH b AS (
+    SELECT o_orderpriority AS prio, {bucket} AS g,
+           COUNT(*) AS n_g,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s_g
+    FROM orders WHERE o_totalprice IS NOT NULL
+    GROUP BY 1, 2
+),
+t AS (
+    SELECT prio, COUNT(*) AS g_cnt, SUM(n_g) AS n, SUM(s_g) AS s
+    FROM b GROUP BY prio
+),
+q AS (
+    SELECT b.prio,
+           CASE WHEN t.n = b.n_g THEN NULL
+                ELSE CAST(ROUND(CAST(t.s - b.s_g AS DOUBLE)
+                                / (t.n - b.n_g) * 1000000.0) AS BIGINT)
+           END AS q
+    FROM b JOIN t ON b.prio = t.prio
+),
+agg AS (
+    SELECT prio,
+           MAX(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS degen,
+           SUM(CAST(q AS HUGEINT)) AS s1,
+           SUM(CAST(q AS HUGEINT) * q) AS sq
+    FROM q GROUP BY prio
+)
+SELECT t.prio AS o_orderpriority,
+       CAST(t.n AS BIGINT) AS n_rows,
+       CAST(t.g_cnt AS BIGINT) AS n_buckets,
+       CAST(t.s AS DOUBLE) / (CAST(t.n AS DOUBLE) * 100.0) AS mean_price,
+       CASE WHEN agg.degen = 1 THEN NULL
+            ELSE sqrt(CAST((t.g_cnt - 1)
+                           * (t.g_cnt * agg.sq - agg.s1 * agg.s1)
+                           AS DOUBLE))
+                 / (CAST(t.g_cnt AS DOUBLE) * 100000000.0)
+       END AS jackknife_se
+FROM t JOIN agg ON t.prio = agg.prio
+ORDER BY o_orderpriority
 """

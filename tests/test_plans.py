@@ -882,3 +882,16 @@ def test_harmonic_centrality_scale_legal(spark, sf_dir):
     assert_scale_legal(
         hyperball_harmonic_centrality(spark, sf_dir), max_scans=0
     )
+
+
+def test_jackknife_scale_legal(spark, sf_dir):
+    """One scan; the pinned (priority, bucket) frame feeds totals,
+    replicates, and the read-off; joins back broadcast."""
+    from pac_spark.operators.stats import jackknife_se_price_by_priority
+    from pac_spark.plans.audit import assert_scale_legal
+
+    a = assert_scale_legal(
+        jackknife_se_price_by_priority(spark, sf_dir), max_scans=1
+    )
+    if a.broadcast_joins < 2:
+        raise AssertionError(f"K-row joins must broadcast: {a}")

@@ -5036,3 +5036,64 @@ def test_harmonic_centrality_crafted_mirror(spark, tmp_path):
         for n, v in want.items()
     }
     assert got == want_rows
+
+
+def test_jackknife_se_oracle(spark, duck, sf_dir):
+    """Staged for r12: bucket-subtraction jackknife replicates vs the
+    identical formulation."""
+    from pac_spark.operators.stats import JACKKNIFE_SQL, jackknife_se_price_by_priority
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        jackknife_se_price_by_priority(spark, sf_dir), duck.sql(JACKKNIFE_SQL())
+    )
+
+
+def test_jackknife_crafted_mirror_and_degenerate(spark, tmp_path):
+    """INDEPENDENT formulation: hashlib md5 buckets + decimal
+    replicate arithmetic reproduce the SE exactly on a 40-row group;
+    a single-row group (one bucket owns everything) reads SE = NULL —
+    the stated degenerate contract."""
+    import hashlib
+
+    import pandas as pd
+
+    rows = [(k, "A", 100.0 + k) for k in range(1, 41)]
+    rows.append((999, "B", 500.0))
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).to_parquet(tmp_path / "orders.parquet")
+    from pac_spark.operators.stats import JK_BUCKETS, jackknife_se_price_by_priority
+
+    def bucket(k):
+        return int(hashlib.md5(f"jk|{k}".encode()).hexdigest()[:8], 16) % JK_BUCKETS
+
+    import decimal
+
+    def rnd(x):
+        return int(
+            decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    n_g, s_g = {}, {}
+    for k, _, p in rows[:40]:
+        g = bucket(k)
+        n_g[g] = n_g.get(g, 0) + 1
+        s_g[g] = s_g.get(g, 0) + rnd(p * 100)
+    n, s, gc = sum(n_g.values()), sum(s_g.values()), len(n_g)
+    qs = [
+        rnd(float(s - s_g[g]) / (n - n_g[g]) * 1000000.0) for g in n_g
+    ]
+    s1, sq = sum(qs), sum(v * v for v in qs)
+    want_se = ((gc - 1) * (gc * sq - s1 * s1)) ** 0.5 / (gc * 100000000.0)
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in jackknife_se_price_by_priority(spark, str(tmp_path)).collect()
+    }
+    a = got["A"]
+    assert (a["n_rows"], a["n_buckets"]) == (40, gc)
+    assert a["jackknife_se"] == want_se
+    assert abs(a["mean_price"] - float(s) / (n * 100.0)) < 1e-9
+    b = got["B"]
+    assert b["n_rows"] == 1 and b["jackknife_se"] is None
