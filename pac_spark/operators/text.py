@@ -59,6 +59,12 @@ __all__ = [
     "BIGRAM_SQL",
     "doc_surprisal_octaves",
     "SURPRISAL_SQL",
+    "langid_confusion_matrix",
+    "LANGID_CONFUSION_SQL",
+    "collocations_top_lift",
+    "COLLOCATIONS_SQL",
+    "COLLOC_MIN_SUPPORT",
+    "COLLOC_TOP",
 ]
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -2111,4 +2117,163 @@ SELECT CAST(dtc.doc_id AS BIGINT) AS doc_id, dtc.lang,
            AS mean_surprisal
 FROM dtc JOIN octs USING (term)
 GROUP BY 1, 2 ORDER BY doc_id
+"""
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-token language classifier
+    against the labeled ``lang`` — the categorical-classifier eval
+    primitive the engine's AUC/decile-lift rows don't cover: one row
+    per (true, predicted) pair with the row-share read-off (the
+    per-true-label recall diagonal). Reference parity: the reference
+    ships no classifier evaluation at all; this is the eval row a
+    production language-ID filter ships with (the ann_recall_audit
+    argument applied to categorical prediction).
+
+    Exactness: counts are exact; the share is the shared truncating
+    division over a SUM window partitioned by the true label — NULL
+    labels (laced docs) form their own partition identically in both
+    engines. Scale shape: the classifier scan is
+    :func:`language_id`'s (row-local marker scoring); the matrix is
+    one map-side-combined groupBy onto the (langs+1)² key space and
+    the window runs over that K²-row frame — nothing data-sized past
+    the first aggregate.
+    """
+    cm = (
+        language_id(spark, sf_dir)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cm.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.expr(
+            "CAST((n_docs * 1000)"
+            " div (SUM(n_docs) OVER (PARTITION BY lang)) AS BIGINT)"
+        ).alias("row_share_milli"),
+    ).orderBy("lang", "lang_guess")
+
+
+def LANGID_CONFUSION_SQL() -> str:
+    """DuckDB oracle: the registered language_id oracle text verbatim
+    as a subquery (the ann_recall_audit composition rule — the matrix
+    can never drift from the classifier's own oracle), then the same
+    grouped counts + partitioned-share window."""
+    from pac_spark.plans.llm_plans import _LANGID
+
+    return f"""
+WITH pred AS ({_LANGID}),
+cm AS (
+    SELECT lang, lang_guess, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+)
+SELECT lang, lang_guess, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs * 1000)
+            // (SUM(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+           AS row_share_milli
+FROM cm ORDER BY lang, lang_guess
+"""
+
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOP = 50
+
+
+def collocations_top_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top corpus collocations by unigram-independence LIFT —
+    p(w1 w2) / (p(w1)·p(w2)), the phrase-vocabulary candidate list a
+    tokenizer/phrase-mining pass reads (the corpus-level complement of
+    ``bigram_fluency_score``'s per-document gate): a high-lift pair is
+    a phrase, not a chance adjacency. Min support {COLLOC_MIN_SUPPORT}
+    occurrences; top {COLLOC_TOP} under the total order
+    (lift desc, w1, w2).
+
+    Exactness: all counts exact BIGINT; lift is a FIXED-SHAPE scalar
+    expression ``((c₂·Nᵤ)·Nᵤ) / ((N₁·c₁ᵃ)·c₁ᵇ)`` — per-row
+    multiplications/division in one stated association order, each
+    IEEE-correctly-rounded, no float ever aggregated — bit-identical
+    across engines (the covariance read-off argument; PMI's log is
+    monotone in lift, so ranking by lift IS ranking by PMI with no
+    libm ln).
+
+    Scale shape: the tokenized frame is pinned (bigram + unigram
+    consumers, one scan); ONE vocab²-bounded groupBy builds the pair
+    counts and one vocab-bounded groupBy the unigram counts; the two
+    re-joins hit the Heaps'-bounded unigram frame, corpus totals ride
+    1-row broadcasts, and the cut is TakeOrderedAndProject.
+    """
+    from pac_spark.cache import pin
+
+    docs = pin(
+        catalog.load(spark, sf_dir, "documents").select(
+            tokens(F.col("text")).alias("tk")
+        )
+    )
+    bg = docs.select(
+        F.explode(
+            F.when(
+                F.col("tk").isNull() | (F.size("tk") < 2),
+                F.array().cast("array<struct<w1:string,w2:string>>"),
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2),"
+                    " i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = pin(
+        docs.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n1 = c2.agg(F.sum("c2").alias("n1"))
+    nu = uni.agg(F.sum("cu").alias("nu"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cu").alias("cu2"))
+    return (
+        c2.where(F.col("c2") >= COLLOC_MIN_SUPPORT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("n_pair"),
+            (
+                (F.col("c2").cast("double") * F.col("nu") * F.col("nu"))
+                / (
+                    F.col("n1").cast("double")
+                    * F.col("cu1")
+                    * F.col("cu2")
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(COLLOC_TOP)
+    )
+
+
+COLLOCATIONS_SQL = f"""
+WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+bg AS (
+    SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2
+    FROM d, UNNEST(range(1, len(tk))) u(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+uni AS (SELECT u.t AS term, COUNT(*) AS cu FROM d, UNNEST(tk) u(t) GROUP BY 1),
+n1 AS (SELECT SUM(c2) AS n1 FROM c2),
+nu AS (SELECT SUM(cu) AS nu FROM uni)
+SELECT c2.w1, c2.w2, CAST(c2.c2 AS BIGINT) AS n_pair,
+       ((CAST(c2.c2 AS DOUBLE) * nu.nu) * nu.nu)
+       / ((CAST(n1.n1 AS DOUBLE) * u1.cu) * u2.cu) AS lift
+FROM c2
+JOIN uni u1 ON u1.term = c2.w1
+JOIN uni u2 ON u2.term = c2.w2
+CROSS JOIN n1 CROSS JOIN nu
+WHERE c2.c2 >= {COLLOC_MIN_SUPPORT}
+ORDER BY lift DESC, w1, w2
+LIMIT {COLLOC_TOP}
 """

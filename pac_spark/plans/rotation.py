@@ -192,8 +192,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # committed evidence, so evidence and hoist must land together).
 #
 # R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
-# emptied the queue; 25 NEW operators then staged (heaps_vocab_growth
-# .. jackknife_se_price_by_priority, incl. both VERDICT r10 next-#3
+# emptied the queue; 27 NEW operators then staged (heaps_vocab_growth
+# .. collocations_top_lift, incl. both VERDICT r10 next-#3
 # items), each
 # 3-SF-oracle-green from birth, all 16 batch ops NULL-lace clean, all
 # plan-shape pinned (tests/test_plans.py::test_r11_new_ops_scale_legal).
@@ -210,8 +210,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # FORCE_HOIST to () + regenerate + paste. Mandatory = only the 14
 # r11-intake specs (their single r11 green needs its 2nd consecutive;
 # the 26 r10-intake specs reach two-consecutive with the r11 run and
-# ride the tail); step 2: register the whole 25-spec queue
-# (14 + 25 = 39 <= 50, the queue empties again) and use the ~11
+# ride the tail); step 2: register the whole 27-spec queue
+# (14 + 27 = 41 <= 50, the queue empties again) and use the ~9
 # remaining slots as staleness fill.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
@@ -400,15 +400,18 @@ STAGED_QUEUE: tuple[str, ...] = (
     "hyperball_reach_profile",
     "hyperball_harmonic_centrality",
     "jackknife_se_price_by_priority",
-)  # 25 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+    "langid_confusion_matrix",
+    "collocations_top_lift",
+)  # 27 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
 #    exact-integer power-iteration PCA + the CF holdout eval + the
 #    interarrival streaming twin + integer HITS link analysis + the
 #    log-domain surprisal quality gate + the centroid cosine matrix +
 #    sparse personalized PageRank + the HyperBall neighborhood
 #    function + its harmonic-centrality readout + the delete-d
-#    jackknife SE), all 3-SF-oracle-green from birth; r12 capacity =
+#    jackknife SE + the language-ID confusion matrix + lift-ranked
+#    collocations), all 3-SF-oracle-green from birth; r12 capacity =
 #    14 mandatory 2nd-greens (this round's registrations)
-#    + 25 = 39 <= 50
+#    + 27 = 41 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

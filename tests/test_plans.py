@@ -895,3 +895,22 @@ def test_jackknife_scale_legal(spark, sf_dir):
     )
     if a.broadcast_joins < 2:
         raise AssertionError(f"K-row joins must broadcast: {a}")
+
+
+def test_langid_confusion_scale_legal(spark, sf_dir):
+    """The classifier scan + one K^2 aggregate + the window over it."""
+    from pac_spark.operators.text import langid_confusion_matrix
+    from pac_spark.plans.audit import assert_scale_legal
+
+    assert_scale_legal(langid_confusion_matrix(spark, sf_dir), max_scans=1)
+
+
+def test_collocations_scale_legal(spark, sf_dir):
+    """One tokenize scan (pinned, bigram + unigram consumers); corpus
+    totals broadcast; vocab-bounded joins; TakeOrderedAndProject."""
+    from pac_spark.operators.text import collocations_top_lift
+    from pac_spark.plans.audit import assert_scale_legal
+
+    a = assert_scale_legal(collocations_top_lift(spark, sf_dir), max_scans=1)
+    if a.broadcast_joins < 2:
+        raise AssertionError(f"corpus totals must broadcast: {a}")

@@ -5097,3 +5097,88 @@ def test_jackknife_crafted_mirror_and_degenerate(spark, tmp_path):
     assert abs(a["mean_price"] - float(s) / (n * 100.0)) < 1e-9
     b = got["B"]
     assert b["n_rows"] == 1 and b["jackknife_se"] is None
+
+
+def test_langid_confusion_oracle(spark, duck, sf_dir):
+    """Staged for r12: the classifier confusion matrix vs the
+    composed language_id oracle text."""
+    from pac_spark.operators.text import LANGID_CONFUSION_SQL, langid_confusion_matrix
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        langid_confusion_matrix(spark, sf_dir), duck.sql(LANGID_CONFUSION_SQL())
+    )
+
+
+def test_langid_confusion_crafted(spark, tmp_path):
+    """Hand-checkable matrix: two en-labeled docs full of English
+    markers (diagonal), one en-labeled doc full of German markers
+    (off-diagonal), one NULL-labeled doc (its own row). Shares are
+    truncating thirds: 666/333."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the and not this",
+                "the the and",
+                "der und nicht das",
+                "the and",
+            ],
+            "lang": ["en", "en", "en", None],
+            "source": ["s"] * 4,
+            "n_chars": [1] * 4,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import langid_confusion_matrix
+
+    got = {
+        (r["lang"], r["lang_guess"]): (r["n_docs"], r["row_share_milli"])
+        for r in langid_confusion_matrix(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "en"): (2, 666),
+        ("en", "de"): (1, 333),
+        (None, "en"): (1, 1000),
+    }
+
+
+def test_collocations_oracle(spark, duck, sf_dir):
+    """Staged for r12: lift-ranked collocations vs the identical
+    fixed-shape scalar expression."""
+    from pac_spark.operators.text import COLLOCATIONS_SQL, collocations_top_lift
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        collocations_top_lift(spark, sf_dir), duck.sql(COLLOCATIONS_SQL)
+    )
+
+
+def test_collocations_crafted_phrase(spark, tmp_path):
+    """A planted phrase dominates: "new york" appears in every doc
+    among unique filler, so its lift — computed by the same
+    fixed-shape float expression in pure Python — tops the list."""
+    import pandas as pd
+
+    docs = [f"new york f{i}a f{i}b" for i in range(8)]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": docs,
+            "lang": ["en"] * 8,
+            "source": ["s"] * 8,
+            "n_chars": [1] * 8,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.text import collocations_top_lift
+
+    rows = collocations_top_lift(spark, str(tmp_path)).collect()
+    # bigrams per doc: (new,york) (york,f{i}a) (f{i}a,f{i}b) -> 24
+    # total; unigrams: 32 total, new=8, york=8. Only (new, york) has
+    # support >= 5.
+    assert len(rows) == 1
+    top = rows[0]
+    assert (top["w1"], top["w2"], top["n_pair"]) == ("new", "york", 8)
+    want = ((float(8) * 32) * 32) / ((float(24) * 8) * 8)
+    assert top["lift"] == want
