@@ -141,7 +141,18 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language guess with a fixed tie-break chain
     (alphabetical by language), compared against the labeled ``lang``."""
-    docs = catalog.load(spark, sf_dir, "documents").select(
+    return _langid_scored(
+        catalog.load(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def _langid_scored(docs: DataFrame) -> DataFrame:
+    """The classifier as a frame-level transform (doc_id/lang/text in)
+    — shared by :func:`language_id` (batch, sorted read-off) and the
+    streaming confusion-matrix twin, so the stream can never drift
+    from the registered classifier (the neardup-admission shared-
+    shingling rule). Plan-identical extraction of the r2 body."""
+    docs = docs.select(
         "doc_id", "lang", tokens(F.col("text")).alias("__toks")
     )
     toks = F.col("__toks")
@@ -172,7 +183,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         guess.alias("lang_guess"),
         (F.col("lang") == guess).alias("guess_matches_label"),
-    ).orderBy("doc_id")
+    )
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,6 +120,12 @@ FORCE_HOIST: tuple[str, ...] = (
     # spec's tail evidence.
     # r11: ADVICE r10 warn-on-unparseable-broadcast-threshold is a
     # log-only change (no plan/value effect) — rides the local gates.
+    # r11 late: language_id's body moved into the _langid_scored
+    # frame-level helper (shared with the streaming confusion twin —
+    # the neardup-admission shared-logic rule). Plan-identical and
+    # re-driven hash-green through drive_contract same-session, but a
+    # registered spec's own body changed -> forced per policy.
+    "language_id",
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
@@ -192,8 +198,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # committed evidence, so evidence and hoist must land together).
 #
 # R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
-# emptied the queue; 27 NEW operators then staged (heaps_vocab_growth
-# .. collocations_top_lift, incl. both VERDICT r10 next-#3
+# emptied the queue; 28 NEW operators then staged (heaps_vocab_growth
+# .. streaming_langid_confusion, incl. both VERDICT r10 next-#3
 # items), each
 # 3-SF-oracle-green from birth, all 16 batch ops NULL-lace clean, all
 # plan-shape pinned (tests/test_plans.py::test_r11_new_ops_scale_legal).
@@ -210,8 +216,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # FORCE_HOIST to () + regenerate + paste. Mandatory = only the 14
 # r11-intake specs (their single r11 green needs its 2nd consecutive;
 # the 26 r10-intake specs reach two-consecutive with the r11 run and
-# ride the tail); step 2: register the whole 27-spec queue
-# (14 + 27 = 41 <= 50, the queue empties again) and use the ~9
+# ride the tail); step 2: register the whole 28-spec queue
+# (14 + 28 = 42 <= 50, the queue empties again) and use the ~8
 # remaining slots as staleness fill.
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
@@ -402,16 +408,17 @@ STAGED_QUEUE: tuple[str, ...] = (
     "jackknife_se_price_by_priority",
     "langid_confusion_matrix",
     "collocations_top_lift",
-)  # 27 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+    "streaming_langid_confusion",
+)  # 28 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
 #    exact-integer power-iteration PCA + the CF holdout eval + the
 #    interarrival streaming twin + integer HITS link analysis + the
 #    log-domain surprisal quality gate + the centroid cosine matrix +
 #    sparse personalized PageRank + the HyperBall neighborhood
 #    function + its harmonic-centrality readout + the delete-d
-#    jackknife SE + the language-ID confusion matrix + lift-ranked
-#    collocations), all 3-SF-oracle-green from birth; r12 capacity =
-#    14 mandatory 2nd-greens (this round's registrations)
-#    + 27 = 41 <= 50
+#    jackknife SE + the language-ID confusion matrix (+ its streaming
+#    twin) + lift-ranked collocations), all 3-SF-oracle-green from
+#    birth; r12 capacity = 14 mandatory 2nd-greens (this round's
+#    registrations) + 28 = 42 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

@@ -70,6 +70,7 @@ __all__ = [
     "streaming_binned_quantiles",
     "BINNED_QUANTILES_SQL",
     "streaming_interarrival_stats",
+    "streaming_langid_confusion",
 ]
 
 GAP_SECONDS = 600
@@ -1290,3 +1291,57 @@ def streaming_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.cache import checkpoint
 
     return interarrival_readout(checkpoint(drained))
+
+
+def streaming_langid_confusion(spark, sf_dir: str):
+    """The language-ID confusion matrix maintained under Structured
+    Streaming: each micro-batch of documents is scored by the SAME
+    frame-level classifier the batch tier uses
+    (``text._langid_scored`` — the neardup-admission shared-logic
+    rule, so the stream cannot drift from the registered classifier),
+    its (true, predicted) counts fold into a running view by
+    per-cell SUM — counts form a commutative monoid, so the fold is
+    order-free across batches — and the row-share read-off runs once
+    at the end over the (langs+1)²-row view. State is matrix-sized,
+    never document-sized. The oracle is the BATCH tier's composed
+    language_id oracle (``LANGID_CONFUSION_SQL``), so hash equality
+    proves incremental maintenance == the one-shot matrix."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pac_spark.operators.text import _langid_scored
+
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def partial(batch_df):
+        return (
+            _langid_scored(batch_df.select("doc_id", "lang", "text"))
+            .groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def merge(view, delta):
+        return (
+            view.unionByName(delta)
+            .groupBy("lang", "lang_guess")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+
+    view = _run_ivm_fold(stream, partial, merge)
+    return view.select(
+        "lang",
+        "lang_guess",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST((n_docs * 1000)"
+            " div (SUM(n_docs) OVER (PARTITION BY lang)) AS BIGINT)"
+        ).alias("row_share_milli"),
+    ).orderBy("lang", "lang_guess")

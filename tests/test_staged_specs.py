@@ -5182,3 +5182,54 @@ def test_collocations_crafted_phrase(spark, tmp_path):
     assert (top["w1"], top["w2"], top["n_pair"]) == ("new", "york", 8)
     want = ((float(8) * 32) * 32) / ((float(24) * 8) * 8)
     assert top["lift"] == want
+
+
+def test_streaming_langid_confusion_oracle(spark, duck, sf_dir):
+    """Staged for r12: the streamed confusion fold vs the BATCH
+    tier's composed language_id oracle — hash equality proves
+    incremental maintenance == the one-shot matrix."""
+    from pac_spark.operators.text import LANGID_CONFUSION_SQL
+    from pac_spark.streaming.stateful import streaming_langid_confusion
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(
+        streaming_langid_confusion(spark, sf_dir),
+        duck.sql(LANGID_CONFUSION_SQL()),
+    )
+
+
+def test_streaming_langid_confusion_merge_is_order_free(spark, sf_dir):
+    """The fold's merge unit-tested directly (single-file sources
+    drain in one batch, so the streamed run exercises partial-only):
+    splitting the corpus in two, folding in EITHER order, equals the
+    whole-corpus partial — per-cell SUM is a commutative monoid."""
+    from pyspark.sql import functions as F
+
+    from pac_spark import catalog
+    from pac_spark.operators.text import _langid_scored
+
+    def partial(df):
+        return (
+            _langid_scored(df.select("doc_id", "lang", "text"))
+            .groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def merge(a, b):
+        return (
+            a.unionByName(b)
+            .groupBy("lang", "lang_guess")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+
+    docs = catalog.load(spark, sf_dir, "documents")
+    lo, hi = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+
+    def rows(df):
+        return sorted(
+            (r["lang"], r["lang_guess"], r["n_docs"]) for r in df.collect()
+        )
+
+    whole = rows(partial(docs))
+    assert rows(merge(partial(lo), partial(hi))) == whole
+    assert rows(merge(partial(hi), partial(lo))) == whole
