@@ -53,6 +53,9 @@ __all__ = [
     "WATERFILL_SQL_TAIL",
     "corpus_split_assignment",
     "SPLIT_SQL",
+    "hrw_shard_rebalance",
+    "HRW_SQL",
+    "HRW_SHARDS",
 ]
 
 # quality gate: keeps ~75% at the synthetic corpus' quality
@@ -1078,4 +1081,121 @@ s AS (
 SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM s GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+HRW_SHARDS = 8
+
+
+def hrw_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of the corpus with
+    the RESIZE readout — the distribution primitive a pipeline uses
+    when shard count must grow without reshuffling the world: under
+    HRW, adding a shard moves ONLY the keys the new shard wins
+    (≈ n/(N+1)), where mod-hashing (``training_shards``'s layout)
+    would move ≈ n·N/(N+1). One row per current shard: its corpus
+    share and exactly how many of its documents a grow-to-{N+1}
+    rebalance would take (the move-fraction ≈ 1/(N+1) read off
+    directly as milli units).
+
+    Exactness: a document's owner is argmax over shards of the
+    shared 60-bit salted md5 (``md5_u60``, the HLL/HyperBall hash),
+    ties to the larger shard id — in Spark a ROW-LOCAL
+    ``array_max`` over (hash, shard) structs; the oracle states the
+    SAME argmax as a window rank over the unnested (doc, shard)
+    spine — formulation-diverse, value-identical. All counts exact;
+    the move share is the shared truncating division. NULL doc_ids
+    are excluded in both engines.
+
+    Scale shape: owner assignment is pure row-local codegen (N + N+1
+    hash evaluations per row, no join, no shuffle); the readout is
+    one map-side-combined groupBy onto the N-key shard space. The
+    oracle's windowed spine is N·corpus rows — the ORACLE's cost, not
+    the engine's.
+    """
+    from pac_spark.functions.hashing import md5_u60
+
+    n = HRW_SHARDS
+    docs = (
+        catalog.load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+    )
+
+    def owner(n_shards: int) -> F.Column:
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        md5_u60(
+                            F.concat(
+                                F.lit(f"hrw|{s}|"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ).alias("h"),
+                        F.lit(s).alias("s"),
+                    )
+                    for s in range(n_shards)
+                ]
+            )
+        ).getField("s")
+
+    assigned = docs.select(
+        owner(n).alias("shard"), owner(n + 1).alias("shard_after")
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard_after"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_moved").cast("long").alias("n_moved"),
+            F.expr("CAST((n_moved * 1000) div n_docs AS BIGINT)").alias(
+                "moved_milli"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+def HRW_SQL(n: int = HRW_SHARDS) -> str:
+    """DuckDB oracle: the argmax stated as a window rank over the
+    unnested (doc, shard) spine — a different formulation of the same
+    owner rule."""
+    from pac_spark.functions.hashing import md5_u60_sql
+
+    hv = md5_u60_sql(
+        "'hrw|' || CAST(u.s AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)"
+    )
+
+    def owner_cte(label: str, n_shards: int) -> str:
+        return f"""
+{label} AS (
+    SELECT doc_id, s AS shard FROM (
+        SELECT doc_id, u.s AS s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY {hv} DESC, u.s DESC
+               ) AS rn
+        FROM d, UNNEST(range(0, {n_shards})) u(s)
+    ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+{owner_cte('o_now', n)},
+{owner_cte('o_after', n + 1)}
+SELECT CAST(o_now.shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN o_now.shard <> o_after.shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       CAST((SUM(CASE WHEN o_now.shard <> o_after.shard THEN 1 ELSE 0 END)
+             * 1000) // COUNT(*) AS BIGINT) AS moved_milli
+FROM o_now JOIN o_after USING (doc_id)
+GROUP BY 1 ORDER BY shard
 """

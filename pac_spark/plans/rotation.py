@@ -198,8 +198,8 @@ FORCE_HOIST: tuple[str, ...] = (
 # committed evidence, so evidence and hoist must land together).
 #
 # R11 IN-ROUND STATE: the 14-spec registration (2nd r11 commit)
-# emptied the queue; 28 NEW operators then staged (heaps_vocab_growth
-# .. streaming_langid_confusion, incl. both VERDICT r10 next-#3
+# emptied the queue; 29 NEW operators then staged (heaps_vocab_growth
+# .. hrw_shard_rebalance, incl. both VERDICT r10 next-#3
 # items), each
 # 3-SF-oracle-green from birth, all 16 batch ops NULL-lace clean, all
 # plan-shape pinned (tests/test_plans.py::test_r11_new_ops_scale_legal).
@@ -216,9 +216,10 @@ FORCE_HOIST: tuple[str, ...] = (
 # FORCE_HOIST to () + regenerate + paste. Mandatory = only the 14
 # r11-intake specs (their single r11 green needs its 2nd consecutive;
 # the 26 r10-intake specs reach two-consecutive with the r11 run and
-# ride the tail); step 2: register the whole 28-spec queue
-# (14 + 28 = 42 <= 50, the queue empties again) and use the ~8
-# remaining slots as staleness fill.
+# ride the tail); step 2: register the whole 29-spec queue
+# (14 mandatory + 1 forced language_id + 29 = 44 <= 50, the queue
+# empties again) and use the ~6 remaining slots as staleness fill
+# (the r4-aged knn/multimodal/text_stats block heads the list).
 
 # R9 FORCE_HOIST STARTER LIST — APPLIED as the first r9 commit (the
 # tuple below IS this list plus the in-round r9 growth). Kept for the
@@ -409,16 +410,18 @@ STAGED_QUEUE: tuple[str, ...] = (
     "langid_confusion_matrix",
     "collocations_top_lift",
     "streaming_langid_confusion",
-)  # 28 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
+    "hrw_shard_rebalance",
+)  # 29 r11-new operators (13 + BOTH VERDICT r10 next-#3 items + the
 #    exact-integer power-iteration PCA + the CF holdout eval + the
 #    interarrival streaming twin + integer HITS link analysis + the
 #    log-domain surprisal quality gate + the centroid cosine matrix +
 #    sparse personalized PageRank + the HyperBall neighborhood
 #    function + its harmonic-centrality readout + the delete-d
 #    jackknife SE + the language-ID confusion matrix (+ its streaming
-#    twin) + lift-ranked collocations), all 3-SF-oracle-green from
-#    birth; r12 capacity = 14 mandatory 2nd-greens (this round's
-#    registrations) + 28 = 42 <= 50
+#    twin) + lift-ranked collocations + HRW shard rebalance), all
+#    3-SF-oracle-green from birth; r12 capacity = 14 mandatory
+#    2nd-greens (this round's registrations) + 1 forced (language_id)
+#    + 29 = 44 <= 50
 
 
 def career_greens(repo: str = _REPO) -> dict[str, list[int]]:

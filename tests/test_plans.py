@@ -914,3 +914,14 @@ def test_collocations_scale_legal(spark, sf_dir):
     a = assert_scale_legal(collocations_top_lift(spark, sf_dir), max_scans=1)
     if a.broadcast_joins < 2:
         raise AssertionError(f"corpus totals must broadcast: {a}")
+
+
+def test_hrw_scale_legal(spark, sf_dir):
+    """Owner assignment is pure row-local codegen: one scan, one
+    map-side aggregate onto the shard space — no join, no window."""
+    from pac_spark.operators.curation import hrw_shard_rebalance
+    from pac_spark.plans.audit import assert_scale_legal
+
+    assert_scale_legal(
+        hrw_shard_rebalance(spark, sf_dir), max_scans=1, max_exchanges=2
+    )

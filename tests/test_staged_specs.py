@@ -5233,3 +5233,59 @@ def test_streaming_langid_confusion_merge_is_order_free(spark, sf_dir):
     whole = rows(partial(docs))
     assert rows(merge(partial(lo), partial(hi))) == whole
     assert rows(merge(partial(hi), partial(lo))) == whole
+
+
+def test_hrw_shard_rebalance_oracle(spark, duck, sf_dir):
+    """Staged for r12: row-local HRW argmax vs the window-rank
+    formulation of the same owner rule."""
+    from pac_spark.operators.curation import HRW_SQL, hrw_shard_rebalance
+    from tests.conftest import assert_oracle_match
+
+    assert_oracle_match(hrw_shard_rebalance(spark, sf_dir), duck.sql(HRW_SQL()))
+
+
+def test_hrw_minimal_disruption_mirror(spark, tmp_path):
+    """INDEPENDENT formulation with hashlib, plus the property that
+    makes HRW worth shipping: on growing N -> N+1, every document
+    that moves moves TO the new shard (keys never reshuffle among
+    survivors — mod-hashing would move ~N/(N+1) of them)."""
+    import hashlib
+
+    import pandas as pd
+
+    ids = list(range(1, 501))
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": ["x"] * 500,
+            "lang": ["en"] * 500,
+            "source": ["s"] * 500,
+            "n_chars": [1] * 500,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pac_spark.operators.curation import HRW_SHARDS, hrw_shard_rebalance
+
+    def h(s, d):
+        return int(hashlib.md5(f"hrw|{s}|{d}".encode()).hexdigest()[:15], 16)
+
+    def owner(d, n):
+        return max(range(n), key=lambda s: (h(s, d), s))
+
+    want = {}
+    total_moved = 0
+    for d in ids:
+        o8, o9 = owner(d, HRW_SHARDS), owner(d, HRW_SHARDS + 1)
+        n, m = want.get(o8, (0, 0))
+        moved = o8 != o9
+        if moved:
+            # THE property: a moved key lands on the NEW shard only
+            assert o9 == HRW_SHARDS
+            total_moved += 1
+        want[o8] = (n + 1, m + (1 if moved else 0))
+    got = {
+        r["shard"]: (r["n_docs"], r["n_moved"])
+        for r in hrw_shard_rebalance(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the move volume is ~n/(N+1), nowhere near mod-hash's ~n*N/(N+1)
+    assert total_moved < 500 * 2 // (HRW_SHARDS + 1)
