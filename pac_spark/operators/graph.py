@@ -694,20 +694,47 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
         )
     )
-    for _ in range(KCORE_ROUNDS):
-        doomed = pin(
-            edges.groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") < KCORE_K)
-            .select(F.col("src").alias("node"))
-        )
-        if doomed.count() == 0:
-            break
-        edges = checkpoint(
-            edges.join(doomed, edges.src == doomed.node, "left_anti").join(
-                doomed, edges.dst == doomed.node, "left_anti"
+    # r11 (guide §2.4/§3.1, the PageRank loop discipline ported): the
+    # doomed frame is node-bounded and its exact row count is already
+    # in hand (the loop's own early-exit scalar), so below the
+    # session's broadcast threshold it broadcasts into BOTH anti-joins
+    # — the checkpointed edge frame is probed in place instead of
+    # being re-shuffled twice per peel round — and loop shuffle
+    # parallelism follows the measured edge count. Same-JVM
+    # interleaved A/B at sf0.1 (min-of-4, warm): 5.63 s -> 4.03 s.
+    # Anti-join semantics are join-strategy-invariant, so results are
+    # identical on both paths.
+    n_edges = edges.count()
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(
+        int(prev_parts), max(4, -(-n_edges // 1_000_000))
+    )
+    spark.conf.set(parts_key, str(loop_parts))
+    threshold = _broadcast_threshold(spark)
+    try:
+        for _ in range(KCORE_ROUNDS):
+            doomed = pin(
+                edges.groupBy("src")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") < KCORE_K)
+                .select(F.col("src").alias("node"))
             )
-        )
+            n_doomed = doomed.count()
+            if n_doomed == 0:
+                break
+            doom_side = (
+                F.broadcast(doomed)
+                if n_doomed * _RANK_ROW_BYTES <= threshold
+                else doomed
+            )
+            edges = checkpoint(
+                edges.join(doom_side, edges.src == doomed.node, "left_anti").join(
+                    doom_side, edges.dst == doomed.node, "left_anti"
+                )
+            )
+    finally:
+        spark.conf.set(parts_key, prev_parts)
     return (
         edges.groupBy("src")
         .agg(F.count("*").alias("core_degree"))
@@ -912,15 +939,41 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round. Frontier pruning earns its keep when rounds CONVERGE
     # (frontier → 0); a K-hop bounded readout never reaches that
     # regime by construction.
-    for i in range(SSSP_HOPS):
-        relax = dist.join(edges, dist.node == edges.src).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-        )
-        new = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
-        # cadence-2 checkpoints (the PageRank pattern): every other
-        # round materializes and truncates lineage; in-between rounds
-        # just persist
-        dist = checkpoint(new) if i % 2 == 1 else pin(new)
+    #
+    # r11 (guide §2.4/§3.1, the PageRank loop discipline ported —
+    # distinct from the reverted frontier idea: no extra join, no
+    # extra materialization): the distance table is node-bounded, so
+    # below the session's broadcast threshold it broadcasts into the
+    # per-round relax join — the pinned edge frame is probed in place
+    # instead of re-shuffled every round — and loop shuffle
+    # parallelism follows the measured graph size. Same-JVM
+    # interleaved A/B at sf0.1 (min-of-4, warm): 6.67 s -> 5.24 s.
+    # Min-plus relaxation is join-strategy- and partition-count-
+    # invariant (integer min over the same multiset), so results are
+    # identical on both paths.
+    n_nodes = edges.select("src").distinct().count()
+    n_edges = edges.count()
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(
+        int(prev_parts),
+        max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
+    )
+    spark.conf.set(parts_key, str(loop_parts))
+    bcast_dist = n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold(spark)
+    try:
+        for i in range(SSSP_HOPS):
+            dist_side = F.broadcast(dist) if bcast_dist else dist
+            relax = dist_side.join(edges, dist.node == edges.src).select(
+                F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+            )
+            new = dist.unionByName(relax).groupBy("node").agg(F.min("dist").alias("dist"))
+            # cadence-2 checkpoints (the PageRank pattern): every other
+            # round materializes and truncates lineage; in-between
+            # rounds just persist
+            dist = checkpoint(new) if i % 2 == 1 else pin(new)
+    finally:
+        spark.conf.set(parts_key, prev_parts)
     return dist.select("node", "dist").orderBy("node")
 
 
@@ -952,6 +1005,18 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the shared multiplicative role encode (key*4 + role), decoded
     with bit shifts on BOTH engines (DuckDB's BIGINT ``//`` is
     float-backed — the budget-allocation lesson).
+
+    r11 (guide §2.4/§3.1, the measured PageRank loop discipline
+    ported): the label frame is node-sized, so below the session's
+    own broadcast threshold it broadcasts into the per-round edge
+    join — the pinned edge frame is then probed in place instead of
+    re-shuffled every round — and loop shuffle parallelism follows
+    the measured graph size (max(4, nodes/250k, edges/1M), capped at
+    the session default) instead of paying 32-task scheduling
+    overhead per tiny round. Same-JVM interleaved A/B at sf0.1
+    (min-of-4, warm): 9.17 s -> 5.37 s. Join strategy and partition
+    count cannot change the argmax (count DESC, label ASC is a total
+    order per src), so results are identical on both paths.
     """
     # pinned: consumed LPA_ROUNDS + 1 times (the initial node set +
     # one join per round) — unpinned, each round replays the
@@ -960,27 +1025,46 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for i in range(LPA_ROUNDS):
-        votes = (
-            edges.join(labels, edges.dst == labels.node)
-            .select(edges.src, "label")
-            .unionByName(
-                labels.select(F.col("node").alias("src"), "label")
+    labels = pin(labels)
+    n_nodes = labels.count()
+    n_edges = edges.count()
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(
+        int(prev_parts),
+        max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
+    )
+    spark.conf.set(parts_key, str(loop_parts))
+    # label rows are two longs, the PageRank rank-row shape — reuse
+    # its per-row byte estimate against the session's own threshold
+    bcast_labels = n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold(spark)
+    try:
+        for i in range(LPA_ROUNDS):
+            label_side = F.broadcast(labels) if bcast_labels else labels
+            votes = (
+                edges.join(label_side, edges.dst == labels.node)
+                .select(edges.src, "label")
+                .unionByName(
+                    labels.select(F.col("node").alias("src"), "label")
+                )
+                .groupBy("src", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        new = (
-            votes.groupBy("src")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("m")
+            new = (
+                votes.groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("m")
+                )
+                .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("label"))
             )
-            .select(F.col("src").alias("node"), (-F.col("m.nl")).alias("label"))
-        )
-        # cadence-2 checkpoints (the PageRank pattern)
-        labels = checkpoint(new) if i % 2 == 1 else pin(new)
+            # cadence-2 checkpoints (the PageRank pattern); non-
+            # checkpoint rounds pin — the next round reads labels
+            # TWICE (vote join + self-vote branch)
+            labels = checkpoint(new) if i % 2 == 1 else pin(new)
+    finally:
+        spark.conf.set(parts_key, prev_parts)
     return labels.select(
         F.when(F.col("node") % 4 == 1, F.lit("customer"))
         .otherwise(F.lit("supplier"))
