@@ -534,47 +534,164 @@ def _ivf_centroids(
         .select((F.col("rn") - 1).cast("int").alias("centroid_id"), F.col("v").alias("c"))
     )
     wa = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
-    for _ in range(iters):
-        assigned = (
-            sample.crossJoin(F.broadcast(cents))
-            .withColumn("dist", _sqdist("v", "c"))
-            .withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select(F.col("centroid_id").alias("list_id"), "v")
-        )
-        sums = (
-            assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
-            .groupBy("list_id", "pos")
-            .agg(
-                F.sum(F.floor(F.col("val") * F.lit(_CENT_SCALE))).alias("sm"),
-                F.count("*").alias("n"),
+    # loop-scoped shuffle parallelism (r11, guide §2.2/§1.2): every
+    # frame the loop shuffles is bounded by the FIT SAMPLE
+    # (≤ IVF_FIT_TARGET rows by construction, regardless of corpus
+    # size), so the session's corpus-sized shuffle-partition count is
+    # pure task-scheduling overhead per round — the same measured
+    # argument as the pagerank/LPA loops, except here the bound is a
+    # constant of the operator, so the derived count is too. Results
+    # are partition-count invariant (exact BIGINT sums; argmin window
+    # is per-vec_id with a total order). Measured neutral for
+    # ann_ivf_topk at sf0.1/local[32] (same-JVM A/B 3.99 s -> 3.99 s —
+    # this loop is not the query's cost there) and kept anyway: on a
+    # cluster session with thousands of shuffle partitions the
+    # 800-row fit sample would otherwise schedule thousands of empty
+    # tasks per round.
+    spark = sample.sparkSession
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(int(prev_parts), max(4, -(-IVF_FIT_TARGET // 250_000)))
+    spark.conf.set(parts_key, str(loop_parts))
+    try:
+        for _ in range(iters):
+            assigned = (
+                sample.crossJoin(F.broadcast(cents))
+                .withColumn("dist", _sqdist("v", "c"))
+                .withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select(F.col("centroid_id").alias("list_id"), "v")
             )
-        )
-        newc = (
-            sums.withColumn(
-                "m",
-                F.col("sm").cast("double")
-                / (F.lit(_CENT_SCALE) * F.col("n").cast("double")),
+            sums = (
+                assigned.select("list_id", F.posexplode("v").alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                .agg(
+                    F.sum(F.floor(F.col("val") * F.lit(_CENT_SCALE))).alias("sm"),
+                    F.count("*").alias("n"),
+                )
             )
-            .groupBy("list_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
-                ).alias("c_new")
+            newc = (
+                sums.withColumn(
+                    "m",
+                    F.col("sm").cast("double")
+                    / (F.lit(_CENT_SCALE) * F.col("n").cast("double")),
+                )
+                .groupBy("list_id")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+                    ).alias("c_new")
+                )
             )
+            # checkpoint, not pin: the lineage must be CUT each round,
+            # not just cached — pinned rounds kept the whole unrolled
+            # loop in every downstream plan (the corrected plan
+            # auditor read a 7 MB plan string with ~300 lineage
+            # exchanges through pq_topk's per-subspace loops; eager
+            # localCheckpoint of a 16-row frame is microseconds and
+            # keeps plans flat at any iteration count — the
+            # pagerank/CC loop discipline)
+            cents = checkpoint(
+                cents.join(
+                    newc.withColumnRenamed("list_id", "centroid_id"),
+                    "centroid_id",
+                    "left",
+                ).select("centroid_id", F.coalesce("c_new", "c").alias("c"))
+            )
+    finally:
+        spark.conf.set(parts_key, prev_parts)
+    return cents
+
+
+def _pq_codebooks(sample: DataFrame) -> DataFrame:
+    """All ``PQ_M`` per-subspace codebooks from ONE fused Lloyd loop →
+    (sub, centroid_id, c).
+
+    r11 (guide §1.2 "the distributed algorithm first"): the previous
+    shape ran :func:`_ivf_centroids` once per subspace — PQ_M
+    independent loops of PQ_ITERS rounds each, i.e. M×ITERS eager
+    checkpoints and M×ITERS×3 tiny shuffle stages, all over the SAME
+    bounded fit sample. Training all subspaces in one loop keyed by
+    ``sub`` runs the identical per-(sub, centroid) arithmetic — init
+    order is the per-sub salted-md5 window (same salt string per sub
+    as the per-m loops built), assignment the same per-(sub, vec_id)
+    argmin window, update the same exact-BIGINT componentwise mean —
+    so every codebook is value-identical (oracle-verified; the DuckDB
+    oracle still unrolls per-m loops), while the round count drops
+    M-fold: PQ_ITERS checkpoints instead of PQ_M×PQ_ITERS. Same-JVM
+    interleaved A/B at sf0.1 (min-of-4, warm, whole pq_topk):
+    7.68 s -> 3.88 s.
+    """
+    subs = sample.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_pq_subv("v", m)) for m in range(PQ_M)])
+        ).alias("sub", "v"),
+    )
+    h = F.md5(
+        F.encode(
+            F.concat(
+                F.col("vec_id").cast("string"),
+                F.lit(":" + _PQ_INIT_SALT + "_m"),
+                F.col("sub").cast("string"),
+            ),
+            "UTF-8",
         )
-        # checkpoint, not pin: the lineage must be CUT each round, not
-        # just cached — pinned rounds kept the whole unrolled loop in
-        # every downstream plan (the corrected plan auditor read a
-        # 7 MB plan string with ~300 lineage exchanges through
-        # pq_topk's 8 per-subspace loops; eager localCheckpoint of a
-        # 16-row frame is microseconds and keeps plans flat at any
-        # iteration count — the pagerank/CC loop discipline)
-        cents = checkpoint(
-            cents.join(
-                newc.withColumnRenamed("list_id", "centroid_id"), "centroid_id", "left"
-            ).select("centroid_id", F.coalesce("c_new", "c").alias("c"))
+    )
+    cents = (
+        subs.withColumn("rn", F.row_number().over(W.partitionBy("sub").orderBy(h.asc())))
+        .filter(F.col("rn") <= PQ_K)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("int").alias("centroid_id"),
+            F.col("v").alias("c"),
         )
+    )
+    wa = W.partitionBy("sub", "vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
+    spark = sample.sparkSession
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    loop_parts = min(int(prev_parts), max(4, -(-IVF_FIT_TARGET // 250_000)))
+    spark.conf.set(parts_key, str(loop_parts))
+    try:
+        for _ in range(PQ_ITERS):
+            assigned = (
+                subs.join(F.broadcast(cents), "sub")
+                .withColumn("dist", _sqdist("v", "c"))
+                .withColumn("rn", F.row_number().over(wa))
+                .filter(F.col("rn") == 1)
+                .select("sub", F.col("centroid_id").alias("list_id"), "v")
+            )
+            sums = (
+                assigned.select("sub", "list_id", F.posexplode("v").alias("pos", "val"))
+                .groupBy("sub", "list_id", "pos")
+                .agg(
+                    F.sum(F.floor(F.col("val") * F.lit(_CENT_SCALE))).alias("sm"),
+                    F.count("*").alias("n"),
+                )
+            )
+            newc = (
+                sums.withColumn(
+                    "m",
+                    F.col("sm").cast("double")
+                    / (F.lit(_CENT_SCALE) * F.col("n").cast("double")),
+                )
+                .groupBy("sub", "list_id")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+                    ).alias("c_new")
+                )
+            )
+            cents = checkpoint(
+                cents.join(
+                    newc.withColumnRenamed("list_id", "centroid_id"),
+                    ["sub", "centroid_id"],
+                    "left",
+                ).select("sub", "centroid_id", F.coalesce("c_new", "c").alias("c"))
+            )
+    finally:
+        spark.conf.set(parts_key, prev_parts)
     return cents
 
 
@@ -705,19 +822,15 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _dvec("embedding").alias("v"), "label")
     )
     sample = pin(_fit_sample(emb))
-    books = []
-    for m in range(PQ_M):
-        sub = sample.select("vec_id", F.expr(_pq_subv("v", m)).alias("v"))
-        books.append(
-            pin(
-                _ivf_centroids(
-                    sub,
-                    n_centroids=PQ_K,
-                    iters=PQ_ITERS,
-                    init_salt=f"{_PQ_INIT_SALT}_m{m}",
-                )
-            )
-        )
+    # ONE fused Lloyd loop trains all PQ_M codebooks (r11 — see
+    # _pq_codebooks: M-fold fewer rounds, value-identical); the per-m
+    # book views below are filters over the 32-row checkpointed frame,
+    # so the rest of the pipeline is unchanged
+    codebooks = _pq_codebooks(sample)
+    books = [
+        pin(codebooks.filter(F.col("sub") == m).select("centroid_id", "c"))
+        for m in range(PQ_M)
+    ]
 
     enc = emb.withColumn("nv", F.sqrt(_dot("v", "v")))
     for m, book in enumerate(books):
