@@ -49,7 +49,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pac_spark.streaming.stream_exec import run_to_memory, stream_events
+from pac_spark.streaming.stream_exec import (
+    run_to_memory,
+    stream_events,
+    stream_shuffle_parts,
+)
 
 __all__ = [
     "streaming_user_sessions_custom",
@@ -212,6 +216,11 @@ def streaming_user_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    # NO parts override here (measured r11): applyInPandasWithState
+    # drains spend their time in the per-group pandas fold, so shuffle
+    # partitions are Python-worker PARALLELISM, not state-store
+    # overhead — the twa A/B with the override was 2.50 -> 2.86 s
+    # (slower); the override is for SQL-stateful drains only.
     return run_to_memory(spark, out, "stream_custom_sessions", "append").orderBy(
         "user_id", "session_start"
     )
@@ -392,6 +401,7 @@ def streaming_user_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # no parts override: applyInPandasWithState (see stream_custom_sessions)
     drained = run_to_memory(spark, out, "stream_user_lifetime", "update")
     last = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -467,7 +477,7 @@ def streaming_ivm_user_value(spark, sf_dir: str):
             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
         )
 
-    view = _run_ivm_fold(ev, partial, merge)
+    view = _run_ivm_fold(ev, partial, merge, parts=stream_shuffle_parts(spark, sf_dir))
     return view.select(
         "user_id",
         F.col("n").alias("n_events"),
@@ -499,7 +509,7 @@ def _rotate_view(state: dict, merged) -> None:
     state["handles"] = fresh
 
 
-def _run_ivm_fold(ev_stream, partial_fn, merge_fn):
+def _run_ivm_fold(ev_stream, partial_fn, merge_fn, parts=None):
     """Drain ``ev_stream`` (availableNow) through foreachBatch,
     folding each micro-batch's partial aggregate into a running
     checkpointed view: ``merge_fn(view, partial_fn(batch))``. The
@@ -519,13 +529,25 @@ def _run_ivm_fold(ev_stream, partial_fn, merge_fn):
         merged = delta if view is None else merge_fn(view, delta)
         _rotate_view(state, merged)
 
-    q = (
-        ev_stream.writeStream.foreachBatch(fold)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # scoped shuffle-partition override (see stream_shuffle_parts):
+    # every per-batch partial + merge here shuffles matrix-/key-sized
+    # frames, and the count applies per micro-batch
+    spark = ev_stream.sparkSession
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    if parts is not None:
+        spark.conf.set(parts_key, str(parts))
+    try:
+        q = (
+            ev_stream.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if parts is not None:
+            spark.conf.set(parts_key, prev_parts)
     if state["view"] is None:
         raise RuntimeError("stream delivered no batches")
     with cache._LOCK:
@@ -600,7 +622,7 @@ def streaming_ohlc_bars(spark, sf_dir: str):
     ev = stream_events(spark, sf_dir).select(
         "event_id", "ts", "event_type", "value"
     )
-    view = _run_ivm_fold(ev, _ohlc_partial, _ohlc_merge)
+    view = _run_ivm_fold(ev, _ohlc_partial, _ohlc_merge, parts=stream_shuffle_parts(spark, sf_dir))
     dollars = lambda c: (c.cast("double") / 100.0)  # noqa: E731
     return view.select(
         "event_type",
@@ -631,7 +653,7 @@ def _day_activity_view(spark, sf_dir: str):
     def merge(view, delta):
         return view.unionByName(delta).distinct()
 
-    return _run_ivm_fold(ev, partial, merge)
+    return _run_ivm_fold(ev, partial, merge, parts=stream_shuffle_parts(spark, sf_dir))
 
 
 def streaming_user_accounting(spark, sf_dir: str):
@@ -739,7 +761,7 @@ def streaming_ewma_user_value(spark, sf_dir: str):
     from pac_spark.operators.stats import EWMA_SPAN
 
     ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
-    view = _run_ivm_fold(ev, _ewma_partial, _ewma_merge)
+    view = _run_ivm_fold(ev, _ewma_partial, _ewma_merge, parts=stream_shuffle_parts(spark, sf_dir))
     # weights 2^(SPAN-1-i) over the present prefix; mass = 2^SPAN - 2^(SPAN-m)
     num = F.expr(
         f"aggregate(transform(top, (x, i) -> x.cents * shiftleft(cast(1 as bigint),"
@@ -789,7 +811,7 @@ def streaming_bitmap_distinct_users(spark, sf_dir: str):
             .agg(F.expr("bit_or(bits)").alias("bits"))
         )
 
-    return bitmap_day_counts(_run_ivm_fold(ev, bitmap_day_words, merge))
+    return bitmap_day_counts(_run_ivm_fold(ev, bitmap_day_words, merge, parts=stream_shuffle_parts(spark, sf_dir)))
 
 
 def streaming_kmv_distinct_users(spark, sf_dir: str):
@@ -834,7 +856,7 @@ def streaming_kmv_distinct_users(spark, sf_dir: str):
             .drop("rn")
         )
 
-    sk = _run_ivm_fold(ev, partial, merge)
+    sk = _run_ivm_fold(ev, partial, merge, parts=stream_shuffle_parts(spark, sf_dir))
     theta = kmv_theta(sk)
     return (
         sk.join(F.broadcast(theta), "g")
@@ -1016,6 +1038,7 @@ def streaming_twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # no parts override: applyInPandasWithState (see stream_custom_sessions)
     drained = run_to_memory(spark, out, "stream_twa_user_value", "update")
     last = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -1066,7 +1089,7 @@ def streaming_halflife_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
         )
 
-    view = _run_ivm_fold(ev, partial, merge)
+    view = _run_ivm_fold(ev, partial, merge, parts=stream_shuffle_parts(spark, sf_dir))
     dec = "decimal(38,0)"
     anchor = view.agg(F.max("d").alias("anchor_day"))
     k = F.floor(F.datediff(F.col("anchor_day"), F.col("d")) / HALFLIFE_DAYS)
@@ -1162,7 +1185,7 @@ def streaming_binned_quantiles(spark, sf_dir: str):
     ev = stream_events(spark, sf_dir).select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     ).filter(F.col("cents").isNotNull())
-    hist = _run_ivm_fold(ev, _binned_partial, _binned_merge)
+    hist = _run_ivm_fold(ev, _binned_partial, _binned_merge, parts=stream_shuffle_parts(spark, sf_dir))
     pct = group_percentiles_disc(
         hist, ["event_type"], "bin", pcts=(50, 90, 99), weight=F.col("cnt")
     )
@@ -1282,6 +1305,7 @@ def streaming_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # no parts override: applyInPandasWithState (see stream_custom_sessions)
     drained = run_to_memory(spark, out, "stream_interarrival", "update")
     # the readout joins two aggregations of this one frame; over the
     # raw memory-sink SubqueryAlias that self-join trips Spark's
@@ -1335,7 +1359,10 @@ def streaming_langid_confusion(spark, sf_dir: str):
             .agg(F.sum("n_docs").alias("n_docs"))
         )
 
-    view = _run_ivm_fold(stream, partial, merge)
+    view = _run_ivm_fold(
+        stream, partial, merge,
+        parts=stream_shuffle_parts(spark, sf_dir, table="documents"),
+    )
     return view.select(
         "lang",
         "lang_guess",

@@ -26,6 +26,7 @@ from pac_spark.streaming.windows import TS_FMT, windowed_agg
 __all__ = [
     "stream_events",
     "run_to_memory",
+    "stream_shuffle_parts",
     "streaming_tumbling_1h",
     "streaming_sliding_1h_30m",
     "streaming_sessions_10m",
@@ -56,19 +57,78 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.normalize_events_ts(stream)
 
 
+# per-partition input-byte target for the stream partition rule below;
+# env-overridable so a cluster profile can re-tune without code change
+_STREAM_PART_BYTES = int(
+    os.environ.get("PAC_STREAM_PART_BYTES", str(16 << 20))
+)
+
+
+def stream_shuffle_parts(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int | None:
+    """Scale-adaptive shuffle-partition count for ONE streaming drain.
+
+    Stateful streaming creates one state store per shuffle partition
+    (HDFS-backed store init + commit + snapshot PER STORE PER
+    micro-batch), so a partition count sized for the batch corpus is
+    pure fixed overhead when the streamed source is small — and the
+    overhead repeats every micro-batch, not once per query (guide
+    §2.2: fewer, larger partitions; the state-store analog of the
+    graph loops' measured rule). Derived from the SOURCE's on-disk
+    bytes — max(4, bytes / PAC_STREAM_PART_BYTES) capped at the
+    session default — so it is scale-adaptive, not tuned to this box:
+    a TB-scale source keeps the session's own setting, and the
+    session default itself stays whatever the cluster set. Returns
+    None (no override) when the source cannot be stat'ed. Partition
+    count cannot change any drained result: every stateful fold here
+    is a per-key monoid (unit-tested both merge orders) and watermark
+    semantics are partition-independent.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return None
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(cur, max(4, -(-nbytes // _STREAM_PART_BYTES)))
+
+
 def run_to_memory(
-    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    parts: int | None = None,
 ) -> DataFrame:
     """Drain a streaming plan with trigger(availableNow) into a memory
-    sink and return the sink contents as a batch DataFrame."""
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    sink and return the sink contents as a batch DataFrame. ``parts``
+    (from :func:`stream_shuffle_parts`) scopes the shuffle-partition
+    count — i.e. the state-store count — to the drain; the session
+    setting is restored before returning."""
+    parts_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(parts_key)
+    if parts is not None:
+        spark.conf.set(parts_key, str(parts))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if parts is not None:
+            spark.conf.set(parts_key, prev_parts)
     return spark.table(name)
 
 
@@ -78,7 +138,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``tumbling_1h_by_type`` and shares its DuckDB oracle."""
     events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     out = windowed_agg(events, "1 hour")
-    return run_to_memory(spark, out, "stream_tumbling_1h", "complete").orderBy(
+    return run_to_memory(spark, out, "stream_tumbling_1h", "complete", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "window_start", "event_type"
     )
 
@@ -90,7 +150,7 @@ def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-mode; shares the batch DuckDB oracle."""
     events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     out = windowed_agg(events, "1 hour", "30 minutes")
-    return run_to_memory(spark, out, "stream_sliding_1h_30m", "complete").orderBy(
+    return run_to_memory(spark, out, "stream_sliding_1h_30m", "complete", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "window_start", "event_type"
     )
 
@@ -119,7 +179,7 @@ def streaming_sessions_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(spark, out, "stream_sessions_10m", "complete").orderBy(
+    return run_to_memory(spark, out, "stream_sessions_10m", "complete", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "user_id", "session_start"
     )
 
@@ -152,7 +212,7 @@ def streaming_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
             "sum_value",
         )
     )
-    return run_to_memory(spark, out, "stream_enriched_by_segment", "complete").orderBy(
+    return run_to_memory(spark, out, "stream_enriched_by_segment", "complete", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "window_start", "segment"
     )
 
@@ -168,7 +228,7 @@ def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame
     is emitted exactly once, when both sides have arrived.
     """
     out = _purchase_click_joined(spark, sf_dir, "inner")
-    return run_to_memory(spark, out, "stream_pc_join", "append").orderBy(
+    return run_to_memory(spark, out, "stream_pc_join", "append", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "purchase_id", "click_id"
     )
 
@@ -240,7 +300,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     deduped = events.dropDuplicatesWithinWatermark(["event_id"])
     out = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique_events"))
-    return run_to_memory(spark, out, "stream_dedup_events", "complete").orderBy(
+    return run_to_memory(spark, out, "stream_dedup_events", "complete", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "event_type"
     )
 
@@ -355,7 +415,7 @@ def streaming_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain :func:`admission_stream_plan` (availableNow trigger,
     complete mode) and return the admissions as a batch frame."""
     out = admission_stream_plan(spark, sf_dir)
-    return run_to_memory(spark, out, "stream_neardup_admission", "complete").orderBy(
+    return run_to_memory(spark, out, "stream_neardup_admission", "complete", parts=stream_shuffle_parts(spark, sf_dir)).orderBy(
         "doc_id"
     )
 
@@ -385,14 +445,19 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pac_spark.operators.sketch import cms_build, cms_top_report
 
     ev = stream_events(spark, sf_dir).select("user_id")
+    parts = stream_shuffle_parts(spark, sf_dir)
     sketch = pin(
-        run_to_memory(spark, cms_build(ev, "user_id"), "stream_cms_sketch", "complete")
+        run_to_memory(
+            spark, cms_build(ev, "user_id"), "stream_cms_sketch", "complete",
+            parts=parts,
+        )
     )
     counts = run_to_memory(
         spark,
         ev.groupBy("user_id").agg(F.count("*").alias("n_rows")),
         "stream_cms_counts",
         "complete",
+        parts=parts,
     )
     return cms_top_report(sketch, counts, "user_id")
 
@@ -456,7 +521,7 @@ def streaming_purchase_click_left_join(spark: SparkSession, sf_dir: str) -> Data
         "unattributed", F.col("click_id").isNull()
     )
     return (
-        run_to_memory(spark, out, "stream_pc_left_join", "append")
+        run_to_memory(spark, out, "stream_pc_left_join", "append", parts=stream_shuffle_parts(spark, sf_dir))
         .filter(F.col("purchase_ts") <= F.lit(bound))
         .orderBy("purchase_id", "click_id")
     )
