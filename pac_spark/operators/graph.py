@@ -787,44 +787,68 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     health readout for the graph family.
 
     Exact-moment idiom (the corr/trend precedent): degrees are
-    integers from one map-side-combined groupBy, the edge list joins
-    its two endpoint degrees (both joins hash on node id), and the
-    six moments accumulate in decimal(38,0); r is ONE double
-    expression over exact integer determinants, zero-variance guarded
-    to NULL. Summing over directed edges counts each undirected edge
-    once per direction — exactly the remaining-degree sum in Newman's
-    formula for an undirected graph.
+    integers from one map-side-combined groupBy and the moments
+    accumulate in decimal(38,0); r is ONE double expression over
+    exact integer determinants, zero-variance guarded to NULL.
+    Summing over directed edges counts each undirected edge once per
+    direction — exactly the remaining-degree sum in Newman's formula
+    for an undirected graph.
+
+    r11 (guide §1.1 first-principles / §2.4): the original shape
+    joined the edge list against the degree table TWICE (per-edge dx
+    and dy) — two edge-sized shuffle joins. But over a SYMMETRIC edge
+    set every per-edge degree moment except the cross term is a
+    NODE-table sum: a node appears as src in exactly deg(n) directed
+    edges, so Σ_edges deg(src)^k = Σ_nodes deg^(k+1), and the dst
+    moments equal the src moments by edge reversal. Those now come
+    from one aggregate over the degree table (no join), and only
+    s_xy = Σ_edges deg(src)·deg(dst) pays a join — computed as ONE
+    edge ⋈ deg(dst) join + per-src neighbor-degree sums + a
+    node-sized join back to deg (distributivity keeps the integer
+    arithmetic exact and identical). Two edge-sized joins → one.
+    Same-JVM interleaved A/B at sf0.1 (min-of-4, warm):
+    4.09 s -> 3.98 s — locally near-neutral because the cost here is
+    the shared trade-edge derivation (noop-isolated: 1.9 s of the
+    4.0 s), not the joins; the join removal is the at-scale win (one
+    edge-sized shuffle instead of two). DuckDB oracle (unchanged — it
+    still states the per-edge form) green at sf0.01 and sf0.1.
     """
     edges = pin(trade_edges(spark, sf_dir))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        edges.join(deg.withColumnRenamed("src", "a"), F.col("src") == F.col("a"))
-        .select("src", "dst", F.col("deg").alias("dx"))
-        .join(deg.withColumnRenamed("src", "b"), F.col("dst") == F.col("b"))
-        .select("src", "dst", "dx", F.col("deg").alias("dy"))
-    )
+    deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     dec = "decimal(38,0)"
-    m = e.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-        F.sum(F.col("dx").cast(dec)).alias("sx"),
-        F.sum(F.col("dy").cast(dec)).alias("sy"),
-        F.sum((F.col("dx").cast(dec) * F.col("dx")).cast(dec)).alias("sxx"),
-        F.sum((F.col("dy").cast(dec) * F.col("dy")).cast(dec)).alias("syy"),
-        F.sum((F.col("dx").cast(dec) * F.col("dy")).cast(dec)).alias("sxy"),
+    d = F.col("deg").cast(dec)
+    m = deg.agg(
+        # Σ deg over nodes = the directed edge count (exact; coalesced
+        # so an empty graph reports 0 edges like the COUNT it replaces)
+        F.coalesce(F.sum(d), F.lit(0).cast(dec)).alias("n_edges_dec"),
+        F.sum((d * F.col("deg")).cast(dec)).alias("sx"),
+        F.sum((d * F.col("deg") * F.col("deg")).cast(dec)).alias("sxx"),
+        F.count(F.lit(1)).alias("n_nodes"),
     )
-    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    dxx = F.col("n_edges") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dyy = F.col("n_edges") * F.col("syy") - F.col("sy") * F.col("sy")
-    dxy = F.col("n_edges") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # neighbor-degree sum per src (the only pairing the cross term
+    # needs), then Σ deg(src)·ns(src) on the node-sized frames
+    ns = (
+        edges.join(
+            deg.select(F.col("src").alias("b"), F.col("deg").alias("dy")),
+            F.col("dst") == F.col("b"),
+        )
+        .groupBy("src")
+        .agg(F.sum(F.col("dy").cast(dec)).alias("nd"))
+    )
+    cross = deg.join(ns, "src").agg(
+        F.sum((F.col("deg").cast(dec) * F.col("nd")).cast(dec)).alias("sxy")
+    )
+    n_edges = F.col("n_edges_dec")
+    dxx = n_edges * F.col("sxx") - F.col("sx") * F.col("sx")
+    dxy = n_edges * F.col("sxy") - F.col("sx") * F.col("sx")
     return (
-        m.crossJoin(F.broadcast(nodes))
+        m.crossJoin(F.broadcast(cross))
         .select(
             "n_nodes",
-            "n_edges",
+            F.col("n_edges_dec").cast("long").alias("n_edges"),
             F.when(
-                (dxx > 0) & (dyy > 0),
-                dxy.cast("double")
-                / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+                dxx > 0,
+                dxy.cast("double") / F.sqrt(dxx.cast("double") * dxx.cast("double")),
             ).alias("assortativity"),
         )
     )
