@@ -602,7 +602,7 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange subtrees, not the aggregates above them
     edges = pin(trade_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
-    anchors = (
+    anchors = pin(
         deg.filter(F.col("src") % 4 == 1)
         .orderBy(F.desc("degree"), F.asc("src"))
         .limit(REACH_TOP_K)
@@ -611,6 +611,17 @@ def two_hop_reach_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hop1 = F.broadcast(anchors).join(
         edges, F.col("anchor") == F.col("src")
     ).select("anchor", "degree", F.col("dst").alias("mid"))
+    # r11 (guide §3.1): hop1 is anchored-bounded — EXACTLY
+    # Σ degree(anchor) rows, a 1-row scalar off the K-row anchor frame
+    # — so below the session's broadcast threshold it broadcasts into
+    # the hop-2 join and the pinned edge frame is probed in place
+    # instead of re-shuffled (SortMergeJoin → BroadcastHashJoin).
+    # Past the gate (huge-degree anchors) the shuffle join stands.
+    # Same-JVM interleaved A/B at sf0.1 (min-of-4, warm):
+    # 3.16 s -> 2.43 s; value-identical by join semantics.
+    hop1_rows = anchors.agg(F.sum("degree")).collect()[0][0] or 0
+    if hop1_rows * _RANK_ROW_BYTES * 2 <= _broadcast_threshold(spark):
+        hop1 = F.broadcast(hop1)
     hop2 = hop1.join(
         edges.withColumnRenamed("src", "mid"), "mid"
     ).filter(F.col("dst") != F.col("anchor"))
