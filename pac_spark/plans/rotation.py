@@ -126,6 +126,22 @@ FORCE_HOIST: tuple[str, ...] = (
     # re-driven hash-green through drive_contract same-session, but a
     # registered spec's own body changed -> forced per policy.
     "language_id",
+    # r11 OPTIMIZATION round: specs whose PLAN materially changed for
+    # performance (each with a same-JVM interleaved A/B + 2-SF oracle
+    # drive recorded in OPTIMIZATION_r11.md). lpa_communities and
+    # sssp_from_hub changed too but are mandatory-tier this round
+    # (r11 intake / 2nd-green), so the tool would drop them from the
+    # forced set anyway; the six below would otherwise ride the tail
+    # on pre-change evidence. The streaming drains' scoped shuffle-
+    # partition override is the r9/r10 equivalence-preserving
+    # SUBSTRATE precedent (no logical-plan change, partition-count
+    # invariance oracle-proven at 2 SFs) and rides the local gates.
+    "kcore_parts",
+    "degree_assortativity",
+    "two_hop_reach_top_customers",
+    "pq_topk",
+    "ann_ivf_topk",
+    "kmv_nation_part_overlap",
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
