@@ -135,6 +135,19 @@ def _broadcast_threshold(spark: SparkSession) -> int:
     return max(val, 0)
 
 
+def _session_shuffle_parts(spark: SparkSession) -> int | None:
+    """The session's spark.sql.shuffle.partitions as an int, or None
+    when the conf is non-integer (e.g. ``"auto"`` on runtimes with
+    their own adaptive sizing — ADVICE r11). Loop operators SKIP their
+    scoped partition override entirely in that case: such a runtime is
+    already sizing partitions itself, and a bare int() would raise
+    ValueError out of the query instead of degrading gracefully."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return None
+
+
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (random-walk) edges: customer c traded with supplier s
     iff some lineitem of c's order was supplied by s. Distinct pairs,
@@ -232,11 +245,13 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS) -> DataFrame:
     spark = edges.sparkSession
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(
-        int(prev_parts),
-        max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
-    )
-    spark.conf.set(parts_key, str(loop_parts))
+    session_parts = _session_shuffle_parts(spark)
+    if session_parts is not None:
+        loop_parts = min(
+            session_parts,
+            max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
+        )
+        spark.conf.set(parts_key, str(loop_parts))
     # Rank frames are node-sized: below the gate, broadcasting them
     # into the edge join (and the node-sized contrib into the update
     # join) removes TWO of the three per-iteration shuffles — only the
@@ -718,10 +733,10 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(
-        int(prev_parts), max(4, -(-n_edges // 1_000_000))
-    )
-    spark.conf.set(parts_key, str(loop_parts))
+    session_parts = _session_shuffle_parts(spark)
+    if session_parts is not None:
+        loop_parts = min(session_parts, max(4, -(-n_edges // 1_000_000)))
+        spark.conf.set(parts_key, str(loop_parts))
     threshold = _broadcast_threshold(spark)
     try:
         for _ in range(KCORE_ROUNDS):
@@ -954,12 +969,16 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w")
         )
     )
-    hub = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .orderBy(F.desc("deg"), F.asc("src"))
-        .limit(1)
-    )
+    # r12 (VERDICT r11 what's-wrong-#2): the node count is only a
+    # broadcast/partition gate, and the hub selection already computes
+    # a degree row per distinct src — pin that node-sized frame and
+    # read BOTH the hub and the node count off it, instead of paying a
+    # separate edge-wide select("src").distinct() exchange + aggregate
+    # before the loop starts. At 100 TB that extra pre-loop job was a
+    # full edge-frame exchange; counts are exact and unchanged
+    # (|distinct src| == |degree rows| by construction).
+    deg = pin(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    hub = deg.orderBy(F.desc("deg"), F.asc("src")).limit(1)
     dist = pin(hub.select(F.col("src").alias("node"), F.lit(0).cast("long").alias("dist")))
     # DECISION RECORD (r10): frontier-pruned relaxation (join edges
     # against only the nodes whose dist improved last round — the
@@ -986,15 +1005,17 @@ def sssp_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Min-plus relaxation is join-strategy- and partition-count-
     # invariant (integer min over the same multiset), so results are
     # identical on both paths.
-    n_nodes = edges.select("src").distinct().count()
+    n_nodes = deg.count()  # reads the pinned degree frame, no new pass
     n_edges = edges.count()
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(
-        int(prev_parts),
-        max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
-    )
-    spark.conf.set(parts_key, str(loop_parts))
+    session_parts = _session_shuffle_parts(spark)
+    if session_parts is not None:
+        loop_parts = min(
+            session_parts,
+            max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
+        )
+        spark.conf.set(parts_key, str(loop_parts))
     bcast_dist = n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold(spark)
     try:
         for i in range(SSSP_HOPS):
@@ -1065,11 +1086,13 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(
-        int(prev_parts),
-        max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
-    )
-    spark.conf.set(parts_key, str(loop_parts))
+    session_parts = _session_shuffle_parts(spark)
+    if session_parts is not None:
+        loop_parts = min(
+            session_parts,
+            max(4, -(-n_nodes // 250_000), -(-n_edges // 1_000_000)),
+        )
+        spark.conf.set(parts_key, str(loop_parts))
     # label rows are two longs, the PageRank rank-row shape — reuse
     # its per-row byte estimate against the session's own threshold
     bcast_labels = n_nodes * _RANK_ROW_BYTES <= _broadcast_threshold(spark)

@@ -549,10 +549,14 @@ def _ivf_centroids(
     # 800-row fit sample would otherwise schedule thousands of empty
     # tasks per round.
     spark = sample.sparkSession
+    from pac_spark.operators.graph import _session_shuffle_parts
+
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(int(prev_parts), max(4, -(-IVF_FIT_TARGET // 250_000)))
-    spark.conf.set(parts_key, str(loop_parts))
+    session_parts = _session_shuffle_parts(spark)
+    if session_parts is not None:
+        loop_parts = min(session_parts, max(4, -(-IVF_FIT_TARGET // 250_000)))
+        spark.conf.set(parts_key, str(loop_parts))
     try:
         for _ in range(iters):
             assigned = (
@@ -649,10 +653,14 @@ def _pq_codebooks(sample: DataFrame) -> DataFrame:
     )
     wa = W.partitionBy("sub", "vec_id").orderBy(F.asc("dist"), F.asc("centroid_id"))
     spark = sample.sparkSession
+    from pac_spark.operators.graph import _session_shuffle_parts
+
     parts_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(parts_key)
-    loop_parts = min(int(prev_parts), max(4, -(-IVF_FIT_TARGET // 250_000)))
-    spark.conf.set(parts_key, str(loop_parts))
+    session_parts = _session_shuffle_parts(spark)
+    if session_parts is not None:
+        loop_parts = min(session_parts, max(4, -(-IVF_FIT_TARGET // 250_000)))
+        spark.conf.set(parts_key, str(loop_parts))
     try:
         for _ in range(PQ_ITERS):
             assigned = (

@@ -80,9 +80,15 @@ def stream_shuffle_parts(
     session default — so it is scale-adaptive, not tuned to this box:
     a TB-scale source keeps the session's own setting, and the
     session default itself stays whatever the cluster set. Returns
-    None (no override) when the source cannot be stat'ed. Partition
-    count cannot change any drained result: every stateful fold here
-    is a per-key monoid (unit-tested both merge orders) and watermark
+    None (no override) when the source cannot be stat'ed — the sizing
+    stat is LOCAL-FILESYSTEM-ONLY by design (ADVICE r11): on remote
+    storage (s3a://, hdfs://) the os.path probe fails and the drain
+    simply runs at the session default, a perf-only fallback; the
+    catalog itself resolves ``{sf_dir}/{table}.parquet`` the same way
+    (catalog.load), so when the probe DOES succeed it is reading the
+    drain's actual source, not an unrelated file. Partition count
+    cannot change any drained result: every stateful fold here is a
+    per-key monoid (unit-tested both merge orders) and watermark
     semantics are partition-independent.
     """
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -97,7 +103,13 @@ def stream_shuffle_parts(
             nbytes = os.path.getsize(path)
     except OSError:
         return None
-    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # non-integer session conf (e.g. "auto"): the runtime is sizing
+        # partitions itself — skip the override rather than raise
+        # (ADVICE r11)
+        return None
     return min(cur, max(4, -(-nbytes // _STREAM_PART_BYTES)))
 
 

@@ -47,11 +47,13 @@ def test_fused_pq_codebooks_match_per_subspace_loops(spark, sf_dir):
         .select("vec_id", _dvec("embedding").alias("v"), "label")
     )
     sample = _fit_sample(emb)
+    # ONE fused training run, filtered per m afterwards — calling
+    # _pq_codebooks inside the per-m comprehension re-ran the full
+    # PQ_ITERS Lloyd loop PQ_M times for identical output (ADVICE r11)
+    codebooks = _pq_codebooks(sample)
     fused = {
         m: _rows(
-            _pq_codebooks(sample)
-            .filter(F.col("sub") == m)
-            .select("centroid_id", "c")
+            codebooks.filter(F.col("sub") == m).select("centroid_id", "c")
         )
         for m in range(PQ_M)
     }
