@@ -779,11 +779,31 @@ def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t2"), F.col("L").alias("l2"),
     )
     max_l = F.greatest("l1", "l2")
-    # dist lands in a COLUMN before any predicate touches it: filtering
-    # on the raw expression re-evaluated the O(L²) levenshtein in both
-    # the Filter and the Project (subexpression elimination does not
-    # span that operator boundary — code-review r7)
-    cand = (
+    # The candidate frame is PINNED (r12): putting dist in a column was
+    # NOT enough to stop double evaluation — Catalyst collapsed the
+    # publish filter through the projection and pushed
+    # ``levenshtein(...)·DEN <= max_len`` into the block join's
+    # CONDITION, ordered BEFORE ``d1 < d2`` (the r11 before-plan's
+    # BroadcastHashJoin(35)), so the O(L²) verify ran on every ordered
+    # length-passing block pair (~2x the candidates) and then AGAIN in
+    # the surviving rows' Project — the guide §4.4 duplication, for a
+    # JVM expression. The pin is a pushdown barrier: the join condition
+    # keeps only the cheap predicates, the distance is computed exactly
+    # once per candidate, and the publish filter reads the tiny cached
+    # (d1, d2, lang, dist, max_len) frame. Measured (same JVM, sf0.1,
+    # min-of-3): 7.3 s -> ~1 s for the registry query.
+    #
+    # r12 (guide §4 — keep the verify row-local but cut its constant;
+    # VERDICT r11 next-#5): the verify itself is the 3-arg thresholded
+    # levenshtein — Spark's banded DP with early exit, O(k·L) work for
+    # threshold k instead of the full O(L²) table. The publish bound
+    # dist·DEN <= max_len is EXACTLY dist <= max_len div DEN for
+    # integer dist, so k = max_len div DEN returns the true distance
+    # for every pair the query publishes and -1 (filtered below) for
+    # every pair it never did. The DuckDB oracle keeps the full 2-arg
+    # form — independent verification that published distances are
+    # unchanged.
+    cand = pin(
         a.join(b, ["lang", "pre"])
         .where(F.col("d1") < F.col("d2"))
         # length filter first: levenshtein >= |ΔL|, so pairs failing it
@@ -793,12 +813,18 @@ def levenshtein_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1",
             "d2",
             "lang",
-            F.levenshtein("t1", "t2").alias("dist"),
+            F.expr(
+                f"levenshtein(t1, t2,"
+                f" cast(greatest(l1, l2) div {ED_SIM_DEN} as int))"
+            ).alias("dist"),
             max_l.cast("long").alias("max_len"),
         )
     )
     return (
-        cand.where(F.col("dist") * ED_SIM_DEN <= F.col("max_len"))
+        cand.where(
+            (F.col("dist") >= 0)
+            & (F.col("dist") * ED_SIM_DEN <= F.col("max_len"))
+        )
         .select(
             "d1",
             "d2",
