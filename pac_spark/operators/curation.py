@@ -894,11 +894,18 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the global constants). Products accumulate in
     decimal(38,0): supply × K overflows BIGINT at real corpus sizes.
     """
+    from pac_spark.cache import pin
     from pac_spark.operators.text_core import tokens
 
     dec = "decimal(38,0)"
     docs = catalog.load(spark, sf_dir, "documents")
-    sup = (
+    # pinned (r12, guide §2.4 / VERDICT r11 next-#8 sweep): the supply
+    # frame is source-cardinality-sized but its derivation is a full
+    # corpus tokenize pass, and it feeds the global-constants aggregate
+    # AND the ranked water-line frame — unpinned, the plan re-ran the
+    # tokenize+groupBy once per consumer (4 parquet scans of documents
+    # in the before-plan; 1 after).
+    sup = pin(
         docs.filter(F.col("source").isNotNull() & F.col("text").isNotNull())
         .select("source", F.size(tokens(F.col("text"))).cast("long").alias("t"))
         .groupBy("source")

@@ -1415,8 +1415,16 @@ def phrase_match_docs(
     index bugs (off-by-one positions, dropped duplicates) cannot
     cancel out.
     """
+    from pac_spark.cache import pin
+
     words = phrase.split(" ")
-    posting = (
+    # pinned (r12, guide §2.4 / VERDICT r11 next-#8 sweep): the posting
+    # frame feeds word 0's starts PLUS one join branch per further
+    # query word — unpinned, EACH branch re-scanned documents and
+    # re-ran the corpus explode (plan showed one parquet scan per
+    # word). One tokenize pass now builds the index; the per-word
+    # branches read the cached, already-word-filtered posting rows.
+    posting = pin(
         catalog.load(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
         .filter(F.col("tok").isin(words))
