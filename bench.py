@@ -522,12 +522,19 @@ def main() -> None:
     # (VERDICT r8 wrong-#3) — the LAST line must stay compact, so the
     # detail moves to a file (git history keeps the per-round trend)
     # and the headline drops the per-query map.
+    # written ATOMICALLY (tmp + rename) so a reader that samples the
+    # file mid-write — the driver's per-query comparator reads this
+    # file because the stdout tail is truncation-prone (VERDICT r11
+    # next-#2) — never sees a half-written JSON document. Keys are
+    # unchanged from r8 ("queries" holds the per-query seconds map).
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w") as fh:
+    tmp_path = detail_path + ".tmp"
+    with open(tmp_path, "w") as fh:
         json.dump({**summary, "queries": timings}, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    os.replace(tmp_path, detail_path)
     print(json.dumps({**summary, "queries": timings}))
     line = json.dumps(summary)
     if len(line) > 1800:  # headroom under the 2000-char tail capture
