@@ -51,7 +51,26 @@ _REPO = os.path.dirname(
 # Hand-maintained per round: registered specs whose IMPLEMENTATION
 # changed since their tail evidence was recorded (the r6
 # bucketed_orders_join case). Correctness history cannot see code
-# churn, so this stays an explicit input. Reset to () at the top of
+# churn, so this stays an explicit input.
+#
+# CLASSIFICATION POLICY (made explicit in r12 — ADVICE r11 #3): a spec
+# is FORCED when its own LOGICAL PLAN or published values changed
+# (join strategy, operator shape, new/changed expressions — even
+# value-identical ones). A spec is NOT forced for a pure SUBSTRATE
+# change: an execution-knob override (scoped shuffle-partition /
+# state-store count), a log-only or error-path guard, or a shared
+# helper refactor proven plan-identical — those ride the full local
+# oracle gates (drive_contract at 2 SFs + pytest parity), because
+# forcing every downstream spec of a shared knob would evict the whole
+# stale fill the cap exists to rotate. Precedents: language_id r11
+# (body moved into a helper -> FORCED, plan-identical or not, because
+# the spec's own body changed); streaming_sessions_10m /
+# streaming_tumbling_1h r11 (run_to_memory parts argument -> NOT
+# forced: the drain's logical plan is byte-identical, only the
+# state-store count differs, and partition-count invariance is
+# oracle-proven at 2 SFs). The line is "did the spec's DECLARED
+# computation change shape", not "did any line in its call graph
+# change". Reset to () at the top of
 # r8, then re-grown as the queued r7-review fixes landed — each entry
 # is a spec with a MATERIAL plan change this round whose cap slot the
 # history would not otherwise grant (specs the r8 fill already covers
@@ -111,37 +130,43 @@ _REPO = os.path.dirname(
 #   unpinned) — span bounds now come straight off the pruned events
 #   scan; measured 0.475 s after the change.
 FORCE_HOIST: tuple[str, ...] = (
-    # r11 starter list: EMPTY (per the R11 note below — every spec
-    # whose plan or value contract changed in r10, pagerank plus the
-    # five-spec ER family, sat inside the r10 cap, so its newest
-    # driver evidence post-dates the change and it may legally ride
-    # the r11 tail). Grown in-round as r11 changes land; every
-    # addition carries a comment naming the change that voids the
-    # spec's tail evidence.
-    # r11: ADVICE r10 warn-on-unparseable-broadcast-threshold is a
-    # log-only change (no plan/value effect) — rides the local gates.
-    # r11 late: language_id's body moved into the _langid_scored
-    # frame-level helper (shared with the streaming confusion twin —
-    # the neardup-admission shared-logic rule). Plan-identical and
-    # re-driven hash-green through drive_contract same-session, but a
-    # registered spec's own body changed -> forced per policy.
-    "language_id",
-    # r11 OPTIMIZATION round: specs whose PLAN materially changed for
-    # performance (each with a same-JVM interleaved A/B + 2-SF oracle
-    # drive recorded in OPTIMIZATION_r11.md). lpa_communities and
-    # sssp_from_hub changed too but are mandatory-tier this round
-    # (r11 intake / 2nd-green), so the tool would drop them from the
-    # forced set anyway; the six below would otherwise ride the tail
-    # on pre-change evidence. The streaming drains' scoped shuffle-
-    # partition override is the r9/r10 equivalence-preserving
-    # SUBSTRATE precedent (no logical-plan change, partition-count
-    # invariance oracle-proven at 2 SFs) and rides the local gates.
-    "kcore_parts",
-    "degree_assortativity",
-    "two_hop_reach_top_customers",
-    "pq_topk",
-    "ann_ivf_topk",
-    "kmv_nation_part_overlap",
+    # r12 starter list: RESET at the top of the round (the r11 entries
+    # all sat inside the r11 cap and came back hash-green, so their
+    # newest driver evidence post-dates their change and they may
+    # legally ride the r12 tail). Grown in-round as r12 changes land;
+    # every addition names the change that voids the spec's tail
+    # evidence.
+    #
+    # r12 OPTIMIZATION round, CC-loop broadcast (VERDICT r11 top item):
+    # connected_components now byte-gates a broadcast of the endpoint-
+    # sized label frame into the per-round edge join and the pointer-
+    # doubling self-join — a physical-plan change in every consumer of
+    # the shared CC loop, so ALL of them are forced (the r11 verdict's
+    # stated done-criterion for this change):
+    "er_clusters",
+    "er_consolidated",
+    "er_approved",
+    "er_links",
+    "dedup_canonical_docs",
+    # trade_graph_components is STAGED, not registered — it cannot take
+    # a cap slot; its CC-loop change is gated by the staged 3-SF local
+    # oracle (tests/test_staged_specs.py) like every queued operator.
+    "semantic_dedup",
+    # r12: sssp_from_hub's pre-loop jobs restructured — the hub and
+    # the node count now both read one pinned degree frame instead of
+    # paying a separate edge-wide distinct exchange (VERDICT r11
+    # what's-wrong-#2). Plan changed -> forced.
+    "sssp_from_hub",
+    # r12: levenshtein_neardup_pairs verify switched to the 3-arg
+    # thresholded (banded-DP early-exit) levenshtein with k =
+    # max_len div 5 — expression/plan change, published rows proven
+    # identical (test_r12_optimizations + oracle drive) -> forced.
+    "levenshtein_neardup_pairs",
+    # r12 substrate, NOT forced per the classification policy above:
+    # the defensive _session_shuffle_parts parse in the graph/CC/IVF
+    # loops and stream_shuffle_parts (ADVICE r11 #1/#5) is an
+    # execution-knob guard with no logical-plan change on integer-conf
+    # runtimes; the atomic BENCH_DETAIL write is bench-file-only.
 )
 
 # r9 VERIFIED DRAINED (VERDICT r8 next-#6): the ER-LSH janino 64 KB
