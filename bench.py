@@ -181,6 +181,8 @@ FAMILY = {
     "weighted_percentiles_price_by_flag": "stats",
     "halflife_decayed_user_value": "stats",
     "lpa_communities": "graph",
+    "er_consolidated": "er",
+    "semantic_dedup": "llm",
 }
 
 # headline set: one representative per operator family (relational
@@ -315,6 +317,12 @@ BENCH_QUERIES = [
     "weighted_percentiles_price_by_flag",
     "halflife_decayed_user_value",
     "lpa_communities",
+    # r12 additions (additions only, per the round rules): the two
+    # heavy direct consumers of the connected-components loop that the
+    # r12 broadcast change touches — visibility for the rows the change
+    # claims to move. Never remove or rename existing entries.
+    "er_consolidated",
+    "semantic_dedup",
 ]
 
 
