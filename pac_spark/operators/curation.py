@@ -899,35 +899,44 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dec = "decimal(38,0)"
     docs = catalog.load(spark, sf_dir, "documents")
-    # pinned (r12, guide §2.4 / VERDICT r11 next-#8 sweep): the supply
-    # frame is source-cardinality-sized but its derivation is a full
-    # corpus tokenize pass, and it feeds the global-constants aggregate
-    # AND the ranked water-line frame — unpinned, the plan re-ran the
-    # tokenize+groupBy once per consumer (4 parquet scans of documents
-    # in the before-plan; 1 after).
-    sup = pin(
+    sup = (
         docs.filter(F.col("source").isNotNull() & F.col("text").isNotNull())
         .select("source", F.size(tokens(F.col("text"))).cast("long").alias("t"))
         .groupBy("source")
         .agg(F.sum(F.col("t").cast(dec)).alias("supply"))
     )
-    g = sup.agg(
-        (
-            (F.sum("supply") * WATERFILL_BUDGET_NUM)
-            - (F.sum("supply") * WATERFILL_BUDGET_NUM) % WATERFILL_BUDGET_DEN
-        ).cast(dec).alias("b10"),
-        F.count(F.lit(1)).alias("k"),
-    ).select(
-        (F.col("b10") / WATERFILL_BUDGET_DEN).cast(dec).alias("b"), "k"
-    )
+    # r12 (guide §2.4 / VERDICT r11 next-#8 sweep): the corpus-scale
+    # tokenize behind ``sup`` used to run once per downstream path (4
+    # parquet scans of documents in the before-plan) because sup fed a
+    # separate global-constants aggregate AND the ranked frame, and
+    # ranked itself fed both a saturated-set aggregate and the final
+    # read-off. EVERYTHING global (B, K, and the saturated set's
+    # n_sat/sat_sum) is now an unbounded-frame aggregate inside the
+    # SAME single-partition window chain ranked already pays (the
+    # domain-bounded K-row window — one sort, chained WindowExecs, no
+    # extra exchange), so sup — and therefore the corpus scan — is
+    # consumed exactly once and nothing needs a pin or a crossJoin.
+    # (Two rejected intermediates, both same-JVM A/B'd at sf0.1:
+    # pin(sup) 0.77 -> 1.18 s and pin(ranked)+separate totals
+    # 0.79 -> 1.00 s — the persist's fixed local cost outweighed the
+    # saved scans at this SF; this shape wins at BOTH scales.)
+    # Arithmetic is unchanged: the same exact-decimal expressions over
+    # the same values, now per-row instead of via broadcast joins.
     asc = W.orderBy("supply", "source")
+    full = asc.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    total = F.sum("supply").over(full)
+    b10 = (
+        (total * WATERFILL_BUDGET_NUM)
+        - (total * WATERFILL_BUDGET_NUM) % WATERFILL_BUDGET_DEN
+    ).cast(dec)
     ranked = (
-        sup.crossJoin(F.broadcast(g))
-        .withColumn("rn", F.row_number().over(asc))
+        sup.withColumn("rn", F.row_number().over(asc))
         .withColumn(
             "prefix",
             F.sum("supply").over(asc.rowsBetween(W.unboundedPreceding, 0)),
         )
+        .withColumn("k", F.count(F.lit(1)).over(full))
+        .withColumn("b", (b10 / WATERFILL_BUDGET_DEN).cast(dec))
         .withColumn(
             "sat",
             (
@@ -936,12 +945,16 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= F.col("b"),
         )
-    )
-    totals = ranked.agg(
-        F.sum(F.when(F.col("sat"), 1).otherwise(0)).alias("n_sat"),
-        F.coalesce(
-            F.sum(F.when(F.col("sat"), F.col("supply"))), F.lit(0).cast(dec)
-        ).alias("sat_sum"),
+        .withColumn(
+            "n_sat", F.sum(F.when(F.col("sat"), 1).otherwise(0)).over(full)
+        )
+        .withColumn(
+            "sat_sum",
+            F.coalesce(
+                F.sum(F.when(F.col("sat"), F.col("supply"))).over(full),
+                F.lit(0).cast(dec),
+            ),
+        )
     )
     pool = (F.col("b") - F.col("sat_sum")).cast(dec)
     m = (F.col("k") - F.col("n_sat")).cast(dec)
@@ -950,7 +963,7 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ((pool - pool % m) / m).cast(dec)
     rem = (pool % m).cast(dec)
     return (
-        ranked.crossJoin(F.broadcast(totals))
+        ranked
         .select(
             "source",
             F.col("supply").cast("long").alias("supply_tokens"),
